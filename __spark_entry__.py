@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship PYMK query (SURVEY §2.4 O38) at
+sf0.001. ``queries()`` exposes each implemented operator from SURVEY §2 as
+``(spark, sf_dir) -> DataFrame``; ``oracle_sql()`` returns the DuckDB twin
+for each (composed in the engine's ``oracles`` module from the same
+mapping constants the Spark code uses).
 """
 
 from __future__ import annotations
@@ -13,26 +13,130 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+import social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark as engine
+from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark import (
+    graph as G,
+)
+from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark import (
+    oracles,
+)
+from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+    ingest,
+    upsert,
+)
+from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.functions import (
+    parse as P,
+)
+from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.sources import (
+    tables,
+)
+
+from pyspark.sql import functions as F
+
+__all__ = ["entry", "queries", "oracle_sql", "engine"]
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: 2-hop PYMK for 'user_3' on the sf0.001 events graph."""
+    sf_dir = "/root/testdata/sf0.001"
+    vertices = tables.user_graph_vertices(spark, sf_dir)
+    edges = tables.user_graph_edges(spark, sf_dir)
+    return G.pymk(vertices, edges, "user_3", limit=10)
+
+
+# --- query registry -------------------------------------------------------
+
+def _q_graph_edges(spark, sf_dir):
+    return tables.user_graph_edges(spark, sf_dir)
+
+
+def _q_graph_vertices(spark, sf_dir):
+    return tables.user_graph_vertices(spark, sf_dir)
+
+
+def _q_graph_degrees(spark, sf_dir):
+    return G.degrees(tables.user_graph_edges(spark, sf_dir))
+
+
+def _q_graph_counts(spark, sf_dir):
+    return G.graph_counts(
+        tables.user_graph_vertices(spark, sf_dir),
+        tables.user_graph_edges(spark, sf_dir),
+    )
+
+
+def _q_one_hop_paths(spark, sf_dir):
+    return G.one_hop_paths(
+        tables.user_graph_vertices(spark, sf_dir),
+        tables.user_graph_edges(spark, sf_dir),
+    )
+
+
+def _q_pymk_user_3(spark, sf_dir):
+    return G.pymk(
+        tables.user_graph_vertices(spark, sf_dir),
+        tables.user_graph_edges(spark, sf_dir),
+        "user_3",
+        limit=10,
+    )
+
+
+def _q_pymk_all_top5(spark, sf_dir):
+    return G.pymk_all(tables.user_graph_edges(spark, sf_dir), limit=5)
+
+
+def _q_bizcard_parse(spark, sf_dir):
+    return ingest.parse_bizcard_text(tables.bizcard_text_records(spark, sf_dir))
+
+
+def _q_bizcards(spark, sf_dir):
+    return ingest.bizcards_from_text(
+        ingest.parse_bizcard_text(tables.bizcard_text_records(spark, sf_dir))
+    )
+
+
+def _q_bizcard_vertices(spark, sf_dir):
+    v, _ = ingest.graph_from_text(
+        ingest.parse_bizcard_text(tables.bizcard_text_records(spark, sf_dir))
+    )
+    return v
+
+
+def _q_bizcard_edges(spark, sf_dir):
+    _, e = ingest.graph_from_text(
+        ingest.parse_bizcard_text(tables.bizcard_text_records(spark, sf_dir))
+    )
+    return e
+
+
+def _q_status_latest(spark, sf_dir):
+    ev = tables.load_table(spark, sf_dir, "events")
+    latest = upsert.latest_by_key(ev, ["user_id"], ["ts", "event_id"])
+    return latest.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        P.fmt_mts(F.col("ts")).alias("mts"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "graph_edges": _q_graph_edges,
+        "graph_vertices": _q_graph_vertices,
+        "graph_degrees": _q_graph_degrees,
+        "graph_counts": _q_graph_counts,
+        "one_hop_paths": _q_one_hop_paths,
+        "pymk_user_3": _q_pymk_user_3,
+        "pymk_all_top5": _q_pymk_all_top5,
+        "bizcard_parse": _q_bizcard_parse,
+        "bizcards": _q_bizcards,
+        "bizcard_vertices": _q_bizcard_vertices,
+        "bizcard_edges": _q_bizcard_edges,
+        "status_latest": _q_status_latest,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(oracles.ORACLES)

@@ -1,0 +1,3 @@
+from .model import symmetrize, degrees, graph_counts  # noqa: F401
+from .pymk import pymk, pymk_all  # noqa: F401
+from .queries import one_hop_paths, vertex_lookup, edge_exists, hydrate  # noqa: F401

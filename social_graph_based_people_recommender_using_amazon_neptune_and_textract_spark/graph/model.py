@@ -1,0 +1,46 @@
+"""Property-graph model as vertex/edge DataFrames (GraphFrames convention).
+
+The reference stores a directed graph in Neptune (single ``person`` vertex
+label, single ``knows`` edge label) but traverses it *undirected* via
+Gremlin ``both()`` (neptune_recommend_bizcard.py:60-61). We therefore store
+edges ONCE (directed, deduped, no self-loops — the invariants enforced by
+upsert_bizcard_to_graph_db.py:98,104-109) and symmetrize lazily at read:
+at 100 TB this halves edge storage and the reverse projection is a
+narrow map-side transform, not a shuffle.
+
+Bag semantics matter (SURVEY R1): if both u→v and v→u are stored,
+``both()`` yields the neighbor twice (two paths) — ``symmetrize`` uses
+``unionAll`` (no dedup) to preserve exactly that multiplicity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def symmetrize(edges: DataFrame) -> DataFrame:
+    """Undirected view of a directed edge list, bag semantics (O38c)."""
+    fwd = edges.select("src", "dst")
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return fwd.unionAll(rev)
+
+
+def degrees(edges: DataFrame) -> DataFrame:
+    """Undirected degree per vertex (one row per vertex id).
+
+    Scale: single shuffle on vertex id with map-side partial aggregation;
+    celebrity-vertex skew is handled by AQE skew-join settings downstream.
+    """
+    return (
+        symmetrize(edges)
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+
+
+def graph_counts(vertices: DataFrame, edges: DataFrame) -> DataFrame:
+    """O34: g.V().count() / g.E().count() as a single-row DataFrame."""
+    v = vertices.agg(F.count(F.lit(1)).alias("vertex_count"))
+    e = edges.agg(F.count(F.lit(1)).alias("edge_count"))
+    return v.crossJoin(e)

@@ -1,0 +1,137 @@
+"""PYMK — People You May Know, the reference's flagship query (O38).
+
+Gremlin original (neptune_recommend_bizcard.py:56-73)::
+
+    g.V().hasLabel('person').has('_name', user.lower()).as_('person')
+     .both('knows').aggregate('friends')
+     .both('knows')
+     .where(P.neq('person')).where(P.without('friends'))
+     .groupCount().by('id')
+     .order(Scope.local).by(Column.values, Order.decr)
+     [:limit]  →  valueMap hydration + score = float(path count)
+
+Spark decomposition (SURVEY §2.4 O38a–k): filter → symmetrized self-join
+chain → anti-join → groupBy-count → top-k → hydration join. The score is
+the NUMBER OF 2-HOP PATHS (bag semantics — a candidate reachable through
+k distinct friends, or twice through one reciprocal friend pair, scores k).
+
+Tie order: the reference leaves equal-score order unspecified (Gremlin map
+ordering); we declare the total order (score desc, id asc) — SURVEY R4.
+
+Scale design:
+- Single-user PYMK: the user row and the hop-1 friend bag are tiny →
+  broadcast to both hop joins and the anti-join; the only shuffle is the
+  final groupBy on candidate id (AQE-coalesced). The big edge table is
+  never shuffled.
+- All-users PYMK: one big self-join of the symmetrized edges, shuffle-
+  partitioned on the join key; friend-pair anti-join reuses the same key;
+  per-user top-k via window. Skewed (celebrity) vertices are split by
+  AQE skew-join; the window partitions by user, not globally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .model import symmetrize
+
+
+def pymk(
+    vertices: DataFrame, edges: DataFrame, user_name: str, limit: int = 10
+) -> DataFrame:
+    """O38 for a single user; returns (id, name, score) ordered by
+    (score desc, id asc), limit rows.
+
+    Hydration (O36) returns vertex props minus ``id``/underscore-prefixed
+    (neptune_recommend_bizcard.py:70); we additionally keep ``id`` as the
+    deterministic row identity (documented refinement, SURVEY R4).
+    """
+    bi = symmetrize(edges)
+
+    # O38a/b: case-insensitive start-vertex lookup via the _name property.
+    me = (
+        vertices.filter(F.col("_name") == user_name.lower())
+        .select(F.col("id").alias("me_id"))
+    )
+
+    # O38c: hop 1, bag semantics.
+    friends = (
+        bi.join(F.broadcast(me), bi["src"] == me["me_id"])
+        .select("me_id", F.col("dst").alias("friend_id"))
+    )
+    # O38d: the side-collected friend *set* (used by `without`).
+    friends_set = friends.select("friend_id").distinct()
+
+    # O38e: hop 2 from the friend *bag* — path multiplicity preserved.
+    hop2 = (
+        bi.join(F.broadcast(friends), bi["src"] == friends["friend_id"])
+        .select("me_id", F.col("dst").alias("cand_id"))
+    )
+
+    # O38f: exclude self;  O38g: exclude existing friends (anti-join).
+    cand = hop2.filter(F.col("cand_id") != F.col("me_id")).join(
+        F.broadcast(friends_set),
+        F.col("cand_id") == friends_set["friend_id"],
+        "left_anti",
+    )
+
+    # O38h-j: path count → declared total order → top-k.
+    scored = (
+        cand.groupBy("cand_id")
+        .agg(F.count(F.lit(1)).cast("double").alias("score"))
+        .orderBy(F.desc("score"), F.asc("cand_id"))
+        .limit(limit)
+    )
+
+    # O38k / O36: hydrate candidate ids from the vertex table. Renamed
+    # projection avoids self-join ambiguity (scored descends from vertices).
+    props = vertices.select(
+        F.col("id").alias("v_id"), F.col("name").alias("v_name")
+    )
+    return (
+        scored.join(props, scored["cand_id"] == props["v_id"])
+        .select(
+            F.col("v_id").alias("id"),
+            F.col("v_name").alias("name"),
+            F.col("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("id"))
+    )
+
+
+def pymk_all(edges: DataFrame, limit: int = 10) -> DataFrame:
+    """PYMK for every user at once (the batch/scale variant; SURVEY §4.3).
+
+    Returns (user_id, id, score, rank) — top-``limit`` recommendations per
+    user under the declared order (score desc, id asc).
+    """
+    bi = symmetrize(edges)
+    a = bi.select(F.col("src").alias("user_id"), F.col("dst").alias("friend_id"))
+    b = bi.select(F.col("src").alias("friend_id2"), F.col("dst").alias("cand_id"))
+
+    hop2 = a.join(b, a["friend_id"] == b["friend_id2"]).select(
+        "user_id", "cand_id"
+    )
+    cand = hop2.filter(F.col("cand_id") != F.col("user_id"))
+
+    # anti-join against direct-friend pairs (both orientations are in bi)
+    friend_pairs = bi.select(
+        F.col("src").alias("user_id"), F.col("dst").alias("cand_id")
+    ).distinct()
+    cand = cand.join(friend_pairs, ["user_id", "cand_id"], "left_anti")
+
+    scored = cand.groupBy("user_id", "cand_id").agg(
+        F.count(F.lit(1)).cast("double").alias("score")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("score"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= limit)
+        .select(
+            "user_id",
+            F.col("cand_id").alias("id"),
+            "score",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

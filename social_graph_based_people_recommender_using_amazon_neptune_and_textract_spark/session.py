@@ -1,0 +1,52 @@
+"""SparkSession factory tuned for the engine.
+
+Local testing runs ``local[$SPARK_GRAFT_CPUS]`` (default 32) in a single
+JVM, but every knob below is chosen for the 1000-executor / 100 TB target:
+
+- **AQE on** (`spark.sql.adaptive.*`): runtime re-planning gives us
+  shuffle-partition coalescing, skew-join splitting (celebrity vertices in
+  the social graph are the canonical skew source) and dynamic
+  broadcast-join demotion/promotion at scale.
+- **shuffle.partitions**: defaults to 2× local cores here; on a real
+  cluster this is set to ~2–3× total executor cores (or left to AQE's
+  coalescing with a high initial value). Exposed as a parameter.
+- **Arrow enabled**: every Pandas-UDF boundary (OCR stub, multimodal
+  decode, optional vectorized cosine) transfers columnar Arrow batches,
+  not pickled rows.
+- **parquet filter pushdown + session TZ UTC**: deterministic timestamp
+  semantics so results match the DuckDB oracle bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "sgr-spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(2 * cpus, 8)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,128 @@
+"""Graph semantics on the reference's 11-record golden fixture: expected
+vertices/edges, PYMK bag semantics (reciprocal edges count twice), and the
+exclusion invariants (self / direct friends never recommended)."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark import (
+    graph as G,
+)
+from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+    ingest,
+)
+
+from fixtures import bizcard_text_rows
+
+
+def h(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()[:8]
+
+
+@pytest.fixture(scope="module")
+def graph(spark):
+    text = spark.createDataFrame(bizcard_text_rows())
+    v, e = ingest.graph_from_text(text)
+    return v.cache(), e.cache()
+
+
+def test_vertices(graph):
+    v, _ = graph
+    ids = {r["id"]: r["name"] for r in v.collect()}
+    assert ids == {
+        h("edy"): "Edy Kim",
+        h("crong"): "Crong Lee",
+        h("harry"): "Harry Jang",
+        h("poby"): "Poby Kim",
+        h("pororo"): "Pororo Kim",
+        h("rody"): "Rody Park",
+    }
+
+
+def test_edges_no_self_loops_and_dedup(graph):
+    _, e = graph
+    edges = {(r["src"], r["dst"]) for r in e.collect()}
+    assert e.count() == len(edges)  # deduped
+    assert all(s != d for s, d in edges)  # no self-loops
+    expected = {
+        (h("edy"), h("crong")),
+        (h("edy"), h("harry")),
+        (h("edy"), h("poby")),
+        (h("poby"), h("edy")),
+        (h("poby"), h("pororo")),
+        (h("poby"), h("rody")),
+        (h("pororo"), h("crong")),
+        (h("pororo"), h("harry")),
+    }
+    assert edges == expected
+
+
+def test_pymk_edy_bag_semantics(graph):
+    """edy↔poby is reciprocal ⇒ poby appears twice in edy's friend bag ⇒
+    poby's neighbors get 2 paths each. Expected: pororo=4, rody=2."""
+    v, e = graph
+    res = [(r["name"], r["score"]) for r in G.pymk(v, e, "Edy Kim", 10).collect()]
+    assert res == [("Pororo Kim", 4.0), ("Rody Park", 2.0)]
+
+
+def test_pymk_excludes_self_and_friends(graph):
+    v, e = graph
+    for user in ["Edy Kim", "Poby Kim", "Pororo Kim", "Crong Lee"]:
+        me = {r["id"] for r in v.filter(F.col("_name") == user.lower()).collect()}
+        bi = G.symmetrize(e)
+        friends = {
+            r["dst"] for r in bi.join(
+                v.filter(F.col("_name") == user.lower()).select(F.col("id").alias("mid")),
+                F.col("src") == F.col("mid"),
+            ).collect()
+        }
+        rec = {r["id"] for r in G.pymk(v, e, user, 10).collect()}
+        assert not (rec & me), user
+        assert not (rec & friends), user
+
+
+def test_pymk_case_insensitive(graph):
+    v, e = graph
+    a = [(r["id"], r["score"]) for r in G.pymk(v, e, "EDY KIM", 10).collect()]
+    b = [(r["id"], r["score"]) for r in G.pymk(v, e, "edy kim", 10).collect()]
+    assert a == b and a
+
+
+def test_pymk_unknown_user_empty(graph):
+    v, e = graph
+    assert G.pymk(v, e, "nobody", 10).count() == 0
+
+
+def test_one_hop_paths(graph):
+    v, e = graph
+    pairs = {(r["src_name"], r["dst_name"]) for r in G.one_hop_paths(v, e).collect()}
+    assert ("Edy Kim", "Crong Lee") in pairs
+    assert len(pairs) == 8
+
+
+def test_graph_counts(graph):
+    v, e = graph
+    row = G.graph_counts(v, e).collect()[0]
+    assert (row["vertex_count"], row["edge_count"]) == (6, 8)
+
+
+def test_vertex_lookup_and_edge_exists(graph):
+    v, e = graph
+    assert G.vertex_lookup(v, h("edy")).count() == 1
+    assert G.edge_exists(e, h("edy"), h("poby")).collect()[0]["exists"] is True
+    assert G.edge_exists(e, h("edy"), h("rody")).collect()[0]["exists"] is False
+
+
+def test_pymk_all_consistent_with_single(graph):
+    v, e = graph
+    allrec = G.pymk_all(e, limit=10)
+    edy = [
+        (r["id"], r["score"])
+        for r in allrec.filter(F.col("user_id") == h("edy"))
+        .orderBy("rank")
+        .collect()
+    ]
+    single = [(r["id"], r["score"]) for r in G.pymk(v, e, "Edy Kim", 10).collect()]
+    assert edy == single

@@ -1,0 +1,41 @@
+"""Every registered query must hash-match its DuckDB oracle — this is the
+driver's t2 correctness gate, run here at sf0.001 (fast) and sf0.01 (the
+driver's actual scale, marked slow)."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+from conftest import SF_CORRECTNESS, SF_SMALL
+from oracle_compare import assert_matches_oracle
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+
+def test_registry_complete():
+    missing = set(QUERIES) - set(ORACLES)
+    assert not missing, f"queries without oracle: {missing}"
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_parity_sf0001(spark, name):
+    df = QUERIES[name](spark, SF_SMALL)
+    assert_matches_oracle(df, ORACLES[name], SF_SMALL, name)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_parity_sf001(spark, name):
+    df = QUERIES[name](spark, SF_CORRECTNESS)
+    assert_matches_oracle(df, ORACLES[name], SF_CORRECTNESS, name)
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
