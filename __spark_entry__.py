@@ -109,6 +109,59 @@ def _q_bizcard_edges(spark, sf_dir):
     return e
 
 
+def _q_search_documents(spark, sf_dir):
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark import (
+        search as S,
+    )
+
+    docs = tables.load_table(spark, sf_dir, "documents")
+    return S.search_documents(docs, " ".join(oracles.DOC_QUERY_TERMS), limit=10)
+
+
+def _q_search_documents_count(spark, sf_dir):
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark import (
+        search as S,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.search.bm25 import (
+        bm25_scores,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.search.index import (
+        build_index,
+    )
+
+    docs = tables.load_table(spark, sf_dir, "documents")
+    postings, doclen = build_index(docs, "doc_id", "text")
+    scored = bm25_scores(postings, doclen, oracles.DOC_QUERY_TERMS)
+    return scored.agg(F.count(F.lit(1)).alias("total_hits"))
+
+
+def _bizcards_df(spark, sf_dir):
+    return ingest.bizcards_from_text(
+        ingest.parse_bizcard_text(tables.bizcard_text_records(spark, sf_dir))
+    )
+
+
+def _q_search_bizcards(spark, sf_dir):
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark import (
+        search as S,
+    )
+
+    return S.search_bizcards(_bizcards_df(spark, sf_dir), oracles.BIZCARD_QUERY, limit=10)
+
+
+def _q_search_bizcards_owner(spark, sf_dir):
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark import (
+        search as S,
+    )
+
+    return S.search_bizcards(
+        _bizcards_df(spark, sf_dir),
+        oracles.BIZCARD_QUERY,
+        user=oracles.SEARCH_OWNER,
+        limit=10,
+    )
+
+
 def _q_status_latest(spark, sf_dir):
     ev = tables.load_table(spark, sf_dir, "events")
     latest = upsert.latest_by_key(ev, ["user_id"], ["ts", "event_id"])
@@ -135,6 +188,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bizcard_vertices": _q_bizcard_vertices,
         "bizcard_edges": _q_bizcard_edges,
         "status_latest": _q_status_latest,
+        "search_documents": _q_search_documents,
+        "search_documents_count": _q_search_documents_count,
+        "search_bizcards": _q_search_bizcards,
+        "search_bizcards_owner": _q_search_bizcards_owner,
     }
 
 

@@ -45,7 +45,135 @@ parsed AS (
 )"""
 
 
+# Reusable D3 bizcards CTE chain (validity filter + last-write-wins).
+BIZCARDS_CTES = f"""\
+{BIZCARD_LINES_SQL}, {PARSED_SQL},
+doc AS (
+  SELECT
+    substr(md5(string_split(s3_key, '/')[-1]), 1, 8) AS doc_id,
+    string_split(s3_key, '/')[-1] AS image_id,
+    owner, company, name, job_title, email, phone_number, addr, created_at,
+    1 AS is_alive,
+    substr(md5(lower(name) || ':' || lower(email) || ':' || lower(phone_number)), 1, 8) AS content_id,
+    s3_key
+  FROM parsed
+  WHERE owner <> '' AND s3_key <> ''
+),
+bizcards AS (
+  SELECT doc_id, image_id, owner, company, name, job_title, email,
+         phone_number, addr, created_at, is_alive, content_id
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY doc_id ORDER BY created_at DESC, s3_key DESC
+    ) AS rn FROM doc
+  ) WHERE rn = 1
+)"""
+
+TOKENIZE = "list_filter(regexp_split_to_array(lower({col}), '[^a-z0-9]+'), x -> x <> '')"
+
+
+def _bm25_single_sql(corpus_cte: str, id_col: str, text_col: str, terms: list[str]) -> str:
+    """BM25 CTE chain over a single-field corpus CTE named ``corpus_cte``.
+    Expression shape mirrors search/bm25.py exactly (double literals pinned
+    with ::DOUBLE so DuckDB doesn't use DECIMAL arithmetic)."""
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    tok = TOKENIZE.format(col=text_col)
+    return f"""\
+toks AS (SELECT {id_col} AS id, {tok} AS tokens FROM {corpus_cte}),
+dl AS (SELECT id, len(tokens) AS dl FROM toks),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT id, tok, count(*) AS tf
+  FROM (SELECT id, unnest(tokens) AS tok FROM toks)
+  WHERE tok IN ({in_list})
+  GROUP BY id, tok
+),
+dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+contrib AS (
+  SELECT tf.id,
+    ln(1 + (stats.n - dfreq.df + 0.5::DOUBLE) / (dfreq.df + 0.5::DOUBLE))
+      * (tf.tf * 2.2::DOUBLE)
+      / (tf.tf + 1.2::DOUBLE * (1 - 0.75::DOUBLE + 0.75::DOUBLE * dl.dl / stats.avgdl)) AS c
+  FROM tf JOIN dfreq USING (tok) JOIN dl USING (id) CROSS JOIN stats
+),
+scored AS (
+  SELECT id, round(sum(c), 6) AS score FROM contrib GROUP BY id
+)"""
+
+
+def _bm25_fields_sql(terms: list[str]) -> str:
+    """Multi-field best-fields BM25 CTE chain over the ``bizcards`` CTE;
+    per-field statistics; name boosted 3x (es_search_bizcard.py:66).
+    Produces CTE ``scored`` (id, score)."""
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    tok = TOKENIZE.format(col="text")
+    melted = "\n  UNION ALL ".join(
+        f"SELECT doc_id AS id, '{f}' AS field, {f} AS text FROM alive"
+        for f in ("name", "company", "job_title", "addr")
+    )
+    return f"""\
+alive AS (SELECT * FROM bizcards WHERE is_alive = 1),
+melted AS (
+  {melted}
+),
+toks AS (SELECT id, field, {tok} AS tokens FROM melted),
+dl AS (SELECT id, field, len(tokens) AS dl FROM toks),
+stats AS (SELECT field, count(*) AS n, avg(dl) AS avgdl FROM dl GROUP BY field),
+tf AS (
+  SELECT id, field, tok, count(*) AS tf
+  FROM (SELECT id, field, unnest(tokens) AS tok FROM toks)
+  WHERE tok IN ({in_list})
+  GROUP BY id, field, tok
+),
+dfreq AS (SELECT field, tok, count(*) AS df FROM tf GROUP BY field, tok),
+contrib AS (
+  SELECT tf.id, tf.field,
+    ln(1 + (stats.n - dfreq.df + 0.5::DOUBLE) / (dfreq.df + 0.5::DOUBLE))
+      * (tf.tf * 2.2::DOUBLE)
+      / (tf.tf + 1.2::DOUBLE * (1 - 0.75::DOUBLE + 0.75::DOUBLE * dl.dl / stats.avgdl)) AS c
+  FROM tf
+  JOIN dfreq USING (field, tok)
+  JOIN dl USING (id, field)
+  JOIN stats USING (field)
+),
+fscores AS (
+  SELECT id, field, sum(c) AS fscore FROM contrib GROUP BY id, field
+),
+scored AS (
+  SELECT id,
+         round(max((CASE WHEN field = 'name' THEN 3.0::DOUBLE ELSE 1.0::DOUBLE END) * fscore), 6) AS score
+  FROM fscores GROUP BY id
+)"""
+
+
+DOC_QUERY_TERMS = ["spark", "join", "vector"]
+BIZCARD_QUERY = "furniture trading seoul"
+BIZCARD_QUERY_TERMS = ["furniture", "trading", "seoul"]
+SEARCH_OWNER = "c000000001"
+
 ORACLES: dict[str, str] = {}
+
+ORACLES["search_documents"] = f"""\
+WITH {_bm25_single_sql("documents", "doc_id", "text", DOC_QUERY_TERMS)}
+SELECT id AS doc_id, score FROM scored
+ORDER BY score DESC, doc_id ASC LIMIT 10"""
+
+ORACLES["search_bizcards"] = f"""\
+WITH {BIZCARDS_CTES}, {_bm25_fields_sql(BIZCARD_QUERY_TERMS)}
+SELECT b.doc_id, b.owner, b.name, s.score
+FROM scored s JOIN bizcards b ON s.id = b.doc_id
+ORDER BY s.score DESC, b.doc_id ASC LIMIT 10"""
+
+ORACLES["search_bizcards_owner"] = f"""\
+WITH {BIZCARDS_CTES}, {_bm25_fields_sql(BIZCARD_QUERY_TERMS)}
+SELECT b.doc_id, b.owner, b.name, s.score
+FROM scored s JOIN bizcards b ON s.id = b.doc_id
+WHERE b.owner = '{SEARCH_OWNER}'
+ORDER BY s.score DESC, b.doc_id ASC LIMIT 10"""
+
+ORACLES["search_documents_count"] = f"""\
+WITH {_bm25_single_sql("documents", "doc_id", "text", DOC_QUERY_TERMS)}
+SELECT count(*) AS total_hits FROM scored"""
 
 ORACLES["graph_edges"] = f"WITH {EDGES_SQL}\nSELECT src, dst, weight FROM edges"
 
@@ -124,25 +252,8 @@ SELECT s3_bucket, s3_key, owner, company, name, job_title,
 FROM parsed"""
 
 ORACLES["bizcards"] = f"""\
-WITH {BIZCARD_LINES_SQL}, {PARSED_SQL},
-doc AS (
-  SELECT
-    substr(md5(string_split(s3_key, '/')[-1]), 1, 8) AS doc_id,
-    string_split(s3_key, '/')[-1] AS image_id,
-    owner, company, name, job_title, email, phone_number, addr, created_at,
-    1 AS is_alive,
-    substr(md5(lower(name) || ':' || lower(email) || ':' || lower(phone_number)), 1, 8) AS content_id,
-    s3_key
-  FROM parsed
-  WHERE owner <> '' AND s3_key <> ''
-)
-SELECT doc_id, image_id, owner, company, name, job_title, email,
-       phone_number, addr, created_at, is_alive, content_id
-FROM (
-  SELECT *, row_number() OVER (
-    PARTITION BY doc_id ORDER BY created_at DESC, s3_key DESC
-  ) AS rn FROM doc
-) WHERE rn = 1"""
+WITH {BIZCARDS_CTES}
+SELECT * FROM bizcards"""
 
 ORACLES["bizcard_vertices"] = f"""\
 WITH {BIZCARD_LINES_SQL}, {PARSED_SQL},

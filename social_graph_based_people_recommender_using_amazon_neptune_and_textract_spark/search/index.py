@@ -1,0 +1,45 @@
+"""Inverted-index construction (the auxiliary structure behind O27).
+
+The reference delegates indexing to Elasticsearch (upsert_bizcard_to_es.py
+:77-90); here the index is a postings DataFrame built with a frozen,
+documented analyzer (SURVEY R2): ``lower`` + split on ``[^a-z0-9]+`` +
+drop empties. All higher-order-function work (split/filter/explode) is
+JVM-side, no Python UDFs.
+
+Scale: tokenize+explode is a narrow flatMap; the tf aggregation shuffles
+once on (id, token) with map-side combine; document-frequency aggregates
+shuffle on token (stopword skew → AQE skew handling). At warehouse scale
+the postings table is materialized to parquet bucketed by token so
+query-time term lookups avoid a full shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+
+def tokenize(col: Column) -> Column:
+    """Frozen analyzer: lowercase, split on non-alphanumeric, drop ''."""
+    return F.filter(F.split(F.lower(col), TOKEN_SPLIT_RE), lambda x: x != "")
+
+
+def build_index(
+    docs: DataFrame, id_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (postings, doclen):
+    postings: (id, tok, tf) — term frequency per document;
+    doclen:   (id, dl)      — token count per document.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("id"), tokenize(F.col(text_col)).alias("tokens")
+    )
+    doclen = toks.select("id", F.size("tokens").alias("dl"))
+    postings = (
+        toks.select("id", F.explode("tokens").alias("tok"))
+        .groupBy("id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return postings, doclen

@@ -1,0 +1,93 @@
+"""Search semantics: analyzer, BM25 ranking sanity, boost behavior, filter
+context, envelope shape (O26–O29c)."""
+
+from pyspark.sql import functions as F
+
+from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark import (
+    search as S,
+)
+
+
+def test_tokenize(spark):
+    df = spark.createDataFrame([("Hello, World! x2  ",), ("",)], "t: string")
+    got = [r["toks"] for r in df.select(S.tokenize(F.col("t")).alias("toks")).collect()]
+    assert got == [["hello", "world", "x2"], []]
+
+
+def _corpus(spark):
+    rows = [
+        (1, "spark spark spark join"),
+        (2, "spark join"),
+        (3, "join vector vector"),
+        (4, "unrelated words only here"),
+        (5, "spark"),
+    ]
+    return spark.createDataFrame(rows, "doc_id: long, text: string")
+
+
+def test_bm25_ranking_sanity(spark):
+    docs = _corpus(spark)
+    res = S.search_documents(docs, "spark", limit=10).collect()
+    ids = [r["doc_id"] for r in res]
+    # higher tf (with similar dl) ranks first; non-matching doc 4 absent
+    assert ids[0] == 1
+    assert 4 not in ids
+    assert set(ids) == {1, 2, 5}
+    scores = [r["score"] for r in res]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_bm25_multi_term_accumulates(spark):
+    docs = _corpus(spark)
+    one = {r["doc_id"]: r["score"] for r in S.search_documents(docs, "spark", 10).collect()}
+    two = {r["doc_id"]: r["score"] for r in S.search_documents(docs, "spark join", 10).collect()}
+    assert two[2] > one[2]  # matching a second term increases the score
+
+
+def test_best_fields_boost(spark):
+    rows = [
+        dict(doc_id="d1", owner="u1", name="alpha beta", company="zzz", job_title="qqq",
+             addr="ppp", is_alive=1),
+        dict(doc_id="d2", owner="u2", name="zzz", company="alpha beta", job_title="qqq",
+             addr="ppp", is_alive=1),
+    ]
+    df = spark.createDataFrame(rows)
+    res = {r["doc_id"]: r["score"] for r in S.search_bizcards(df, "alpha", limit=10).collect()}
+    # same tf/dl/df profile, but name matches are boosted 3x
+    # (scores are rounded to 6dp independently → approx)
+    assert abs(res["d1"] - 3 * res["d2"]) < 5e-6
+
+
+def test_filter_context_does_not_change_scores(spark):
+    rows = [
+        dict(doc_id="d1", owner="u1", name="alpha", company="c", job_title="j",
+             addr="a", is_alive=1),
+        dict(doc_id="d2", owner="u2", name="alpha", company="c", job_title="j",
+             addr="a", is_alive=1),
+    ]
+    df = spark.createDataFrame(rows)
+    unfiltered = {r["doc_id"]: r["score"] for r in S.search_bizcards(df, "alpha").collect()}
+    filtered = {r["doc_id"]: r["score"] for r in S.search_bizcards(df, "alpha", user="u2").collect()}
+    assert set(filtered) == {"d2"}
+    assert filtered["d2"] == unfiltered["d2"]  # O28 is non-scoring
+
+
+def test_dead_docs_excluded(spark):
+    rows = [
+        dict(doc_id="d1", owner="u1", name="alpha", company="c", job_title="j",
+             addr="a", is_alive=1),
+        dict(doc_id="d2", owner="u2", name="alpha", company="c", job_title="j",
+             addr="a", is_alive=0),
+    ]
+    df = spark.createDataFrame(rows)
+    assert {r["doc_id"] for r in S.search_bizcards(df, "alpha").collect()} == {"d1"}
+
+
+def test_envelope(spark):
+    docs = _corpus(spark)
+    hits = S.search_documents(docs, "spark", limit=3)
+    env = S.search_envelope(hits, index="idx", typ="t")
+    row = env.collect()[0]
+    assert row["_index"] == "idx" and row["_type"] == "t"
+    assert row["_id"] == row["_source"]["doc_id"]
+    assert isinstance(row["_score"], float)
