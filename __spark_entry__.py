@@ -174,6 +174,113 @@ def _q_status_latest(spark, sf_dir):
     )
 
 
+def _q_text_language_id(spark, sf_dir):
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.functions import (
+        text as T,
+    )
+
+    return T.language_id(tables.load_table(spark, sf_dir, "documents"))
+
+
+def _q_text_quality(spark, sf_dir):
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.functions import (
+        text as T,
+    )
+
+    return T.quality_scores(tables.load_table(spark, sf_dir, "documents"))
+
+
+def _q_text_token_counts(spark, sf_dir):
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.functions import (
+        text as T,
+    )
+
+    return T.token_counts(tables.load_table(spark, sf_dir, "documents"))
+
+
+def _q_text_fingerprint(spark, sf_dir):
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.functions import (
+        text as T,
+    )
+
+    return T.fingerprint(tables.load_table(spark, sf_dir, "documents"))
+
+
+def _aug(spark, sf_dir):
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        dedup as D,
+    )
+
+    return D.aug_corpus(tables.load_table(spark, sf_dir, "documents"))
+
+
+def _q_dedup_exact(spark, sf_dir):
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        dedup as D,
+    )
+
+    return D.dedup_exact(_aug(spark, sf_dir))
+
+
+def _q_dedup_minhash_lsh(spark, sf_dir):
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        dedup as D,
+    )
+
+    return D.dedup_minhash_lsh(_aug(spark, sf_dir), threshold=0.5)
+
+
+def _q_dedup_ngram_pairs(spark, sf_dir):
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        dedup as D,
+    )
+
+    return D.dedup_ngram_pairs(_aug(spark, sf_dir), threshold=0.3)
+
+
+def _q_dedup_simhash(spark, sf_dir):
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        dedup as D,
+    )
+
+    return D.simhash(_aug(spark, sf_dir))
+
+
+def _q_dedup_simhash_pairs(spark, sf_dir):
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        dedup as D,
+    )
+
+    return D.simhash_pairs(_aug(spark, sf_dir), max_hamming=8)
+
+
+def _q_ann_bruteforce(spark, sf_dir):
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        similarity as SIM,
+    )
+
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    return SIM.ann_bruteforce(emb, oracles.ANN_QUERY_IDS, k=10)
+
+
+def _q_ann_ivf(spark, sf_dir):
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        similarity as SIM,
+    )
+
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    return SIM.ann_ivf(emb, oracles.ANN_QUERY_IDS, k=10)
+
+
+def _q_dedup_embedding(spark, sf_dir):
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        similarity as SIM,
+    )
+
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    return SIM.embedding_near_dup_pairs(SIM.aug_embeddings(emb), threshold=0.99)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_edges": _q_graph_edges,
@@ -192,6 +299,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_documents_count": _q_search_documents_count,
         "search_bizcards": _q_search_bizcards,
         "search_bizcards_owner": _q_search_bizcards_owner,
+        "text_language_id": _q_text_language_id,
+        "text_quality": _q_text_quality,
+        "text_token_counts": _q_text_token_counts,
+        "text_fingerprint": _q_text_fingerprint,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_ngram_pairs": _q_dedup_ngram_pairs,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_simhash_pairs": _q_dedup_simhash_pairs,
+        "ann_bruteforce": _q_ann_bruteforce,
+        "ann_ivf": _q_ann_ivf,
+        "dedup_embedding": _q_dedup_embedding,
     }
 
 

@@ -1,0 +1,301 @@
+"""Deduplication operator family (north-star, BASELINE.json): exact,
+MinHash+LSH, SimHash, n-gram Jaccard — over the documents corpus.
+
+The testdata corpus has no natural duplicates, so dedup queries run over a
+deterministic **dup-augmented corpus** (declared mapping, SQL twin
+AUG_CORPUS_SQL): every 13th doc gets an identical copy (id+2,000,000) and
+every 10th doc a near-dup copy with its first 5 tokens dropped
+(id+1,000,000). The operators themselves are corpus-agnostic.
+
+Scale design (100 TB):
+- Exact: single hash-groupBy on md5(text) — map-side combine, one shuffle.
+- MinHash+LSH: shingle→hash→16-way min-aggregate is one shuffle on doc id;
+  banding (4 bands × 4 rows) turns the O(n²) pair space into bucket-local
+  joins — only docs sharing a band signature are compared; verification
+  joins are restricted to the candidate pairs. Identical-heavy corpora
+  produce hot buckets → AQE skew-join splits them.
+- SimHash: 32-bit fingerprint via per-bit signed tf sums — one shuffle;
+  pair generation blocks on 8-bit bytes (Hamming ≤ r ⇒ some byte equal
+  when r < 4 bytes... pigeonhole with 4 blocks covers Hamming ≤ 3; we use
+  it as a candidate generator with explicit Hamming verification).
+- All hash arithmetic is md5-derived integer math — bit-identical in the
+  DuckDB oracle (no engine-native hash functions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..search.index import tokenize
+
+# --- deterministic hashing ------------------------------------------------
+
+P_MOD = 2147483647  # 2^31 - 1
+SHINGLE_K = 3
+N_PERM = 16
+BANDS = 4
+ROWS_PER_BAND = 4
+MINHASH_A = [
+    387563, 1398043, 2742617, 3849161, 5327371, 6893911, 8137463, 9876413,
+    11235907, 12789437, 14562961, 15934589, 17825743, 19328671, 20754047,
+    22314893,
+]
+MINHASH_B = [
+    974711, 2356097, 3811949, 5214589, 6731249, 8245307, 9812341, 11423987,
+    13034129, 14651281, 16272017, 17893871, 19510033, 21132763, 22753541,
+    24371069,
+]
+
+
+def md5_long(col, hex_chars: int = 15):
+    """Positive int64 from the first ``hex_chars`` hex digits of md5 —
+    the engine's deterministic string hash (DuckDB twin:
+    CAST(concat('0x', substr(md5(x),1,n)) AS BIGINT))."""
+    return F.conv(F.substring(F.md5(col.cast("binary")), 1, hex_chars), 16, 10).cast(
+        "long"
+    )
+
+
+# --- dup-augmented corpus (declared dedup input) --------------------------
+
+def aug_corpus(documents: DataFrame) -> DataFrame:
+    """documents ∪ exact copies (id%13==0 → id+2e6) ∪ near-dup copies with
+    first 5 tokens dropped (id%10==0 → id+1e6). Columns (doc_id, text)."""
+    base = documents.select("doc_id", "text")
+    toks = tokenize(F.col("text"))
+    near = documents.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.array_join(
+            F.slice(toks, 6, F.greatest(F.size(toks) - 5, F.lit(0)))
+            , " "
+        ).alias("text"),
+    )
+    exact = documents.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+    )
+    return base.unionAll(near).unionAll(exact)
+
+
+AUG_CORPUS_SQL = """\
+aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         array_to_string(
+           (list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                        x -> x <> ''))[6:], ' ') AS text
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text
+  FROM documents WHERE doc_id % 13 = 0
+)"""
+
+
+# --- exact dedup ----------------------------------------------------------
+
+def dedup_exact(corpus: DataFrame) -> DataFrame:
+    """Hash-groupBy exact dedup. Returns one row per distinct text:
+    (text_hash, canonical_doc_id = min id, n_docs)."""
+    return (
+        corpus.select(F.md5(F.col("text").cast("binary")).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+# --- shingling + MinHash + LSH -------------------------------------------
+
+def _shingles(tokens):
+    n = F.size(tokens)
+    idx = F.sequence(F.lit(0), n - SHINGLE_K)
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.get(tokens, i), F.get(tokens, i + 1), F.get(tokens, i + 2)
+        ),
+    )
+    return F.when(n >= SHINGLE_K, F.array_distinct(sh)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def shingle_table(corpus: DataFrame) -> DataFrame:
+    """(doc_id, shingle) — distinct word 3-shingles per document."""
+    return corpus.select(
+        "doc_id", F.explode(_shingles(tokenize(F.col("text")))).alias("shingle")
+    )
+
+
+def minhash_signatures(corpus: DataFrame) -> DataFrame:
+    """(doc_id, mh0..mh15) — 16-permutation MinHash over 3-shingles.
+    perm_i(s) = (A[i] * (h(s) % P) + B[i]) % P with h = md5-derived."""
+    sh = shingle_table(corpus)
+    hp = md5_long(F.col("shingle")) % P_MOD
+    aggs = [
+        F.min((F.lit(MINHASH_A[i]) * hp + F.lit(MINHASH_B[i])) % P_MOD).alias(
+            f"mh{i}"
+        )
+        for i in range(N_PERM)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
+    """Band the 16 minhashes into 4 bands × 4 rows; docs sharing any band
+    signature become candidate pairs (doc_a < doc_b)."""
+    banded = signatures.select(
+        "doc_id",
+        *[
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "_",
+                        *[
+                            F.col(f"mh{b * ROWS_PER_BAND + r}").cast("string")
+                            for r in range(ROWS_PER_BAND)
+                        ],
+                    ).cast("binary")
+                ),
+                1,
+                16,
+            ).alias(f"sig{b}")
+            for b in range(BANDS)
+        ],
+    ).select(
+        "doc_id",
+        F.expr(
+            "stack({n}, {pairs}) as (band, sig)".format(
+                n=BANDS, pairs=", ".join(f"{b}, sig{b}" for b in range(BANDS))
+            )
+        ),
+    )
+    a = banded.select(F.col("doc_id").alias("doc_a"), "band", "sig")
+    b = banded.select(F.col("doc_id").alias("doc_b"), "band", "sig")
+    return (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def verify_jaccard(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
+    """Exact Jaccard for candidate pairs via shingle-set joins.
+    Returns (doc_a, doc_b, jaccard) — jaccard rounded to 6dp."""
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sa = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        pairs.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
+    return (
+        inter.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("sza") + F.col("szb") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def dedup_minhash_lsh(corpus: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """MinHash-LSH near-dup pairs, Jaccard-verified ≥ threshold."""
+    sigs = minhash_signatures(corpus)
+    cands = lsh_candidate_pairs(sigs)
+    verified = verify_jaccard(cands, shingle_table(corpus))
+    return verified.filter(F.col("jaccard") >= threshold)
+
+
+def dedup_ngram_pairs(corpus: DataFrame, threshold: float = 0.3) -> DataFrame:
+    """Exact n-gram-Jaccard pairs: candidates = docs sharing ≥1 shingle
+    (no LSH approximation), then thresholded exact Jaccard."""
+    sh = shingle_table(corpus)
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    cands = (
+        sa.join(sb, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return verify_jaccard(cands, sh).filter(F.col("jaccard") >= threshold)
+
+
+# --- SimHash --------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash(corpus: DataFrame) -> DataFrame:
+    """32-bit SimHash per doc: bit j set iff Σ_tokens tf·(2·bit_j(h32)−1)
+    > 0, h32 = first 8 md5 hex digits. Returns (doc_id, simhash)."""
+    tf = (
+        corpus.select("doc_id", F.explode(tokenize(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    h32 = md5_long(F.col("tok"), 8)
+    sums = tf.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.col("tf")
+                * (F.shiftright(h32, j).bitwiseAND(F.lit(1)) * 2 - 1)
+            ).alias(f"b{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    fp = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return sums.select("doc_id", fp.cast("long").alias("simhash"))
+
+
+def simhash_pairs(corpus: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """Near-dup pairs by SimHash: block on the 4 fingerprint bytes
+    (candidate generation), verify Hamming distance ≤ max_hamming.
+    Returns (doc_a, doc_b, hamming)."""
+    fps = simhash(corpus)
+    blocked = fps.select(
+        "doc_id",
+        "simhash",
+        F.expr(
+            "stack(4, "
+            + ", ".join(
+                f"{i}, CAST(shiftright(simhash, {8 * i}) & 255 AS INT)"
+                for i in range(4)
+            )
+            + ") as (blk, byte)"
+        ),
+    )
+    a = blocked.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fa"), "blk", "byte"
+    )
+    b = blocked.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fb"), "blk", "byte"
+    )
+    cands = (
+        a.join(b, ["blk", "byte"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "fa", "fb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+    return (
+        cands.select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,181 @@
+"""Similarity search over the ``embeddings`` table (north-star surface):
+brute-force cosine top-k (exact baseline) and an IVF-style clustered
+variant (the scale path), plus embedding-cosine near-dup pairs.
+
+Vectors are ``array<float>``; all arithmetic is promoted to double with an
+explicit, order-stable left-fold (zip_with + aggregate) so the DuckDB
+oracle (list_transform + list_sum over the same element order) evaluates
+the same operation tree. Cosines are rounded to 6dp before thresholds and
+ordering.
+
+Scale design:
+- Brute force is O(Q·N) with Q broadcast — the right baseline shape; at
+  100 TB the N side stays partitioned, never collected.
+- IVF: coarse quantization by cluster (here: the given ``label`` column;
+  a k-means fit would slot in identically), queries probe only their
+  top-1 cluster → N/k candidate scans per query. Cluster centroids are a
+  tiny broadcast table.
+- Near-dup pairs block on the cluster id (label) to avoid the O(N²) cross
+  join; exact copies planted by the augmented corpus land in the same
+  cluster by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+DIM = 64
+
+
+def _to_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a, b):
+    """Order-stable left-fold dot product of two equal-length arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm2(a):
+    return dot(a, a)
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    v = _to_double(F.col(vec_col))
+    return df.withColumn("v", v).withColumn("n2", norm2(v))
+
+
+def cosine(va, vb, na2, nb2):
+    return dot(va, vb) / (F.sqrt(na2) * F.sqrt(nb2))
+
+
+def ann_bruteforce(
+    embeddings: DataFrame, query_ids: list[int], k: int = 10
+) -> DataFrame:
+    """Exact cosine top-k per query vector (self excluded).
+    Returns (query_id, neighbor_id, cos, rank)."""
+    base = with_norm(embeddings.select("vec_id", "embedding"))
+    q = base.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("n2").alias("qn2"),
+    )
+    pairs = base.crossJoin(F.broadcast(q)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine(F.col("qv"), F.col("v"), F.col("qn2"), F.col("n2")), 6).alias(
+            "cos"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def cluster_centroids(embeddings: DataFrame) -> DataFrame:
+    """Element-wise mean embedding per label (IVF coarse codebook).
+    Returns (label, centroid array<double>)."""
+    pos = embeddings.select(
+        "label", F.posexplode(_to_double(F.col("embedding"))).alias("pos", "x")
+    )
+    means = pos.groupBy("label", "pos").agg(F.avg("x").alias("m"))
+    return (
+        means.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("centroid")
+        )
+    )
+
+
+def ann_ivf(
+    embeddings: DataFrame, query_ids: list[int], k: int = 10
+) -> DataFrame:
+    """IVF-style ANN: assign each query to its nearest centroid by cosine
+    (tie → smallest label), then exact top-k within that cluster only.
+    Returns (query_id, probe_label, neighbor_id, cos, rank)."""
+    base = with_norm(embeddings.select("vec_id", "label", "embedding"))
+    cents = cluster_centroids(embeddings).withColumn(
+        "cn2", norm2(F.col("centroid"))
+    )
+    q = base.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("n2").alias("qn2"),
+    )
+    qc = q.crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "qv",
+        "qn2",
+        F.col("label").alias("probe_label"),
+        F.round(
+            cosine(F.col("qv"), F.col("centroid"), F.col("qn2"), F.col("cn2")), 6
+        ).alias("ccos"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("probe_label"))
+    probe = (
+        qc.withColumn("r", F.row_number().over(wq))
+        .filter(F.col("r") == 1)
+        .select("query_id", "qv", "qn2", "probe_label")
+    )
+    cand = base.join(
+        F.broadcast(probe), base["label"] == probe["probe_label"]
+    ).filter(F.col("vec_id") != F.col("query_id"))
+    scored = cand.select(
+        "query_id",
+        "probe_label",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine(F.col("qv"), F.col("v"), F.col("qn2"), F.col("n2")), 6).alias(
+            "cos"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def aug_embeddings(embeddings: DataFrame) -> DataFrame:
+    """Dup-augmented vectors: exact copies (vec_id%20==0 → +100000) —
+    declared input for embedding near-dup detection."""
+    base = embeddings.select("vec_id", "label", "embedding")
+    copies = base.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "label", "embedding"
+    )
+    return base.unionAll(copies)
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame, threshold: float = 0.99
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by cluster label.
+    Returns (vec_a, vec_b, cos) with cos ≥ threshold, vec_a < vec_b."""
+    base = with_norm(embeddings)
+    a = base.select(
+        F.col("vec_id").alias("vec_a"), F.col("label").alias("la"),
+        F.col("v").alias("va"), F.col("n2").alias("na2"),
+    )
+    b = base.select(
+        F.col("vec_id").alias("vec_b"), F.col("label").alias("lb"),
+        F.col("v").alias("vb"), F.col("n2").alias("nb2"),
+    )
+    pairs = a.join(b, (F.col("la") == F.col("lb")) & (F.col("vec_a") < F.col("vec_b")))
+    scored = pairs.select(
+        "vec_a",
+        "vec_b",
+        F.round(
+            cosine(F.col("va"), F.col("vb"), F.col("na2"), F.col("nb2")), 6
+        ).alias("cos"),
+    )
+    return scored.filter(F.col("cos") >= threshold)

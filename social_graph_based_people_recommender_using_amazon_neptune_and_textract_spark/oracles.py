@@ -288,3 +288,305 @@ FROM (
     PARTITION BY user_id ORDER BY ts DESC, event_id DESC
   ) AS rn FROM events
 ) WHERE rn = 1"""
+
+
+# ---------------------------------------------------------------------------
+# North-star surface: text analysis, dedup family, similarity search
+# ---------------------------------------------------------------------------
+
+from .functions.text import LANG_PROFILES, STOPWORDS_EN  # noqa: E402
+from .operators.dedup import (  # noqa: E402
+    AUG_CORPUS_SQL,
+    BANDS,
+    MINHASH_A,
+    MINHASH_B,
+    N_PERM,
+    P_MOD,
+    ROWS_PER_BAND,
+    SIMHASH_BITS,
+)
+
+_TOKS_DOCS = (
+    "toksrc AS (SELECT doc_id, "
+    + TOKENIZE.format(col="text")
+    + " AS tokens FROM documents)"
+)
+_TOKS_AUG = (
+    "toksrc AS (SELECT doc_id, "
+    + TOKENIZE.format(col="text")
+    + " AS tokens FROM aug)"
+)
+
+
+def _profile_len(words):
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter(tokens, x -> list_contains([{lst}], x)))"
+
+
+_langs = sorted(LANG_PROFILES)
+_lang_scores = ",\n    ".join(
+    f"{_profile_len(LANG_PROFILES[l])} AS s_{l}" for l in _langs
+)
+_best = "greatest(" + ", ".join(f"s_{l}" for l in _langs) + ")"
+_pred = "CASE WHEN " + _best + " = 0 THEN 'und' " + " ".join(
+    f"WHEN s_{l} = {_best} THEN '{l}'" for l in _langs
+) + " END"
+
+ORACLES["text_language_id"] = f"""\
+WITH {_TOKS_DOCS},
+scored AS (
+  SELECT doc_id,
+    {_lang_scores}
+  FROM toksrc
+)
+SELECT doc_id, {_pred} AS predicted_lang FROM scored"""
+
+_stop_en = _profile_len(STOPWORDS_EN)
+ORACLES["text_quality"] = f"""\
+WITH {_TOKS_DOCS},
+base AS (
+  SELECT t.doc_id,
+    CAST(length(d.text) AS BIGINT) AS n_chars,
+    CAST(len(tokens) AS BIGINT) AS n_tokens,
+    CAST(list_sum(list_transform(tokens, x -> length(x))) AS DOUBLE) AS token_chars,
+    {_stop_en} AS n_stop
+  FROM toksrc t JOIN documents d USING (doc_id)
+)
+SELECT doc_id, n_chars, n_tokens,
+  round(CASE WHEN n_tokens > 0 THEN token_chars / n_tokens ELSE 0.0::DOUBLE END, 6) AS avg_token_len,
+  round(CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0::DOUBLE END, 6) AS stopword_ratio,
+  round(
+    (CASE WHEN n_tokens >= 10 AND n_tokens <= 1000 THEN 0.4::DOUBLE ELSE 0.0::DOUBLE END)
+    + (CASE WHEN (CASE WHEN n_tokens > 0 THEN token_chars / n_tokens ELSE 0.0::DOUBLE END) >= 3
+            AND (CASE WHEN n_tokens > 0 THEN token_chars / n_tokens ELSE 0.0::DOUBLE END) <= 10
+            THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END)
+    + (CASE WHEN (CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0::DOUBLE END) > 0
+            THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END), 6) AS quality_score
+FROM base"""
+
+ORACLES["text_token_counts"] = f"""\
+SELECT doc_id,
+  CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_ws_tokens,
+  CAST(len({TOKENIZE.format(col='text')}) AS BIGINT) AS n_tokens,
+  CAST(len(list_distinct({TOKENIZE.format(col='text')})) AS BIGINT) AS n_distinct
+FROM documents"""
+
+ORACLES["text_fingerprint"] = f"""\
+WITH {_TOKS_DOCS}
+SELECT doc_id,
+  md5(array_to_string(list_sort(list_distinct(tokens)), ' ')) AS fingerprint
+FROM toksrc"""
+
+# --- dedup family ---------------------------------------------------------
+
+ORACLES["dedup_exact"] = f"""\
+WITH {AUG_CORPUS_SQL}
+SELECT md5(text) AS text_hash, min(doc_id) AS canonical_doc_id,
+       count(*) AS n_docs
+FROM aug GROUP BY md5(text)"""
+
+_SHINGLE_CTES = f"""\
+{_TOKS_AUG},
+shing AS (
+  SELECT doc_id, unnest(list_distinct(shingles)) AS shingle FROM (
+    SELECT doc_id,
+      list_transform(range(0, len(tokens) - 2),
+                     i -> tokens[i+1] || ' ' || tokens[i+2] || ' ' || tokens[i+3]) AS shingles
+    FROM toksrc
+  )
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shing GROUP BY doc_id)"""
+
+_mh_aggs = ",\n    ".join(
+    f"min(({MINHASH_A[i]} * hp + {MINHASH_B[i]}) % {P_MOD}) AS mh{i}"
+    for i in range(N_PERM)
+)
+_band_rows = "\n  UNION ALL ".join(
+    "SELECT doc_id, {b} AS band, substr(md5({cat}), 1, 16) AS sig FROM mh".format(
+        b=b,
+        cat=" || '_' || ".join(
+            f"CAST(mh{b * ROWS_PER_BAND + r} AS VARCHAR)" for r in range(ROWS_PER_BAND)
+        ),
+    )
+    for b in range(BANDS)
+)
+
+_VERIFY = """\
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+  FROM cands c
+  JOIN shing sa ON sa.doc_id = c.doc_a
+  JOIN shing sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+),
+jac AS (
+  SELECT i.doc_a, i.doc_b,
+    round(CAST(i.i AS DOUBLE) / (za.sz + zb.sz - i.i), 6) AS jaccard
+  FROM inter i
+  JOIN sizes za ON za.doc_id = i.doc_a
+  JOIN sizes zb ON zb.doc_id = i.doc_b
+)"""
+
+ORACLES["dedup_minhash_lsh"] = f"""\
+WITH {AUG_CORPUS_SQL}, {_SHINGLE_CTES},
+mh AS (
+  SELECT doc_id,
+    {_mh_aggs}
+  FROM (
+    SELECT doc_id,
+      CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) % {P_MOD} AS hp
+    FROM shing
+  ) GROUP BY doc_id
+),
+banded AS (
+  {_band_rows}
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.sig = b.sig
+  WHERE a.doc_id < b.doc_id
+),
+{_VERIFY}
+SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.5"""
+
+ORACLES["dedup_ngram_pairs"] = f"""\
+WITH {AUG_CORPUS_SQL}, {_SHINGLE_CTES},
+cands AS (
+  SELECT DISTINCT sa.doc_id AS doc_a, sb.doc_id AS doc_b
+  FROM shing sa JOIN shing sb ON sa.shingle = sb.shingle
+  WHERE sa.doc_id < sb.doc_id
+),
+{_VERIFY}
+SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.3"""
+
+_sim_sums = ",\n    ".join(
+    f"sum(tf * (((h32 >> {j}) & 1) * 2 - 1)) AS b{j}" for j in range(SIMHASH_BITS)
+)
+_sim_fp = " + ".join(
+    f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS)
+)
+_SIMHASH_CTES = f"""\
+tf AS (
+  SELECT doc_id, tok, count(*) AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS tok FROM toksrc)
+  GROUP BY doc_id, tok
+),
+sums AS (
+  SELECT doc_id,
+    {_sim_sums}
+  FROM (
+    SELECT doc_id, tf,
+      CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS h32
+    FROM tf
+  ) GROUP BY doc_id
+),
+sh AS (
+  SELECT doc_id, CAST({_sim_fp} AS BIGINT) AS simhash FROM sums
+)"""
+
+ORACLES["dedup_simhash"] = f"""\
+WITH {AUG_CORPUS_SQL}, {_TOKS_AUG},
+{_SIMHASH_CTES}
+SELECT doc_id, simhash FROM sh"""
+
+ORACLES["dedup_simhash_pairs"] = f"""\
+WITH {AUG_CORPUS_SQL}, {_TOKS_AUG},
+{_SIMHASH_CTES},
+blocked AS (
+  {" UNION ALL ".join(f"SELECT doc_id, simhash, {i} AS blk, CAST((simhash >> {8 * i}) & 255 AS INT) AS byte FROM sh" for i in range(4))}
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS fa, b.simhash AS fb
+  FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.byte = b.byte
+  WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM (
+  SELECT doc_a, doc_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming FROM cands
+) WHERE hamming <= 8"""
+
+# --- similarity search ----------------------------------------------------
+
+ANN_QUERY_IDS = [0, 1, 2]
+_qid_list = ", ".join(str(i) for i in ANN_QUERY_IDS)
+
+_VEC = """\
+vecs AS (
+  SELECT vec_id, label,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM {src}
+),
+norms AS (
+  SELECT vec_id, label, v,
+    list_sum(list_transform(v, x -> x * x)) AS n2
+  FROM vecs
+)"""
+
+_DOT = "list_sum(list_transform(range(1, 65), i -> {a}[i] * {b}[i]))"
+
+ORACLES["ann_bruteforce"] = f"""\
+WITH {_VEC.format(src="embeddings")},
+q AS (SELECT vec_id AS query_id, v AS qv, n2 AS qn2 FROM norms WHERE vec_id IN ({_qid_list})),
+scored AS (
+  SELECT q.query_id, n.vec_id AS neighbor_id,
+    round({_DOT.format(a="q.qv", b="n.v")} / (sqrt(q.qn2) * sqrt(n.n2)), 6) AS cos
+  FROM norms n CROSS JOIN q
+  WHERE n.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 10"""
+
+ORACLES["ann_ivf"] = f"""\
+WITH {_VEC.format(src="embeddings")},
+cent AS (
+  SELECT label, list(m ORDER BY pos) AS centroid FROM (
+    SELECT label, pos, avg(x) AS m FROM (
+      SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM vecs
+    ) GROUP BY label, pos
+  ) GROUP BY label
+),
+cnorm AS (
+  SELECT label, centroid, list_sum(list_transform(centroid, x -> x * x)) AS cn2 FROM cent
+),
+q AS (SELECT vec_id AS query_id, v AS qv, n2 AS qn2 FROM norms WHERE vec_id IN ({_qid_list})),
+qc AS (
+  SELECT q.query_id, q.qv, q.qn2, c.label AS probe_label,
+    round({_DOT.format(a="q.qv", b="c.centroid")} / (sqrt(q.qn2) * sqrt(c.cn2)), 6) AS ccos
+  FROM q CROSS JOIN cnorm c
+),
+probe AS (
+  SELECT query_id, qv, qn2, probe_label FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY ccos DESC, probe_label ASC) AS r
+    FROM qc
+  ) WHERE r = 1
+),
+scored AS (
+  SELECT p.query_id, p.probe_label, n.vec_id AS neighbor_id,
+    round({_DOT.format(a="p.qv", b="n.v")} / (sqrt(p.qn2) * sqrt(n.n2)), 6) AS cos
+  FROM norms n JOIN probe p ON n.label = p.probe_label
+  WHERE n.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT query_id, probe_label, neighbor_id, cos,
+    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, probe_label, neighbor_id, cos, rank FROM ranked WHERE rank <= 10"""
+
+ORACLES["dedup_embedding"] = f"""\
+WITH aug_emb AS (
+  SELECT vec_id, label, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, label, embedding
+  FROM embeddings WHERE vec_id % 20 = 0
+),
+{_VEC.format(src="aug_emb")}
+SELECT vec_a, vec_b, cos FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+    round({_DOT.format(a="a.v", b="b.v")} / (sqrt(a.n2) * sqrt(b.n2)), 6) AS cos
+  FROM norms a JOIN norms b ON a.label = b.label AND a.vec_id < b.vec_id
+) WHERE cos >= 0.99"""

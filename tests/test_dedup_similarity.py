@@ -1,0 +1,104 @@
+"""Semantic tests for the dedup family and similarity search (planted
+duplicates must be found; invariants on pairs and rankings)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+    dedup as D,
+    similarity as SIM,
+)
+from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.sources import (
+    tables,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def aug(spark):
+    return D.aug_corpus(tables.load_table(spark, SF, "documents")).cache()
+
+
+def test_exact_dedup_finds_planted_copies(spark, aug):
+    groups = D.dedup_exact(aug)
+    dups = groups.filter(F.col("n_docs") > 1).collect()
+    assert dups, "planted exact copies must form groups"
+    # every %13 doc with nonempty deterministic text forms a pair
+    for r in dups:
+        assert r["n_docs"] >= 2
+        assert r["canonical_doc_id"] < 1000000  # canonical is the original
+
+
+def test_minhash_finds_planted_near_dups(spark, aug):
+    pairs = D.dedup_minhash_lsh(aug, threshold=0.5).collect()
+    assert pairs
+    found = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    # near-dup copies (id+1e6, first 5 tokens dropped) should pair with
+    # their originals for reasonably long docs
+    docs = tables.load_table(spark, SF, "documents")
+    long_near = [
+        r["doc_id"]
+        for r in docs.filter(
+            (F.col("doc_id") % 10 == 0) & (F.length("text") > 300)
+        ).collect()
+    ]
+    hits = sum(1 for d in long_near if (d, d + 1000000) in found)
+    assert hits >= len(long_near) * 0.8, (hits, len(long_near))
+    for r in pairs:
+        assert 0.5 <= r["jaccard"] <= 1.0
+        assert r["doc_a"] < r["doc_b"]
+
+
+def test_ngram_jaccard_superset_of_lsh(spark, aug):
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.dedup_minhash_lsh(aug, threshold=0.5).collect()
+    }
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.dedup_ngram_pairs(aug, threshold=0.5).collect()
+    }
+    # LSH may miss pairs (probabilistic recall) but must not invent any
+    assert lsh <= exact
+
+
+def test_simhash_near_dups_close(spark, aug):
+    pairs = D.simhash_pairs(aug, max_hamming=8).collect()
+    found = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in pairs}
+    exact_pairs = [(k, v) for k, v in found.items() if k[1] - k[0] == 2000000]
+    assert exact_pairs
+    assert all(v == 0 for _, v in exact_pairs)  # identical text → same fp
+
+
+def test_ann_bruteforce_invariants(spark):
+    emb = tables.load_table(spark, SF, "embeddings")
+    res = SIM.ann_bruteforce(emb, [0, 1, 2], k=10).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert len(rows) == 10
+        assert all(r["neighbor_id"] != q for r in rows)
+        cosines = [r["cos"] for r in rows]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(-1.0 <= c <= 1.0 for c in cosines)
+
+
+def test_ann_ivf_subset_of_probe_cluster(spark):
+    emb = tables.load_table(spark, SF, "embeddings")
+    res = SIM.ann_ivf(emb, [0, 1, 2], k=10).collect()
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    for r in res:
+        assert labels[r["neighbor_id"]] == r["probe_label"]
+
+
+def test_embedding_near_dup_planted(spark):
+    emb = tables.load_table(spark, SF, "embeddings")
+    pairs = SIM.embedding_near_dup_pairs(SIM.aug_embeddings(emb), 0.99).collect()
+    planted = {(r["vec_a"], r["vec_b"]) for r in pairs if r["vec_b"] - r["vec_a"] == 100000}
+    n_expected = emb.filter(F.col("vec_id") % 20 == 0).count()
+    assert len(planted) == n_expected
+    assert all(r["cos"] >= 0.99 for r in pairs)
