@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is executed to completion (count() materializes every row
+through the full plan) after a warm-up of the input file scans. Timings
+are wall-clock per query, single run (the driver compares round-over-
+round; keep runs deterministic and cheap).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline queries: the flagship graph traversals, search, and the scale-
+# relevant pipeline operators. dedup_ngram_pairs (exact O(n^2)-ish) is
+# excluded by design — dedup_minhash_lsh IS its scale path.
+BENCH_QUERIES = [
+    "graph_edges",
+    "pymk_user_3",
+    "pymk_all_top5",
+    "one_hop_paths",
+    "search_documents",
+    "search_bizcards",
+    "status_latest",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_quality",
+    "text_fingerprint",
+    "ann_bruteforce",
+    "ann_ivf",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.session import (
+        get_spark,
+    )
+
+    spark = get_spark("bench")
+    qs = entrymod.queries()
+
+    # Warm-up: touch every input table once so first-query timing isn't
+    # dominated by file listing / footer reads.
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.sources.tables import (
+        TABLES,
+        load_table,
+    )
+
+    for t in TABLES:
+        load_table(spark, SF_DIR, t).count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

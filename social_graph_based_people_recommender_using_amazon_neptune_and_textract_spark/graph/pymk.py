@@ -47,7 +47,9 @@ def pymk(
     (neptune_recommend_bizcard.py:70); we additionally keep ``id`` as the
     deterministic row identity (documented refinement, SURVEY R4).
     """
-    bi = symmetrize(edges)
+    # bi is consumed by both hop joins — persist so the upstream edge
+    # derivation (which may itself contain shuffles) runs once.
+    bi = symmetrize(edges).persist()
 
     # O38a/b: case-insensitive start-vertex lookup via the _name property.
     me = (
@@ -69,17 +71,19 @@ def pymk(
         .select("me_id", F.col("dst").alias("cand_id"))
     )
 
-    # O38f: exclude self;  O38g: exclude existing friends (anti-join).
-    cand = hop2.filter(F.col("cand_id") != F.col("me_id")).join(
-        F.broadcast(friends_set),
-        F.col("cand_id") == friends_set["friend_id"],
-        "left_anti",
-    )
-
-    # O38h-j: path count → declared total order → top-k.
+    # O38f: exclude self. O38h: path count (aggregate before the friend
+    # anti-join — exclusion is per-candidate, so counting first shrinks
+    # the anti-join input). O38g: exclude existing friends. O38i-j:
+    # declared total order → top-k.
     scored = (
-        cand.groupBy("cand_id")
+        hop2.filter(F.col("cand_id") != F.col("me_id"))
+        .groupBy("cand_id")
         .agg(F.count(F.lit(1)).cast("double").alias("score"))
+        .join(
+            F.broadcast(friends_set),
+            F.col("cand_id") == friends_set["friend_id"],
+            "left_anti",
+        )
         .orderBy(F.desc("score"), F.asc("cand_id"))
         .limit(limit)
     )
@@ -106,7 +110,9 @@ def pymk_all(edges: DataFrame, limit: int = 10) -> DataFrame:
     Returns (user_id, id, score, rank) — top-``limit`` recommendations per
     user under the declared order (score desc, id asc).
     """
-    bi = symmetrize(edges)
+    # bi feeds the self-join twice plus the friend-pair anti-join —
+    # persist (at cluster scale: checkpoint/bucketed materialization).
+    bi = symmetrize(edges).persist()
     a = bi.select(F.col("src").alias("user_id"), F.col("dst").alias("friend_id"))
     b = bi.select(F.col("src").alias("friend_id2"), F.col("dst").alias("cand_id"))
 
@@ -115,15 +121,19 @@ def pymk_all(edges: DataFrame, limit: int = 10) -> DataFrame:
     )
     cand = hop2.filter(F.col("cand_id") != F.col("user_id"))
 
+    # Aggregate BEFORE excluding friends: the groupBy collapses the huge
+    # 2-hop bag (Σ deg² rows) down to distinct (user, cand) pairs, so the
+    # anti-join touches orders of magnitude fewer rows. Exclusion is
+    # per-pair, so the reorder is semantics-preserving.
+    scored = cand.groupBy("user_id", "cand_id").agg(
+        F.count(F.lit(1)).cast("double").alias("score")
+    )
+
     # anti-join against direct-friend pairs (both orientations are in bi)
     friend_pairs = bi.select(
         F.col("src").alias("user_id"), F.col("dst").alias("cand_id")
     ).distinct()
-    cand = cand.join(friend_pairs, ["user_id", "cand_id"], "left_anti")
-
-    scored = cand.groupBy("user_id", "cand_id").agg(
-        F.count(F.lit(1)).cast("double").alias("score")
-    )
+    scored = scored.join(friend_pairs, ["user_id", "cand_id"], "left_anti")
     w = Window.partitionBy("user_id").orderBy(F.desc("score"), F.asc("cand_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -133,7 +133,10 @@ def shingle_table(corpus: DataFrame) -> DataFrame:
 def minhash_signatures(corpus: DataFrame) -> DataFrame:
     """(doc_id, mh0..mh15) — 16-permutation MinHash over 3-shingles.
     perm_i(s) = (A[i] * (h(s) % P) + B[i]) % P with h = md5-derived."""
-    sh = shingle_table(corpus)
+    return minhash_signatures_from_shingles(shingle_table(corpus))
+
+
+def minhash_signatures_from_shingles(sh: DataFrame) -> DataFrame:
     hp = md5_long(F.col("shingle")) % P_MOD
     aggs = [
         F.min((F.lit(MINHASH_A[i]) * hp + F.lit(MINHASH_B[i])) % P_MOD).alias(
@@ -213,10 +216,15 @@ def verify_jaccard(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
 
 
 def dedup_minhash_lsh(corpus: DataFrame, threshold: float = 0.5) -> DataFrame:
-    """MinHash-LSH near-dup pairs, Jaccard-verified ≥ threshold."""
-    sigs = minhash_signatures(corpus)
+    """MinHash-LSH near-dup pairs, Jaccard-verified ≥ threshold.
+
+    The shingle table feeds both signature computation and verification —
+    persisted so tokenize/shingle/explode runs once (at warehouse scale
+    this is the materialized shingle/posting table)."""
+    sh = shingle_table(corpus).persist()
+    sigs = minhash_signatures_from_shingles(sh)
     cands = lsh_candidate_pairs(sigs)
-    verified = verify_jaccard(cands, shingle_table(corpus))
+    verified = verify_jaccard(cands, sh)
     return verified.filter(F.col("jaccard") >= threshold)
 
 

@@ -49,7 +49,9 @@ def search_bizcards(
 ) -> DataFrame:
     """O26/O27/O28/O29: boosted multi-field search over alive bizcards.
     Returns (doc_id, owner, name, score)."""
-    alive = bizcards.filter(F.col("is_alive") == 1)
+    # alive feeds the melt AND the final hydration join — persist so the
+    # (possibly expensive) upstream bizcards derivation runs once.
+    alive = bizcards.filter(F.col("is_alive") == 1).persist()
     terms = [t for t in _terms(query)]
 
     melted = _melt_fields(alive)
