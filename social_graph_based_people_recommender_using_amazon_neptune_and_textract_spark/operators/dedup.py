@@ -118,16 +118,26 @@ def _shingles(tokens):
             " ", F.get(tokens, i), F.get(tokens, i + 1), F.get(tokens, i + 2)
         ),
     )
-    return F.when(n >= SHINGLE_K, F.array_distinct(sh)).otherwise(
-        F.array().cast("array<string>")
+    return F.when(n >= SHINGLE_K, sh).otherwise(F.array().cast("array<string>"))
+
+
+def shingle_bag(corpus: DataFrame) -> DataFrame:
+    """(doc_id, shingle) — word 3-shingles per document WITH duplicates
+    (narrow explode, no shuffle). MinHash is multiset-invariant, so
+    signatures can consume this directly."""
+    return corpus.select(
+        "doc_id", F.explode(_shingles(tokenize(F.col("text")))).alias("shingle")
     )
 
 
 def shingle_table(corpus: DataFrame) -> DataFrame:
-    """(doc_id, shingle) — distinct word 3-shingles per document."""
-    return corpus.select(
-        "doc_id", F.explode(_shingles(tokenize(F.col("text")))).alias("shingle")
-    )
+    """(doc_id, shingle) — distinct word 3-shingles per document.
+
+    Dedup happens relationally (explode → dropDuplicates) rather than via
+    array_distinct: the quadratic per-array distinct falls out of
+    whole-stage codegen and benchmarked ~12x slower than one 300k-row
+    shuffle at sf0.1."""
+    return shingle_bag(corpus).dropDuplicates(["doc_id", "shingle"])
 
 
 def minhash_signatures(corpus: DataFrame) -> DataFrame:
@@ -137,14 +147,18 @@ def minhash_signatures(corpus: DataFrame) -> DataFrame:
 
 
 def minhash_signatures_from_shingles(sh: DataFrame) -> DataFrame:
-    hp = md5_long(F.col("shingle")) % P_MOD
+    # Project the md5-derived base hash ONCE before aggregating — embedding
+    # it in each of the 16 min() expressions would recompute md5 16x/row.
+    hashed = sh.select(
+        "doc_id", (md5_long(F.col("shingle")) % P_MOD).alias("hp")
+    )
     aggs = [
-        F.min((F.lit(MINHASH_A[i]) * hp + F.lit(MINHASH_B[i])) % P_MOD).alias(
+        F.min((F.lit(MINHASH_A[i]) * F.col("hp") + F.lit(MINHASH_B[i])) % P_MOD).alias(
             f"mh{i}"
         )
         for i in range(N_PERM)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
@@ -218,13 +232,24 @@ def verify_jaccard(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
 def dedup_minhash_lsh(corpus: DataFrame, threshold: float = 0.5) -> DataFrame:
     """MinHash-LSH near-dup pairs, Jaccard-verified ≥ threshold.
 
-    The shingle table feeds both signature computation and verification —
-    persisted so tokenize/shingle/explode runs once (at warehouse scale
-    this is the materialized shingle/posting table)."""
-    sh = shingle_table(corpus).persist()
-    sigs = minhash_signatures_from_shingles(sh)
+    Plan shape (scale-conscious):
+    - Signatures read the shingle *bag* (narrow explode, no distinct
+      shuffle — min() is multiset-invariant), one shuffle on doc_id.
+    - Verification builds distinct shingle sets ONLY for docs that appear
+      in some candidate pair (semi-join restriction), so the exact-Jaccard
+      joins touch a tiny fraction of the corpus."""
+    bag = shingle_bag(corpus)
+    sigs = minhash_signatures_from_shingles(bag)
     cands = lsh_candidate_pairs(sigs)
-    verified = verify_jaccard(cands, sh)
+    cand_docs = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_cand = bag.join(F.broadcast(cand_docs), "doc_id").dropDuplicates(
+        ["doc_id", "shingle"]
+    )
+    verified = verify_jaccard(cands, sh_cand)
     return verified.filter(F.col("jaccard") >= threshold)
 
 
