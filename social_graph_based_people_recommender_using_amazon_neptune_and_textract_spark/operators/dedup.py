@@ -121,11 +121,25 @@ def _shingles(tokens):
     return F.when(n >= SHINGLE_K, sh).otherwise(F.array().cast("array<string>"))
 
 
+def by_doc(corpus: DataFrame) -> DataFrame:
+    """Hash-partition the corpus on doc_id before the CPU-heavy
+    tokenize/shingle/hash work.
+
+    Two scale effects: (1) a low-partition parquet scan (locally the
+    documents table reads as 3 row-groups) would otherwise pin the whole
+    shingling pipeline to 3 tasks regardless of cores; (2) downstream
+    per-document aggregations (minhash min(), simhash sums) see
+    HashPartitioning(doc_id) already satisfied, so they aggregate
+    partition-locally with NO second shuffle of the (much larger)
+    exploded token/shingle stream — we shuffle raw text once instead."""
+    return corpus.repartition(F.col("doc_id"))
+
+
 def shingle_bag(corpus: DataFrame) -> DataFrame:
     """(doc_id, shingle) — word 3-shingles per document WITH duplicates
     (narrow explode, no shuffle). MinHash is multiset-invariant, so
     signatures can consume this directly."""
-    return corpus.select(
+    return by_doc(corpus).select(
         "doc_id", F.explode(_shingles(tokenize(F.col("text")))).alias("shingle")
     )
 
@@ -233,21 +247,27 @@ def dedup_minhash_lsh(corpus: DataFrame, threshold: float = 0.5) -> DataFrame:
     """MinHash-LSH near-dup pairs, Jaccard-verified ≥ threshold.
 
     Plan shape (scale-conscious):
-    - Signatures read the shingle *bag* (narrow explode, no distinct
-      shuffle — min() is multiset-invariant), one shuffle on doc_id.
+    - One shuffle of raw text (by_doc); shingling + the 16-way min()
+      aggregate are then partition-local over the shingle *bag*
+      (min() is multiset-invariant — no per-doc distinct needed).
+    - The bag and the tiny candidate/restricted-shingle tables are
+      persisted: each is referenced by 2-3 downstream joins, and without
+      pinning, the full shingle pipeline re-executes per reference.
     - Verification builds distinct shingle sets ONLY for docs that appear
       in some candidate pair (semi-join restriction), so the exact-Jaccard
       joins touch a tiny fraction of the corpus."""
-    bag = shingle_bag(corpus)
+    bag = shingle_bag(corpus).persist()
     sigs = minhash_signatures_from_shingles(bag)
-    cands = lsh_candidate_pairs(sigs)
+    cands = lsh_candidate_pairs(sigs).persist()
     cand_docs = (
         cands.select(F.col("doc_a").alias("doc_id"))
         .unionAll(cands.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sh_cand = bag.join(F.broadcast(cand_docs), "doc_id").dropDuplicates(
-        ["doc_id", "shingle"]
+    sh_cand = (
+        bag.join(F.broadcast(cand_docs), "doc_id")
+        .dropDuplicates(["doc_id", "shingle"])
+        .persist()
     )
     verified = verify_jaccard(cands, sh_cand)
     return verified.filter(F.col("jaccard") >= threshold)
@@ -277,7 +297,8 @@ def simhash(corpus: DataFrame) -> DataFrame:
     """32-bit SimHash per doc: bit j set iff Σ_tokens tf·(2·bit_j(h32)−1)
     > 0, h32 = first 8 md5 hex digits. Returns (doc_id, simhash)."""
     tf = (
-        corpus.select("doc_id", F.explode(tokenize(F.col("text"))).alias("tok"))
+        by_doc(corpus)
+        .select("doc_id", F.explode(tokenize(F.col("text"))).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
