@@ -174,6 +174,33 @@ def _q_status_latest(spark, sf_dir):
     )
 
 
+def _streaming_pipeline(spark, sf_dir):
+    """Run the full Structured-Streaming ingest over a temp landing dir
+    populated from sf_dir, drain with availableNow, return the pipeline."""
+    import tempfile
+
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.streaming import (
+        IngestPipeline,
+    )
+
+    base = tempfile.mkdtemp(prefix="sgr-stream-")
+    landing = f"{base}/landing"
+    tables.bizcard_text_records(spark, sf_dir).repartition(3).write.mode(
+        "overwrite"
+    ).json(landing)
+    pipe = IngestPipeline(spark, f"{base}/wh")
+    pipe.run_available_now(landing, f"{base}/ckpt", max_files_per_trigger=2)
+    return pipe
+
+
+def _q_streaming_bizcards(spark, sf_dir):
+    return _streaming_pipeline(spark, sf_dir).bizcards.read().drop("s3_key")
+
+
+def _q_streaming_status(spark, sf_dir):
+    return _streaming_pipeline(spark, sf_dir).status.read()
+
+
 def _q_text_language_id(spark, sf_dir):
     from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.functions import (
         text as T,
@@ -295,6 +322,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bizcard_vertices": _q_bizcard_vertices,
         "bizcard_edges": _q_bizcard_edges,
         "status_latest": _q_status_latest,
+        "streaming_bizcards": _q_streaming_bizcards,
+        "streaming_status": _q_streaming_status,
         "search_documents": _q_search_documents,
         "search_documents_count": _q_search_documents_count,
         "search_bizcards": _q_search_bizcards,

@@ -280,6 +280,19 @@ FROM (
   FROM parsed
 ) WHERE src <> dst"""
 
+# Streaming pipeline twins: the streaming ingest must land EXACTLY the
+# batch-derived tables (same records, keyed merges), so the oracles are
+# the batch CTEs — streaming == batch == SQL, one equivalence chain.
+ORACLES["streaming_bizcards"] = f"""\
+WITH {BIZCARDS_CTES}
+SELECT * FROM bizcards"""
+
+ORACLES["streaming_status"] = f"""\
+WITH {BIZCARD_LINES_SQL}
+SELECT string_split(s3_key, '/')[-1] AS image_id, s3_bucket, s3_key,
+       '20240101000000' AS mts, 'END' AS status
+FROM bizcard_raw"""
+
 ORACLES["status_latest"] = """\
 SELECT user_id, event_id, event_type, value,
        strftime(ts, '%Y%m%d%H%M%S') AS mts

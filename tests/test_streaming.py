@@ -1,0 +1,154 @@
+"""Streaming wrapper tests (SURVEY §7 Phase 4): the streaming pipeline
+must produce byte-identical tables to the batch operators on the same
+records, stay idempotent under replay, and honor the archive layout."""
+
+from __future__ import annotations
+
+import base64
+import glob
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+    ingest as batch_ingest,
+)
+from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.sources import (
+    tables,
+)
+from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.streaming import (
+    IngestPipeline,
+    KeyedParquetTable,
+    decode_kinesis_records,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _rows(df, cols=None):
+    cols = cols or sorted(df.columns)
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def landing(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("landing"))
+    recs = tables.bizcard_text_records(spark, SF_DIR)
+    # 3 json files → 3 micro-batches with maxFilesPerTrigger=1
+    recs.repartition(3).write.mode("overwrite").json(d)
+    return d
+
+
+def test_streaming_matches_batch(spark, landing, tmp_path):
+    wh, ckpt = str(tmp_path / "wh"), str(tmp_path / "ckpt")
+    pipe = IngestPipeline(spark, wh)
+    pipe.run_available_now(landing, ckpt, max_files_per_trigger=1)
+    assert len(pipe.metrics) >= 2, "expected multiple micro-batches"
+
+    recs = tables.bizcard_text_records(spark, SF_DIR)
+    parsed = batch_ingest.parse_bizcard_text(recs)
+    want_bizcards = batch_ingest.bizcards_from_text(parsed)
+    got_bizcards = pipe.bizcards.read().drop("image_id_join", "s3_key")
+    cols = sorted(want_bizcards.columns)
+    assert _rows(got_bizcards.select(*cols), cols) == _rows(want_bizcards, cols)
+
+    want_v, want_e = batch_ingest.graph_from_text(parsed)
+    vcols = sorted(want_v.columns)
+    assert _rows(pipe.vertices.read().select(*vcols), vcols) == _rows(want_v, vcols)
+    assert _rows(pipe.edges.read(), None) == _rows(want_e, None)
+
+    # O7: one END row per image, mts derived from created_at
+    status = pipe.status.read()
+    assert status.filter(F.col("status") != "END").count() == 0
+    assert status.count() == recs.count()
+    assert status.select("mts").distinct().collect()[0][0] == "20240101000000"
+
+
+def test_streaming_replay_is_idempotent(spark, landing, tmp_path):
+    wh, ckpt = str(tmp_path / "wh"), str(tmp_path / "ckpt")
+    pipe = IngestPipeline(spark, wh)
+    pipe.run_available_now(landing, ckpt)
+    before = _rows(pipe.bizcards.read())
+    snap_before = pipe.bizcards.current_snapshot()
+
+    # same checkpoint: no new data → no new batches, state unchanged
+    pipe2 = IngestPipeline(spark, wh)
+    pipe2.run_available_now(landing, ckpt)
+    assert pipe2.bizcards.current_snapshot() == snap_before
+
+    # fresh checkpoint: full replay of every record → merge converges
+    pipe3 = IngestPipeline(spark, wh)
+    pipe3.run_available_now(landing, str(tmp_path / "ckpt2"))
+    assert _rows(pipe3.bizcards.read()) == before
+    assert _rows(pipe3.edges.read()) == _rows(pipe.edges.read())
+
+
+def test_streaming_late_update_wins(spark, landing, tmp_path):
+    wh = str(tmp_path / "wh")
+    pipe = IngestPipeline(spark, wh)
+    pipe.run_available_now(landing, str(tmp_path / "ckpt"))
+    key = pipe.bizcards.read().select("doc_id", "image_id").first()
+
+    # a re-scan of the same image arrives later with a newer created_at
+    upd = IngestPipeline(spark, wh, created_at="2024-06-01T00:00:00Z")
+    one = (
+        tables.bizcard_text_records(spark, SF_DIR)
+        .filter(F.element_at(F.split(F.col("s3_key"), "/"), -1) == key.image_id)
+        .withColumn("lines", F.concat(F.array(F.lit("Updated Co")), F.slice(F.col("lines"), 2, 10)))
+    )
+    landing2 = str(tmp_path / "landing2")
+    one.coalesce(1).write.mode("overwrite").json(landing2)
+    upd.run_available_now(landing2, str(tmp_path / "ckpt2"))
+
+    row = pipe.bizcards.read().filter(F.col("doc_id") == key.doc_id).collect()
+    assert len(row) == 1
+    assert row[0].company == "Updated Co"
+    assert row[0].created_at == "2024-06-01T00:00:00Z"
+
+
+def test_archive_layout(spark, landing, tmp_path):
+    wh = str(tmp_path / "wh")
+    pipe = IngestPipeline(spark, wh)
+    pipe.run_available_now(landing, str(tmp_path / "ckpt"))
+    gz = glob.glob(
+        os.path.join(wh, "archive", "batch=*", "year=2024", "month=01",
+                     "day=01", "hour=00", "*.json.gz")
+    )
+    assert gz, "expected gzip json archive under the hive time layout"
+    arch = spark.read.json(os.path.join(wh, "archive"))
+    assert arch.count() == tables.bizcard_text_records(spark, SF_DIR).count()
+
+    album = spark.read.parquet(os.path.join(wh, "album", "batch=0"))
+    assert "owner" in album.columns and album.count() > 0
+
+
+def test_decode_kinesis_records(spark):
+    good = {"s3_bucket": "b", "s3_key": "bizcard-raw-img/edy_a.jpg",
+            "lines": ["ACME", "Edy A", "CEO"]}
+    rows = [
+        (base64.b64encode(json.dumps(good).encode()).decode(),),
+        (base64.b64encode(b"not json at all").decode(),),
+        (base64.b64encode(json.dumps({"s3_bucket": "b", "s3_key": ""}).encode()).decode(),),
+    ]
+    records = spark.createDataFrame(rows, ["data"])
+    valid, invalid = decode_kinesis_records(records)
+    got = valid.collect()
+    assert len(got) == 1 and got[0].s3_key == "bizcard-raw-img/edy_a.jpg"
+    assert got[0].lines == ["ACME", "Edy A", "CEO"]
+    assert invalid.count() == 2
+
+
+def test_keyed_table_merge_semantics(spark, tmp_path):
+    t = KeyedParquetTable(spark, str(tmp_path / "t"), keys=["k"], order_by=["v"])
+    assert t.read() is None
+    t.merge(spark.createDataFrame([("a", 1), ("b", 1)], ["k", "v"]))
+    t.merge(spark.createDataFrame([("a", 2), ("c", 1)], ["k", "v"]))
+    assert _rows(t.read()) == [("a", 2), ("b", 1), ("c", 1)]
+    # replaying an old batch can't regress the newer value
+    t.merge(spark.createDataFrame([("a", 1)], ["k", "v"]))
+    assert _rows(t.read()) == [("a", 2), ("b", 1), ("c", 1)]
+    # snapshots GC'd down to keep_snapshots
+    snaps = [d for d in os.listdir(str(tmp_path / "t")) if d.startswith("snap-")]
+    assert len(snaps) <= 2
