@@ -308,6 +308,39 @@ def _q_dedup_embedding(spark, sf_dir):
     return SIM.embedding_near_dup_pairs(SIM.aug_embeddings(emb), threshold=0.99)
 
 
+def _media(spark, sf_dir):
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        multimodal as M,
+    )
+
+    return M, M.synth_media(tables.load_table(spark, sf_dir, "documents"))
+
+
+def _q_media_decode(spark, sf_dir):
+    M, media = _media(spark, sf_dir)
+    return M.decode_media(media)
+
+
+def _q_media_features(spark, sf_dir):
+    M, media = _media(spark, sf_dir)
+    return M.extract_features(media)
+
+
+def _q_media_resize_decode(spark, sf_dir):
+    M, media = _media(spark, sf_dir)
+    decoded = M.decode_media(M.resize_media(media, 32, 32))
+    return decoded
+
+
+def _q_media_frame_sample(spark, sf_dir):
+    from pyspark.sql import functions as F2
+
+    M, media = _media(spark, sf_dir)
+    return M.sample_frames(media, every_k=4).withColumn(
+        "frame_idx", F2.col("frame_idx").cast("int")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_edges": _q_graph_edges,
@@ -337,6 +370,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_pairs": _q_dedup_ngram_pairs,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
+        "media_decode": _q_media_decode,
+        "media_features": _q_media_features,
+        "media_resize_decode": _q_media_resize_decode,
+        "media_frame_sample": _q_media_frame_sample,
         "ann_bruteforce": _q_ann_bruteforce,
         "ann_ivf": _q_ann_ivf,
         "dedup_embedding": _q_dedup_embedding,

@@ -590,6 +590,62 @@ ranked AS (
 )
 SELECT query_id, probe_label, neighbor_id, cos, rank FROM ranked WHERE rank <= 10"""
 
+# --- multimodal (SGMM container; see operators/multimodal.py) -------------
+# The Spark side builds binary blobs, ships them through Arrow to pandas,
+# and parses them byte-level; the oracle re-derives every output with pure
+# SQL arithmetic — matching hashes prove the binary round-trip is lossless.
+
+_MEDIA_META = """\
+media AS (
+  SELECT doc_id AS media_id,
+    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+    doc_id % 3 AS k
+  FROM documents
+),
+meta AS (
+  SELECT media_id, kind,
+    CAST(CASE WHEN kind = 'audio' THEN 0 ELSE 16 + media_id % 64 END AS INT) AS width,
+    CAST(CASE WHEN kind = 'audio' THEN 0 ELSE 16 + media_id % 48 END AS INT) AS height,
+    CAST(CASE WHEN kind = 'video' THEN 8 + media_id % 24
+              WHEN kind = 'image' THEN 1 ELSE 0 END AS INT) AS n_frames,
+    CAST(64 + media_id % 128 AS INT) AS payload_len,
+    substr(repeat(md5('sgmm:' || CAST(media_id AS VARCHAR)),
+                  CAST(ceil((64 + media_id % 128) / 32.0) AS INT) + 1),
+           1, CAST(64 + media_id % 128 AS INT)) AS payload
+  FROM media
+)"""
+
+ORACLES["media_decode"] = f"""\
+WITH {_MEDIA_META}
+SELECT media_id, kind, width, height, n_frames, payload_len FROM meta"""
+
+ORACLES["media_features"] = f"""\
+WITH {_MEDIA_META}
+SELECT media_id,
+  list_transform(range(0, 16),
+    i -> CAST(CAST(concat('0x', substr(md5(payload || ':' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS DOUBLE) / 10000
+  ) AS features
+FROM meta"""
+
+ORACLES["media_resize_decode"] = f"""\
+WITH {_MEDIA_META}
+SELECT media_id, kind,
+  CAST(CASE WHEN width > 0 AND height > 0 AND (width > 32 OR height > 32)
+       THEN greatest(1, floor(width * least(32.0 / width, 32.0 / height)))
+       ELSE width END AS INT) AS width,
+  CAST(CASE WHEN width > 0 AND height > 0 AND (width > 32 OR height > 32)
+       THEN greatest(1, floor(height * least(32.0 / width, 32.0 / height)))
+       ELSE height END AS INT) AS height,
+  n_frames, payload_len
+FROM meta"""
+
+ORACLES["media_frame_sample"] = f"""\
+WITH {_MEDIA_META}
+SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+  substr(md5(CAST(media_id AS VARCHAR) || ':' || CAST(frame_idx AS VARCHAR)), 1, 8) AS frame_id
+FROM (SELECT media_id, unnest(range(0, n_frames, 4)) AS frame_idx
+      FROM meta WHERE kind = 'video')"""
+
 ORACLES["dedup_embedding"] = f"""\
 WITH aug_emb AS (
   SELECT vec_id, label, embedding FROM embeddings
