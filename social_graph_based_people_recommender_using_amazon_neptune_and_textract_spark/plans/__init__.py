@@ -1,0 +1,19 @@
+from .audit import (
+    broadcast_join_count,
+    exchange_count,
+    has_take_ordered,
+    physical_plan,
+    pushed_filters,
+    read_schema_columns,
+    sort_merge_join_count,
+)
+
+__all__ = [
+    "physical_plan",
+    "exchange_count",
+    "broadcast_join_count",
+    "sort_merge_join_count",
+    "has_take_ordered",
+    "pushed_filters",
+    "read_schema_columns",
+]

@@ -1,0 +1,91 @@
+"""Physical-plan shape assertions (SURVEY §4): pin the plans we'd want at
+100 TB so refactors that silently de-optimize fail here, not on a cluster.
+
+Each test states the scale argument it protects."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark import (
+    graph as G,
+)
+from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark import (
+    plans as PL,
+)
+from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark import (
+    search as S,
+)
+from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+    upsert,
+)
+from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.sources import (
+    tables,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_dim_join_broadcasts(spark):
+    """customer ⋈ nation (25-row dim) must broadcast — a sort-merge join
+    here would shuffle the full fact side at every scale."""
+    bt = tables.bizcard_text_records(spark, SF)
+    assert PL.broadcast_join_count(bt) >= 1
+    assert PL.sort_merge_join_count(bt) == 0
+    assert PL.exchange_count(bt) == 0
+
+
+def test_pymk_single_user_never_shuffles_edges(spark):
+    """Single-user PYMK: user row + friend set broadcast to both hop
+    joins and the anti-join; the only shuffles are the groupBy on
+    candidate id and the symmetrize union feeding the cache. The big
+    edge table must NOT sort-merge."""
+    v = tables.user_graph_vertices(spark, SF)
+    e = tables.user_graph_edges(spark, SF)
+    p = G.pymk(v, e, "user_3", 10)
+    assert PL.sort_merge_join_count(p) == 0
+    assert PL.broadcast_join_count(p) >= 3
+    assert PL.has_take_ordered(p), "top-k must compile to TakeOrderedAndProject"
+
+
+def test_parquet_pushdown_and_pruning(spark):
+    """Predicate + projection must reach the scan: reading 2 of 5 columns
+    with a pushed range filter is the difference between scanning 100 TB
+    and scanning what the query needs."""
+    docs = (
+        tables.load_table(spark, SF, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", "text")
+    )
+    pushed = PL.pushed_filters(docs)
+    assert any("LessThan(doc_id" in p for p in pushed), pushed
+    schemas = PL.read_schema_columns(docs)
+    assert schemas and schemas[0] == {"doc_id", "text"}, schemas
+
+
+def test_search_topk_is_take_ordered(spark):
+    """orderBy(desc(score)).limit(k) must never global-sort."""
+    docs = tables.load_table(spark, SF, "documents")
+    hits = S.search_documents(docs, "spark join vector", limit=10)
+    assert PL.has_take_ordered(hits)
+
+
+def test_latest_by_key_single_shuffle(spark):
+    """The keyed upsert is one hash-partition shuffle + window; a second
+    exchange would mean the partitioning wasn't reused by row_number."""
+    ev = tables.load_table(spark, SF, "events")
+    latest = upsert.latest_by_key(ev, ["user_id"], ["ts", "event_id"])
+    assert PL.exchange_count(latest) == 1
+
+
+def test_minhash_agg_reuses_doc_partitioning(spark):
+    """by_doc's repartition(doc_id) must satisfy the signature groupBy —
+    exactly one shuffle of raw text, none of the exploded shingle bag."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        dedup as D,
+    )
+
+    corpus = D.aug_corpus(tables.load_table(spark, SF, "documents"))
+    sigs = D.minhash_signatures(corpus)
+    # repartition(text) = 1 exchange; groupBy(doc_id) must add none.
+    assert PL.exchange_count(sigs) == 1, PL.physical_plan(sigs)
