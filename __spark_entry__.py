@@ -85,6 +85,32 @@ def _q_pymk_all_top5(spark, sf_dir):
     return G.pymk_all(tables.user_graph_edges(spark, sf_dir), limit=5)
 
 
+def _q_vertex_lookup(spark, sf_dir):
+    return G.vertex_lookup(tables.user_graph_vertices(spark, sf_dir), 3)
+
+
+def _q_edge_exists_first(spark, sf_dir):
+    """O32 edge-existence for the lexicographically-first edge (a
+    deterministic pick so the oracle can re-derive the probe pair)."""
+    edges = tables.user_graph_edges(spark, sf_dir)
+    first = edges.orderBy("src", "dst").limit(1).select("src", "dst")
+    return first.join(edges, ["src", "dst"], "left_semi").select(
+        "src", "dst", F.lit(True).alias("present")
+    )
+
+
+def _q_search_bizcards_envelope(spark, sf_dir):
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark import (
+        search as S,
+    )
+
+    hits = S.search_bizcards(_bizcards_df(spark, sf_dir), oracles.BIZCARD_QUERY, limit=10)
+    env = S.search_envelope(hits)
+    return env.select(
+        "_index", "_type", "_id", "_score", F.to_json(F.col("_source")).alias("_source_json")
+    )
+
+
 def _q_bizcard_parse(spark, sf_dir):
     return ingest.parse_bizcard_text(tables.bizcard_text_records(spark, sf_dir))
 
@@ -350,6 +376,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "one_hop_paths": _q_one_hop_paths,
         "pymk_user_3": _q_pymk_user_3,
         "pymk_all_top5": _q_pymk_all_top5,
+        "vertex_lookup": _q_vertex_lookup,
+        "edge_exists_first": _q_edge_exists_first,
+        "search_bizcards_envelope": _q_search_bizcards_envelope,
         "bizcard_parse": _q_bizcard_parse,
         "bizcards": _q_bizcards,
         "bizcard_vertices": _q_bizcard_vertices,

@@ -40,6 +40,8 @@ BENCH_QUERIES = [
     "text_fingerprint",
     "ann_bruteforce",
     "ann_ivf",
+    "media_decode",
+    "media_features",
 ]
 
 

@@ -280,6 +280,27 @@ FROM (
   FROM parsed
 ) WHERE src <> dst"""
 
+ORACLES["vertex_lookup"] = f"""\
+WITH {VERTICES_SQL}
+SELECT id, name, "_name" FROM vertices WHERE id = 3 LIMIT 1"""
+
+ORACLES["edge_exists_first"] = f"""\
+WITH {EDGES_SQL}
+SELECT src, dst, CAST(TRUE AS BOOLEAN) AS present
+FROM (SELECT src, dst FROM edges ORDER BY src, dst LIMIT 1)"""
+
+ORACLES["search_bizcards_envelope"] = f"""\
+WITH {BIZCARDS_CTES}, {_bm25_fields_sql(BIZCARD_QUERY_TERMS)},
+hits AS (
+  SELECT b.doc_id, b.owner, b.name, s.score
+  FROM scored s JOIN bizcards b ON s.id = b.doc_id
+  ORDER BY s.score DESC, b.doc_id ASC LIMIT 10
+)
+SELECT 'octember_bizcard' AS "_index", 'bizcard' AS "_type",
+       doc_id AS "_id", score AS "_score",
+       to_json(struct_pack(doc_id := doc_id, owner := owner, name := name)) AS "_source_json"
+FROM hits"""
+
 # Streaming pipeline twins: the streaming ingest must land EXACTLY the
 # batch-derived tables (same records, keyed merges), so the oracles are
 # the batch CTEs — streaming == batch == SQL, one equivalence chain.

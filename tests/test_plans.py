@@ -85,6 +85,9 @@ def test_minhash_agg_reuses_doc_partitioning(spark):
         dedup as D,
     )
 
+    # plan-cache substitution from earlier tests' persisted shingle tables
+    # would rewrite this plan; audit the uncached shape.
+    spark.catalog.clearCache()
     corpus = D.aug_corpus(tables.load_table(spark, SF, "documents"))
     sigs = D.minhash_signatures(corpus)
     # repartition(text) = 1 exchange; groupBy(doc_id) must add none.
