@@ -37,11 +37,17 @@ __all__ = ["entry", "queries", "oracle_sql", "engine"]
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: 2-hop PYMK for 'user_3' on the sf0.001 events graph."""
+    """Flagship: 2-hop PYMK on the bizcard-derived social graph (the
+    reference's own domain: card owners know card subjects).
+
+    The events-derived graph is near-complete at sf0.001 (15 users, 1000
+    interactions), so PYMK correctly has no non-friend candidates there;
+    the bizcard graph is sparse at every scale and yields real
+    recommendations."""
     sf_dir = "/root/testdata/sf0.001"
-    vertices = tables.user_graph_vertices(spark, sf_dir)
-    edges = tables.user_graph_edges(spark, sf_dir)
-    return G.pymk(vertices, edges, "user_3", limit=10)
+    parsed = ingest.parse_bizcard_text(tables.bizcard_text_records(spark, sf_dir))
+    vertices, edges = ingest.graph_from_text(parsed)
+    return G.pymk(vertices, edges, "customer#000000137", limit=10)
 
 
 # --- query registry -------------------------------------------------------

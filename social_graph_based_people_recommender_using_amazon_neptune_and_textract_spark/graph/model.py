@@ -39,6 +39,14 @@ def degrees(edges: DataFrame) -> DataFrame:
     )
 
 
+def truncate(df: DataFrame) -> DataFrame:
+    """O35: the reference's batched drop-until-empty loop
+    (upsert_bizcard_to_graph_db.py:52-81) exists only to bound Neptune
+    transaction sizes; the Spark semantic is an overwrite with an empty
+    relation of the same schema."""
+    return df.sparkSession.createDataFrame([], df.schema)
+
+
 def graph_counts(vertices: DataFrame, edges: DataFrame) -> DataFrame:
     """O34: g.V().count() / g.E().count() as a single-row DataFrame."""
     v = vertices.agg(F.count(F.lit(1)).alias("vertex_count"))
