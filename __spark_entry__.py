@@ -233,6 +233,33 @@ def _q_streaming_status(spark, sf_dir):
     return _streaming_pipeline(spark, sf_dir).status.read()
 
 
+def _q_streaming_status_machine(spark, sf_dir):
+    """O7 stateful streaming form: status events derived from the events
+    table flow through applyInPandasWithState; returns the converged
+    per-image status (which IS SQL-expressible, unlike the incremental
+    operator itself)."""
+    import tempfile
+
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.streaming.status_state import (
+        StatusTracker,
+    )
+
+    ev = tables.load_table(spark, sf_dir, "events")
+    records = ev.select(
+        F.concat(F.col("user_id").cast("string"), F.lit(".jpg")).alias("image_id"),
+        F.element_at(
+            F.array(F.lit("START"), F.lit("PROCESS"), F.lit("END")),
+            (F.col("event_id") % 3 + 1).cast("int"),
+        ).alias("status"),
+        P.fmt_mts(F.col("ts")).alias("mts"),
+    )
+    base = tempfile.mkdtemp(prefix="sgr-status-")
+    records.repartition(3).write.mode("overwrite").json(f"{base}/landing")
+    tracker = StatusTracker(spark, f"{base}/wh")
+    tracker.run_available_now(f"{base}/landing", f"{base}/ckpt")
+    return tracker.current()
+
+
 def _q_text_language_id(spark, sf_dir):
     from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.functions import (
         text as T,
@@ -392,6 +419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "status_latest": _q_status_latest,
         "streaming_bizcards": _q_streaming_bizcards,
         "streaming_status": _q_streaming_status,
+        "streaming_status_machine": _q_streaming_status_machine,
         "search_documents": _q_search_documents,
         "search_documents_count": _q_search_documents_count,
         "search_bizcards": _q_search_bizcards,

@@ -314,6 +314,24 @@ SELECT string_split(s3_key, '/')[-1] AS image_id, s3_bucket, s3_key,
        '20240101000000' AS mts, 'END' AS status
 FROM bizcard_raw"""
 
+# Converged state of the stateful status machine (streaming/status_state
+# .py): max (rank, mts) per image. The incremental operator is the
+# non-SQL part; its fixed point is ordinary SQL.
+ORACLES["streaming_status_machine"] = """\
+WITH se AS (
+  SELECT CAST(user_id AS VARCHAR) || '.jpg' AS image_id,
+         CASE CAST(event_id % 3 AS INT)
+           WHEN 0 THEN 'START' WHEN 1 THEN 'PROCESS' ELSE 'END' END AS status,
+         CAST(event_id % 3 AS INT) AS rank,
+         strftime(ts, '%Y%m%d%H%M%S') AS mts
+  FROM events
+)
+SELECT image_id, status, rank, mts FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY image_id ORDER BY rank DESC, mts DESC
+  ) AS rn FROM se
+) WHERE rn = 1"""
+
 ORACLES["status_latest"] = """\
 SELECT user_id, event_id, event_type, value,
        strftime(ts, '%Y%m%d%H%M%S') AS mts
