@@ -91,6 +91,17 @@ def _q_pymk_all_top5(spark, sf_dir):
     return G.pymk_all(tables.user_graph_edges(spark, sf_dir), limit=5)
 
 
+def _q_graph_shortest_paths(spark, sf_dir):
+    """Iterative BFS from the md5 person-id of owner c000000001 on the
+    bizcard graph (sparse at every sf, so hop levels stay meaningful)."""
+    import hashlib
+
+    parsed = ingest.parse_bizcard_text(tables.bizcard_text_records(spark, sf_dir))
+    _, e = ingest.graph_from_text(parsed)
+    src = hashlib.md5(b"c000000001").hexdigest()[:8]
+    return G.shortest_paths(e, src, max_hops=4)
+
+
 def _q_vertex_lookup(spark, sf_dir):
     return G.vertex_lookup(tables.user_graph_vertices(spark, sf_dir), 3)
 
@@ -292,6 +303,22 @@ def _q_text_fingerprint(spark, sf_dir):
     return T.fingerprint(tables.load_table(spark, sf_dir, "documents"))
 
 
+def _q_events_sessionized(spark, sf_dir):
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        sessionize as SS,
+    )
+
+    return SS.sessionize(tables.load_table(spark, sf_dir, "events")).drop("ts")
+
+
+def _q_session_stats(spark, sf_dir):
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        sessionize as SS,
+    )
+
+    return SS.session_stats(tables.load_table(spark, sf_dir, "events"))
+
+
 def _aug(spark, sf_dir):
     from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
         dedup as D,
@@ -409,6 +436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "one_hop_paths": _q_one_hop_paths,
         "pymk_user_3": _q_pymk_user_3,
         "pymk_all_top5": _q_pymk_all_top5,
+        "graph_shortest_paths": _q_graph_shortest_paths,
         "vertex_lookup": _q_vertex_lookup,
         "edge_exists_first": _q_edge_exists_first,
         "search_bizcards_envelope": _q_search_bizcards_envelope,
@@ -428,6 +456,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "text_token_counts": _q_text_token_counts,
         "text_fingerprint": _q_text_fingerprint,
+        "events_sessionized": _q_events_sessionized,
+        "session_stats": _q_session_stats,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_ngram_pairs": _q_dedup_ngram_pairs,

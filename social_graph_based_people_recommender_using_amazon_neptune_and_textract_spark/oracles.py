@@ -245,6 +245,29 @@ ranked AS (
 )
 SELECT user_id, id, score, rank FROM ranked WHERE rank <= 5"""
 
+# BFS shortest paths (graph/traverse.py) on the bizcard graph: the
+# iterative join loop's fixed point is a recursive CTE — min path length
+# per reachable vertex within the hop bound.
+ORACLES["graph_shortest_paths"] = f"""\
+WITH RECURSIVE {BIZCARD_LINES_SQL}, {PARSED_SQL},
+bedges AS (
+  SELECT src, dst FROM (
+    SELECT DISTINCT
+      substr(md5(owner), 1, 8) AS src,
+      substr(md5(string_split(email, '@')[1]), 1, 8) AS dst
+    FROM parsed
+  ) WHERE src <> dst
+),
+bbi AS (SELECT src, dst FROM bedges UNION ALL SELECT dst, src FROM bedges),
+walk(id, dist) AS (
+  SELECT substr(md5('c000000001'), 1, 8) AS id, 0 AS dist
+  UNION ALL
+  SELECT bbi.dst, walk.dist + 1
+  FROM walk JOIN bbi ON bbi.src = walk.id
+  WHERE walk.dist < 4
+)
+SELECT id, CAST(min(dist) AS INT) AS dist FROM walk GROUP BY id"""
+
 ORACLES["bizcard_parse"] = f"""\
 WITH {BIZCARD_LINES_SQL}, {PARSED_SQL}
 SELECT s3_bucket, s3_key, owner, company, name, job_title,
@@ -628,6 +651,42 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, probe_label, neighbor_id, cos, rank FROM ranked WHERE rank <= 10"""
+
+# --- sessionization (operators/sessionize.py) ------------------------------
+
+_SESSIONIZE = """\
+marked AS (
+  SELECT event_id, user_id, ts, event_type, value,
+    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 43200000000
+         THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT event_id, user_id, ts, event_type, value,
+    CAST(sum(brk) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS INT) AS session_seq
+  FROM marked
+)"""
+
+ORACLES["events_sessionized"] = f"""\
+WITH {_SESSIONIZE}
+SELECT event_id, user_id, event_type, value, session_seq,
+       CAST(user_id AS VARCHAR) || '-' || CAST(session_seq AS VARCHAR) AS session_id
+FROM sess"""
+
+ORACLES["session_stats"] = f"""\
+WITH {_SESSIONIZE}
+SELECT user_id, session_seq,
+  min(epoch_us(ts)) AS start_us,
+  max(epoch_us(ts)) AS end_us,
+  count(*) AS n_events,
+  count(DISTINCT event_type) AS n_event_types,
+  round(sum(value), 6) AS value_sum
+FROM sess GROUP BY user_id, session_seq"""
 
 # --- multimodal (SGMM container; see operators/multimodal.py) -------------
 # The Spark side builds binary blobs, ships them through Arrow to pandas,

@@ -126,3 +126,26 @@ def test_pymk_all_consistent_with_single(graph):
     ]
     single = [(r["id"], r["score"]) for r in G.pymk(v, e, "Edy Kim", 10).collect()]
     assert edy == single
+
+
+def test_shortest_paths_bfs(spark):
+    """BFS on a known path graph + a disconnected vertex + a cycle."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.graph.traverse import (
+        shortest_paths,
+    )
+
+    # 0-1-2-3-4 path, 5-6 disconnected, plus chord 0-2 making dist(2)=1
+    e = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0), (2, 3, 1.0), (3, 4, 1.0), (5, 6, 1.0), (0, 2, 1.0)],
+        ["src", "dst", "weight"],
+    )
+    got = {r.id: r.dist for r in shortest_paths(e, 0, max_hops=10).collect()}
+    assert got == {0: 0, 1: 1, 2: 1, 3: 2, 4: 3}
+
+    # hop bound cuts the tail
+    got2 = {r.id: r.dist for r in shortest_paths(e, 0, max_hops=2).collect()}
+    assert got2 == {0: 0, 1: 1, 2: 1, 3: 2}
+
+    # isolated source: just itself
+    got3 = {r.id: r.dist for r in shortest_paths(e, 99, max_hops=3).collect()}
+    assert got3 == {99: 0}
