@@ -271,6 +271,25 @@ def _q_streaming_status_machine(spark, sf_dir):
     return tracker.current()
 
 
+def _q_streaming_event_windows(spark, sf_dir):
+    """Watermarked event-time hourly rollup, drained via availableNow;
+    converged result equals the batch GROUP BY (the oracle)."""
+    import tempfile
+
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.streaming.windows import (
+        WindowedCounter,
+    )
+
+    ev = tables.load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    base = tempfile.mkdtemp(prefix="sgr-win-")
+    ev.repartition(3).write.mode("overwrite").parquet(f"{base}/landing")
+    counter = WindowedCounter(spark, f"{base}/wh")
+    counter.run_available_now(f"{base}/landing", f"{base}/ckpt")
+    return counter.current()
+
+
 def _q_text_language_id(spark, sf_dir):
     from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.functions import (
         text as T,
@@ -448,6 +467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_bizcards": _q_streaming_bizcards,
         "streaming_status": _q_streaming_status,
         "streaming_status_machine": _q_streaming_status_machine,
+        "streaming_event_windows": _q_streaming_event_windows,
         "search_documents": _q_search_documents,
         "search_documents_count": _q_search_documents_count,
         "search_bizcards": _q_search_bizcards,

@@ -652,6 +652,17 @@ ranked AS (
 )
 SELECT query_id, probe_label, neighbor_id, cos, rank FROM ranked WHERE rank <= 10"""
 
+# Converged watermarked hourly rollup == batch GROUP BY on hour buckets.
+ORACLES["streaming_event_windows"] = """\
+SELECT
+  epoch_us(date_trunc('hour', ts)) AS window_start_us,
+  epoch_us(date_trunc('hour', ts) + INTERVAL 1 HOUR) AS window_end_us,
+  event_type,
+  count(*) AS n_events,
+  round(sum(value), 6) AS value_sum
+FROM events
+GROUP BY 1, 2, 3"""
+
 # --- sessionization (operators/sessionize.py) ------------------------------
 
 _SESSIONIZE = """\
