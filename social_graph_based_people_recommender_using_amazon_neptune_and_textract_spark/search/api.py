@@ -35,7 +35,13 @@ def search_documents(documents: DataFrame, query: str, limit: int = 10) -> DataF
     """Single-field BM25 top-k over the documents corpus.
     Returns (doc_id, score)."""
     terms = [t for t in _terms(query)]
+    # The inverted index is THE materialized auxiliary structure (SURVEY
+    # §3.2): persist the full postings/lengths once; each query is then a
+    # term-filter + small aggregation over the cached index, exactly the
+    # ES/Lucene serving shape. (Trade-off: the first build cannot push the
+    # term filter into the explode — that is the point of an index.)
     postings, doclen = build_index(documents, "doc_id", "text")
+    postings, doclen = postings.persist(), doclen.persist()
     scored = bm25_scores(postings, doclen, terms)
     return (
         scored.select(F.col("id").alias("doc_id"), "score")
@@ -58,11 +64,13 @@ def search_bizcards(
     toks = melted.select(
         "id", "field", tokenize(F.col("text")).alias("tokens")
     )
-    doclen = toks.select("id", "field", F.size("tokens").alias("dl"))
+    # Materialized per-field inverted index (see search_documents note).
+    doclen = toks.select("id", "field", F.size("tokens").alias("dl")).persist()
     postings = (
         toks.select("id", "field", F.explode("tokens").alias("tok"))
         .groupBy("id", "field", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
     )
     fscores = bm25_scores_by_field(postings, doclen, terms)
 
