@@ -322,6 +322,20 @@ def _q_text_fingerprint(spark, sf_dir):
     return T.fingerprint(tables.load_table(spark, sf_dir, "documents"))
 
 
+def _q_salted_distinct_degrees(spark, sf_dir):
+    """Skew-safe distinct-neighbor count per vertex on the symmetrized
+    graph (celebrity-vertex mitigation, SURVEY §4)."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.graph.model import (
+        symmetrize,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.skew import (
+        salted_distinct_count,
+    )
+
+    bi = symmetrize(tables.user_graph_edges(spark, sf_dir))
+    return salted_distinct_count(bi, "src", "dst").withColumnRenamed("src", "id")
+
+
 def _q_events_sessionized(spark, sf_dir):
     from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
         sessionize as SS,
@@ -476,6 +490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "text_token_counts": _q_text_token_counts,
         "text_fingerprint": _q_text_fingerprint,
+        "salted_distinct_degrees": _q_salted_distinct_degrees,
         "events_sessionized": _q_events_sessionized,
         "session_stats": _q_session_stats,
         "dedup_exact": _q_dedup_exact,

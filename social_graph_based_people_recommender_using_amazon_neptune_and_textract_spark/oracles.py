@@ -197,6 +197,11 @@ FROM edges e
 JOIN vertices vs ON e.src = vs.id
 JOIN vertices vd ON e.dst = vd.id"""
 
+# Salt cancels out: the oracle is the plain distinct count.
+ORACLES["salted_distinct_degrees"] = f"""\
+WITH {EDGES_SQL}, {BI_SQL}
+SELECT src AS id, count(DISTINCT dst) AS n_distinct FROM bi GROUP BY src"""
+
 ORACLES["pymk_user_3"] = f"""\
 WITH {EDGES_SQL}, {VERTICES_SQL}, {BI_SQL},
 me AS (SELECT id FROM vertices WHERE "_name" = 'user_3'),
