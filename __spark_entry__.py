@@ -205,6 +205,19 @@ def _q_search_bizcards_owner(spark, sf_dir):
     )
 
 
+def _q_bizcard_content_dedup(spark, sf_dir):
+    """O21's declared purpose (upsert_bizcard_to_es.py:73-75 'XXX:
+    deduplicate contents'): group bizcards by the content_id composite
+    key — same person's card held by multiple owners collapses to one
+    canonical content row with a holder count."""
+    b = _bizcards_df(spark, sf_dir)
+    return b.groupBy("content_id").agg(
+        F.min("doc_id").alias("canonical_doc_id"),
+        F.count(F.lit(1)).alias("n_cards"),
+        F.countDistinct("owner").alias("n_owners"),
+    )
+
+
 def _q_status_latest(spark, sf_dir):
     ev = tables.load_table(spark, sf_dir, "events")
     latest = upsert.latest_by_key(ev, ["user_id"], ["ts", "event_id"])
@@ -477,6 +490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bizcards": _q_bizcards,
         "bizcard_vertices": _q_bizcard_vertices,
         "bizcard_edges": _q_bizcard_edges,
+        "bizcard_content_dedup": _q_bizcard_content_dedup,
         "status_latest": _q_status_latest,
         "streaming_bizcards": _q_streaming_bizcards,
         "streaming_status": _q_streaming_status,

@@ -360,6 +360,12 @@ SELECT image_id, status, rank, mts FROM (
   ) AS rn FROM se
 ) WHERE rn = 1"""
 
+ORACLES["bizcard_content_dedup"] = f"""\
+WITH {BIZCARDS_CTES}
+SELECT content_id, min(doc_id) AS canonical_doc_id,
+       count(*) AS n_cards, count(DISTINCT owner) AS n_owners
+FROM bizcards GROUP BY content_id"""
+
 ORACLES["status_latest"] = """\
 SELECT user_id, event_id, event_type, value,
        strftime(ts, '%Y%m%d%H%M%S') AS mts
