@@ -1,4 +1,5 @@
 from .audit import (
+    partition_filters,
     broadcast_join_count,
     exchange_count,
     has_take_ordered,
@@ -9,6 +10,7 @@ from .audit import (
 )
 
 __all__ = [
+    "partition_filters",
     "physical_plan",
     "exchange_count",
     "broadcast_join_count",

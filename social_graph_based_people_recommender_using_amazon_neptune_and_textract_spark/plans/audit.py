@@ -62,6 +62,16 @@ def pushed_filters(df: DataFrame) -> list[str]:
     return out
 
 
+def partition_filters(df: DataFrame) -> list[str]:
+    """PartitionFilters entries across file scans (partition pruning)."""
+    out: list[str] = []
+    for m in re.finditer(r"PartitionFilters: \[([^\]]*)\]", physical_plan(df)):
+        entry = m.group(1).strip()
+        if entry:
+            out.extend(s.strip() for s in entry.split(","))
+    return out
+
+
 def read_schema_columns(df: DataFrame) -> list[set[str]]:
     """Column sets actually read by each parquet scan (pruning check)."""
     cols: list[set[str]] = []

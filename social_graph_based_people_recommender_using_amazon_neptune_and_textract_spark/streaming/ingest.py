@@ -42,6 +42,25 @@ from .schemas import TEXT_LINES_SCHEMA
 from .table import KeyedParquetTable
 
 
+def read_archive(
+    spark: SparkSession,
+    archive_dir: str,
+    year: str | None = None,
+    month: str | None = None,
+    day: str | None = None,
+    hour: str | None = None,
+) -> DataFrame:
+    """Read the O4 gzip archive back; time predicates prune partitions
+    (the point of the Firehose YYYY/mm/dd/HH layout — a one-hour replay
+    reads one directory, not the year). Pruning is asserted in
+    tests/test_plans.py."""
+    df = spark.read.option("basePath", archive_dir).json(archive_dir)
+    for col, val in (("year", year), ("month", month), ("day", day), ("hour", hour)):
+        if val is not None:
+            df = df.filter(F.col(col) == val)
+    return df
+
+
 def read_text_lines_stream(
     spark: SparkSession, landing_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:

@@ -152,3 +152,29 @@ def test_keyed_table_merge_semantics(spark, tmp_path):
     # snapshots GC'd down to keep_snapshots
     snaps = [d for d in os.listdir(str(tmp_path / "t")) if d.startswith("snap-")]
     assert len(snaps) <= 2
+
+
+def test_archive_read_partition_pruning(spark, landing, tmp_path):
+    """O4 read path: a time predicate must prune to partition filters,
+    not scan-and-filter — the point of the Firehose time layout."""
+    import os as _os
+
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark import (
+        plans as PL,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.streaming.ingest import (
+        read_archive,
+    )
+
+    wh = str(tmp_path / "wh")
+    pipe = IngestPipeline(spark, wh)
+    pipe.run_available_now(landing, str(tmp_path / "ckpt"))
+    archive = _os.path.join(wh, "archive")
+
+    hit = read_archive(spark, archive, year="2024", month="01", day="01", hour="00")
+    pf = PL.partition_filters(hit)
+    assert any("year" in f for f in pf), pf
+    assert hit.count() == tables.bizcard_text_records(spark, SF_DIR).count()
+
+    miss = read_archive(spark, archive, year="1999")
+    assert miss.count() == 0
