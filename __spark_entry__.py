@@ -373,6 +373,28 @@ def _aug(spark, sf_dir):
     return D.aug_corpus(tables.load_table(spark, sf_dir, "documents"))
 
 
+def _q_docs_hash_sample(spark, sf_dir):
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        sampling as SA,
+    )
+
+    docs = tables.load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return SA.hash_sample(docs, "doc_id", 0.25)
+
+
+def _q_docs_split_counts(spark, sf_dir):
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        sampling as SA,
+    )
+
+    docs = tables.load_table(spark, sf_dir, "documents").select("doc_id")
+    return (
+        SA.hash_split(docs, "doc_id", train=0.8, dev=0.1)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def _q_dedup_exact(spark, sf_dir):
     from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
         dedup as D,
@@ -507,6 +529,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_distinct_degrees": _q_salted_distinct_degrees,
         "events_sessionized": _q_events_sessionized,
         "session_stats": _q_session_stats,
+        "docs_hash_sample": _q_docs_hash_sample,
+        "docs_split_counts": _q_docs_split_counts,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_ngram_pairs": _q_dedup_ngram_pairs,

@@ -1,0 +1,54 @@
+"""Deterministic hash-based sampling and dataset splitting.
+
+Training pipelines need samples and train/dev/test splits that are
+*stable*: re-running the job, adding executors, or re-partitioning the
+input must not move a document between splits (leakage), and an
+auditor must be able to recompute membership from the key alone.
+``rand()``-based sampling fails all of these; keyed hashing is the
+standard fix: bucket = md5(key) mod N, membership = bucket range.
+
+md5-derived (like every hash in this engine) so the DuckDB oracle
+reproduces membership bit-for-bit — sampling is oracle-checked, not
+rows-only.
+
+Scale: a narrow projection + filter — no shuffle, fully pushdown-
+friendly, and the same row lands in the same split on any cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_BUCKETS = 10_000
+
+
+def _bucket(col):
+    # md5 of the key's string form → first 8 hex digits → mod buckets
+    return (
+        F.conv(
+            F.substring(F.md5(col.cast("string").cast("binary")), 1, 8), 16, 10
+        ).cast("long")
+        % N_BUCKETS
+    )
+
+
+def hash_sample(df: DataFrame, key: str, fraction: float) -> DataFrame:
+    """Keep ~fraction of rows, deterministically by key hash."""
+    return df.filter(_bucket(F.col(key)) < int(fraction * N_BUCKETS))
+
+
+def hash_split(
+    df: DataFrame, key: str, train: float = 0.8, dev: float = 0.1
+) -> DataFrame:
+    """Adds a ``split`` column: train / dev / test by key-hash range.
+    test gets the remainder (1 - train - dev)."""
+    b = _bucket(F.col(key))
+    t_hi = int(train * N_BUCKETS)
+    d_hi = t_hi + int(dev * N_BUCKETS)
+    split = (
+        F.when(b < t_hi, F.lit("train"))
+        .when(b < d_hi, F.lit("dev"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn("split", split)

@@ -463,6 +463,24 @@ SELECT doc_id,
   md5(array_to_string(list_sort(list_distinct(tokens)), ' ')) AS fingerprint
 FROM toksrc"""
 
+# --- hash sampling / splits (operators/sampling.py) ------------------------
+
+_BUCKET = (
+    "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000"
+)
+
+ORACLES["docs_hash_sample"] = f"""\
+SELECT doc_id, lang, source FROM documents
+WHERE {_BUCKET} < 2500"""
+
+ORACLES["docs_split_counts"] = f"""\
+SELECT split, count(*) AS n FROM (
+  SELECT CASE WHEN {_BUCKET} < 8000 THEN 'train'
+              WHEN {_BUCKET} < 9000 THEN 'dev'
+              ELSE 'test' END AS split
+  FROM documents
+) GROUP BY split"""
+
 # --- dedup family ---------------------------------------------------------
 
 ORACLES["dedup_exact"] = f"""\
