@@ -62,7 +62,10 @@ def main() -> None:
     )
 
     for t in TABLES:
-        load_table(spark, SF_DIR, t).count()
+        try:
+            load_table(spark, SF_DIR, t).count()
+        except Exception:
+            pass  # per-query error reporting below names the real failure
 
     # Steady-state measurement: run each query once to warm (Janino
     # whole-stage-codegen compilation is one-time per session and costs
@@ -71,15 +74,19 @@ def main() -> None:
     # cached intermediates persisted by the operators stay warm exactly
     # as they would across repeated production queries.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in BENCH_QUERIES:
         fn = qs[name]
-        fn(spark, SF_DIR).count()  # warm: codegen + caches
-        best = float("inf")
-        for _ in range(2):  # min-of-2: robust to GC / cleanup interference
-            t0 = time.perf_counter()
-            fn(spark, SF_DIR).count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        try:
+            fn(spark, SF_DIR).count()  # warm: codegen + caches
+            best = float("inf")
+            for _ in range(2):  # min-of-2: robust to GC / cleanup interference
+                t0 = time.perf_counter()
+                fn(spark, SF_DIR).count()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
+        except Exception as exc:  # one broken query must not kill the report
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -89,6 +96,8 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if errors:
+        out["errors"] = errors
     print(json.dumps(out))
     spark.stop()
 
