@@ -205,6 +205,18 @@ def _q_search_bizcards_owner(spark, sf_dir):
     )
 
 
+def _q_search_bizcards_user_only(spark, sf_dir):
+    """The reference's ``{user}``-only search case (es_search_bizcard.py
+    :164-165 sweep): filter context only, every hit scores 0.0."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark import (
+        search as S,
+    )
+
+    return S.search_bizcards(
+        _bizcards_df(spark, sf_dir), None, user=oracles.SEARCH_OWNER, limit=10
+    )
+
+
 def _q_bizcard_content_dedup(spark, sf_dir):
     """O21's declared purpose (upsert_bizcard_to_es.py:73-75 'XXX:
     deduplicate contents'): group bizcards by the content_id composite
@@ -522,6 +534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_documents_count": _q_search_documents_count,
         "search_bizcards": _q_search_bizcards,
         "search_bizcards_owner": _q_search_bizcards_owner,
+        "search_bizcards_user_only": _q_search_bizcards_user_only,
         "text_language_id": _q_text_language_id,
         "text_quality": _q_text_quality,
         "text_token_counts": _q_text_token_counts,

@@ -171,6 +171,13 @@ FROM scored s JOIN bizcards b ON s.id = b.doc_id
 WHERE b.owner = '{SEARCH_OWNER}'
 ORDER BY s.score DESC, b.doc_id ASC LIMIT 10"""
 
+ORACLES["search_bizcards_user_only"] = f"""\
+WITH {BIZCARDS_CTES}
+SELECT doc_id, owner, name, CAST(0.0 AS DOUBLE) AS score
+FROM bizcards
+WHERE is_alive = 1 AND owner = '{SEARCH_OWNER}'
+ORDER BY doc_id ASC LIMIT 10"""
+
 ORACLES["search_documents_count"] = f"""\
 WITH {_bm25_single_sql("documents", "doc_id", "text", DOC_QUERY_TERMS)}
 SELECT count(*) AS total_hits FROM scored"""

@@ -51,14 +51,28 @@ def search_documents(documents: DataFrame, query: str, limit: int = 10) -> DataF
 
 
 def search_bizcards(
-    bizcards: DataFrame, query: str, user: str | None = None, limit: int = 10
+    bizcards: DataFrame, query: str | None, user: str | None = None, limit: int = 10
 ) -> DataFrame:
     """O26/O27/O28/O29: boosted multi-field search over alive bizcards.
-    Returns (doc_id, owner, name, score)."""
+    Returns (doc_id, owner, name, score).
+
+    With no query keywords (the reference's ``{user}``-only case,
+    es_search_bizcard.py:71-73 — the bool query carries only the filter
+    clause), every matching doc is in ES *filter context* and scores 0.0;
+    ranking degenerates to the declared doc_id tie order.
+    """
     # alive feeds the melt AND the final hydration join — persist so the
     # (possibly expensive) upstream bizcards derivation runs once.
     alive = bizcards.filter(F.col("is_alive") == 1).persist()
-    terms = [t for t in _terms(query)]
+    terms = [t for t in _terms(query)] if query else []
+
+    if not terms:
+        hits = alive.select(
+            "doc_id", "owner", "name", F.lit(0.0).alias("score")
+        )
+        if user:
+            hits = hits.filter(F.col("owner") == user)  # O28 filter context
+        return hits.orderBy(F.desc("score"), F.asc("doc_id")).limit(limit)
 
     melted = _melt_fields(alive)
     toks = melted.select(

@@ -72,6 +72,25 @@ def test_filter_context_does_not_change_scores(spark):
     assert filtered["d2"] == unfiltered["d2"]  # O28 is non-scoring
 
 
+def test_user_only_search_is_filter_context(spark):
+    """No query keywords → bool query with only the filter clause
+    (es_search_bizcard.py:71-73); every hit scores 0.0, doc_id order."""
+    rows = [
+        dict(doc_id="d2", owner="u1", name="beta", company="c", job_title="j",
+             addr="a", is_alive=1),
+        dict(doc_id="d1", owner="u1", name="alpha", company="c", job_title="j",
+             addr="a", is_alive=1),
+        dict(doc_id="d3", owner="u2", name="gamma", company="c", job_title="j",
+             addr="a", is_alive=1),
+        dict(doc_id="d4", owner="u1", name="dead", company="c", job_title="j",
+             addr="a", is_alive=0),
+    ]
+    df = spark.createDataFrame(rows)
+    hits = S.search_bizcards(df, None, user="u1").collect()
+    assert [r["doc_id"] for r in hits] == ["d1", "d2"]
+    assert all(r["score"] == 0.0 for r in hits)
+
+
 def test_dead_docs_excluded(spark):
     rows = [
         dict(doc_id="d1", owner="u1", name="alpha", company="c", job_title="j",
