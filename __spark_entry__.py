@@ -488,8 +488,14 @@ def _q_media_decode(spark, sf_dir):
 
 
 def _q_media_features(spark, sf_dir):
+    """Features posexploded to (media_id, feature_idx, feature) rows so the
+    driver's canonicalizer (which cannot sort/hash array columns) can
+    compare values; the array-returning operator is unchanged."""
     M, media = _media(spark, sf_dir)
-    return M.extract_features(media)
+    feats = M.extract_features(media)
+    return feats.select(
+        "media_id", F.posexplode("features").alias("feature_idx", "feature")
+    ).withColumn("feature_idx", F.col("feature_idx").cast("int"))
 
 
 def _q_media_resize_decode(spark, sf_dir):

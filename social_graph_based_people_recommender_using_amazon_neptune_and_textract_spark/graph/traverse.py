@@ -11,12 +11,17 @@ join lineage so plan depth stays O(1) per superstep instead of O(k)
 (the classic iterative-join pitfall — without it, superstep k re-plans
 all k-1 prior joins and the DAG grows quadratically).
 
-Scale: each superstep is one shuffle join frontier⋈edges (broadcast when
-the frontier is small, which BFS frontiers on social graphs usually are
-after hop 1 — AQE decides); the settled set is only touched by an
-anti-join on its key. Equivalent converged result is expressible as a
-recursive SQL CTE (the oracle) — the *incremental* loop is what Spark
-adds: early exit on empty frontier, bounded lineage, per-level stats.
+Scale: each superstep is one join frontier⋈edges. The frontier is NOT
+force-broadcast — on a social graph the hop-2 frontier can be a large
+fraction of all vertices, and a forced broadcast of a multi-GB frontier
+OOMs the driver/executors at 100× scale. Because each frontier is
+localCheckpointed, its row count is known for free, so the broadcast hint
+is gated on an explicit size bound (``broadcast_max`` rows); above it the
+strategy is left to AQE/Catalyst (shuffle join on ``src``). The settled
+set is only touched by an anti-join on its key. The converged result is
+expressible as a recursive SQL CTE (the oracle) — the *incremental* loop
+is what Spark adds: early exit on empty frontier, bounded lineage,
+per-level stats.
 """
 
 from __future__ import annotations
@@ -26,9 +31,35 @@ from pyspark.sql import functions as F
 
 from .model import symmetrize
 
+#: Frontier row bound under which the broadcast hint is safe. ~1M ids of
+#: 8-16 bytes is tens of MB serialized — inside Spark's default 8G
+#: broadcast-table hard cap with a wide margin; beyond it, shuffle.
+BROADCAST_FRONTIER_MAX = 1_000_000
+
+
+def expand_frontier(
+    bi: DataFrame, frontier: DataFrame, dist: DataFrame, hop: int, *,
+    frontier_rows: int, broadcast_max: int = BROADCAST_FRONTIER_MAX,
+) -> DataFrame:
+    """One BFS superstep (un-checkpointed, for plan inspection): expand
+    ``frontier`` one undirected hop and anti-join the settled ``dist``.
+    Broadcast is hinted only when the known frontier size is under
+    ``broadcast_max``; otherwise Catalyst/AQE picks the join strategy."""
+    maybe_small = (
+        F.broadcast(frontier) if frontier_rows <= broadcast_max else frontier
+    )
+    return (
+        bi.join(maybe_small, bi["src"] == frontier["id"])
+        .select(F.col("dst").alias("id"))
+        .distinct()
+        .join(dist, "id", "left_anti")
+        .withColumn("dist", F.lit(hop).cast("int"))
+    )
+
 
 def shortest_paths(
-    edges: DataFrame, source_id, max_hops: int = 4
+    edges: DataFrame, source_id, max_hops: int = 4,
+    broadcast_max: int = BROADCAST_FRONTIER_MAX,
 ) -> DataFrame:
     """Undirected BFS distances from ``source_id``: (id, dist) for every
     vertex reachable within ``max_hops`` (source included, dist 0)."""
@@ -40,17 +71,15 @@ def shortest_paths(
         F.col("id").cast(schema).alias("id"), F.col("dist").cast("int").alias("dist")
     )
     frontier = dist.select("id")
+    frontier_rows = 1  # the source vertex
 
     for hop in range(1, max_hops + 1):
-        nxt = (
-            bi.join(F.broadcast(frontier), bi["src"] == frontier["id"])
-            .select(F.col("dst").alias("id"))
-            .distinct()
-            .join(dist, "id", "left_anti")
-            .withColumn("dist", F.lit(hop).cast("int"))
-            .localCheckpoint(eager=True)  # truncate lineage per superstep
-        )
-        if nxt.isEmpty():
+        nxt = expand_frontier(
+            bi, frontier, dist, hop,
+            frontier_rows=frontier_rows, broadcast_max=broadcast_max,
+        ).localCheckpoint(eager=True)  # truncate lineage per superstep
+        frontier_rows = nxt.count()  # cheap: nxt is checkpointed
+        if frontier_rows == 0:
             break
         dist = dist.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt.select("id")

@@ -766,11 +766,9 @@ SELECT media_id, kind, width, height, n_frames, payload_len FROM meta"""
 
 ORACLES["media_features"] = f"""\
 WITH {_MEDIA_META}
-SELECT media_id,
-  list_transform(range(0, 16),
-    i -> CAST(CAST(concat('0x', substr(md5(payload || ':' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS DOUBLE) / 10000
-  ) AS features
-FROM meta"""
+SELECT media_id, CAST(i AS INT) AS feature_idx,
+  CAST(CAST(concat('0x', substr(md5(payload || ':' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS DOUBLE) / 10000 AS feature
+FROM meta CROSS JOIN (SELECT unnest(range(0, 16)) AS i) idx"""
 
 ORACLES["media_resize_decode"] = f"""\
 WITH {_MEDIA_META}

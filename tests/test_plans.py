@@ -78,6 +78,50 @@ def test_latest_by_key_single_shuffle(spark):
     assert PL.exchange_count(latest) == 1
 
 
+def test_bfs_frontier_broadcast_gated(spark):
+    """The BFS frontier join must not force-broadcast an arbitrarily large
+    frontier (hop-2 on a social graph can be most of the vertex set; a
+    forced multi-GB broadcast OOMs at 100× scale). The hint is gated on
+    the known frontier row count; above the bound the logical plan must
+    carry NO broadcast hint — AQE picks the strategy from runtime sizes."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.graph import (
+        traverse,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.graph.model import (
+        symmetrize,
+    )
+
+    e = tables.user_graph_edges(spark, SF)
+    bi = symmetrize(e).select("src", "dst")
+    dist = spark.createDataFrame([(1, 0)], "id long, dist int")
+    frontier = dist.select("id")
+
+    def analyzed(df):
+        return df._jdf.queryExecution().analyzed().toString()
+
+    small = traverse.expand_frontier(
+        bi, frontier, dist, 1, frontier_rows=1, broadcast_max=10
+    )
+    assert "strategy=broadcast" in analyzed(small)
+
+    big = traverse.expand_frontier(
+        bi, frontier, dist, 1, frontier_rows=11, broadcast_max=10
+    )
+    assert "strategy=broadcast" not in analyzed(big)
+
+
+def test_bfs_result_invariant_to_broadcast_gate(spark):
+    """Shuffle-join BFS (broadcast_max=0) must produce the identical
+    distance map — the gate is a physical choice, not a semantic one."""
+    e = tables.user_graph_edges(spark, SF)
+    hinted = {tuple(r) for r in G.shortest_paths(e, 1, max_hops=3).collect()}
+    gated = {
+        tuple(r)
+        for r in G.shortest_paths(e, 1, max_hops=3, broadcast_max=0).collect()
+    }
+    assert hinted == gated and len(hinted) > 1
+
+
 def test_minhash_agg_reuses_doc_partitioning(spark):
     """by_doc's repartition(doc_id) must satisfy the signature groupBy —
     exactly one shuffle of raw text, none of the exploded shingle bag."""
