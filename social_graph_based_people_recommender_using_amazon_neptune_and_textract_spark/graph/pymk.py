@@ -34,7 +34,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..pinned import pinned
 from .model import symmetrize
+
+
+def _bi(edges: DataFrame) -> DataFrame:
+    """The symmetrized edge view, pinned once per edge relation (it feeds
+    multiple joins in every PYMK variant; the pinned registry gives the
+    caller an explicit release handle instead of a leaked persist)."""
+    (bi,) = pinned(
+        ("graph_bi", edges.semanticHash()), lambda: (symmetrize(edges),)
+    )
+    return bi
 
 
 def pymk(
@@ -47,9 +58,9 @@ def pymk(
     (neptune_recommend_bizcard.py:70); we additionally keep ``id`` as the
     deterministic row identity (documented refinement, SURVEY R4).
     """
-    # bi is consumed by both hop joins — persist so the upstream edge
+    # bi is consumed by both hop joins — pinned so the upstream edge
     # derivation (which may itself contain shuffles) runs once.
-    bi = symmetrize(edges).persist()
+    bi = _bi(edges)
 
     # O38a/b: case-insensitive start-vertex lookup via the _name property.
     me = (
@@ -111,8 +122,8 @@ def pymk_all(edges: DataFrame, limit: int = 10) -> DataFrame:
     user under the declared order (score desc, id asc).
     """
     # bi feeds the self-join twice plus the friend-pair anti-join —
-    # persist (at cluster scale: checkpoint/bucketed materialization).
-    bi = symmetrize(edges).persist()
+    # pinned (at cluster scale: checkpoint/bucketed materialization).
+    bi = _bi(edges)
     a = bi.select(F.col("src").alias("user_id"), F.col("dst").alias("friend_id"))
     b = bi.select(F.col("src").alias("friend_id2"), F.col("dst").alias("cand_id"))
 

@@ -251,24 +251,29 @@ def dedup_minhash_lsh(corpus: DataFrame, threshold: float = 0.5) -> DataFrame:
       aggregate are then partition-local over the shingle *bag*
       (min() is multiset-invariant — no per-doc distinct needed).
     - The bag and the tiny candidate/restricted-shingle tables are
-      persisted: each is referenced by 2-3 downstream joins, and without
-      pinning, the full shingle pipeline re-executes per reference.
+      pinned (registry-persisted, releasable): each is referenced by 2-3
+      downstream joins, and without pinning, the full shingle pipeline
+      re-executes per reference.
     - Verification builds distinct shingle sets ONLY for docs that appear
       in some candidate pair (semi-join restriction), so the exact-Jaccard
       joins touch a tiny fraction of the corpus."""
-    bag = shingle_bag(corpus).persist()
-    sigs = minhash_signatures_from_shingles(bag)
-    cands = lsh_candidate_pairs(sigs).persist()
-    cand_docs = (
-        cands.select(F.col("doc_a").alias("doc_id"))
-        .unionAll(cands.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
-    sh_cand = (
-        bag.join(F.broadcast(cand_docs), "doc_id")
-        .dropDuplicates(["doc_id", "shingle"])
-        .persist()
-    )
+    from ..pinned import pinned
+
+    def _build():
+        bag = shingle_bag(corpus)
+        sigs = minhash_signatures_from_shingles(bag)
+        cands = lsh_candidate_pairs(sigs)
+        cand_docs = (
+            cands.select(F.col("doc_a").alias("doc_id"))
+            .unionAll(cands.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        sh_cand = bag.join(F.broadcast(cand_docs), "doc_id").dropDuplicates(
+            ["doc_id", "shingle"]
+        )
+        return bag, cands, sh_cand
+
+    _, cands, sh_cand = pinned(("minhash_lsh", corpus.semanticHash()), _build)
     verified = verify_jaccard(cands, sh_cand)
     return verified.filter(F.col("jaccard") >= threshold)
 

@@ -102,6 +102,56 @@ def test_dead_docs_excluded(spark):
     assert {r["doc_id"] for r in S.search_bizcards(df, "alpha").collect()} == {"d1"}
 
 
+def _demo_bizcards(spark):
+    rows = [
+        dict(doc_id="d1", owner="hyouk", name="sungmin kim", company="c",
+             job_title="j", addr="a", is_alive=1),
+        dict(doc_id="d2", owner="hyouk", name="bar lee", company="c",
+             job_title="j", addr="a", is_alive=1),
+        dict(doc_id="d3", owner="eddy", name="sungmin park", company="c",
+             job_title="j", addr="a", is_alive=1),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_search_param_sweep_o29b(spark):
+    """O29b: the reference __main__'s 4-case sweep
+    (es_search_bizcard.py:164-165) — {query+user}, {query}, {user}, {}.
+    The first three serve 200 with ranked hits; the empty case fails the
+    ``assert query_keywords or user_name`` (:75) and serves 404/'[]'
+    (:98-106)."""
+    import json
+
+    b = _demo_bizcards(spark)
+
+    r = S.search_response(b, query="sungmin", user="hyouk")
+    assert r["statusCode"] == 200 and not r["isBase64Encoded"]
+    assert [h["_id"] for h in json.loads(r["body"])] == ["d1"]
+
+    r = S.search_response(b, query="kim")
+    assert r["statusCode"] == 200
+    assert [h["_id"] for h in json.loads(r["body"])] == ["d1"]
+
+    r = S.search_response(b, user="hyouk")
+    body = json.loads(r["body"])
+    assert r["statusCode"] == 200
+    assert [h["_id"] for h in body] == ["d1", "d2"]  # filter ctx, doc_id order
+    assert all(h["_score"] == 0.0 for h in body)
+
+    r = S.search_response(b)
+    assert r == {"statusCode": 404, "body": "[]", "isBase64Encoded": False}
+
+
+def test_search_or_404_empty_relation(spark):
+    """DataFrame form of O29b: neither arg → empty relation with the
+    standard hit schema, no job."""
+    b = _demo_bizcards(spark)
+    empty = S.search_or_404(b, None, None)
+    assert empty.columns == ["doc_id", "owner", "name", "score"]
+    assert empty.count() == 0
+    assert S.search_or_404(b, "kim", None).count() == 1
+
+
 def test_envelope(spark):
     docs = _corpus(spark)
     hits = S.search_documents(docs, "spark", limit=3)
