@@ -91,6 +91,33 @@ def _q_pymk_all_top5(spark, sf_dir):
     return G.pymk_all(tables.user_graph_edges(spark, sf_dir), limit=5)
 
 
+def _q_pymk_user_3_hydrated(spark, sf_dir):
+    """O36 as specified: full valueMap hydration, each prop list-wrapped
+    (neptune_recommend_bizcard.py:69-72). Arrays are JSON-encoded for the
+    driver's canonicalizer (which cannot hash list columns); the engine
+    API (G.pymk_hydrated) returns real array columns."""
+    h = G.pymk_hydrated(
+        tables.user_graph_vertices(spark, sf_dir),
+        tables.user_graph_edges(spark, sf_dir),
+        "user_3",
+        limit=10,
+    )
+    return h.select("id", F.to_json(F.col("name")).alias("name"), "score")
+
+
+def _q_pymk_bizcard_hydrated(spark, sf_dir):
+    """Full-prop valueMap PYMK on the bizcard graph — every vertex prop
+    (name, email, phone_number, company, job_title) list-wrapped, the
+    exact README.md:184-199 response shape."""
+    parsed = ingest.parse_bizcard_text(tables.bizcard_text_records(spark, sf_dir))
+    v, e = ingest.graph_from_text(parsed)
+    h = G.pymk_hydrated(v, e, "customer#000000137", limit=10)
+    props = ["name", "email", "phone_number", "company", "job_title"]
+    return h.select(
+        "id", *[F.to_json(F.col(c)).alias(c) for c in props], "score"
+    )
+
+
 def _q_graph_shortest_paths(spark, sf_dir):
     """Iterative BFS from the md5 person-id of owner c000000001 on the
     bizcard graph (sparse at every sf, so hop levels stay meaningful)."""
@@ -522,6 +549,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "one_hop_paths": _q_one_hop_paths,
         "pymk_user_3": _q_pymk_user_3,
         "pymk_all_top5": _q_pymk_all_top5,
+        "pymk_user_3_hydrated": _q_pymk_user_3_hydrated,
+        "pymk_bizcard_hydrated": _q_pymk_bizcard_hydrated,
         "graph_shortest_paths": _q_graph_shortest_paths,
         "vertex_lookup": _q_vertex_lookup,
         "edge_exists_first": _q_edge_exists_first,

@@ -48,16 +48,11 @@ def _bi(edges: DataFrame) -> DataFrame:
     return bi
 
 
-def pymk(
+def pymk_scored(
     vertices: DataFrame, edges: DataFrame, user_name: str, limit: int = 10
 ) -> DataFrame:
-    """O38 for a single user; returns (id, name, score) ordered by
-    (score desc, id asc), limit rows.
-
-    Hydration (O36) returns vertex props minus ``id``/underscore-prefixed
-    (neptune_recommend_bizcard.py:70); we additionally keep ``id`` as the
-    deterministic row identity (documented refinement, SURVEY R4).
-    """
+    """O38a-j: the scored top-``limit`` candidate ids for one user —
+    (cand_id, score) under the declared order — before hydration."""
     # bi is consumed by both hop joins — pinned so the upstream edge
     # derivation (which may itself contain shuffles) runs once.
     bi = _bi(edges)
@@ -86,7 +81,7 @@ def pymk(
     # anti-join — exclusion is per-candidate, so counting first shrinks
     # the anti-join input). O38g: exclude existing friends. O38i-j:
     # declared total order → top-k.
-    scored = (
+    return (
         hop2.filter(F.col("cand_id") != F.col("me_id"))
         .groupBy("cand_id")
         .agg(F.count(F.lit(1)).cast("double").alias("score"))
@@ -98,6 +93,19 @@ def pymk(
         .orderBy(F.desc("score"), F.asc("cand_id"))
         .limit(limit)
     )
+
+
+def pymk(
+    vertices: DataFrame, edges: DataFrame, user_name: str, limit: int = 10
+) -> DataFrame:
+    """O38 for a single user; returns (id, name, score) ordered by
+    (score desc, id asc), limit rows.
+
+    Hydration (O36) returns vertex props minus ``id``/underscore-prefixed
+    (neptune_recommend_bizcard.py:70); we additionally keep ``id`` as the
+    deterministic row identity (documented refinement, SURVEY R4).
+    """
+    scored = pymk_scored(vertices, edges, user_name, limit)
 
     # O38k / O36: hydrate candidate ids from the vertex table. Renamed
     # projection avoids self-join ambiguity (scored descends from vertices).
@@ -112,6 +120,24 @@ def pymk(
             F.col("score"),
         )
         .orderBy(F.desc("score"), F.asc("id"))
+    )
+
+
+def pymk_hydrated(
+    vertices: DataFrame, edges: DataFrame, user_name: str, limit: int = 10
+) -> DataFrame:
+    """O38 with the reference's FULL valueMap response shape
+    (neptune_recommend_bizcard.py:69-72; README.md:184-199): every vertex
+    property minus ``id``/underscore-prefixed, each list-wrapped
+    (``"name": ["Bar Lee"]`` — TinkerPop valueMap() returns multi-valued
+    props; Neptune stores single cardinality here, so each list has one
+    element), plus ``score`` as a plain double. ``id`` is retained as the
+    deterministic row identity (SURVEY R4 refinement)."""
+    from .queries import hydrate_valuemap
+
+    scored = pymk_scored(vertices, edges, user_name, limit)
+    return hydrate_valuemap(scored, vertices, id_col="cand_id").orderBy(
+        F.desc("score"), F.asc("id")
     )
 
 

@@ -49,3 +49,28 @@ def hydrate(candidates: DataFrame, vertices: DataFrame, id_col: str = "id") -> D
     return candidates.join(
         vertices.select(*props), candidates[id_col] == vertices["id"]
     ).drop(vertices["id"])
+
+
+def hydrate_valuemap(
+    candidates: DataFrame, vertices: DataFrame, id_col: str = "id"
+) -> DataFrame:
+    """O36 as the reference serves it (neptune_recommend_bizcard.py:69-72):
+    every vertex prop minus ``id``/underscore-prefixed, each LIST-WRAPPED —
+    TinkerPop ``valueMap()`` returns every property as a list
+    (``"name": ["Bar Lee"]``, README.md:184-199). The candidate's join key
+    column is replaced by ``id``; all other candidate columns (``score``)
+    pass through unwrapped, matching the reference's ``value['score'] =
+    float(score)``.
+
+    Scale: candidate lists are top-k rows — Catalyst broadcasts them
+    against the big vertex table, so hydration is a map-side join."""
+    props = [c for c in vertices.columns if c != "id" and not c.startswith("_")]
+    wrapped = vertices.select(
+        F.col("id").alias("_v_id"),
+        *[F.array(F.col(c)).alias(c) for c in props],
+    )
+    return (
+        candidates.join(wrapped, candidates[id_col] == F.col("_v_id"))
+        .withColumn("id", F.col("_v_id"))
+        .drop("_v_id", id_col)
+    )

@@ -257,6 +257,77 @@ ranked AS (
 )
 SELECT user_id, id, score, rank FROM ranked WHERE rank <= 5"""
 
+# O36 full valueMap hydration (neptune_recommend_bizcard.py:69-72):
+# every prop minus id/_-prefixed, list-wrapped; JSON-encoded for the
+# canonicalizer (list columns are unhashable in pandas sorting).
+_PYMK_SCORED_SQL = """\
+me AS (SELECT id FROM {v} WHERE "_name" = '{user}'),
+friends AS (
+  SELECT me.id AS me_id, {bi}.dst AS friend_id FROM {bi} JOIN me ON {bi}.src = me.id
+),
+hop2 AS (
+  SELECT f.me_id, {bi}.dst AS cand_id FROM {bi} JOIN friends f ON {bi}.src = f.friend_id
+),
+cand AS (
+  SELECT * FROM hop2
+  WHERE cand_id <> me_id
+    AND NOT EXISTS (SELECT 1 FROM friends f WHERE f.friend_id = hop2.cand_id)
+),
+scored AS (
+  SELECT cand_id, CAST(count(*) AS DOUBLE) AS score
+  FROM cand GROUP BY cand_id
+  ORDER BY score DESC, cand_id ASC
+  LIMIT {limit}
+)"""
+
+
+def _wrap_json(props: list[str]) -> str:
+    return ",\n  ".join(
+        f"CAST(to_json([v.{p}]) AS VARCHAR) AS {p}" for p in props
+    )
+
+
+ORACLES["pymk_user_3_hydrated"] = f"""\
+WITH {EDGES_SQL}, {VERTICES_SQL}, {BI_SQL},
+{_PYMK_SCORED_SQL.format(v="vertices", bi="bi", user="user_3", limit=10)}
+SELECT v.id,
+  {_wrap_json(["name"])},
+  s.score
+FROM scored s JOIN vertices v ON s.cand_id = v.id"""
+
+_BGRAPH_SQL = """\
+bvertices AS (
+  SELECT id, name, email, phone_number, company, job_title,
+         lower(name) AS "_name"
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY id ORDER BY s3_key DESC) AS rn
+    FROM (
+      SELECT s3_key, owner,
+        substr(md5(string_split(email, '@')[1]), 1, 8) AS id,
+        name, email, phone_number, company, job_title
+      FROM parsed
+    )
+  ) WHERE rn = 1
+),
+bedges AS (
+  SELECT src, dst FROM (
+    SELECT DISTINCT
+      substr(md5(owner), 1, 8) AS src,
+      substr(md5(string_split(email, '@')[1]), 1, 8) AS dst
+    FROM parsed
+  ) WHERE src <> dst
+),
+bbi AS (SELECT src, dst FROM bedges UNION ALL SELECT dst, src FROM bedges)"""
+
+ORACLES["pymk_bizcard_hydrated"] = f"""\
+WITH {BIZCARD_LINES_SQL}, {PARSED_SQL},
+{_BGRAPH_SQL},
+{_PYMK_SCORED_SQL.format(v="bvertices", bi="bbi", user="customer#000000137", limit=10)}
+SELECT v.id,
+  {_wrap_json(["name", "email", "phone_number", "company", "job_title"])},
+  s.score
+FROM scored s JOIN bvertices v ON s.cand_id = v.id"""
+
 # BFS shortest paths (graph/traverse.py) on the bizcard graph: the
 # iterative join loop's fixed point is a recursive CTE — min path length
 # per reachable vertex within the hop bound.

@@ -128,6 +128,33 @@ def test_pymk_all_consistent_with_single(graph):
     assert edy == single
 
 
+def test_pymk_hydrated_valuemap_shape(graph):
+    """O36 full valueMap hydration (neptune_recommend_bizcard.py:69-72;
+    README.md:184-199): every vertex prop minus id/_-prefixed, each
+    list-wrapped; score a plain float; same candidates/order as pymk."""
+    v, e = graph
+    hyd = G.pymk_hydrated(v, e, "Edy Kim", 10)
+
+    # no internal columns, props list-wrapped, score/id scalar
+    assert "_name" not in hyd.columns and "cand_id" not in hyd.columns
+    assert set(hyd.columns) == {
+        "id", "name", "email", "phone_number", "company", "job_title", "score"
+    }
+    rows = hyd.collect()
+    assert rows, "fixture user must have recommendations"
+    plain = G.pymk(v, e, "Edy Kim", 10).collect()
+    assert [(r["id"], r["score"]) for r in rows] == [
+        (r["id"], r["score"]) for r in plain
+    ]
+    for r in rows:
+        assert isinstance(r["name"], list) and len(r["name"]) == 1
+        assert isinstance(r["company"], list)
+        assert isinstance(r["score"], float)
+        # list-wrapped name matches the plain hydration's scalar name
+    names = {r["id"]: r["name"][0] for r in rows}
+    assert names == {r["id"]: r["name"] for r in plain}
+
+
 def test_shortest_paths_bfs(spark):
     """BFS on a known path graph + a disconnected vertex + a cycle."""
     from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.graph.traverse import (
