@@ -23,8 +23,9 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Headline queries: the flagship graph traversals, search, and the scale-
-# relevant pipeline operators. dedup_ngram_pairs (exact O(n^2)-ish) is
-# excluded by design — dedup_minhash_lsh IS its scale path.
+# relevant pipeline operators. dedup_ngram_pairs is admitted now that its
+# candidate generation is df-capped (bounded fan-out per shingle key);
+# dedup_minhash_lsh remains the approximate scale path.
 BENCH_QUERIES = [
     "graph_edges",
     "pymk_user_3",
@@ -36,6 +37,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_ngram_pairs",
     "text_quality",
     "text_fingerprint",
     "ann_bruteforce",

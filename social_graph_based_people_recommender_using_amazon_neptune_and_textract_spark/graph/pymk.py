@@ -141,30 +141,114 @@ def pymk_hydrated(
     )
 
 
-def pymk_all(edges: DataFrame, limit: int = 10) -> DataFrame:
+#: Whale threshold: hop-key degrees above this get a salted (replicated)
+#: join so one celebrity vertex's deg² expansion spreads over SALT_R
+#: reducers instead of landing on one. 10k² = 100M rows from a single
+#: join key is where a lone task stops finishing with its peers.
+WHALE_DEGREE_CAP = 10_000
+SALT_R = 16
+
+
+def _hop2_pairs(bi: DataFrame, whale_degree_cap: int, salt_r: int) -> DataFrame:
+    """All 2-hop (user_id, cand_id) bag rows from the symmetrized edges —
+    the self-join on the middle (friend) vertex, with celebrity-degree
+    mitigation that EXECUTES, not prose:
+
+    Join keys whose degree exceeds ``whale_degree_cap`` (the whales) are
+    routed through a salted join — the a-side gets a deterministic salt
+    from the *other* end of its edge, the b-side is replicated
+    ``salt_r``× — so one whale's deg² output is produced by ``salt_r``
+    tasks instead of one. Normal keys take the plain join. Output rows
+    are identical either way (replication only co-partitions; every
+    (a,b) edge pair still meets exactly once), so the aggregate —
+    and the oracle — are unchanged.
+
+    AQE's skew-join split handles moderate skew on its own; the explicit
+    salt covers the regime AQE cannot: a SINGLE key too big for one task,
+    which at 100 TB is every celebrity vertex."""
+    a = bi.select(F.col("src").alias("user_id"), F.col("dst").alias("friend_id"))
+    b = bi.select(F.col("src").alias("friend_id2"), F.col("dst").alias("cand_id"))
+
+    deg = bi.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    whales = deg.filter(F.col("deg") > whale_degree_cap).select(
+        F.col("src").alias("whale_id")
+    )
+
+    a_n = a.join(
+        F.broadcast(whales), a["friend_id"] == F.col("whale_id"), "left_anti"
+    )
+    b_n = b.join(
+        F.broadcast(whales), b["friend_id2"] == F.col("whale_id"), "left_anti"
+    )
+    hop2_normal = a_n.join(b_n, a_n["friend_id"] == b_n["friend_id2"]).select(
+        "user_id", "cand_id"
+    )
+
+    a_w = a.join(
+        F.broadcast(whales), a["friend_id"] == F.col("whale_id"), "left_semi"
+    ).withColumn("salt", F.pmod(F.xxhash64("user_id"), F.lit(salt_r)))
+    b_w = (
+        b.join(
+            F.broadcast(whales), b["friend_id2"] == F.col("whale_id"), "left_semi"
+        )
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(salt_r - 1))))
+        .withColumn("salt", F.col("salt").cast("long"))
+    )
+    hop2_whale = a_w.join(
+        b_w,
+        (a_w["friend_id"] == b_w["friend_id2"]) & (a_w["salt"] == b_w["salt"]),
+    ).select("user_id", "cand_id")
+
+    return hop2_normal.unionAll(hop2_whale)
+
+
+def pymk_all(
+    edges: DataFrame,
+    limit: int = 10,
+    whale_degree_cap: int = WHALE_DEGREE_CAP,
+    salt_r: int = SALT_R,
+) -> DataFrame:
     """PYMK for every user at once (the batch/scale variant; SURVEY §4.3).
 
     Returns (user_id, id, score, rank) — top-``limit`` recommendations per
     user under the declared order (score desc, id asc).
-    """
+
+    Plan shape: the path-count matrix is symmetric (m(u,f)=m(f,u) by
+    construction of ``bi``), so only the user_id < cand_id half is
+    aggregated and the other half is mirrored afterwards — halving the
+    rows the (user, cand) hash-aggregate must absorb from the Σdeg²-row
+    join output. Aggregation still happens BEFORE the friend anti-join
+    (collapse the bag first), and whale join keys are salted
+    (``_hop2_pairs``)."""
     # bi feeds the self-join twice plus the friend-pair anti-join —
     # pinned (at cluster scale: checkpoint/bucketed materialization).
     bi = _bi(edges)
-    a = bi.select(F.col("src").alias("user_id"), F.col("dst").alias("friend_id"))
-    b = bi.select(F.col("src").alias("friend_id2"), F.col("dst").alias("cand_id"))
 
-    hop2 = a.join(b, a["friend_id"] == b["friend_id2"]).select(
-        "user_id", "cand_id"
-    )
-    cand = hop2.filter(F.col("cand_id") != F.col("user_id"))
+    hop2 = _hop2_pairs(bi, whale_degree_cap, salt_r)
+    # Exclude self; keep one triangle half (score matrix is symmetric).
+    cand = hop2.filter(F.col("user_id") < F.col("cand_id"))
 
-    # Aggregate BEFORE excluding friends: the groupBy collapses the huge
-    # 2-hop bag (Σ deg² rows) down to distinct (user, cand) pairs, so the
-    # anti-join touches orders of magnitude fewer rows. Exclusion is
-    # per-pair, so the reorder is semantics-preserving.
-    scored = cand.groupBy("user_id", "cand_id").agg(
+    half = cand.groupBy("user_id", "cand_id").agg(
         F.count(F.lit(1)).cast("double").alias("score")
     )
+    # Mirror via explode, NOT union: a union's second branch re-executes
+    # the Σdeg²-row join unless exchange reuse happens to fire; explode
+    # emits both orientations in one pass over the collapsed pairs.
+    scored = half.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("user_id").alias("user_id"),
+                    F.col("cand_id").alias("cand_id"),
+                ),
+                F.struct(
+                    F.col("cand_id").alias("user_id"),
+                    F.col("user_id").alias("cand_id"),
+                ),
+            )
+        ).alias("p"),
+        "score",
+    ).select("p.user_id", "p.cand_id", "score")
 
     # anti-join against direct-friend pairs (both orientations are in bi)
     friend_pairs = bi.select(

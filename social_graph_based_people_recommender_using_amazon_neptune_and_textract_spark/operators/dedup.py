@@ -278,12 +278,39 @@ def dedup_minhash_lsh(corpus: DataFrame, threshold: float = 0.5) -> DataFrame:
     return verified.filter(F.col("jaccard") >= threshold)
 
 
-def dedup_ngram_pairs(corpus: DataFrame, threshold: float = 0.3) -> DataFrame:
-    """Exact n-gram-Jaccard pairs: candidates = docs sharing ≥1 shingle
-    (no LSH approximation), then thresholded exact Jaccard."""
+#: Candidate-generation document-frequency cap: shingles appearing in more
+#: than this many documents are dropped BEFORE the pair join. A single
+#: stopword trigram shared by 1% of a 100 TB corpus would otherwise make
+#: the self-join quadratic in corpus size (df² pairs from one key).
+SHINGLE_DF_CAP = 1000
+
+
+def dedup_ngram_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.3,
+    shingle_df_cap: int = SHINGLE_DF_CAP,
+) -> DataFrame:
+    """n-gram-Jaccard pairs: candidates = docs sharing ≥1 *rare* shingle
+    (document frequency ≤ ``shingle_df_cap``), then thresholded exact
+    Jaccard over the FULL shingle sets.
+
+    Exactness boundary (declared): a qualifying pair is missed only if
+    EVERY shingle it shares is hotter than the cap — at threshold 0.3 a
+    similar pair shares many shingles, and rare shingles are the
+    discriminating ones, so the cap trades a pathological corner for
+    bounded join fan-out (≤ cap² rows per shingle key). The Jaccard
+    values themselves are uncapped-exact (verification uses the full
+    shingle table)."""
     sh = shingle_table(corpus)
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= shingle_df_cap)
+        .select("shingle")
+    )
+    sh_rare = sh.join(rare, "shingle")
+    sa = sh_rare.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh_rare.select(F.col("doc_id").alias("doc_b"), "shingle")
     cands = (
         sa.join(sb, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))

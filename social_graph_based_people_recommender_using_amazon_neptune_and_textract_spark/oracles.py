@@ -467,6 +467,7 @@ from .operators.dedup import (  # noqa: E402
     N_PERM,
     P_MOD,
     ROWS_PER_BAND,
+    SHINGLE_DF_CAP,
     SIMHASH_BITS,
 )
 
@@ -633,9 +634,15 @@ SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.5"""
 
 ORACLES["dedup_ngram_pairs"] = f"""\
 WITH {AUG_CORPUS_SQL}, {_SHINGLE_CTES},
+rare AS (
+  SELECT shingle FROM shing GROUP BY shingle
+  HAVING count(*) <= {SHINGLE_DF_CAP}
+),
 cands AS (
   SELECT DISTINCT sa.doc_id AS doc_a, sb.doc_id AS doc_b
-  FROM shing sa JOIN shing sb ON sa.shingle = sb.shingle
+  FROM shing sa
+  JOIN rare r ON sa.shingle = r.shingle
+  JOIN shing sb ON sa.shingle = sb.shingle
   WHERE sa.doc_id < sb.doc_id
 ),
 {_VERIFY}

@@ -63,6 +63,38 @@ def test_ngram_jaccard_superset_of_lsh(spark, aug):
     assert lsh <= exact
 
 
+def test_ngram_df_cap_bounds_candidate_fanout(spark):
+    """The shingle df-cap drops hot shingles from candidate generation
+    only: docs related solely through a corpus-wide hot shingle produce
+    no pair, while rare-shingle pairs survive with UNCAPPED-exact
+    Jaccard (verification reads the full shingle table)."""
+    hot = "the quick brown"  # one shared hot trigram across all docs
+    rows = [(i, f"{hot} filler{i} x{i} y{i} z{i} w{i}") for i in range(8)]
+    # 8 and 9: near-identical texts sharing several rare shingles
+    rows += [
+        (8, "alpha beta gamma delta epsilon zeta"),
+        (9, "alpha beta gamma delta epsilon eta"),
+    ]
+    corpus = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.dedup_ngram_pairs(
+            corpus, threshold=0.05, shingle_df_cap=4
+        ).collect()
+    }
+    assert (8, 9) in capped
+    assert all(a == 8 for a, _ in capped), capped  # hot-only pairs dropped
+
+    uncapped = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.dedup_ngram_pairs(
+            corpus, threshold=0.05, shingle_df_cap=10**6
+        ).collect()
+    }
+    assert capped <= uncapped and len(uncapped) > len(capped)
+
+
 def test_simhash_near_dups_close(spark, aug):
     pairs = D.simhash_pairs(aug, max_hamming=8).collect()
     found = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in pairs}

@@ -48,6 +48,33 @@ def test_pymk_single_user_never_shuffles_edges(spark):
     assert PL.has_take_ordered(p), "top-k must compile to TakeOrderedAndProject"
 
 
+def test_pymk_all_shuffle_budget(spark):
+    """Batch PYMK's shuffle count is the scale cost driver (every exchange
+    moves Σdeg²-derived rows). Pin the budget so a refactor that adds an
+    exchange — or degrades the whale/normal split into extra sort-merge
+    passes — fails here. The bound is the measured distinct-exchange count
+    of the intended plan (hop2 split + half-aggregate + anti-join +
+    window), not a target; tightening it is welcome, exceeding it is not."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.graph.pymk import (
+        pymk_all,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.pinned import (
+        release_all,
+    )
+
+    # drop both the block cache AND the pinned registry — a stale pinned
+    # handle whose cache was cleared makes the plan repeat the bi subtree
+    # per consumer with fresh node ids, inflating the count.
+    release_all()
+    spark.catalog.clearCache()
+    e = tables.user_graph_edges(spark, SF)
+    p = pymk_all(e)
+    try:
+        assert PL.exchange_count(p) <= 16, PL.physical_plan(p)
+    finally:
+        release_all()
+
+
 def test_parquet_pushdown_and_pruning(spark):
     """Predicate + projection must reach the scan: reading 2 of 5 columns
     with a pushed range filter is the difference between scanning 100 TB

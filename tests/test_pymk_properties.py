@@ -103,6 +103,39 @@ def test_pymk_invariant_under_edge_flip(spark, edge_list, user):
     assert r1 == r2
 
 
+def test_pymk_all_whale_salting_is_physical_only(spark):
+    """The whale-salted 2-hop join (pkg/graph/pymk._hop2_pairs) is a
+    physical rewrite: on a graph with a genuine celebrity vertex the
+    salted plan must be row-identical to the plain join AND match the
+    per-user pure-Python reference. cap=2 forces the hub (and any ring
+    vertex of degree 3) through the salted path; cap=10^9 disables it."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.graph.pymk import (
+        pymk_all,
+    )
+
+    n = 24  # hub 0 → everyone, sparse ring so non-friend candidates exist
+    edge_list = [(0, i) for i in range(1, n)] + [
+        (i, i + 1) for i in range(1, n - 1, 3)
+    ]
+    e = spark.createDataFrame(
+        [(s, d, 1.0) for s, d in edge_list], ["src", "dst", "weight"]
+    )
+
+    plain = pymk_all(e, limit=100, whale_degree_cap=10**9)
+    salted = pymk_all(e, limit=100, whale_degree_cap=2, salt_r=4)
+    got_plain = sorted(map(tuple, plain.collect()))
+    got_salted = sorted(map(tuple, salted.collect()))
+    assert got_plain == got_salted
+    assert got_plain, "fixture must actually produce recommendations"
+
+    want = sorted(
+        (u, c, s, r + 1)
+        for u in range(n)
+        for r, (c, s) in enumerate(_python_pymk(edge_list, u))
+    )
+    assert got_plain == want
+
+
 def test_pymk_reciprocal_pair_double_counts(spark):
     """SURVEY R1: u—f stored in BOTH directions yields the 2-hop candidate
     twice (two paths through f). Bag semantics must be replicated, not
