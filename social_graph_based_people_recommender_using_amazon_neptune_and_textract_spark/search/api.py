@@ -68,12 +68,21 @@ def bizcard_index(
     return pinned(("bizcard_index", bizcards.semanticHash()), _build)
 
 
-def search_documents(documents: DataFrame, query: str, limit: int = 10) -> DataFrame:
+def search_documents(
+    documents: DataFrame,
+    query: str,
+    limit: int = 10,
+    index: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
     """Single-field BM25 top-k over the documents corpus.
     Returns (doc_id, score). Index built once per corpus (pinned);
-    each query is a term-filter + small aggregation over it."""
+    each query is a term-filter + small aggregation over it.
+
+    Serving shape: pass ``index=documents_index(corpus)`` (built once,
+    queried many times — the ES index/query split) and the query never
+    touches the corpus relation at all."""
     terms = [t for t in _terms(query)]
-    postings, doclen = documents_index(documents)
+    postings, doclen = index if index is not None else documents_index(documents)
     scored = bm25_scores(postings, doclen, terms)
     return (
         scored.select(F.col("id").alias("doc_id"), "score")
@@ -83,7 +92,11 @@ def search_documents(documents: DataFrame, query: str, limit: int = 10) -> DataF
 
 
 def search_bizcards(
-    bizcards: DataFrame, query: str | None, user: str | None = None, limit: int = 10
+    bizcards: DataFrame,
+    query: str | None,
+    user: str | None = None,
+    limit: int = 10,
+    index: tuple[DataFrame, DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """O26/O27/O28/O29: boosted multi-field search over alive bizcards.
     Returns (doc_id, owner, name, score).
@@ -92,8 +105,15 @@ def search_bizcards(
     es_search_bizcard.py:71-73 — the bool query carries only the filter
     clause), every matching doc is in ES *filter context* and scores 0.0;
     ranking degenerates to the declared doc_id tie order.
+
+    Serving shape: pass ``index=bizcard_index(corpus)`` (the prebuilt
+    (alive, postings, doclen) triple) and repeated queries share one
+    index build — es_search_bizcard.py queries an index that
+    upsert_bizcard_to_es.py built, it never re-indexes per request.
     """
-    alive, postings, doclen = bizcard_index(bizcards)
+    alive, postings, doclen = (
+        index if index is not None else bizcard_index(bizcards)
+    )
     terms = [t for t in _terms(query)] if query else []
 
     if not terms:

@@ -32,7 +32,7 @@ from __future__ import annotations
 import os
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
@@ -117,10 +117,44 @@ class IngestPipeline:
 
     # -- foreachBatch body ------------------------------------------------
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        """O23: the reference counts reads/writes/invalid/errors per
+        invocation (get_text_from_s3_image.py:170-202,
+        upsert_bizcard_to_es.py:50-86, OrderedDict counter). Here the
+        read/write/invalid counts ride the batch plan itself via
+        ``df.observe`` — collected by the first sink action, zero extra
+        jobs — and ``errors`` counts whole-batch failures (the record-
+        level try/except has no declarative analog; a poison record
+        fails the batch, which is Spark's retry unit)."""
+        try:
+            self._process_batch_inner(batch, batch_id)
+        except Exception:
+            self.metrics.append(
+                {
+                    "batch_id": batch_id,
+                    "reads": 0,
+                    "writes": 0,
+                    "invalid": 0,
+                    "errors": 1,
+                }
+            )
+            raise
+
+    def _process_batch_inner(self, batch: DataFrame, batch_id: int) -> None:
         batch = batch.persist()  # read once, feed five sinks
-        parsed = batch_ingest.parse_bizcard_text(
-            batch, created_at=self.created_at
-        ).persist()
+        obs = Observation(f"o23_counters_{batch_id}")
+        valid = (F.col("owner") != "") & (F.col("s3_key") != "")
+        parsed = (
+            batch_ingest.parse_bizcard_text(batch, created_at=self.created_at)
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("reads"),
+                F.coalesce(F.sum(valid.cast("long")), F.lit(0)).alias("writes"),
+                F.coalesce(F.sum((~valid).cast("long")), F.lit(0)).alias(
+                    "invalid"
+                ),
+            )
+            .persist()
+        )
 
         # O6 — searchable documents, last-write-wins by doc_id. bizcards_
         # from_text drops the version column; re-derive the key inputs so
@@ -200,10 +234,9 @@ class IngestPipeline:
             .parquet(os.path.join(self.album_dir, f"batch={batch_id}"))
         )
 
-        # O23 — per-batch counters (reference logs read/write counts).
-        self.metrics.append(
-            {"batch_id": batch_id, "read": batch.count(), "docs": doc.count()}
-        )
+        # O23 — the sink actions above already materialized `parsed`
+        # through the observe node; obs.get just reads the captured row.
+        self.metrics.append({"batch_id": batch_id, "errors": 0, **obs.get})
         parsed.unpersist()
         batch.unpersist()
 

@@ -114,6 +114,42 @@ def _demo_bizcards(spark):
     return spark.createDataFrame(rows)
 
 
+def test_prebuilt_index_serves_many_queries(spark, monkeypatch):
+    """Serving shape (es_search_bizcard.py's index/query split): an index
+    built ONCE answers many queries. With the prebuilt triple passed in,
+    the query path must never call the index builder — monkeypatching the
+    builder to raise proves it — and results must match the self-building
+    form."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.search import (
+        api,
+    )
+
+    df = _demo_bizcards(spark)
+    want_q1 = [tuple(r) for r in S.search_bizcards(df, "sungmin").collect()]
+    want_q2 = [
+        tuple(r) for r in S.search_bizcards(df, "bar", user="hyouk").collect()
+    ]
+
+    idx = api.bizcard_index(df)
+
+    def _boom(*a, **k):  # any rebuild attempt is a serving-shape bug
+        raise AssertionError("index rebuilt on the query path")
+
+    monkeypatch.setattr(api, "bizcard_index", _boom)
+    got_q1 = [
+        tuple(r)
+        for r in S.search_bizcards(df, "sungmin", index=idx).collect()
+    ]
+    got_q2 = [
+        tuple(r)
+        for r in S.search_bizcards(
+            df, "bar", user="hyouk", index=idx
+        ).collect()
+    ]
+    assert got_q1 == want_q1 and got_q2 == want_q2
+    assert got_q1 and got_q2
+
+
 def test_search_param_sweep_o29b(spark):
     """O29b: the reference __main__'s 4-case sweep
     (es_search_bizcard.py:164-165) — {query+user}, {query}, {user}, {}.

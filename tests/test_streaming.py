@@ -47,6 +47,20 @@ def test_streaming_matches_batch(spark, landing, tmp_path):
     pipe.run_available_now(landing, ckpt, max_files_per_trigger=1)
     assert len(pipe.metrics) >= 2, "expected multiple micro-batches"
 
+    # O23: observed reads/writes/invalid/errors ride the batch plan
+    # (df.observe, reference counter names) — totals must reconcile with
+    # the input record count, with zero extra counting jobs.
+    n_recs = tables.bizcard_text_records(spark, SF_DIR).count()
+    assert all(
+        set(m) == {"batch_id", "reads", "writes", "invalid", "errors"}
+        for m in pipe.metrics
+    )
+    assert sum(m["reads"] for m in pipe.metrics) == n_recs
+    assert sum(m["errors"] for m in pipe.metrics) == 0
+    assert all(
+        m["reads"] == m["writes"] + m["invalid"] for m in pipe.metrics
+    )
+
     recs = tables.bizcard_text_records(spark, SF_DIR)
     parsed = batch_ingest.parse_bizcard_text(recs)
     want_bizcards = batch_ingest.bizcards_from_text(parsed)
@@ -64,6 +78,23 @@ def test_streaming_matches_batch(spark, landing, tmp_path):
     assert status.filter(F.col("status") != "END").count() == 0
     assert status.count() == recs.count()
     assert status.select("mts").distinct().collect()[0][0] == "20240101000000"
+
+
+def test_streaming_observed_invalid_counter(spark, tmp_path):
+    """A record that fails the O13 validity filter (empty s3_key → empty
+    derived owner) must count as invalid, not written — the reference's
+    `invalid` counter (upsert_bizcard_to_es.py:62-64)."""
+    recs = tables.bizcard_text_records(spark, SF_DIR).limit(3)
+    bad = recs.limit(1).withColumn("s3_key", F.lit(""))
+    landing2 = str(tmp_path / "landing")
+    recs.unionByName(bad).coalesce(1).write.mode("overwrite").json(landing2)
+
+    pipe = IngestPipeline(spark, str(tmp_path / "wh"))
+    pipe.run_available_now(landing2, str(tmp_path / "ckpt"))
+    assert sum(m["reads"] for m in pipe.metrics) == 4
+    assert sum(m["invalid"] for m in pipe.metrics) == 1
+    assert sum(m["writes"] for m in pipe.metrics) == 3
+    assert sum(m["errors"] for m in pipe.metrics) == 0
 
 
 def test_streaming_replay_is_idempotent(spark, landing, tmp_path):
