@@ -342,6 +342,65 @@ def _q_streaming_event_windows(spark, sf_dir):
     return counter.current()
 
 
+def _q_archive_replay(spark, sf_dir):
+    """O4 round-trip: write the Firehose-style gzip archive, replay it
+    through the partition-pruned reader (year+month predicates), return
+    the archived record content. The oracle is the parse projection
+    directly — the archive round-trip must be content-identity."""
+    import tempfile
+
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.streaming.ingest import (
+        read_archive,
+        write_archive,
+    )
+
+    parsed = ingest.parse_bizcard_text(tables.bizcard_text_records(spark, sf_dir))
+    base = tempfile.mkdtemp(prefix="sgr-arch-")
+    write_archive(parsed, base, batch_id=0)
+    replay = read_archive(spark, base, year="2024", month="01")
+    return replay.select(
+        "s3_key",
+        "owner",
+        "name",
+        "email",
+        F.col("year").cast("int").alias("year"),
+        F.col("month").cast("int").alias("month"),
+    )
+
+
+def _q_kinesis_partition_keys(spark, sf_dir):
+    """O2: the producer's deterministic 1024-way shard key
+    (trigger_text_extract_from_s3_image.py:21-33; randint → md5-derived,
+    declared deviation for replay determinism)."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.streaming.ingest import (
+        kinesis_partition_key,
+    )
+
+    recs = tables.bizcard_text_records(spark, sf_dir)
+    return recs.select(
+        "s3_key", kinesis_partition_key(F.col("s3_key")).alias("partition_key")
+    )
+
+
+def _q_url_decoded_keys(spark, sf_dir):
+    """O25: URL-decode of S3 object keys (unquote_plus,
+    upsert_bizcard_to_es.py / get_text_from_s3_image.py event handling —
+    S3 event keys arrive percent/plus-encoded). The encoded variant is
+    constructed deterministically over a closed escape alphabet
+    ('/'→%2F, '_'→'+') so the DuckDB twin can decode with replace()."""
+    recs = tables.bizcard_text_records(spark, sf_dir)
+    enc = F.replace(
+        F.replace(F.col("s3_key"), F.lit("/"), F.lit("%2F")),
+        F.lit("_"),
+        F.lit("+"),
+    )
+    return recs.select(
+        F.col("s3_key").alias("raw_key"),
+        enc.alias("encoded_key"),
+        P.url_decode(enc).alias("decoded_key"),
+    )
+
+
 def _q_text_language_id(spark, sf_dir):
     from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.functions import (
         text as T,
@@ -565,6 +624,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_status": _q_streaming_status,
         "streaming_status_machine": _q_streaming_status_machine,
         "streaming_event_windows": _q_streaming_event_windows,
+        "archive_replay": _q_archive_replay,
+        "url_decoded_keys": _q_url_decoded_keys,
+        "kinesis_partition_keys": _q_kinesis_partition_keys,
         "search_documents": _q_search_documents,
         "search_documents_count": _q_search_documents_count,
         "search_bizcards": _q_search_bizcards,

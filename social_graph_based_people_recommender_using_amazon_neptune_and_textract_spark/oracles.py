@@ -361,6 +361,34 @@ ORACLES["bizcards"] = f"""\
 WITH {BIZCARDS_CTES}
 SELECT * FROM bizcards"""
 
+# O4: the archive round-trip is content-identity, so the oracle is the
+# parse projection plus the (constant at this corpus) time partitions.
+ORACLES["archive_replay"] = f"""\
+WITH {BIZCARD_LINES_SQL}, {PARSED_SQL}
+SELECT s3_key, owner, name, email, 2024 AS year, 1 AS month
+FROM parsed"""
+
+# O2: producer shard key — md5-derived (deterministic randint stand-in,
+# declared deviation), 'part-%05d' over 1..1024.
+ORACLES["kinesis_partition_keys"] = f"""\
+WITH {BIZCARD_LINES_SQL}
+SELECT s3_key,
+  'part-' || lpad(CAST((CAST(concat('0x', substr(md5(s3_key), 1, 15)) AS BIGINT) % 1024) + 1 AS VARCHAR), 5, '0') AS partition_key
+FROM bizcard_raw"""
+
+# O25: '+' → ' ' then percent-unescape; the closed escape alphabet the
+# Spark query constructs makes replace() chains an exact decoder.
+ORACLES["url_decoded_keys"] = f"""\
+WITH {BIZCARD_LINES_SQL},
+enc AS (
+  SELECT s3_key AS raw_key,
+         replace(replace(s3_key, '/', '%2F'), '_', '+') AS encoded_key
+  FROM bizcard_raw
+)
+SELECT raw_key, encoded_key,
+       replace(replace(encoded_key, '+', ' '), '%2F', '/') AS decoded_key
+FROM enc"""
+
 ORACLES["bizcard_vertices"] = f"""\
 WITH {BIZCARD_LINES_SQL}, {PARSED_SQL},
 base AS (

@@ -61,6 +61,57 @@ def read_archive(
     return df
 
 
+#: O2: the reference producer spreads writes over 1024 Kinesis shards
+#: (trigger_text_extract_from_s3_image.py:29 — 'part-{:05}' ∈ 1..1024).
+KINESIS_SHARDS = 1024
+
+
+def kinesis_partition_key(col, shards: int = KINESIS_SHARDS):
+    """O2: the producer's shard-spreading partition key
+    (trigger_text_extract_from_s3_image.py:21-33, ``part-%05d``).
+
+    The reference draws ``random.randint(1, 1024)`` per record; here the
+    shard is md5-derived from the record key — the same uniform spread,
+    but deterministic, so replays land on the same shard (ordering per
+    key is a Kinesis guarantee randint silently forfeits) and the oracle
+    can recompute it. The 3-retry/backoff loop (:34-46) is subsumed by
+    Spark task retry + checkpointed exactly-once sinks (SURVEY O2 note)."""
+    h = F.conv(F.substring(F.md5(col.cast("binary")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    return F.format_string("part-%05d", (h % shards + 1).cast("int"))
+
+
+def distribute_to_shards(
+    df: DataFrame, key_col: str, shards: int, tasks: int | None = None
+) -> DataFrame:
+    """O2 sink path: attach ``partition_key`` and hash-distribute rows by
+    it — put_records' shard fan-out as a Spark exchange. ``tasks`` caps
+    the physical partition count (local mode doesn't want 1024 tasks;
+    hash distribution by the same key is what matters)."""
+    keyed = df.withColumn("partition_key", kinesis_partition_key(F.col(key_col), shards))
+    return keyed.repartition(tasks or shards, F.col("partition_key"))
+
+
+def write_archive(parsed: DataFrame, archive_dir: str, batch_id: int) -> None:
+    """O4: the Firehose-style gzip JSON archive — hive-partitioned
+    year/month/day/hour derived from created_at (README.md:331-338
+    prefix layout). The batch-keyed subdir makes replays overwrite
+    rather than duplicate (exactly-once, strictly better than Firehose's
+    at-least-once)."""
+    ts = F.to_timestamp(F.col("created_at"), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    (
+        parsed.withColumn("year", F.date_format(ts, "yyyy"))
+        .withColumn("month", F.date_format(ts, "MM"))
+        .withColumn("day", F.date_format(ts, "dd"))
+        .withColumn("hour", F.date_format(ts, "HH"))
+        .write.mode("overwrite")
+        .partitionBy("year", "month", "day", "hour")
+        .option("compression", "gzip")
+        .json(os.path.join(archive_dir, f"batch={batch_id}"))
+    )
+
+
 def read_text_lines_stream(
     spark: SparkSession, landing_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
@@ -211,19 +262,8 @@ class IngestPipeline:
             )
         )
 
-        # O4 — gzip JSON archive, time-partitioned; batch-keyed path makes
-        # replays overwrite rather than duplicate.
-        ts = F.to_timestamp(F.col("created_at"), "yyyy-MM-dd'T'HH:mm:ss'Z'")
-        (
-            parsed.withColumn("year", F.date_format(ts, "yyyy"))
-            .withColumn("month", F.date_format(ts, "MM"))
-            .withColumn("day", F.date_format(ts, "dd"))
-            .withColumn("hour", F.date_format(ts, "HH"))
-            .write.mode("overwrite")
-            .partitionBy("year", "month", "day", "hour")
-            .option("compression", "gzip")
-            .json(os.path.join(self.archive_dir, f"batch={batch_id}"))
-        )
+        # O4 — gzip JSON archive, time-partitioned (write_archive).
+        write_archive(parsed, self.archive_dir, batch_id)
 
         # O8 — per-owner album (partitioned pointer table).
         (

@@ -171,6 +171,36 @@ def test_decode_kinesis_records(spark):
     assert invalid.count() == 2
 
 
+def test_kinesis_shard_distribution(spark):
+    """O2 producer semantics: the 'part-%05d' key covers 1..1024, is
+    deterministic per record key, and the sink path hash-distributes by
+    it (put_records' shard fan-out as an exchange on partition_key)."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark import (
+        plans as PL,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.streaming.ingest import (
+        distribute_to_shards,
+        kinesis_partition_key,
+    )
+
+    recs = tables.bizcard_text_records(spark, SF_DIR)
+    keyed = recs.select(
+        "s3_key", kinesis_partition_key(F.col("s3_key")).alias("pk")
+    )
+    rows = keyed.collect()
+    assert all(
+        r.pk.startswith("part-") and 1 <= int(r.pk[5:]) <= 1024 for r in rows
+    )
+    # deterministic: same input → same shard on a second evaluation
+    assert rows == keyed.collect()
+    # spread: 15 distinct keys should not collapse onto one shard
+    assert len({r.pk for r in rows}) > 1
+
+    sharded = distribute_to_shards(recs, "s3_key", shards=1024, tasks=8)
+    plan = PL.physical_plan(sharded)
+    assert "hashpartitioning(partition_key" in plan, plan
+
+
 def test_keyed_table_merge_semantics(spark, tmp_path):
     t = KeyedParquetTable(spark, str(tmp_path / "t"), keys=["k"], order_by=["v"])
     assert t.read() is None
