@@ -551,6 +551,17 @@ def _q_ann_ivf(spark, sf_dir):
     return SIM.ann_ivf(emb, oracles.ANN_QUERY_IDS, k=10)
 
 
+def _q_ann_ivf_probe2(spark, sf_dir):
+    """IVF with nprobe=2 — the recall knob: each query scans its two
+    nearest clusters; candidates double, recall approaches brute force."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        similarity as SIM,
+    )
+
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    return SIM.ann_ivf(emb, oracles.ANN_QUERY_IDS, k=10, nprobe=2)
+
+
 def _q_dedup_embedding(spark, sf_dir):
     from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
         similarity as SIM,
@@ -652,6 +663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frame_sample": _q_media_frame_sample,
         "ann_bruteforce": _q_ann_bruteforce,
         "ann_ivf": _q_ann_ivf,
+        "ann_ivf_probe2": _q_ann_ivf_probe2,
         "dedup_embedding": _q_dedup_embedding,
     }
 

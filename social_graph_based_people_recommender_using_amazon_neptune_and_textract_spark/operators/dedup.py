@@ -299,25 +299,71 @@ def dedup_ngram_pairs(
     similar pair shares many shingles, and rare shingles are the
     discriminating ones, so the cap trades a pathological corner for
     bounded join fan-out (≤ cap² rows per shingle key). The Jaccard
-    values themselves are uncapped-exact (verification uses the full
-    shingle table)."""
-    sh = shingle_table(corpus)
-    rare = (
-        sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= shingle_df_cap)
-        .select("shingle")
-    )
+    values themselves are uncapped-exact.
+
+    Plan shape: the intersection size is taken DIRECTLY from the
+    candidate-generation join (groupBy the pair instead of distinct +
+    re-join — re-expanding 1M+ pairs against per-doc shingle sets costs
+    ~|pairs|·|set| rows), decomposed as |shared rare| + |shared hot|;
+    the hot correction joins candidate pairs against only the (few, by
+    definition ≤ rows/cap) above-cap shingles, so Jaccard stays exact
+    over the FULL sets. The shingle table + df counts are pinned
+    (releasable) — they feed four consumers."""
+    from ..pinned import pinned
+
+    def _build():
+        sh = shingle_table(corpus)
+        dfs = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        return sh, dfs
+
+    sh, dfs = pinned(("ngram_shingles", corpus.semanticHash()), _build)
+    rare = dfs.filter(F.col("df") <= shingle_df_cap).select("shingle")
+    hot = dfs.filter(F.col("df") > shingle_df_cap).select("shingle")
+
     sh_rare = sh.join(rare, "shingle")
     sa = sh_rare.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = sh_rare.select(F.col("doc_id").alias("doc_b"), "shingle")
-    cands = (
+    shared_rare = (
         sa.join(sb, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter_rare"))
     )
-    return verify_jaccard(cands, sh).filter(F.col("jaccard") >= threshold)
+
+    sh_hot = sh.join(hot, "shingle")
+    ha = sh_hot.select(F.col("doc_id").alias("doc_a"), "shingle")
+    hb = sh_hot.select(F.col("doc_id").alias("doc_b"), "shingle")
+    shared_hot = (
+        shared_rare.select("doc_a", "doc_b")
+        .join(ha, "doc_a")
+        .join(hb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter_hot"))
+    )
+
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
+    inter = shared_rare.join(
+        shared_hot, ["doc_a", "doc_b"], "left"
+    ).withColumn(
+        "inter",
+        F.col("inter_rare") + F.coalesce(F.col("inter_hot"), F.lit(0)),
+    )
+    return (
+        inter.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("sza") + F.col("szb") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 # --- SimHash --------------------------------------------------------------

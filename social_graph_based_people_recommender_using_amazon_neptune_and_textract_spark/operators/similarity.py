@@ -99,11 +99,16 @@ def cluster_centroids(embeddings: DataFrame) -> DataFrame:
 
 
 def ann_ivf(
-    embeddings: DataFrame, query_ids: list[int], k: int = 10
+    embeddings: DataFrame, query_ids: list[int], k: int = 10, nprobe: int = 1
 ) -> DataFrame:
-    """IVF-style ANN: assign each query to its nearest centroid by cosine
-    (tie → smallest label), then exact top-k within that cluster only.
-    Returns (query_id, probe_label, neighbor_id, cos, rank)."""
+    """IVF-style ANN: assign each query to its ``nprobe`` nearest
+    centroids by cosine (tie → smallest label), then exact top-k over the
+    union of the probed clusters only.
+    Returns (query_id, probe_label, neighbor_id, cos, rank).
+
+    ``nprobe`` is the recall/cost knob: candidates scanned grow ~linearly
+    (nprobe·N/k_clusters per query) while recall approaches brute force;
+    clusters are disjoint, so no dedup is needed across probes."""
     base = with_norm(embeddings.select("vec_id", "label", "embedding"))
     cents = cluster_centroids(embeddings).withColumn(
         "cn2", norm2(F.col("centroid"))
@@ -125,7 +130,7 @@ def ann_ivf(
     wq = Window.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("probe_label"))
     probe = (
         qc.withColumn("r", F.row_number().over(wq))
-        .filter(F.col("r") == 1)
+        .filter(F.col("r") <= nprobe)
         .select("query_id", "qv", "qn2", "probe_label")
     )
     cand = base.join(

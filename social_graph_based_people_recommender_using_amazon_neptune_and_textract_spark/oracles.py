@@ -757,7 +757,8 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 10"""
 
-ORACLES["ann_ivf"] = f"""\
+def _ann_ivf_sql(nprobe: int) -> str:
+    return f"""\
 WITH {_VEC.format(src="embeddings")},
 cent AS (
   SELECT label, list(m ORDER BY pos) AS centroid FROM (
@@ -779,7 +780,7 @@ probe AS (
   SELECT query_id, qv, qn2, probe_label FROM (
     SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY ccos DESC, probe_label ASC) AS r
     FROM qc
-  ) WHERE r = 1
+  ) WHERE r <= {nprobe}
 ),
 scored AS (
   SELECT p.query_id, p.probe_label, n.vec_id AS neighbor_id,
@@ -793,6 +794,11 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, probe_label, neighbor_id, cos, rank FROM ranked WHERE rank <= 10"""
+
+
+ORACLES["ann_ivf"] = _ann_ivf_sql(1)
+# nprobe=2 — the IVF recall knob: each query scans its 2 nearest clusters.
+ORACLES["ann_ivf_probe2"] = _ann_ivf_sql(2)
 
 # Converged watermarked hourly rollup == batch GROUP BY on hour buckets.
 ORACLES["streaming_event_windows"] = """\

@@ -127,6 +127,31 @@ def test_ann_ivf_subset_of_probe_cluster(spark):
         assert labels[r["neighbor_id"]] == r["probe_label"]
 
 
+def test_ann_ivf_nprobe_recall_monotone(spark):
+    """nprobe is the recall knob: the top-k under nprobe=2 must be at
+    least as close to brute force as nprobe=1 (per query, the recalled
+    neighbor sets grow toward the exact set; clusters are disjoint so
+    candidates strictly widen)."""
+    emb = tables.load_table(spark, SF, "embeddings")
+    qids = [0, 1, 2]
+
+    def topk(df):
+        by_q = {}
+        for r in df.collect():
+            by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return by_q
+
+    exact = topk(SIM.ann_bruteforce(emb, qids, k=10))
+    p1 = topk(SIM.ann_ivf(emb, qids, k=10, nprobe=1))
+    p2 = topk(SIM.ann_ivf(emb, qids, k=10, nprobe=2))
+    for q in qids:
+        r1 = len(p1[q] & exact[q])
+        r2 = len(p2[q] & exact[q])
+        # a wider candidate pool can only push out a true top-k member in
+        # favor of something globally better — which is itself top-k
+        assert r2 >= r1, (q, r1, r2)
+
+
 def test_embedding_near_dup_planted(spark):
     emb = tables.load_table(spark, SF, "embeddings")
     pairs = SIM.embedding_near_dup_pairs(SIM.aug_embeddings(emb), 0.99).collect()
