@@ -109,9 +109,18 @@ def ann_ivf(
     ``nprobe`` is the recall/cost knob: candidates scanned grow ~linearly
     (nprobe·N/k_clusters per query) while recall approaches brute force;
     clusters are disjoint, so no dedup is needed across probes."""
+    from ..pinned import pinned
+
     base = with_norm(embeddings.select("vec_id", "label", "embedding"))
-    cents = cluster_centroids(embeddings).withColumn(
-        "cn2", norm2(F.col("centroid"))
+    # The coarse codebook is built once per corpus and reused by every
+    # query (IVF's train/search split) — pinned, releasable.
+    (cents,) = pinned(
+        ("ivf_centroids", embeddings.semanticHash()),
+        lambda: (
+            cluster_centroids(embeddings).withColumn(
+                "cn2", norm2(F.col("centroid"))
+            ),
+        ),
     )
     q = base.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"),
