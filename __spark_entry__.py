@@ -501,6 +501,17 @@ def _q_dedup_exact(spark, sf_dir):
     return D.dedup_exact(_aug(spark, sf_dir))
 
 
+def _q_corpus_curation(spark, sf_dir):
+    """End-to-end curation pipeline: lang gate → quality gate →
+    exact-canonical → near-dup drop → deterministic split, one plan
+    (operators/curation.py). Reuses the pinned dedup relations."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        curation,
+    )
+
+    return curation.curate(_aug(spark, sf_dir))
+
+
 def _q_dedup_minhash_lsh(spark, sf_dir):
     from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
         dedup as D,
@@ -653,6 +664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_hash_sample": _q_docs_hash_sample,
         "docs_split_counts": _q_docs_split_counts,
         "dedup_exact": _q_dedup_exact,
+        "corpus_curation": _q_corpus_curation,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_ngram_pairs": _q_dedup_ngram_pairs,
         "dedup_simhash": _q_dedup_simhash,

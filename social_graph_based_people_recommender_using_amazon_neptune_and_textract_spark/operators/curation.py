@@ -1,0 +1,68 @@
+"""End-to-end training-corpus curation — the composition the individual
+north-star operators exist for (BASELINE.json): language gate → quality
+gate → exact-dedup canonical filter → near-dup drop → deterministic
+train/dev/test split, as ONE declarative plan.
+
+Pipeline rule (declared): the stages compose as INDEPENDENT predicates
+over the corpus —
+
+- keep iff predicted language == ``lang`` (functions/text.language_id),
+- keep iff quality_score >= ``min_quality`` (functions/text.quality_scores),
+- keep iff the doc is the canonical (min-id) member of its exact-text
+  group (operators/dedup.dedup_exact),
+- drop iff the doc is the larger member of ANY MinHash-verified near-dup
+  pair at ``near_dup_threshold`` (operators/dedup.dedup_minhash_lsh),
+  independent of whether its partner survives the other gates —
+
+rather than a sequential cascade. Order-independence makes the result
+well-defined without specifying stage order, keeps both engines' plans
+trivially equivalent, and lets Spark evaluate everything as one pass over
+the corpus plus three semi/anti-joins against small derived relations.
+
+Scale: the expensive derived relations (shingle bag, LSH candidates) are
+the SAME pinned relations the standalone dedup queries use (keys embed
+``semanticHash``), so a curation run after a dedup audit re-reads the
+cached index rather than re-shingling 100 TB; the gates themselves are
+narrow projections with map-side semi-joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import language_id, quality_scores
+from .dedup import dedup_exact, dedup_minhash_lsh
+from .sampling import hash_split
+
+
+def curate(
+    corpus: DataFrame,
+    lang: str = "en",
+    min_quality: float = 0.7,
+    near_dup_threshold: float = 0.5,
+    train: float = 0.8,
+    dev: float = 0.1,
+) -> DataFrame:
+    """(doc_id, split) for documents surviving every gate, split
+    deterministically by key hash (leak-free; operators/sampling)."""
+    langs = language_id(corpus).filter(F.col("predicted_lang") == lang)
+    qual = quality_scores(corpus).filter(
+        F.col("quality_score") >= min_quality
+    )
+    canon = dedup_exact(corpus).select(
+        F.col("canonical_doc_id").alias("doc_id")
+    )
+    near_b = (
+        dedup_minhash_lsh(corpus, threshold=near_dup_threshold)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    kept = (
+        corpus.select("doc_id")
+        .join(langs.select("doc_id"), "doc_id", "left_semi")
+        .join(qual.select("doc_id"), "doc_id", "left_semi")
+        .join(canon, "doc_id", "left_semi")
+        .join(near_b, "doc_id", "left_anti")
+    )
+    return hash_split(kept, "doc_id", train, dev).select("doc_id", "split")

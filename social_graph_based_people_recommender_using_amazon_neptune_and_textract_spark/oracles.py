@@ -638,8 +638,9 @@ jac AS (
   JOIN sizes zb ON zb.doc_id = i.doc_b
 )"""
 
-ORACLES["dedup_minhash_lsh"] = f"""\
-WITH {AUG_CORPUS_SQL}, {_SHINGLE_CTES},
+# mh signatures → banded buckets → candidate pairs (shared by the
+# standalone minhash query and the curation pipeline).
+_MH_CANDS = f"""\
 mh AS (
   SELECT doc_id,
     {_mh_aggs}
@@ -656,9 +657,56 @@ cands AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM banded a JOIN banded b ON a.band = b.band AND a.sig = b.sig
   WHERE a.doc_id < b.doc_id
-),
+)"""
+
+ORACLES["dedup_minhash_lsh"] = f"""\
+WITH {AUG_CORPUS_SQL}, {_SHINGLE_CTES},
+{_MH_CANDS},
 {_VERIFY}
 SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.5"""
+
+# End-to-end curation pipeline (operators/curation.py): independent gate
+# predicates (lang, quality, exact-canonical, near-dup drop) + hash split.
+ORACLES["corpus_curation"] = f"""\
+WITH {AUG_CORPUS_SQL}, {_SHINGLE_CTES},
+{_MH_CANDS},
+{_VERIFY},
+scored_lang AS (
+  SELECT doc_id,
+    {_lang_scores}
+  FROM toksrc
+),
+lang_keep AS (SELECT doc_id FROM scored_lang WHERE {_pred} = 'en'),
+qbase AS (
+  SELECT doc_id,
+    CAST(len(tokens) AS BIGINT) AS n_tokens,
+    CAST(list_sum(list_transform(tokens, x -> length(x))) AS DOUBLE) AS token_chars,
+    {_stop_en} AS n_stop
+  FROM toksrc
+),
+qual_keep AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+      (CASE WHEN n_tokens >= 10 AND n_tokens <= 1000 THEN 0.4::DOUBLE ELSE 0.0::DOUBLE END)
+      + (CASE WHEN n_tokens > 0 AND token_chars / n_tokens >= 3 AND token_chars / n_tokens <= 10 THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END)
+      + (CASE WHEN n_tokens > 0 AND n_stop / n_tokens > 0 THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END) AS q
+    FROM qbase
+  ) WHERE round(q, 6) >= 0.7
+),
+canon AS (SELECT min(doc_id) AS doc_id FROM aug GROUP BY md5(text)),
+dropped AS (SELECT DISTINCT doc_b AS doc_id FROM jac WHERE jaccard >= 0.5),
+curated AS (
+  SELECT doc_id FROM aug
+  WHERE doc_id IN (SELECT doc_id FROM lang_keep)
+    AND doc_id IN (SELECT doc_id FROM qual_keep)
+    AND doc_id IN (SELECT doc_id FROM canon)
+    AND doc_id NOT IN (SELECT doc_id FROM dropped)
+)
+SELECT doc_id,
+  CASE WHEN {_BUCKET} < 8000 THEN 'train'
+       WHEN {_BUCKET} < 9000 THEN 'dev'
+       ELSE 'test' END AS split
+FROM curated"""
 
 ORACLES["dedup_ngram_pairs"] = f"""\
 WITH {AUG_CORPUS_SQL}, {_SHINGLE_CTES},

@@ -103,6 +103,37 @@ def test_simhash_near_dups_close(spark, aug):
     assert all(v == 0 for _, v in exact_pairs)  # identical text → same fp
 
 
+def test_corpus_curation_gates(spark, aug):
+    """Each curation gate must actually bite: planted exact copies
+    (id+2e6) are never curated (non-canonical), near-dup copies (id+1e6)
+    that pair with their original are dropped, survivors carry a valid
+    split, and membership is deterministic."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        curation,
+    )
+
+    out = {r["doc_id"]: r["split"] for r in curation.curate(aug).collect()}
+    assert out, "curation must keep a non-empty corpus"
+    assert set(out.values()) <= {"train", "dev", "test"}
+
+    # exact copies: canonical filter keeps the original, drops the copy
+    copies = {r["doc_id"] for r in aug.filter(F.col("doc_id") >= 2000000).collect()}
+    assert copies and not (copies & set(out))
+
+    # near-dup drops: any verified pair's larger member is absent
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        dedup as D,
+    )
+
+    dropped = {r["doc_b"] for r in D.dedup_minhash_lsh(aug, 0.5).collect()}
+    assert dropped and not (dropped & set(out))
+
+    # deterministic: a second evaluation yields the identical mapping
+    assert out == {
+        r["doc_id"]: r["split"] for r in curation.curate(aug).collect()
+    }
+
+
 def test_ann_bruteforce_invariants(spark):
     emb = tables.load_table(spark, SF, "embeddings")
     res = SIM.ann_bruteforce(emb, [0, 1, 2], k=10).collect()
