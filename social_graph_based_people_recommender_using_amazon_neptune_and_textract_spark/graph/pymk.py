@@ -148,6 +148,32 @@ def pymk_hydrated(
 WHALE_DEGREE_CAP = 10_000
 SALT_R = 16
 
+#: Per-process memo of "does this edge relation have any whale vertex" —
+#: one cheap degree-aggregate probe per (corpus, cap), mirroring how AQE
+#: consults runtime statistics before picking a physical strategy.
+_WHALE_MEMO: dict[tuple, bool] = {}
+
+
+def _has_whales(bi: DataFrame, memo_key: tuple, cap: int) -> bool:
+    key = (memo_key, cap)
+    if key not in _WHALE_MEMO:
+        deg = bi.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        _WHALE_MEMO[key] = (
+            deg.filter(F.col("deg") > cap).limit(1).count() > 0
+        )
+    return _WHALE_MEMO[key]
+
+
+def _hop2_pairs_plain(bi: DataFrame) -> DataFrame:
+    """The unsplit 2-hop self-join — the right physical plan when no join
+    key exceeds the whale cap (the anti/semi/union scaffolding of the
+    salted form costs several extra passes over ``bi`` for nothing)."""
+    a = bi.select(F.col("src").alias("user_id"), F.col("dst").alias("friend_id"))
+    b = bi.select(F.col("src").alias("friend_id2"), F.col("dst").alias("cand_id"))
+    return a.join(b, a["friend_id"] == b["friend_id2"]).select(
+        "user_id", "cand_id"
+    )
+
 
 def _hop2_pairs(bi: DataFrame, whale_degree_cap: int, salt_r: int) -> DataFrame:
     """All 2-hop (user_id, cand_id) bag rows from the symmetrized edges —
@@ -224,7 +250,13 @@ def pymk_all(
     # pinned (at cluster scale: checkpoint/bucketed materialization).
     bi = _bi(edges)
 
-    hop2 = _hop2_pairs(bi, whale_degree_cap, salt_r)
+    # Probe once per (corpus, cap) whether any whale exists; the salted
+    # split is a physical rewrite, so skipping it on whale-free graphs
+    # changes nothing but the plan (equivalence pinned in tests).
+    if _has_whales(bi, ("graph_bi", edges.semanticHash()), whale_degree_cap):
+        hop2 = _hop2_pairs(bi, whale_degree_cap, salt_r)
+    else:
+        hop2 = _hop2_pairs_plain(bi)
     # Exclude self; keep one triangle half (score matrix is symmetric).
     cand = hop2.filter(F.col("user_id") < F.col("cand_id"))
 
