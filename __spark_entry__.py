@@ -562,6 +562,17 @@ def _q_ann_ivf(spark, sf_dir):
     return SIM.ann_ivf(emb, oracles.ANN_QUERY_IDS, k=10)
 
 
+def _q_kmeans_assign(spark, sf_dir):
+    """Deterministic Lloyd k-means (k=4, 2 assignment passes) — the IVF
+    codebook train step, one declarative unrolled plan."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        clustering,
+    )
+
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    return clustering.kmeans_assign(emb, k=4, iters=2)
+
+
 def _q_ann_ivf_probe2(spark, sf_dir):
     """IVF with nprobe=2 — the recall knob: each query scans its two
     nearest clusters; candidates double, recall approaches brute force."""
@@ -676,6 +687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce": _q_ann_bruteforce,
         "ann_ivf": _q_ann_ivf,
         "ann_ivf_probe2": _q_ann_ivf_probe2,
+        "kmeans_assign": _q_kmeans_assign,
         "dedup_embedding": _q_dedup_embedding,
     }
 

@@ -789,6 +789,57 @@ norms AS (
 
 _DOT = "list_sum(list_transform(range(1, 65), i -> {a}[i] * {b}[i]))"
 
+# Deterministic k-means (operators/clustering.py): k=4 seeds = smallest
+# vec_ids, ONE Lloyd update (iters=2 ⇒ assign→update→assign), d2 and
+# centroid means rounded to 6dp, argmin ties → smallest cluster.
+_KM_ASSIGN = """\
+{out} AS (
+  SELECT vec_id, v, n2, cluster FROM (
+    SELECT b.vec_id, b.v, b.n2, c.cluster,
+      row_number() OVER (
+        PARTITION BY b.vec_id
+        ORDER BY round(b.n2 + c.cn2 - 2 * {dot}, 6) ASC, c.cluster ASC
+      ) AS r
+    FROM norms b CROSS JOIN {cents} c
+  ) WHERE r = 1
+)"""
+
+ORACLES["kmeans_assign"] = (
+    "WITH "
+    + _VEC.format(src="embeddings")
+    + """,
+seeds AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id ASC) - 1 AS INT) AS cluster,
+         v AS centroid, n2 AS cn2
+  FROM (SELECT vec_id, v, n2 FROM norms ORDER BY vec_id ASC LIMIT 4)
+),
+"""
+    + _KM_ASSIGN.format(
+        out="a1", cents="seeds", dot=_DOT.format(a="b.v", b="c.centroid")
+    )
+    + """,
+m1 AS (
+  SELECT cluster, pos, round(avg(x), 6) AS m FROM (
+    SELECT cluster, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM a1
+  ) GROUP BY cluster, pos
+),
+c1n AS (
+  SELECT cluster, list(m ORDER BY pos) AS centroid FROM m1 GROUP BY cluster
+),
+c1 AS (
+  SELECT s.cluster,
+         coalesce(n.centroid, s.centroid) AS centroid,
+         list_sum(list_transform(coalesce(n.centroid, s.centroid), x -> x * x)) AS cn2
+  FROM seeds s LEFT JOIN c1n n USING (cluster)
+),
+"""
+    + _KM_ASSIGN.format(
+        out="a2", cents="c1", dot=_DOT.format(a="b.v", b="c.centroid")
+    )
+    + """
+SELECT vec_id, CAST(cluster AS INT) AS cluster FROM a2"""
+)
+
 ORACLES["ann_bruteforce"] = f"""\
 WITH {_VEC.format(src="embeddings")},
 q AS (SELECT vec_id AS query_id, v AS qv, n2 AS qn2 FROM norms WHERE vec_id IN ({_qid_list})),
