@@ -1,0 +1,90 @@
+"""Degenerate-input sweep (SURVEY §5 edge cases): every text/dedup/
+similarity operator must survive — with sane outputs, not just no
+crash — empty strings, documents shorter than the shingle width,
+exact-duplicate rows, and non-ASCII text."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.functions import (
+    text as T,
+)
+from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+    dedup as D,
+)
+from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.search import (
+    api as S,
+)
+
+
+@pytest.fixture(scope="module")
+def weird(spark):
+    rows = [
+        (1, ""),                          # empty
+        (2, "   \t  \n "),                # whitespace only
+        (3, "ab"),                        # shorter than shingle width
+        (4, "one two"),                   # 2 tokens < 3-shingle
+        (5, "café über naïve 北京 東京"),   # non-ASCII
+        (6, "dup dup dup identical row"),
+        (7, "dup dup dup identical row"),  # exact duplicate of 6
+        (8, "!!! ??? ... ---"),           # punctuation only
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_text_functions_survive(spark, weird):
+    lang = {r["doc_id"]: r["predicted_lang"] for r in T.language_id(weird).collect()}
+    assert set(lang) == set(range(1, 9))
+    assert lang[1] == "und" and lang[8] == "und"
+
+    q = {r["doc_id"]: r for r in T.quality_scores(weird).collect()}
+    assert q[1]["n_tokens"] == 0 and q[1]["quality_score"] == 0.0
+    assert q[2]["n_tokens"] == 0
+    assert all(r["stopword_ratio"] >= 0.0 for r in q.values())
+
+    tc = {r["doc_id"]: r for r in T.token_counts(weird).collect()}
+    assert tc[1]["n_tokens"] == 0 and tc[8]["n_tokens"] == 0
+
+    fp = {r["doc_id"]: r["fingerprint"] for r in T.fingerprint(weird).collect()}
+    assert fp[6] == fp[7]          # identical content → identical identity
+    assert fp[1] == fp[2] == fp[8]  # all tokenize to the empty bag
+
+
+def test_dedup_family_survives(spark, weird):
+    groups = {
+        r["text_hash"]: r["n_docs"] for r in D.dedup_exact(weird).collect()
+    }
+    assert 2 in groups.values()  # the planted exact pair groups
+
+    # shingle table: short/empty docs simply contribute no shingles
+    sh = D.shingle_table(weird)
+    docs_with_shingles = {r["doc_id"] for r in sh.select("doc_id").distinct().collect()}
+    assert {1, 2, 3, 4, 8}.isdisjoint(docs_with_shingles)
+
+    pairs = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in D.dedup_ngram_pairs(weird, threshold=0.3).collect()
+    }
+    assert (6, 7, 1.0) in pairs
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.dedup_minhash_lsh(weird, threshold=0.5).collect()
+    }
+    assert (6, 7) in lsh
+
+    sim = {r["doc_id"]: r["simhash"] for r in D.simhash(weird).collect()}
+    # docs with no tokens produce no tf rows → absent, not crashed
+    assert 6 in sim and 7 in sim and sim[6] == sim[7]
+
+
+def test_search_survives_empty_and_unicode(spark, weird):
+    hits = S.search_documents(weird, "dup identical", limit=10).collect()
+    assert {r["doc_id"] for r in hits} == {6, 7}
+    # query of only non-indexed chars → no terms survive the analyzer
+    none = S.search_documents(weird, "!!! ???", limit=10)
+    assert none.count() == 0
+    # unicode query must not crash; latin tokens can match doc 5
+    uni = S.search_documents(weird, "café 北京", limit=10).collect()
+    assert all(r["doc_id"] == 5 for r in uni)
