@@ -149,6 +149,52 @@ def test_bfs_result_invariant_to_broadcast_gate(spark):
     assert hinted == gated and len(hinted) > 1
 
 
+def test_kmeans_broadcasts_centroids(spark):
+    """k-means at scale: the N-side embedding table must stream against
+    BROADCAST centroids (k rows) in every Lloyd pass — a sort-merge join
+    or an N-side shuffle per iteration would move the full corpus once
+    per round. Budget: the seed TakeOrdered + per-round mean aggregates
+    only (4 exchanges at iters=2)."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        clustering,
+    )
+
+    emb = tables.load_table(spark, SF, "embeddings")
+    km = clustering.kmeans_assign(emb, k=4, iters=2)
+    plan = PL.physical_plan(km)
+    assert "BroadcastNestedLoopJoin" in plan  # crossJoin(broadcast(cents))
+    assert PL.sort_merge_join_count(km) == 0
+    assert PL.exchange_count(km) <= 4, plan
+
+
+def test_curation_reuses_pinned_dedup_relations(spark):
+    """The curation pipeline must consume the SAME pinned LSH relations
+    as the standalone minhash query (shared semanticHash keys) — at
+    100 TB, re-shingling the corpus for the pipeline would double the
+    most expensive stage."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        curation,
+        dedup as D,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.pinned import (
+        pinned_keys,
+        release_all,
+    )
+
+    release_all()
+    spark.catalog.clearCache()
+    corpus = D.aug_corpus(tables.load_table(spark, SF, "documents"))
+    D.dedup_minhash_lsh(corpus, threshold=0.5).count()
+    keys_after_dedup = set(pinned_keys())
+    curation.curate(corpus).count()
+    try:
+        assert set(pinned_keys()) == keys_after_dedup, (
+            "curation must not pin a second copy of the LSH relations"
+        )
+    finally:
+        release_all()
+
+
 def test_minhash_agg_reuses_doc_partitioning(spark):
     """by_doc's repartition(doc_id) must satisfy the signature groupBy —
     exactly one shuffle of raw text, none of the exploded shingle bag."""
