@@ -342,6 +342,29 @@ def _q_streaming_event_windows(spark, sf_dir):
     return counter.current()
 
 
+def _q_streaming_dedup(spark, sf_dir):
+    """Streaming exact dedup (dropDuplicatesWithinWatermark on the
+    content hash) drained via availableNow; the emitted hash SET equals
+    batch DISTINCT — the oracle — though which duplicate wins is
+    physical."""
+    import tempfile
+
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.streaming.dedup import (
+        StreamingDeduper,
+    )
+
+    aug = _aug(spark, sf_dir).withColumn(
+        "ts", F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+    )
+    base = tempfile.mkdtemp(prefix="sgr-sdedup-")
+    aug.select("doc_id", "text", "ts").repartition(3).write.mode(
+        "overwrite"
+    ).parquet(f"{base}/landing")
+    d = StreamingDeduper(spark, f"{base}/wh")
+    d.run_available_now(f"{base}/landing", f"{base}/ckpt")
+    return d.survivors().select("text_hash")
+
+
 def _q_archive_replay(spark, sf_dir):
     """O4 round-trip: write the Firehose-style gzip archive, replay it
     through the partition-pruned reader (year+month predicates), return
@@ -658,6 +681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_status_machine": _q_streaming_status_machine,
         "streaming_event_windows": _q_streaming_event_windows,
         "archive_replay": _q_archive_replay,
+        "streaming_dedup": _q_streaming_dedup,
         "url_decoded_keys": _q_url_decoded_keys,
         "kinesis_partition_keys": _q_kinesis_partition_keys,
         "search_documents": _q_search_documents,

@@ -590,6 +590,11 @@ SELECT split, count(*) AS n FROM (
 
 # --- dedup family ---------------------------------------------------------
 
+# Streaming exact dedup: the emitted hash set is the batch DISTINCT.
+ORACLES["streaming_dedup"] = f"""\
+WITH {AUG_CORPUS_SQL}
+SELECT DISTINCT md5(text) AS text_hash FROM aug"""
+
 ORACLES["dedup_exact"] = f"""\
 WITH {AUG_CORPUS_SQL}
 SELECT md5(text) AS text_hash, min(doc_id) AS canonical_doc_id,

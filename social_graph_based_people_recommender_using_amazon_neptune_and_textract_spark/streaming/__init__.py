@@ -19,6 +19,7 @@ from .schemas import (
     TEXT_LINES_SCHEMA,
     decode_kinesis_records,
 )
+from .dedup import StreamingDeduper
 from .ingest import IngestPipeline, read_text_lines_stream
 from .table import KeyedParquetTable
 
@@ -29,6 +30,7 @@ __all__ = [
     "TEXT_LINES_SCHEMA",
     "decode_kinesis_records",
     "IngestPipeline",
+    "StreamingDeduper",
     "read_text_lines_stream",
     "KeyedParquetTable",
 ]

@@ -171,6 +171,41 @@ def test_decode_kinesis_records(spark):
     assert invalid.count() == 2
 
 
+def test_streaming_dedup_first_arrival_wins(spark, tmp_path):
+    """Streaming exact dedup: duplicates across micro-batches collapse to
+    one emission (state spans batches within the watermark); the emitted
+    hash set equals batch DISTINCT; a checkpointed replay emits nothing
+    new."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.streaming.dedup import (
+        StreamingDeduper,
+    )
+
+    rows = [
+        (1, "alpha text", "2024-01-01 00:00:00"),
+        (2, "beta text", "2024-01-01 00:01:00"),
+        (3, "alpha text", "2024-01-01 00:02:00"),  # dup of 1
+        (4, "gamma text", "2024-01-01 00:03:00"),
+        (5, "beta text", "2024-01-01 00:04:00"),   # dup of 2
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "raw_ts"]).select(
+        "doc_id", "text", F.to_timestamp(F.col("raw_ts")).alias("ts")
+    )
+    landing = str(tmp_path / "landing")
+    df.repartition(3).write.mode("overwrite").parquet(landing)
+
+    d = StreamingDeduper(spark, str(tmp_path / "wh"))
+    d.run_available_now(landing, str(tmp_path / "ckpt"))
+    got = d.survivors().collect()
+    assert len(got) == 3
+    assert {r["text_hash"] for r in got} == {
+        r[0] for r in df.select(F.md5(F.col("text").cast("binary"))).distinct().collect()
+    }
+
+    # replay against the same checkpoint: no new emissions
+    d.run_available_now(landing, str(tmp_path / "ckpt"))
+    assert d.survivors().count() == 3
+
+
 def test_kinesis_shard_distribution(spark):
     """O2 producer semantics: the 'part-%05d' key covers 1..1024, is
     deterministic per record key, and the sink path hash-distributes by
