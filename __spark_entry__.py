@@ -342,6 +342,25 @@ def _q_streaming_event_windows(spark, sf_dir):
     return counter.current()
 
 
+def _q_album_replay(spark, sf_dir):
+    """O8 round-trip: write the per-owner album (owner-partitioned
+    pointer table, the S3 bizcard-by-user/{owner}/ copy) and read it
+    back grouped — partition pruning on owner is the layout's point."""
+    import tempfile
+
+    parsed = ingest.parse_bizcard_text(tables.bizcard_text_records(spark, sf_dir))
+    album = parsed.select("owner", "s3_bucket", "s3_key").withColumn(
+        "image_id", P.basename(F.col("s3_key"))
+    )
+    base = tempfile.mkdtemp(prefix="sgr-album-")
+    album.write.mode("overwrite").partitionBy("owner").parquet(base)
+    return (
+        spark.read.parquet(base)
+        .groupBy("owner")
+        .agg(F.count(F.lit(1)).alias("n_images"))
+    )
+
+
 def _q_streaming_dedup(spark, sf_dir):
     """Streaming exact dedup (dropDuplicatesWithinWatermark on the
     content hash) drained via availableNow; the emitted hash SET equals
@@ -681,6 +700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_status_machine": _q_streaming_status_machine,
         "streaming_event_windows": _q_streaming_event_windows,
         "archive_replay": _q_archive_replay,
+        "album_replay": _q_album_replay,
         "streaming_dedup": _q_streaming_dedup,
         "url_decoded_keys": _q_url_decoded_keys,
         "kinesis_partition_keys": _q_kinesis_partition_keys,

@@ -376,6 +376,12 @@ SELECT s3_key,
   'part-' || lpad(CAST((CAST(concat('0x', substr(md5(s3_key), 1, 15)) AS BIGINT) % 1024) + 1 AS VARCHAR), 5, '0') AS partition_key
 FROM bizcard_raw"""
 
+# O8: the per-owner album is a partitioned copy — content identity means
+# per-owner counts match the parse projection.
+ORACLES["album_replay"] = f"""\
+WITH {BIZCARD_LINES_SQL}, {PARSED_SQL}
+SELECT owner, count(*) AS n_images FROM parsed GROUP BY owner"""
+
 # O25: '+' → ' ' then percent-unescape; the closed escape alphabet the
 # Spark query constructs makes replace() chains an exact decoder.
 ORACLES["url_decoded_keys"] = f"""\
