@@ -380,8 +380,11 @@ def simhash(corpus: DataFrame) -> DataFrame:
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    h32 = md5_long(F.col("tok"), 8)
-    sums = tf.groupBy("doc_id").agg(
+    # Project the md5-derived token hash ONCE — embedding it in each of the
+    # 32 per-bit sum() expressions recomputes the md5 32x per (doc, token).
+    hashed = tf.select("doc_id", "tf", md5_long(F.col("tok"), 8).alias("h32"))
+    h32 = F.col("h32")
+    sums = hashed.groupBy("doc_id").agg(
         *[
             F.sum(
                 F.col("tf")

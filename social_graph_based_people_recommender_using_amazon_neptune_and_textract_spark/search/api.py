@@ -17,17 +17,40 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..pinned import pinned
-from .bm25 import SCORE_DECIMALS, bm25_scores, bm25_scores_by_field
+from .bm25 import (
+    SCORE_DECIMALS,
+    bm25_scores,
+    bm25_scores_by_field,
+    corpus_stats,
+    corpus_stats_by_field,
+)
 from .index import build_index, tokenize
 
 SEARCH_FIELDS = [("name", 3.0), ("company", 1.0), ("job_title", 1.0), ("addr", 1.0)]
 
+#: Driver-side memo of per-corpus index statistics (N, avgdl) — Lucene's
+#: CollectionStatistics, computed once per corpus (keyed by the doclen
+#: relation's semanticHash) instead of re-aggregated per query. Plain
+#: Python scalars: nothing to unpersist on corpus swap.
+_STATS_MEMO: dict = {}
+
+
+def _memo_stats(doclen: DataFrame, by_field: bool):
+    key = (by_field, doclen.semanticHash())
+    if key not in _STATS_MEMO:
+        _STATS_MEMO[key] = (
+            corpus_stats_by_field(doclen) if by_field else corpus_stats(doclen)
+        )
+    return _STATS_MEMO[key]
+
 
 def _melt_fields(bizcards: DataFrame) -> DataFrame:
-    """(doc_id, field, text) rows — one per searchable field."""
+    """(id, owner, field, text) rows — one per searchable field; ``owner``
+    rides along as a doc value (it feeds O28 filter context)."""
     pairs = ", ".join(f"'{f}', {f}" for f, _ in SEARCH_FIELDS)
     return bizcards.select(
         F.col("doc_id").alias("id"),
+        "owner",
         F.expr(f"stack({len(SEARCH_FIELDS)}, {pairs}) as (field, text)"),
     )
 
@@ -55,12 +78,18 @@ def bizcard_index(
     def _build():
         alive = bizcards.filter(F.col("is_alive") == 1)
         toks = _melt_fields(alive).select(
-            "id", "field", tokenize(F.col("text")).alias("tokens")
+            "id", "owner", "field", tokenize(F.col("text")).alias("tokens")
         )
         doclen = toks.select("id", "field", F.size("tokens").alias("dl"))
         postings = (
-            toks.select("id", "field", F.explode("tokens").alias("tok"))
-            .groupBy("id", "field", "tok")
+            toks.select(
+                "id",
+                "owner",
+                "field",
+                F.size("tokens").alias("dl"),
+                F.explode("tokens").alias("tok"),
+            )
+            .groupBy("id", "owner", "field", "dl", "tok")
             .agg(F.count(F.lit(1)).alias("tf"))
         )
         return alive, postings, doclen
@@ -83,7 +112,7 @@ def search_documents(
     touches the corpus relation at all."""
     terms = [t for t in _terms(query)]
     postings, doclen = index if index is not None else documents_index(documents)
-    scored = bm25_scores(postings, doclen, terms)
+    scored = bm25_scores(postings, doclen, terms, stats=_memo_stats(doclen, False))
     return (
         scored.select(F.col("id").alias("doc_id"), "score")
         .orderBy(F.desc("score"), F.asc("doc_id"))
@@ -124,24 +153,27 @@ def search_bizcards(
             hits = hits.filter(F.col("owner") == user)  # O28 filter context
         return hits.orderBy(F.desc("score"), F.asc("doc_id")).limit(limit)
 
-    fscores = bm25_scores_by_field(postings, doclen, terms)
+    fscores = bm25_scores_by_field(
+        postings, doclen, terms, stats=_memo_stats(doclen, True)
+    )
 
     boost = F.when(F.col("field") == "name", F.lit(3.0)).otherwise(F.lit(1.0))
     scored = (
-        fscores.select("id", (boost * F.col("fscore")).alias("boosted"))
-        .groupBy("id")
+        fscores.select("id", "owner", (boost * F.col("fscore")).alias("boosted"))
+        .groupBy("id", "owner")
         .agg(F.round(F.max("boosted"), SCORE_DECIMALS).alias("score"))
     )
-
-    hydrated = scored.join(
-        alive.select("doc_id", "owner", "name"), scored["id"] == F.col("doc_id")
-    )
     if user:
-        hydrated = hydrated.filter(F.col("owner") == user)  # O28 filter context
+        # O28 filter context BEFORE ranking — owner is a doc value carried
+        # in the postings index, so the filter needs no join at all.
+        scored = scored.filter(F.col("owner") == user)
+    topk = scored.orderBy(F.desc("score"), F.asc("id")).limit(limit)
+    # Hydrate AFTER the limit (ES fetches _source only for the ranked
+    # page): the join touches ≤ limit rows, AQE broadcasts it for free.
     return (
-        hydrated.select("doc_id", "owner", "name", "score")
+        topk.join(alive.select("doc_id", "name"), topk["id"] == F.col("doc_id"))
+        .select("doc_id", "owner", "name", "score")
         .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(limit)
     )
 
 

@@ -10,16 +10,32 @@ SHAPE below is mirrored token-for-token in oracles.py so both engines
 evaluate the same double-precision operation tree; final scores are
 rounded to 6 decimals before ordering/comparison.
 
-Scale: query terms filter the postings FIRST (tiny result), the df and
-corpus-stats sides are broadcast, and the only post-filter shuffle is the
-per-doc score aggregation; top-k lowers to TakeOrderedAndProject.
+Scale architecture (how Lucene actually serves a query, re-expressed):
+
+1. **Norms live in the index.** ``build_index`` denormalizes the document
+   length ``dl`` into every postings row, so scoring never joins doclen.
+2. **Corpus statistics are index metadata.** (N, avgdl) per corpus/field
+   are collected ONCE per corpus (one tiny agg job over the pinned
+   doclen) and memoized driver-side by the caller — exactly Lucene's
+   in-memory ``CollectionStatistics``.
+3. **Term statistics are a point lookup.** Per query, the df of each
+   query term is fetched with one small collect over the pinned postings
+   (filter on ≤ a handful of terms → ≤ terms×fields rows). At warehouse
+   scale this is the only per-query metadata job; the vocabulary-sized
+   df table is never materialized driver-side.
+4. **Scoring is a zero-join scan.** idf and avgdl enter the plan as
+   literals (CASE chains over the ≤ terms×fields fetched pairs), so the
+   whole query is postings-scan → filter → project → per-doc aggregate →
+   TakeOrderedAndProject. No broadcast builds, no shuffled dimension
+   joins — one shuffle total (the per-doc score aggregation).
 """
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 K1 = 1.2
@@ -27,77 +43,140 @@ B = 0.75
 SCORE_DECIMALS = 6
 
 
-def bm25_scores(
-    postings: DataFrame, doclen: DataFrame, terms: Sequence[str]
-) -> DataFrame:
-    """Per-document BM25 score for the given query terms.
+def idf(n: int, df: int) -> float:
+    """Lucene idf, computed driver-side from fetched statistics. Python
+    floats are IEEE doubles — same operation tree as the previous
+    in-plan ``F.ln`` form (scores are 6dp-rounded before comparison)."""
+    return math.log(1.0 + (n - df + 0.5) / (df + 0.5))
 
-    Returns (id, score) for every document matching ≥1 term; ``score`` is
-    rounded to SCORE_DECIMALS. Expression shape mirrored in oracles.py:
 
-        ln(1 + (n - df + 0.5) / (df + 0.5))
-          * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
-    """
-    stats = doclen.agg(
+def corpus_stats(doclen: DataFrame) -> tuple[int, float]:
+    """(N, avgdl) for a single-field corpus — one tiny agg job. Callers
+    memoize per corpus (index metadata, not per-query work)."""
+    row = doclen.agg(
         F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
-    )
-    tf_q = postings.filter(F.col("tok").isin(list(terms)))
-    dfreq = tf_q.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ).collect()[0]
+    return int(row["n"]), float(row["avgdl"])
 
-    contrib = (
-        tf_q.join(F.broadcast(dfreq), "tok")
-        .join(doclen, "id")
-        .crossJoin(F.broadcast(stats))
+
+def corpus_stats_by_field(doclen: DataFrame) -> dict[str, tuple[int, float]]:
+    """{field: (N, avgdl)} — per-field statistics as in Lucene."""
+    rows = doclen.groupBy("field").agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()
+    return {r["field"]: (int(r["n"]), float(r["avgdl"])) for r in rows}
+
+
+def term_dfs(postings: DataFrame, terms: Sequence[str]) -> dict[str, int]:
+    """{term: document frequency} — the per-query term-stats point
+    lookup (≤ |terms| result rows regardless of corpus size)."""
+    rows = (
+        postings.filter(F.col("tok").isin(list(terms)))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .collect()
     )
-    idf = F.ln(
-        1 + (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    return {r["tok"]: int(r["df"]) for r in rows}
+
+
+def term_dfs_by_field(
+    postings: DataFrame, terms: Sequence[str]
+) -> dict[tuple[str, str], int]:
+    """{(field, term): df} — ≤ |terms|×|fields| result rows."""
+    rows = (
+        postings.filter(F.col("tok").isin(list(terms)))
+        .groupBy("field", "tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .collect()
     )
-    c = (
-        idf
+    return {(r["field"], r["tok"]): int(r["df"]) for r in rows}
+
+
+def _contrib(idf_col: Column, avgdl_col: Column) -> Column:
+    """The shared BM25 contribution expression; shape mirrored in
+    oracles.py:
+
+        idf * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+    """
+    return (
+        idf_col
         * (F.col("tf") * F.lit(2.2))
         / (
             F.col("tf")
             + F.lit(1.2)
-            * (F.lit(1) - F.lit(0.75) + F.lit(0.75) * F.col("dl") / F.col("avgdl"))
+            * (F.lit(1) - F.lit(0.75) + F.lit(0.75) * F.col("dl") / avgdl_col)
         )
     )
-    return contrib.select("id", c.alias("c")).groupBy("id").agg(
+
+
+def _case_chain(pairs: list[tuple[Column, float]]) -> Column:
+    """CASE chain over a handful of (condition, literal) pairs; the
+    fallthrough 0.0 is unreachable (rows are pre-filtered to the keys)."""
+    out: Column | None = None
+    for cond, val in pairs:
+        out = F.when(cond, F.lit(val)) if out is None else out.when(cond, F.lit(val))
+    return F.lit(0.0) if out is None else out.otherwise(F.lit(0.0))
+
+
+def bm25_scores(
+    postings: DataFrame,
+    doclen: DataFrame,
+    terms: Sequence[str],
+    stats: tuple[int, float] | None = None,
+) -> DataFrame:
+    """Per-document BM25 score for the given query terms over a
+    single-field postings index carrying ``dl``.
+
+    Returns (id, score) for every document matching ≥1 term; ``score`` is
+    rounded to SCORE_DECIMALS. One job fetches term dfs (plus one for
+    corpus stats when not supplied), then the scoring plan is a zero-join
+    postings scan with a single per-doc aggregation."""
+    n, avgdl = stats if stats is not None else corpus_stats(doclen)
+    dfs = term_dfs(postings, terms)
+    idf_col = _case_chain(
+        [(F.col("tok") == t, idf(n, df)) for t, df in sorted(dfs.items())]
+    )
+    tf_q = postings.filter(F.col("tok").isin(list(dfs) or list(terms)))
+    c = _contrib(idf_col, F.lit(avgdl))
+    return tf_q.select("id", c.alias("c")).groupBy("id").agg(
         F.round(F.sum("c"), SCORE_DECIMALS).alias("score")
     )
 
 
 def bm25_scores_by_field(
-    postings: DataFrame, doclen: DataFrame, terms: Sequence[str]
+    postings: DataFrame,
+    doclen: DataFrame,
+    terms: Sequence[str],
+    stats: dict[str, tuple[int, float]] | None = None,
 ) -> DataFrame:
-    """Per-(document, field) BM25 — postings/doclen carry a ``field``
-    column; statistics (df, avgdl) are per-field as in Lucene. Returns
-    (id, field, fscore) with fscore UNROUNDED (combined + rounded by the
-    caller so best-fields max happens before rounding)."""
-    stats = doclen.groupBy("field").agg(
-        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
-    )
-    tf_q = postings.filter(F.col("tok").isin(list(terms)))
-    dfreq = tf_q.groupBy("field", "tok").agg(F.count(F.lit(1)).alias("df"))
+    """Per-(document, field) BM25 — postings carry ``field`` and ``dl``;
+    statistics (df, N, avgdl) are per-field as in Lucene. Returns
+    (id, field[, doc-value cols], fscore) with fscore UNROUNDED (combined
+    + rounded by the caller so best-fields max happens before rounding).
 
-    contrib = (
-        tf_q.join(F.broadcast(dfreq), ["field", "tok"])
-        .join(doclen, ["id", "field"])
-        .join(F.broadcast(stats), "field")
+    Doc-value columns denormalized into the postings index (e.g. the
+    bizcard ``owner`` used by O28 filter context) are carried through the
+    aggregation untouched."""
+    by_field = stats if stats is not None else corpus_stats_by_field(doclen)
+    dfs = term_dfs_by_field(postings, terms)
+    idf_col = _case_chain(
+        [
+            ((F.col("field") == f) & (F.col("tok") == t), idf(*_nd(by_field, f, d)))
+            for (f, t), d in sorted(dfs.items())
+        ]
     )
-    idf = F.ln(
-        1 + (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    avgdl_col = _case_chain(
+        [(F.col("field") == f, avgdl) for f, (_, avgdl) in sorted(by_field.items())]
     )
-    c = (
-        idf
-        * (F.col("tf") * F.lit(2.2))
-        / (
-            F.col("tf")
-            + F.lit(1.2)
-            * (F.lit(1) - F.lit(0.75) + F.lit(0.75) * F.col("dl") / F.col("avgdl"))
-        )
-    )
+    doc_values = [c for c in postings.columns if c not in ("id", "field", "dl", "tok", "tf")]
+    tf_q = postings.filter(F.col("tok").isin(list(terms)))
+    c = _contrib(idf_col, avgdl_col)
     return (
-        contrib.select("id", "field", c.alias("c"))
-        .groupBy("id", "field")
+        tf_q.select("id", "field", *doc_values, c.alias("c"))
+        .groupBy("id", "field", *doc_values)
         .agg(F.sum("c").alias("fscore"))
     )
+
+
+def _nd(by_field: dict[str, tuple[int, float]], f: str, df: int) -> tuple[int, int]:
+    return by_field[f][0], df

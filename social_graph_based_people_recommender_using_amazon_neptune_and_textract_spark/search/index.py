@@ -30,16 +30,20 @@ def build_index(
     docs: DataFrame, id_col: str, text_col: str
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (postings, doclen):
-    postings: (id, tok, tf) — term frequency per document;
-    doclen:   (id, dl)      — token count per document.
+    postings: (id, dl, tok, tf) — term frequency per document, with the
+              document's token count denormalized alongside (Lucene keeps
+              length norms IN the index; scoring then needs no doclen
+              join — the postings scan alone carries everything);
+    doclen:   (id, dl)          — token count per document (feeds the
+              one-time corpus statistics (N, avgdl) fetch).
     """
     toks = docs.select(
         F.col(id_col).alias("id"), tokenize(F.col(text_col)).alias("tokens")
     )
     doclen = toks.select("id", F.size("tokens").alias("dl"))
     postings = (
-        toks.select("id", F.explode("tokens").alias("tok"))
-        .groupBy("id", "tok")
+        toks.select("id", F.size("tokens").alias("dl"), F.explode("tokens").alias("tok"))
+        .groupBy("id", "dl", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     return postings, doclen
