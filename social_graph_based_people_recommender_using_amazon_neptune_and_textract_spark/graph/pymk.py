@@ -48,16 +48,113 @@ def _bi(edges: DataFrame) -> DataFrame:
     return bi
 
 
+def _v(vertices: DataFrame) -> DataFrame:
+    """The vertex relation, pinned once per corpus: it serves the start-
+    vertex point lookup AND the hydration join, and (for the bizcard
+    graph) is itself the output of the whole parse pipeline — without
+    pinning, every PYMK call re-runs that derivation per consumer."""
+    (pv,) = pinned(
+        ("graph_v", vertices.semanticHash()), lambda: (vertices,)
+    )
+    return pv
+
+
+#: Cap on the driver-side friend side-collection: below it the hop-1
+#: friend bag inlines into the plan as literal weights (the Gremlin
+#: traversal's ``aggregate('friends')`` IS a driver-held side collection,
+#: neptune_recommend_bizcard.py:59); above it — the celebrity-user case a
+#: 100 TB graph will hit — the distributed broadcast-join plan runs
+#: instead. InSet lowers the literal membership test to an O(1) hash
+#: probe, so the scoring plan is one filter+aggregate pass over the
+#: edge table: a single shuffle, no broadcast builds at all.
+FRIEND_SIDE_COLLECT_CAP = 2_000
+
+
 def pymk_scored(
     vertices: DataFrame, edges: DataFrame, user_name: str, limit: int = 10
 ) -> DataFrame:
     """O38a-j: the scored top-``limit`` candidate ids for one user —
-    (cand_id, score) under the declared order — before hydration."""
-    # bi is consumed by both hop joins — pinned so the upstream edge
-    # derivation (which may itself contain shuffles) runs once.
+    (cand_id, score) under the declared order — before hydration.
+
+    Physical strategy (runtime-adaptive, like the whale probe below):
+    collect the start vertex and its hop-1 bag when small (two point
+    lookups against the pinned relations), score with literal weights;
+    otherwise fall back to the broadcast-join plan. Both produce
+    identical rows — the fallback equivalence is pinned in tests."""
     bi = _bi(edges)
 
-    # O38a/b: case-insensitive start-vertex lookup via the _name property.
+    # O38a/b: case-insensitive start-vertex lookup via the _name property
+    # — a point lookup against the pinned vertex relation.
+    me_rows = (
+        _v(vertices).filter(F.col("_name") == user_name.lower())
+        .select(F.col("id").alias("me_id"))
+        .limit(2)
+        .collect()
+    )
+    if len(me_rows) == 1:
+        me_id = me_rows[0]["me_id"]
+        friend_rows = (
+            bi.filter(F.col("src") == F.lit(me_id))
+            .select("dst")
+            .limit(FRIEND_SIDE_COLLECT_CAP + 1)
+            .collect()
+        )
+        if len(friend_rows) <= FRIEND_SIDE_COLLECT_CAP:
+            return _pymk_scored_literal(
+                bi, me_id, [r["dst"] for r in friend_rows], limit
+            )
+
+    return _pymk_scored_distributed(bi, vertices, user_name, limit)
+
+
+def _pymk_scored_literal(
+    bi: DataFrame, me_id, friend_bag: list, limit: int
+) -> DataFrame:
+    """Single-shuffle PYMK: hop-1 bag as literal weights. score(cand) =
+    Σ_{f ∈ bag} mult(f) · #edges(f→cand), excluding self and the friend
+    set — exactly the bag semantics of the join plan."""
+    if not friend_bag:
+        return bi.select(
+            F.col("dst").alias("cand_id"), F.lit(0.0).alias("score")
+        ).limit(0)
+    from collections import Counter
+
+    weights = Counter(friend_bag)
+    ids = sorted(weights)
+    # Weight lookup as a CASE chain of InSet probes over the (few)
+    # distinct multiplicity buckets — NOT a literal map: element_at on a
+    # map literal linear-scans its entries per row, which at bag size B
+    # puts an O(B) probe inside the edge scan. InSet is a hash probe.
+    by_w: dict[int, list] = {}
+    for fid, wv in weights.items():
+        by_w.setdefault(wv, []).append(fid)
+    buckets = sorted(by_w.items(), key=lambda kv: (-len(kv[1]), kv[0]))
+    default_w = buckets[0][0]
+    w_col = None
+    for wv, fids in buckets[1:]:
+        cond = F.col("src").isin(sorted(fids))
+        w_col = (
+            F.when(cond, F.lit(wv)) if w_col is None else w_col.when(cond, F.lit(wv))
+        )
+    w_col = F.lit(default_w) if w_col is None else w_col.otherwise(F.lit(default_w))
+    return (
+        bi.filter(F.col("src").isin(ids))
+        .filter(F.col("dst") != F.lit(me_id))  # O38f: exclude self
+        .filter(~F.col("dst").isin(ids))  # O38g: exclude the friend set
+        .select(F.col("dst").alias("cand_id"), w_col.alias("w"))
+        .groupBy("cand_id")
+        .agg(F.sum("w").cast("double").alias("score"))
+        .orderBy(F.desc("score"), F.asc("cand_id"))
+        .limit(limit)
+    )
+
+
+def _pymk_scored_distributed(
+    bi: DataFrame, vertices: DataFrame, user_name: str, limit: int
+) -> DataFrame:
+    """The broadcast-join plan: for hop-1 bags too large to inline (or
+    ambiguous start vertices — duplicate ``_name`` matches traverse all,
+    with per-path self-exclusion only the join form expresses)."""
     me = (
         vertices.filter(F.col("_name") == user_name.lower())
         .select(F.col("id").alias("me_id"))
@@ -109,7 +206,7 @@ def pymk(
 
     # O38k / O36: hydrate candidate ids from the vertex table. Renamed
     # projection avoids self-join ambiguity (scored descends from vertices).
-    props = vertices.select(
+    props = _v(vertices).select(
         F.col("id").alias("v_id"), F.col("name").alias("v_name")
     )
     return (
@@ -136,7 +233,7 @@ def pymk_hydrated(
     from .queries import hydrate_valuemap
 
     scored = pymk_scored(vertices, edges, user_name, limit)
-    return hydrate_valuemap(scored, vertices, id_col="cand_id").orderBy(
+    return hydrate_valuemap(scored, _v(vertices), id_col="cand_id").orderBy(
         F.desc("score"), F.asc("id")
     )
 

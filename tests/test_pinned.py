@@ -59,8 +59,8 @@ def test_search_index_built_once_released_clean(spark):
 
 
 def test_pymk_no_net_persist_after_release(spark):
-    """pymk/pymk_all pin the symmetrized edge view once per edge relation;
-    release_all unpersists it — no net persisted RDDs."""
+    """pymk pins the symmetrized edge view and the vertex relation once
+    per corpus; release_all unpersists both — no net persisted RDDs."""
     PIN.release_all()
     spark.catalog.clearCache()
     base = _n_persisted(spark)
@@ -69,11 +69,11 @@ def test_pymk_no_net_persist_after_release(spark):
     e = tables.user_graph_edges(spark, SF)
     G.pymk(v, e, "user_3", 5).collect()
     grew = _n_persisted(spark)
-    assert grew == base + 1  # exactly the pinned bi view
+    assert grew == base + 2  # the pinned bi view + the pinned vertices
 
     G.pymk_all(e, limit=3).count()
     assert _n_persisted(spark) == grew  # same bi reused across variants
-    assert len(PIN.pinned_keys()) == 1
+    assert len(PIN.pinned_keys()) == 2
 
     PIN.release_all()
     assert _n_persisted(spark) == base
