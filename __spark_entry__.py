@@ -570,6 +570,23 @@ def _q_dedup_ngram_pairs(spark, sf_dir):
     return D.dedup_ngram_pairs(_aug(spark, sf_dir), threshold=0.3)
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        dedup as D,
+    )
+
+    return D.dedup_clusters(_aug(spark, sf_dir), threshold=0.5)
+
+
+def _q_docs_token_shards(spark, sf_dir):
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        packing as PKG,
+    )
+
+    docs = tables.load_table(spark, sf_dir, "documents")
+    return PKG.token_shards(docs, budget=10_000)
+
+
 def _q_dedup_simhash(spark, sf_dir):
     from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
         dedup as D,
@@ -722,6 +739,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation": _q_corpus_curation,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_ngram_pairs": _q_dedup_ngram_pairs,
+        "dedup_clusters": _q_dedup_clusters,
+        "docs_token_shards": _q_docs_token_shards,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "media_decode": _q_media_decode,

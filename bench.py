@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "dedup_ngram_pairs",
     "text_quality",
     "text_fingerprint",
+    "docs_token_shards",
     "ann_bruteforce",
     "ann_ivf",
     "media_decode",

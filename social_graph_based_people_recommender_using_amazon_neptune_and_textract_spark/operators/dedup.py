@@ -366,6 +366,24 @@ def dedup_ngram_pairs(
     )
 
 
+def dedup_clusters(corpus: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Cluster assignment for near-duplicate documents: connected
+    components (operators/components.py) over the MinHash-LSH verified
+    pair graph. Returns (doc_id, cluster_id, is_canonical) for every doc
+    in ≥1 near-dup pair — cluster_id is the component's min doc_id and
+    the canonical representative is the doc equal to it (the same
+    keep-min rule the curation pipeline applies to exact dups)."""
+    from .components import connected_components
+
+    pairs = dedup_minhash_lsh(corpus, threshold)
+    labels = connected_components(pairs)
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("label") == F.col("node")).alias("is_canonical"),
+    )
+
+
 # --- SimHash --------------------------------------------------------------
 
 SIMHASH_BITS = 32

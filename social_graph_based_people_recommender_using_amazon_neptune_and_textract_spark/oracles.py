@@ -676,6 +676,50 @@ WITH {AUG_CORPUS_SQL}, {_SHINGLE_CTES},
 {_VERIFY}
 SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.5"""
 
+# Cluster assignment (operators/components.py): connected components of
+# the verified ≥0.5-Jaccard pair graph — min reachable id via a
+# recursive label-propagation CTE (UNION dedups, so it reaches the
+# transitive-closure fixpoint exactly like the Spark min-propagation).
+ORACLES["dedup_clusters"] = f"""\
+WITH RECURSIVE {AUG_CORPUS_SQL}, {_SHINGLE_CTES},
+{_MH_CANDS},
+{_VERIFY},
+pairs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5),
+e AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach(node, label) AS (
+  SELECT DISTINCT a, a FROM e
+  UNION
+  SELECT e.a, r.label FROM e JOIN reach r ON r.node = e.b
+)
+SELECT node AS doc_id, min(label) AS cluster_id,
+       (min(label) = node) AS is_canonical
+FROM reach GROUP BY node"""
+
+# Token-budget shard packing (operators/packing.py): exclusive prefix
+# sum of analyzer-token counts over the doc_id total order, floored
+# into budget-sized shards. The oracle's single window IS the naive
+# form the Spark operator decomposes into a two-phase prefix sum.
+ORACLES["docs_token_shards"] = f"""\
+WITH t AS (
+  SELECT doc_id,
+    CAST(len({TOKENIZE.format(col='text')}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+    COALESCE(SUM(n_tokens) OVER (
+      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    ), 0) AS ce
+  FROM t
+)
+SELECT doc_id, n_tokens,
+  CAST(FLOOR(ce / 10000.0) AS BIGINT) AS shard_id
+FROM c"""
+
 # End-to-end curation pipeline (operators/curation.py): independent gate
 # predicates (lang, quality, exact-canonical, near-dup drop) + hash split.
 ORACLES["corpus_curation"] = f"""\

@@ -1,0 +1,78 @@
+"""Connected-components clustering and token-budget shard packing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+    packing as PKG,
+)
+from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.components import (
+    connected_components,
+)
+
+
+def _labels(spark, pairs):
+    df = spark.createDataFrame(pairs, ["doc_a", "doc_b"])
+    return {
+        r.node: r.label for r in connected_components(df).collect()
+    }
+
+
+def test_components_merge_transitively(spark):
+    got = _labels(spark, [(1, 2), (2, 3), (10, 11)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_components_long_chain_converges(spark):
+    """A path graph needs diameter rounds — the worst case for
+    min-propagation; the fixpoint must still be exact."""
+    chain = [(i, i + 1) for i in range(12)]
+    got = _labels(spark, chain)
+    assert got == {i: 0 for i in range(13)}
+
+
+def test_components_orientation_invariant(spark):
+    """Pair orientation (a<b vs b<a) must not change components."""
+    got = _labels(spark, [(5, 1), (2, 5), (9, 7)])
+    assert got == {1: 1, 2: 1, 5: 1, 7: 7, 9: 7}
+
+
+def _shard_df(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_token_shards_matches_sequential_packing(spark):
+    rows = [(i, " ".join(["tok"] * (i % 7 + 1))) for i in range(200)]
+    got = {
+        r.doc_id: (r.n_tokens, r.shard_id)
+        for r in PKG.token_shards(_shard_df(spark, rows), budget=50).collect()
+    }
+    acc = 0
+    for i in range(200):
+        n = i % 7 + 1
+        assert got[i] == (n, acc // 50), f"doc {i}"
+        acc += n
+
+
+def test_token_shards_single_shard_when_budget_large(spark):
+    rows = [(i, "a b c") for i in range(20)]
+    out = PKG.token_shards(_shard_df(spark, rows), budget=10**9)
+    assert {r.shard_id for r in out.collect()} == {0}
+
+
+def test_token_shards_partition_invariant(spark):
+    """The shard assignment is a function of the id order alone — not of
+    input partitioning or the sampled range boundaries."""
+    rows = [(i, " ".join(["w"] * (i % 5 + 1))) for i in range(300)]
+    a = {
+        (r.doc_id, r.shard_id)
+        for r in PKG.token_shards(_shard_df(spark, rows), budget=37).collect()
+    }
+    b = {
+        (r.doc_id, r.shard_id)
+        for r in PKG.token_shards(
+            _shard_df(spark, rows).repartition(7), budget=37, n_partitions=5
+        ).collect()
+    }
+    assert a == b
