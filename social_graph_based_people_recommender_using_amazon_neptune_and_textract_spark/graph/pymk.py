@@ -154,7 +154,11 @@ def _pymk_scored_distributed(
 ) -> DataFrame:
     """The broadcast-join plan: for hop-1 bags too large to inline (or
     ambiguous start vertices — duplicate ``_name`` matches traverse all,
-    with per-path self-exclusion only the join form expresses)."""
+    with per-path self-exclusion only the join form expresses).
+
+    The broadcasts are bounded by the start vertex's degree (one user's
+    hop-1 bag) — tens of MB even for a multimillion-degree whale; the
+    edge table itself is never shuffled in this plan."""
     me = (
         vertices.filter(F.col("_name") == user_name.lower())
         .select(F.col("id").alias("me_id"))

@@ -268,7 +268,12 @@ def dedup_minhash_lsh(corpus: DataFrame, threshold: float = 0.5) -> DataFrame:
             .unionAll(cands.select(F.col("doc_b").alias("doc_id")))
             .distinct()
         )
-        sh_cand = bag.join(F.broadcast(cand_docs), "doc_id").dropDuplicates(
+        # No broadcast hint: in a dup-heavy corpus the candidate-doc set
+        # is corpus-scale and a forced broadcast would OOM; the bag is
+        # already clustered on doc_id, so the join shuffles only the
+        # (small-side) candidate ids — and AQE still lowers it to a
+        # broadcast when the set really is small.
+        sh_cand = bag.join(cand_docs, "doc_id").dropDuplicates(
             ["doc_id", "shingle"]
         )
         return bag, cands, sh_cand
