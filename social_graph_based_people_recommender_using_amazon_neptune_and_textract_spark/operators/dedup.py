@@ -312,26 +312,49 @@ def dedup_ngram_pairs(
     ~|pairs|·|set| rows), decomposed as |shared rare| + |shared hot|;
     the hot correction joins candidate pairs against only the (few, by
     definition ≤ rows/cap) above-cap shingles, so Jaccard stays exact
-    over the FULL sets. The shingle table + df counts are pinned
-    (releasable) — they feed four consumers."""
+    over the FULL sets.
+
+    Two exact prunes from the set-similarity-join literature ride the
+    candidate join itself:
+    - the full set size is denormalized onto every shingle row at index
+      build (one window at pin time), so the SIZE-RATIO filter
+      (J ≥ t ⟹ t·|a| ≤ |b| ≤ |a|/t, Arasu et al.'s SSJoin bound)
+      evaluates inside the join's codegen and drops provably
+      sub-threshold pairs BEFORE the pair aggregation shuffle;
+    - the carried sizes ride the groupBy keys, so the final Jaccard
+      needs no per-side size joins at all.
+    Neither prune changes the result set (the bound is implied by the
+    threshold), so the oracle SQL is unchanged. The shingle table + df
+    counts are pinned (releasable) — they feed four consumers."""
+    from pyspark.sql import Window
+
     from ..pinned import pinned
 
     def _build():
         sh = shingle_table(corpus)
-        dfs = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-        return sh, dfs
+        sized = sh.withColumn(
+            "sz", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+        )
+        dfs = sized.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        return sized, dfs
 
     sh, dfs = pinned(("ngram_shingles", corpus.semanticHash()), _build)
     rare = dfs.filter(F.col("df") <= shingle_df_cap).select("shingle")
     hot = dfs.filter(F.col("df") > shingle_df_cap).select("shingle")
 
     sh_rare = sh.join(rare, "shingle")
-    sa = sh_rare.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = sh_rare.select(F.col("doc_id").alias("doc_b"), "shingle")
+    sa = sh_rare.select(F.col("doc_id").alias("doc_a"), "shingle", F.col("sz").alias("sza"))
+    sb = sh_rare.select(F.col("doc_id").alias("doc_b"), "shingle", F.col("sz").alias("szb"))
+    t = float(threshold)
     shared_rare = (
-        sa.join(sb, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
+        sa.join(
+            sb,
+            (sa["shingle"] == sb["shingle"])
+            & (sa["doc_a"] < sb["doc_b"])
+            & (sb["szb"] >= t * sa["sza"])  # size-ratio bound: J ≥ t
+            & (sa["sza"] >= t * sb["szb"]),  # implies sizes within 1/t
+        )
+        .groupBy("doc_a", "doc_b", "sza", "szb")
         .agg(F.count(F.lit(1)).alias("inter_rare"))
     )
 
@@ -346,9 +369,6 @@ def dedup_ngram_pairs(
         .agg(F.count(F.lit(1)).alias("inter_hot"))
     )
 
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
-    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
     inter = shared_rare.join(
         shared_hot, ["doc_a", "doc_b"], "left"
     ).withColumn(
@@ -356,9 +376,7 @@ def dedup_ngram_pairs(
         F.col("inter_rare") + F.coalesce(F.col("inter_hot"), F.lit(0)),
     )
     return (
-        inter.join(za, "doc_a")
-        .join(zb, "doc_b")
-        .select(
+        inter.select(
             "doc_a",
             "doc_b",
             F.round(
