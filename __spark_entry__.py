@@ -535,6 +535,39 @@ def _q_docs_split_counts(spark, sf_dir):
     )
 
 
+def _q_customers_balanced_sample(spark, sf_dir):
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        sampling as SA,
+    )
+
+    cust = tables.load_table(spark, sf_dir, "customer")
+    return SA.stratified_topn(cust, "c_custkey", "c_nationkey", 20).select(
+        "c_custkey", "c_nationkey"
+    )
+
+
+def _q_lineitem_pricing_summary(spark, sf_dir):
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        warehouse as W,
+    )
+
+    return W.pricing_summary(tables.load_table(spark, sf_dir, "lineitem"))
+
+
+def _q_region_revenue(spark, sf_dir):
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        warehouse as W,
+    )
+
+    return W.region_revenue(
+        tables.load_table(spark, sf_dir, "lineitem"),
+        tables.load_table(spark, sf_dir, "orders"),
+        tables.load_table(spark, sf_dir, "customer"),
+        tables.load_table(spark, sf_dir, "nation"),
+        tables.load_table(spark, sf_dir, "region"),
+    )
+
+
 def _q_dedup_exact(spark, sf_dir):
     from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
         dedup as D,
@@ -735,6 +768,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats": _q_session_stats,
         "docs_hash_sample": _q_docs_hash_sample,
         "docs_split_counts": _q_docs_split_counts,
+        "customers_balanced_sample": _q_customers_balanced_sample,
+        "lineitem_pricing_summary": _q_lineitem_pricing_summary,
+        "region_revenue": _q_region_revenue,
         "dedup_exact": _q_dedup_exact,
         "corpus_curation": _q_corpus_curation,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,

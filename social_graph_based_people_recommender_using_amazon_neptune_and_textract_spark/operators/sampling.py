@@ -52,3 +52,33 @@ def hash_split(
         .otherwise(F.lit("test"))
     )
     return df.withColumn("split", split)
+
+
+def stratified_topn(
+    df: DataFrame, key: str, strata: str, n_per_stratum: int
+) -> DataFrame:
+    """Balanced per-stratum sample: exactly min(n, |stratum|) rows per
+    stratum — the "equal docs per language" rebalancing step a skewed
+    corpus needs, where a global fraction would just reproduce the skew.
+
+    Rows rank within their stratum by the keyed md5 (the same hash as
+    ``hash_sample``, so membership is auditable from the key alone, and
+    adding rows to OTHER strata never changes a stratum's selection);
+    the key itself breaks hash ties, making the sample a deterministic
+    total function of (stratum, key).
+
+    Scale: one shuffle on the strata column; heavily-skewed strata sort
+    within partitions (window top-n); AQE splits skewed strata. For
+    corpora where a single stratum dwarfs memory, pre-filter with
+    ``hash_sample`` at a safe over-sampling fraction first and rank the
+    survivors — the composition stays deterministic."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata).orderBy(
+        _bucket(F.col(key)), F.col(key)
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_per_stratum)
+        .drop("_rk")
+    )

@@ -1,0 +1,92 @@
+"""Warehouse-analytics queries over the TPC-H-shaped testdata tables
+(lineitem / orders / customer / nation / region) — the classic Catalyst
+showcase shapes: predicate pushdown into the parquet scan, column
+pruning, map-side partial aggregation, and broadcast dimension joins.
+
+These exercise the largest testdata tables (lineitem is 600k rows at
+sf0.1 and the table that actually becomes 100 TB in a real warehouse)
+with the plans that must hold at that scale: a scan-side filter that
+reaches PushedFilters, aggregations that combine before the exchange,
+and dimension joins that ship megabytes, not the fact table.
+
+Determinism contract: every SUM over a floating-point measure goes
+through DECIMAL(18,6). Double addition is not associative, so a
+partition-ordered double sum differs run-to-run and engine-to-engine;
+decimal sums are exact. The exact decimal is then cast to double and
+ROUNDED TO 4 DECIMALS: the engines' decimal→double casts can disagree
+by 1 ulp (DuckDB divides the int128 by 10^scale in double space; the
+JVM rounds the exact decimal), and the measures' true scale is ≤4dp
+(2dp money × 2dp discount), so the 4dp round collapses both ulp
+neighbors onto the same double. Ratios (avgs) divide the ROUNDED sums
+in double space — identical inputs, identical IEEE result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEC = "decimal(18,6)"
+
+
+def pricing_summary(lineitem: DataFrame, cutoff: str = "2000-12-31") -> DataFrame:
+    """TPC-H Q1-flavored pricing summary: per (returnflag, linestatus)
+    totals and averages for rows shipped on or before ``cutoff``.
+    Single scan → pushdown filter → one partial+final aggregation."""
+    qty = F.col("l_quantity").cast(DEC)
+    price = F.col("l_extendedprice").cast(DEC)
+    disc = F.col("l_discount").cast(DEC)
+    disc_price = price * (F.lit(1).cast(DEC) - disc)
+    li = lineitem.filter(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp"))
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty).alias("_sq"),
+        F.sum(price).alias("_sp"),
+        F.sum(disc_price).alias("_sd"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+    sq = F.round(F.col("_sq").cast("double"), 4)
+    sp = F.round(F.col("_sp").cast("double"), 4)
+    sd = F.round(F.col("_sd").cast("double"), 4)
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        sq.alias("sum_qty"),
+        sp.alias("sum_base_price"),
+        sd.alias("sum_disc_price"),
+        F.round(sq / F.col("count_order"), 6).alias("avg_qty"),
+        F.round(sp / F.col("count_order"), 6).alias("avg_price"),
+        "count_order",
+    )
+
+
+def region_revenue(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    year: int = 1997,
+) -> DataFrame:
+    """TPC-H Q5-flavored regional revenue: discounted revenue of ``year``
+    orders, rolled up to the ordering customer's region.
+
+    Join shape for a 100 TB fact table: lineitem ⋈ orders shuffles on
+    orderkey (the two big relations); customer arrives already reduced
+    to (custkey, nationkey); nation and region are broadcast — the
+    dimension path ships kilobytes while the fact path is one co-
+    partitioned join + one aggregate."""
+    price = F.col("l_extendedprice").cast(DEC)
+    disc = F.col("l_discount").cast(DEC)
+    o = orders.filter(F.year("o_orderdate") == year).select("o_orderkey", "o_custkey")
+    c = customer.select("c_custkey", "c_nationkey")
+    n = nation.select("n_nationkey", "n_regionkey")
+    r = region.select("r_regionkey", "r_name")
+    return (
+        lineitem.select("l_orderkey", (price * (F.lit(1).cast(DEC) - disc)).alias("_rev"))
+        .join(o, F.col("l_orderkey") == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name")
+        .agg(F.round(F.sum("_rev").cast("double"), 4).alias("revenue"))
+    )

@@ -594,6 +594,54 @@ SELECT split, count(*) AS n FROM (
   FROM documents
 ) GROUP BY split"""
 
+# Balanced per-stratum sample (operators/sampling.py stratified_topn):
+# rank within stratum by the keyed md5 bucket (key breaks hash ties).
+_CUST_BUCKET = "CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT) % 10000"
+ORACLES["customers_balanced_sample"] = f"""\
+SELECT c_custkey, c_nationkey FROM (
+  SELECT c_custkey, c_nationkey,
+    ROW_NUMBER() OVER (
+      PARTITION BY c_nationkey
+      ORDER BY {_CUST_BUCKET}, c_custkey
+    ) AS rk
+  FROM customer
+) WHERE rk <= 20"""
+
+# --- warehouse analytics (operators/warehouse.py) --------------------------
+# Every float SUM goes through DECIMAL(18,6) in BOTH engines (double
+# addition is order-dependent; decimal sums are exact), then the
+# decimal→double cast is rounded to the measures' true 4dp scale — the
+# engines' casts can sit 1 ulp apart (DuckDB divides the int128 by
+# 10^scale in double space) and the round collapses both onto one
+# double. Avgs divide the ROUNDED sums so their inputs are identical.
+
+_DQTY = "CAST(l_quantity AS DECIMAL(18,6))"
+_DPRICE = "CAST(l_extendedprice AS DECIMAL(18,6))"
+_DDISC = "CAST(l_discount AS DECIMAL(18,6))"
+
+ORACLES["lineitem_pricing_summary"] = f"""\
+SELECT l_returnflag, l_linestatus,
+  round(CAST(SUM({_DQTY}) AS DOUBLE), 4) AS sum_qty,
+  round(CAST(SUM({_DPRICE}) AS DOUBLE), 4) AS sum_base_price,
+  round(CAST(SUM({_DPRICE} * (1 - {_DDISC})) AS DOUBLE), 4) AS sum_disc_price,
+  round(round(CAST(SUM({_DQTY}) AS DOUBLE), 4) / count(*), 6) AS avg_qty,
+  round(round(CAST(SUM({_DPRICE}) AS DOUBLE), 4) / count(*), 6) AS avg_price,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-31 00:00:00'
+GROUP BY l_returnflag, l_linestatus"""
+
+ORACLES["region_revenue"] = f"""\
+SELECT r_name,
+  round(CAST(SUM({_DPRICE} * (1 - {_DDISC})) AS DOUBLE), 4) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE year(o_orderdate) = 1997
+GROUP BY r_name"""
+
 # --- dedup family ---------------------------------------------------------
 
 # Streaming exact dedup: the emitted hash set is the batch DISTINCT.

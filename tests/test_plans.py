@@ -209,3 +209,35 @@ def test_minhash_agg_reuses_doc_partitioning(spark):
     sigs = D.minhash_signatures(corpus)
     # repartition(text) = 1 exchange; groupBy(doc_id) must add none.
     assert PL.exchange_count(sigs) == 1, PL.physical_plan(sigs)
+
+
+def test_pricing_summary_pushdown_single_exchange(spark):
+    """Q1 shape: the shipdate filter reaches the parquet scan and the
+    whole query is one partial+final aggregation — a second exchange
+    would mean the combine isn't map-side."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        warehouse as W,
+    )
+
+    q1 = W.pricing_summary(tables.load_table(spark, SF, "lineitem"))
+    assert any("l_shipdate" in f for f in PL.pushed_filters(q1)), (
+        "shipdate filter must push into the scan"
+    )
+    assert PL.exchange_count(q1) == 1
+
+
+def test_region_revenue_broadcasts_dims(spark):
+    """Q5 shape: nation and region ship as broadcasts; the lineitem fact
+    path must never be the build side of anything."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        warehouse as W,
+    )
+
+    q5 = W.region_revenue(
+        tables.load_table(spark, SF, "lineitem"),
+        tables.load_table(spark, SF, "orders"),
+        tables.load_table(spark, SF, "customer"),
+        tables.load_table(spark, SF, "nation"),
+        tables.load_table(spark, SF, "region"),
+    )
+    assert PL.broadcast_join_count(q5) >= 2

@@ -34,3 +34,19 @@ def test_split_stable_under_superset(spark):
     s_small = {r.doc_id: r.split for r in SA.hash_split(small, "doc_id").collect()}
     s_big = {r.doc_id: r.split for r in SA.hash_split(big, "doc_id").collect()}
     assert all(s_big[k] == v for k, v in s_small.items())
+
+
+def test_stratified_topn_balances_and_is_stable(spark):
+    from pyspark.sql import functions as F
+
+    rows = [(i, i % 3) for i in range(300)] + [(1000 + i, 99) for i in range(5)]
+    df = spark.createDataFrame(rows, ["k", "g"])
+    out = SA.stratified_topn(df, "k", "g", 10)
+    counts = {r.g: r.n for r in out.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {0: 10, 1: 10, 2: 10, 99: 5}  # min(n, |stratum|)
+
+    # growing OTHER strata must not change a stratum's selection
+    bigger = spark.createDataFrame(rows + [(2000 + i, 0) for i in range(50)], ["k", "g"])
+    sel_small = {r.k for r in SA.stratified_topn(df, "k", "g", 10).filter("g = 1").collect()}
+    sel_big = {r.k for r in SA.stratified_topn(bigger, "k", "g", 10).filter("g = 1").collect()}
+    assert sel_small == sel_big
