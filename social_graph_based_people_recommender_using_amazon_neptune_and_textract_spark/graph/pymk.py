@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..pinned import pinned
+from ..pinned import memo, pinned
 from .model import symmetrize
 
 
@@ -249,20 +249,18 @@ def pymk_hydrated(
 WHALE_DEGREE_CAP = 10_000
 SALT_R = 16
 
-#: Per-process memo of "does this edge relation have any whale vertex" —
-#: one cheap degree-aggregate probe per (corpus, cap), mirroring how AQE
-#: consults runtime statistics before picking a physical strategy.
-_WHALE_MEMO: dict[tuple, bool] = {}
-
-
 def _has_whales(bi: DataFrame, memo_key: tuple, cap: int) -> bool:
-    key = (memo_key, cap)
-    if key not in _WHALE_MEMO:
+    """Memo of "does this edge relation have any whale vertex" — one cheap
+    degree-aggregate probe per (corpus, cap), mirroring how AQE consults
+    runtime statistics before picking a physical strategy. Cached through
+    the pinned registry's scalar memo so the corpus-swap release path
+    invalidates it with the pinned ``bi`` view it describes."""
+
+    def _probe() -> bool:
         deg = bi.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-        _WHALE_MEMO[key] = (
-            deg.filter(F.col("deg") > cap).limit(1).count() > 0
-        )
-    return _WHALE_MEMO[key]
+        return deg.filter(F.col("deg") > cap).limit(1).count() > 0
+
+    return bool(memo(("has_whales", memo_key, cap), _probe))
 
 
 def _hop2_pairs_plain(bi: DataFrame) -> DataFrame:

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..pinned import pinned
+from ..pinned import memo, pinned
 from .bm25 import (
     SCORE_DECIMALS,
     bm25_scores,
@@ -28,20 +28,17 @@ from .index import build_index, tokenize
 
 SEARCH_FIELDS = [("name", 3.0), ("company", 1.0), ("job_title", 1.0), ("addr", 1.0)]
 
-#: Driver-side memo of per-corpus index statistics (N, avgdl) — Lucene's
-#: CollectionStatistics, computed once per corpus (keyed by the doclen
-#: relation's semanticHash) instead of re-aggregated per query. Plain
-#: Python scalars: nothing to unpersist on corpus swap.
-_STATS_MEMO: dict = {}
-
-
 def _memo_stats(doclen: DataFrame, by_field: bool):
-    key = (by_field, doclen.semanticHash())
-    if key not in _STATS_MEMO:
-        _STATS_MEMO[key] = (
-            corpus_stats_by_field(doclen) if by_field else corpus_stats(doclen)
-        )
-    return _STATS_MEMO[key]
+    """Per-corpus index statistics (N, avgdl) — Lucene's
+    CollectionStatistics, computed once per corpus instead of
+    re-aggregated per query. Cached through the pinned registry's scalar
+    memo so ``pinned.release``/``release_all`` (the documented corpus-swap
+    path) invalidates the stats together with the index relations they
+    were derived from."""
+    return memo(
+        ("bm25_stats", by_field, doclen.semanticHash()),
+        lambda: corpus_stats_by_field(doclen) if by_field else corpus_stats(doclen),
+    )
 
 
 def _melt_fields(bizcards: DataFrame) -> DataFrame:

@@ -50,19 +50,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan; column pruning + filter pushdown are preserved by
     returning the raw scan (callers select/filter and Catalyst pushes).
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark 4 rejects
-    (PARQUET_TYPE_ILLEGAL) — read it as long nanos (session conf, set at
-    runtime so any host-provided SparkSession works) and convert to a
-    proper UTC timestamp column. Timezone is pinned so ``date_format``
-    output is deterministic regardless of host session defaults.
+    ``events.ts`` has shipped in two physical shapes across driver testdata
+    generations: parquet TIMESTAMP(NANOS) (which Spark 4 rejects unless read
+    as long nanos) and plain TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ).
+    Normalize both to a session-timezone TIMESTAMP so downstream
+    ``date_format``/``window`` output is deterministic; timezone pinned UTC
+    regardless of host session defaults.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        ts_type = df.schema["ts"].dataType.simpleString()
+        if ts_type == "bigint":  # nanos-as-long generation
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # TIMESTAMP_NTZ (micros) generation: same wall-clock instant under
+        # the pinned UTC session zone.
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
