@@ -260,7 +260,10 @@ def _has_whales(bi: DataFrame, memo_key: tuple, cap: int) -> bool:
         deg = bi.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
         return deg.filter(F.col("deg") > cap).limit(1).count() > 0
 
-    return bool(memo(("has_whales", memo_key, cap), _probe))
+    # ``memo_key`` IS the pinned key of the ``bi`` view the probe reads —
+    # declaring it as parent gives the probe precise eviction when that
+    # corpus is released (pinned.py memo-dependency tracking).
+    return bool(memo(("has_whales", memo_key, cap), _probe, parent=memo_key))
 
 
 def _hop2_pairs_plain(bi: DataFrame) -> DataFrame:

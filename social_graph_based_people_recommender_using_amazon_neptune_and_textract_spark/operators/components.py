@@ -8,21 +8,23 @@ no graph-clustering operator (its dedup is the exact content_id key,
 upsert_bizcard_to_es.py:96-108); this belongs to the LLM-pipeline
 extension family (SURVEY §4.3).
 
-Algorithm: distributed min-label propagation to fixpoint.
+Algorithm: distributed min-label propagation with pointer jumping.
 
-- Labels start as each node's own id; each round joins the (persisted)
-  symmetric edge list against current labels and takes the min of own
-  and neighbor labels; ``localCheckpoint`` truncates the growing lineage
-  (same device as k-hop BFS, graph/traverse.py) and the loop exits when
-  a round changes nothing.
-- Rounds needed = graph diameter. Near-dup components are dense and
-  shallow (near-cliques of mutual high-Jaccard neighbors), so 2-3
-  rounds in practice. For adversarial long-chain graphs the O(log n)
-  alternative is star contraction (Kiveris et al., "Connected
-  Components in MapReduce and Beyond"); min-propagation is chosen here
-  because each round is ONE join + ONE aggregate on the same hash key —
-  no re-keying shuffle between rounds, and the label relation never
-  grows beyond one row per node.
+- Labels start as each node's own id; each round (1) joins the
+  (persisted) symmetric edge list against current labels and takes the
+  min of own and neighbor labels, then (2) SHORTCUTS: re-joins the label
+  relation to itself so every node adopts its label's label (pointer
+  jumping / path halving — the device behind the O(log n) round bounds
+  of Kiveris et al., "Connected Components in MapReduce and Beyond").
+  Neighbor-min alone needs diameter rounds (a 100 TB chain-shaped
+  component would exceed any fixed cap); with the shortcut the label
+  graph's depth roughly halves per round, so rounds ≈ log2(diameter) —
+  a depth-2^25 component converges inside the default cap of 25.
+- ``localCheckpoint`` truncates the growing lineage (same device as
+  k-hop BFS, graph/traverse.py) and the loop exits when a round changes
+  nothing. If the cap is ever exhausted with changes still occurring,
+  the loop RAISES rather than returning silently wrong labels —
+  non-convergence is a correctness failure, not a best-effort answer.
 - 100 TB: the edge list is a pair table orders of magnitude smaller
   than the corpus (only docs with a near-dup appear at all); both join
   sides hash-partition on node id; AQE splits buckets skewed by hub
@@ -44,7 +46,12 @@ def connected_components(
 ) -> DataFrame:
     """(node, label) — ``label`` is the minimum node id in the node's
     connected component. Only nodes appearing in ``pairs`` are returned
-    (singletons are their own trivial cluster by definition)."""
+    (singletons are their own trivial cluster by definition).
+
+    Raises ``RuntimeError`` if ``max_rounds`` is exhausted while labels
+    are still changing (cannot happen for components of diameter
+    ≤ ~2^max_rounds thanks to the pointer-jumping shortcut, but a silent
+    wrong answer is never acceptable)."""
     sym = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionAll(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
@@ -61,10 +68,21 @@ def connected_components(
             prop = sym.join(labels, sym["dst"] == labels["node"]).select(
                 F.col("src").alias("node"), "label"
             )
-            new = (
+            mins = (
                 prop.unionAll(labels)
                 .groupBy("node")
                 .agg(F.min("label").alias("label"))
+            )
+            # Pointer jumping: adopt the label's own label. Every label IS
+            # a node in ``labels`` (it is some node's min so far), so the
+            # inner join is total; one extra same-key join halves the
+            # label-forest depth each round → O(log diameter) rounds.
+            lut = labels.select(
+                F.col("node").alias("_ln"), F.col("label").alias("_ll")
+            )
+            new = (
+                mins.join(lut, mins["label"] == lut["_ln"])
+                .select("node", F.least("label", "_ll").alias("label"))
                 .localCheckpoint()
             )
             changed = (
@@ -76,6 +94,12 @@ def connected_components(
             labels = new
             if changed == 0:
                 break
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_rounds} "
+                "rounds — labels were still changing in the final round; "
+                "raise max_rounds (rounds needed ≈ log2(component diameter))"
+            )
     finally:
         sym.unpersist()
     return labels

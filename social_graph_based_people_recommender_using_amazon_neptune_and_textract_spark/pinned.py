@@ -10,14 +10,14 @@ session because the caller has no handle to release it.
 
 This registry is that handle:
 
-- ``pinned(key, build)`` — return the cached relations for ``key``,
-  building + persisting them exactly once per process. Keys embed the
-  input DataFrame's ``semanticHash()``, so the same logical corpus reuses
-  the same index while a different corpus builds its own (an ES index per
-  distinct document set).
-- ``release(key)`` / ``release_all()`` — unpersist and forget; the
-  explicit DROP INDEX. Long-lived servers call this on corpus swap;
-  tests assert storage returns to baseline.
+- ``pinned(key, build, token=None)`` — return the cached relations for
+  ``key``, building + persisting them exactly once per process. Keys
+  embed the input DataFrame's ``semanticHash()``, so the same logical
+  corpus reuses the same index while a different corpus builds its own
+  (an ES index per distinct document set).
+- ``release(key, token=None)`` / ``release_all()`` — unpersist and
+  forget; the explicit DROP INDEX. Long-lived servers call this on
+  corpus swap; tests assert storage returns to baseline.
 
 Persist is lazy: pinning costs nothing until the first action touches the
 relation, so registering an index for a corpus that is never queried with
@@ -25,19 +25,28 @@ scoring terms never computes it.
 
 Scalar memos ride the same lifecycle: ``memo(key, compute)`` caches
 driver-side scalars derived from a pinned corpus (BM25 collection stats,
-whale-degree probes). They are invalidated by the SAME ``release``/
-``release_all`` paths as the relations they derive from, so the documented
-corpus-swap procedure (release, re-pin) cannot serve stale statistics.
+whale-degree probes). A memo that declares its ``parent`` pinned key is
+evicted precisely when that key is released; memos without a declared
+parent are dropped on ANY successful release (over-invalidation is the
+safe direction — recompute is one small aggregate). A ``release`` of a
+key that was never pinned is a pure no-op: it returns False and
+invalidates nothing.
 
-Aliasing caveat (documented limitation): keys embed
+Aliasing caveat and the ``token`` remedy: keys embed
 ``DataFrame.semanticHash()`` — a 32-bit hash of the LOGICAL plan, not the
 data. Re-reading the same path after its files were replaced in place
 yields the identical plan hash, so a long-lived server swapping a corpus
-*in place* MUST call ``release_all()`` (or ``release`` on the affected
-keys) before re-querying; otherwise the old persisted index and memoized
-stats are served. Callers that version their corpora can avoid the
-procedure entirely by baking a snapshot token into the path (the idiomatic
-Spark shape: immutable, versioned table locations).
+*in place* would otherwise be served a MIXED snapshot: Spark's
+``recacheByPath`` re-reads cached relations from the new files while the
+driver-side memos keep the old snapshot's statistics — an inconsistency
+worse than either clean snapshot. ``token`` is the caller-supplied
+snapshot version (ingest batch
+id, table snapshot, deploy stamp) mixed into the registry key: pin with
+``token="v2"`` after the swap and a fresh index builds immediately — no
+``release_all()`` required, and the old snapshot's index remains
+releasable under its own token. Callers that version their corpus PATHS
+(immutable table locations, the idiomatic Spark shape) never need either
+procedure.
 """
 
 from __future__ import annotations
@@ -48,41 +57,71 @@ from pyspark.sql import DataFrame
 
 _REGISTRY: dict[Hashable, tuple[DataFrame, ...]] = {}
 _MEMOS: dict[Hashable, object] = {}
+#: pinned key -> the memo keys derived from it (precise eviction set).
+_MEMO_DEPS: dict[Hashable, set[Hashable]] = {}
+
+
+def effective_key(key: Hashable, token: Hashable | None = None) -> Hashable:
+    """The registry key actually used for ``(key, token)`` — exposed so
+    callers can name the same entry for ``memo(parent=...)`` wiring."""
+    return key if token is None else ("__token__", token, key)
 
 
 def pinned(
-    key: Hashable, build: Callable[[], tuple[DataFrame, ...]]
+    key: Hashable,
+    build: Callable[[], tuple[DataFrame, ...]],
+    token: Hashable | None = None,
 ) -> tuple[DataFrame, ...]:
-    """Relations for ``key``, built + persisted at most once per process."""
-    hit = _REGISTRY.get(key)
+    """Relations for ``key`` (under snapshot ``token``), built + persisted
+    at most once per process."""
+    k = effective_key(key, token)
+    hit = _REGISTRY.get(k)
     if hit is not None:
         return hit
     dfs = tuple(df.persist() for df in build())
-    _REGISTRY[key] = dfs
+    _REGISTRY[k] = dfs
     return dfs
 
 
-def memo(key: Hashable, compute: Callable[[], object]) -> object:
+def memo(
+    key: Hashable,
+    compute: Callable[[], object],
+    parent: Hashable | None = None,
+) -> object:
     """Driver-side scalar derived from a pinned corpus, computed at most
-    once per process and cleared by ``release``/``release_all`` alongside
-    the relations it derives from."""
+    once per process. ``parent`` is the EFFECTIVE pinned key the scalar
+    derives from (see ``effective_key``): declared parents get precise
+    eviction on that key's release; undeclared memos are cleared on any
+    successful release."""
     if key not in _MEMOS:
         _MEMOS[key] = compute()
+    if parent is not None:
+        _MEMO_DEPS.setdefault(parent, set()).add(key)
     return _MEMOS[key]
 
 
-def release(key: Hashable) -> bool:
+def release(key: Hashable, token: Hashable | None = None) -> bool:
     """Unpersist and forget one pinned entry; True if it existed.
-    Also drops every scalar memo (memo→relation dependencies are not
-    tracked; over-invalidation is the safe direction — recompute is one
-    small aggregate). Unpersist is blocking so storage accounting is
-    deterministic for callers that assert on it."""
-    _MEMOS.clear()
-    dfs = _REGISTRY.pop(key, None)
+
+    Memo eviction: the released key's declared memos are dropped
+    precisely; memos with NO declared parent are dropped too (their
+    provenance is unknown — over-invalidation is the safe direction).
+    Releasing a key that was never pinned is a pure no-op (returns False,
+    invalidates nothing — a previous revision wiped every memo here).
+    Unpersist is blocking so storage accounting is deterministic for
+    callers that assert on it."""
+    k = effective_key(key, token)
+    dfs = _REGISTRY.pop(k, None)
     if dfs is None:
         return False
     for df in dfs:
         df.unpersist(blocking=True)
+    for mk in _MEMO_DEPS.pop(k, set()):
+        _MEMOS.pop(mk, None)
+    tracked = set().union(set(), *_MEMO_DEPS.values())
+    for mk in list(_MEMOS):
+        if mk not in tracked:
+            del _MEMOS[mk]
     return True
 
 
@@ -90,10 +129,13 @@ def release_all() -> int:
     """Unpersist and forget every pinned entry (and all scalar memos);
     returns how many relations were released."""
     n = 0
-    for key in list(_REGISTRY):
-        release(key)
+    for k in list(_REGISTRY):
+        dfs = _REGISTRY.pop(k)
+        for df in dfs:
+            df.unpersist(blocking=True)
         n += 1
     _MEMOS.clear()
+    _MEMO_DEPS.clear()
     return n
 
 

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..pinned import memo, pinned
+from ..pinned import effective_key, memo, pinned
 from .bm25 import (
     SCORE_DECIMALS,
     bm25_scores,
@@ -28,16 +28,18 @@ from .index import build_index, tokenize
 
 SEARCH_FIELDS = [("name", 3.0), ("company", 1.0), ("job_title", 1.0), ("addr", 1.0)]
 
-def _memo_stats(doclen: DataFrame, by_field: bool):
+def _memo_stats(doclen: DataFrame, by_field: bool, parent=None):
     """Per-corpus index statistics (N, avgdl) — Lucene's
     CollectionStatistics, computed once per corpus instead of
     re-aggregated per query. Cached through the pinned registry's scalar
-    memo so ``pinned.release``/``release_all`` (the documented corpus-swap
-    path) invalidates the stats together with the index relations they
-    were derived from."""
+    memo; ``parent`` is the index's effective pinned key, so releasing
+    that index (or pinning a new snapshot under a different ``token``)
+    serves fresh stats — the memo key embeds the parent, never just the
+    doclen plan hash (two snapshots of one path share the plan hash)."""
     return memo(
-        ("bm25_stats", by_field, doclen.semanticHash()),
+        ("bm25_stats", by_field, parent if parent is not None else doclen.semanticHash()),
         lambda: corpus_stats_by_field(doclen) if by_field else corpus_stats(doclen),
+        parent=parent,
     )
 
 
@@ -52,24 +54,31 @@ def _melt_fields(bizcards: DataFrame) -> DataFrame:
     )
 
 
-def documents_index(documents: DataFrame) -> tuple[DataFrame, DataFrame]:
+def documents_index(
+    documents: DataFrame, token=None
+) -> tuple[DataFrame, DataFrame]:
     """(postings, doclen) for the documents corpus — the materialized
     auxiliary structure (SURVEY §3.2), built + persisted ONCE per corpus
     via the pinned-relation registry and reused by every subsequent query
     (the ES/Lucene index/query split, upsert_bizcard_to_es.py:77-90 vs
     es_search_bizcard.py:59-84). ``pinned.release``/``release_all`` is the
-    explicit DROP INDEX for long-lived sessions."""
+    explicit DROP INDEX for long-lived sessions; ``token`` is the
+    caller's corpus snapshot version — pass a new token after replacing
+    the corpus files in place and a fresh index builds without any
+    release procedure (pinned.py module docs)."""
     return pinned(
         ("doc_index", documents.semanticHash()),
         lambda: build_index(documents, "doc_id", "text"),
+        token=token,
     )
 
 
 def bizcard_index(
-    bizcards: DataFrame,
+    bizcards: DataFrame, token=None
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(alive, postings, doclen) — the per-field bizcard index, pinned
-    once per corpus (keys embed ``semanticHash``). ``alive`` is pinned
+    once per corpus (keys embed ``semanticHash``; ``token`` versions
+    in-place corpus swaps, see ``documents_index``). ``alive`` is pinned
     too: it feeds the melt AND the final hydration join."""
 
     def _build():
@@ -91,7 +100,7 @@ def bizcard_index(
         )
         return alive, postings, doclen
 
-    return pinned(("bizcard_index", bizcards.semanticHash()), _build)
+    return pinned(("bizcard_index", bizcards.semanticHash()), _build, token=token)
 
 
 def search_documents(
@@ -99,6 +108,7 @@ def search_documents(
     query: str,
     limit: int = 10,
     index: tuple[DataFrame, DataFrame] | None = None,
+    token=None,
 ) -> DataFrame:
     """Single-field BM25 top-k over the documents corpus.
     Returns (doc_id, score). Index built once per corpus (pinned);
@@ -106,10 +116,18 @@ def search_documents(
 
     Serving shape: pass ``index=documents_index(corpus)`` (built once,
     queried many times — the ES index/query split) and the query never
-    touches the corpus relation at all."""
+    touches the corpus relation at all. ``token`` versions in-place
+    corpus swaps (see ``documents_index``)."""
     terms = [t for t in _terms(query)]
-    postings, doclen = index if index is not None else documents_index(documents)
-    scored = bm25_scores(postings, doclen, terms, stats=_memo_stats(doclen, False))
+    if index is not None:
+        postings, doclen = index
+        parent = None
+    else:
+        postings, doclen = documents_index(documents, token=token)
+        parent = effective_key(("doc_index", documents.semanticHash()), token)
+    scored = bm25_scores(
+        postings, doclen, terms, stats=_memo_stats(doclen, False, parent)
+    )
     return (
         scored.select(F.col("id").alias("doc_id"), "score")
         .orderBy(F.desc("score"), F.asc("doc_id"))
@@ -123,6 +141,7 @@ def search_bizcards(
     user: str | None = None,
     limit: int = 10,
     index: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+    token=None,
 ) -> DataFrame:
     """O26/O27/O28/O29: boosted multi-field search over alive bizcards.
     Returns (doc_id, owner, name, score).
@@ -137,9 +156,12 @@ def search_bizcards(
     index build — es_search_bizcard.py queries an index that
     upsert_bizcard_to_es.py built, it never re-indexes per request.
     """
-    alive, postings, doclen = (
-        index if index is not None else bizcard_index(bizcards)
-    )
+    if index is not None:
+        alive, postings, doclen = index
+        parent = None
+    else:
+        alive, postings, doclen = bizcard_index(bizcards, token=token)
+        parent = effective_key(("bizcard_index", bizcards.semanticHash()), token)
     terms = [t for t in _terms(query)] if query else []
 
     if not terms:
@@ -151,7 +173,7 @@ def search_bizcards(
         return hits.orderBy(F.desc("score"), F.asc("doc_id")).limit(limit)
 
     fscores = bm25_scores_by_field(
-        postings, doclen, terms, stats=_memo_stats(doclen, True)
+        postings, doclen, terms, stats=_memo_stats(doclen, True, parent)
     )
 
     boost = F.when(F.col("field") == "name", F.lit(3.0)).otherwise(F.lit(1.0))

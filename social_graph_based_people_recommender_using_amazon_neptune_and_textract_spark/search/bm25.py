@@ -52,11 +52,17 @@ def idf(n: int, df: int) -> float:
 
 def corpus_stats(doclen: DataFrame) -> tuple[int, float]:
     """(N, avgdl) for a single-field corpus — one tiny agg job. Callers
-    memoize per corpus (index metadata, not per-query work)."""
+    memoize per corpus (index metadata, not per-query work).
+
+    Empty corpus → (0, 0.0): ``avg`` over zero rows is NULL, and a query
+    against an empty index must serve zero hits (the reference serves
+    '[]' on any degenerate request, es_search_bizcard.py:98-106), not
+    crash on ``float(None)``."""
     row = doclen.agg(
         F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
     ).collect()[0]
-    return int(row["n"]), float(row["avgdl"])
+    n = int(row["n"])
+    return n, (float(row["avgdl"]) if n else 0.0)
 
 
 def corpus_stats_by_field(doclen: DataFrame) -> dict[str, tuple[int, float]]:
@@ -132,6 +138,10 @@ def bm25_scores(
     corpus stats when not supplied), then the scoring plan is a zero-join
     postings scan with a single per-doc aggregation."""
     n, avgdl = stats if stats is not None else corpus_stats(doclen)
+    if n == 0:
+        # Empty index: zero hits by definition — short-circuit to an empty
+        # relation with the result schema (no term-stats job, no scan).
+        return postings.select("id", F.lit(0.0).alias("score")).limit(0)
     dfs = term_dfs(postings, terms)
     idf_col = _case_chain(
         [(F.col("tok") == t, idf(n, df)) for t, df in sorted(dfs.items())]

@@ -53,9 +53,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``events.ts`` has shipped in two physical shapes across driver testdata
     generations: parquet TIMESTAMP(NANOS) (which Spark 4 rejects unless read
     as long nanos) and plain TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ).
-    Normalize both to a session-timezone TIMESTAMP so downstream
-    ``date_format``/``window`` output is deterministic; timezone pinned UTC
-    regardless of host session defaults.
+    Normalize both to a TIMESTAMP whose instant is the stored wall clock
+    read as UTC. Both branches are timezone-EXPLICIT — the NTZ branch
+    round-trips through a string with an explicit 'Z' zone, which the
+    string→timestamp cast honors over the session zone — so the instants
+    are correct even if host code later changes
+    ``spark.sql.session.timeZone`` (round-3 ADVICE: a bare
+    ``cast("timestamp")`` is interpreted with the session zone at QUERY
+    time, not load time). The session zone is still pinned UTC for
+    deterministic ``date_format``/``window`` RENDERING downstream.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -64,9 +70,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         ts_type = df.schema["ts"].dataType.simpleString()
         if ts_type == "bigint":  # nanos-as-long generation
             return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        # TIMESTAMP_NTZ (micros) generation: same wall-clock instant under
-        # the pinned UTC session zone.
-        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        # TIMESTAMP_NTZ (micros) generation: NTZ→string is timezone-free;
+        # the explicit 'Z' suffix pins the parse to UTC in any session.
+        return df.withColumn(
+            "ts",
+            F.concat(F.col("ts").cast("string"), F.lit("Z")).cast("timestamp"),
+        )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -88,3 +88,40 @@ def test_search_survives_empty_and_unicode(spark, weird):
     # unicode query must not crash; latin tokens can match doc 5
     uni = S.search_documents(weird, "café 北京", limit=10).collect()
     assert all(r["doc_id"] == 5 for r in uni)
+
+
+def test_search_empty_corpus_serves_zero_hits(spark):
+    """A non-empty query against an EMPTY corpus must serve zero hits —
+    the reference's error path serves '[]' (es_search_bizcard.py:98-106),
+    so the engine degrades to an empty result, not a float(None) crash
+    (VERDICT r3 item 2)."""
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    hits = S.search_documents(empty, "anything at all", limit=10)
+    assert hits.count() == 0
+    assert hits.columns == ["doc_id", "score"]
+
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.search.bm25 import (
+        corpus_stats,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.search.index import (
+        build_index,
+    )
+
+    _, doclen = build_index(empty, "doc_id", "text")
+    assert corpus_stats(doclen) == (0, 0.0)
+
+
+def test_search_bizcards_empty_corpus(spark):
+    """Multi-field search over an empty (or all-dead) bizcard corpus —
+    zero hits with the standard hit schema, and the response envelope
+    serves statusCode 200 with body '[]'."""
+    cols = (
+        "doc_id string, owner string, name string, email string, "
+        "phone_number string, company string, job_title string, addr string, "
+        "is_alive int"
+    )
+    empty = spark.createDataFrame([], cols)
+    hits = S.search_bizcards(empty, "anything", limit=10)
+    assert hits.count() == 0
+    resp = S.search_response(empty, "anything")
+    assert resp == {"statusCode": 200, "body": "[]", "isBase64Encoded": False}

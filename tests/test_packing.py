@@ -32,6 +32,27 @@ def test_components_long_chain_converges(spark):
     assert got == {i: 0 for i in range(13)}
 
 
+def test_components_deep_chain_beats_diameter(spark):
+    """Pointer jumping: a 64-node path (diameter 63) must converge well
+    inside 63 neighbor-propagation rounds — ~log2(diameter) with the
+    shortcut. max_rounds=10 would fail plain min-propagation."""
+    chain = [(i, i + 1) for i in range(63)]
+    df = spark.createDataFrame(chain, ["doc_a", "doc_b"])
+    got = {r.node: r.label for r in connected_components(df, max_rounds=10).collect()}
+    assert got == {i: 0 for i in range(64)}
+
+
+def test_components_nonconvergence_raises(spark):
+    """Exhausting max_rounds with labels still changing must raise, never
+    return silently wrong cluster labels (VERDICT r3 item 3)."""
+    import pytest
+
+    chain = [(i, i + 1) for i in range(40)]
+    df = spark.createDataFrame(chain, ["doc_a", "doc_b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_rounds=1)
+
+
 def test_components_orientation_invariant(spark):
     """Pair orientation (a<b vs b<a) must not change components."""
     got = _labels(spark, [(5, 1), (2, 5), (9, 7)])

