@@ -725,9 +725,31 @@ def _q_media_frame_sample(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registration order IS the driver's check order, and the driver
+    verifies the FIRST 50 entries only. Policy (VERDICT r3 item 1):
+    queries with the least correctness evidence come first (never-
+    verified, then verified-in-r1-only, then new-this-round); the tail
+    holds long-stable green entries whose operators are constituents of
+    other checked queries (the bizcard parse pipeline also runs inside
+    streaming_bizcards / archive_replay / pymk_bizcard_hydrated /
+    graph_shortest_paths; graph_edges feeds degrees / one_hop_paths;
+    language-id + token-count ride corpus_curation). Rotate per round."""
     return {
-        "graph_edges": _q_graph_edges,
-        "graph_vertices": _q_graph_vertices,
+        # -- never oracle-verified before round 4 ------------------------
+        "media_features": _q_media_features,
+        "kmeans_assign": _q_kmeans_assign,
+        "ann_ivf_probe2": _q_ann_ivf_probe2,
+        "docs_token_shards": _q_docs_token_shards,
+        # -- last verified in round 1 ------------------------------------
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_simhash_pairs": _q_dedup_simhash_pairs,
+        "media_decode": _q_media_decode,
+        "media_resize_decode": _q_media_resize_decode,
+        "media_frame_sample": _q_media_frame_sample,
+        "ann_bruteforce": _q_ann_bruteforce,
+        "ann_ivf": _q_ann_ivf,
+        "dedup_embedding": _q_dedup_embedding,
+        # -- green in round 3 --------------------------------------------
         "graph_degrees": _q_graph_degrees,
         "graph_counts": _q_graph_counts,
         "one_hop_paths": _q_one_hop_paths,
@@ -739,11 +761,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vertex_lookup": _q_vertex_lookup,
         "edge_exists_first": _q_edge_exists_first,
         "search_bizcards_envelope": _q_search_bizcards_envelope,
-        "bizcard_parse": _q_bizcard_parse,
-        "bizcards": _q_bizcards,
-        "bizcard_vertices": _q_bizcard_vertices,
-        "bizcard_edges": _q_bizcard_edges,
-        "bizcard_content_dedup": _q_bizcard_content_dedup,
         "status_latest": _q_status_latest,
         "streaming_bizcards": _q_streaming_bizcards,
         "streaming_status": _q_streaming_status,
@@ -752,21 +769,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "archive_replay": _q_archive_replay,
         "album_replay": _q_album_replay,
         "streaming_dedup": _q_streaming_dedup,
-        "url_decoded_keys": _q_url_decoded_keys,
-        "kinesis_partition_keys": _q_kinesis_partition_keys,
         "search_documents": _q_search_documents,
         "search_documents_count": _q_search_documents_count,
         "search_bizcards": _q_search_bizcards,
         "search_bizcards_owner": _q_search_bizcards_owner,
         "search_bizcards_user_only": _q_search_bizcards_user_only,
-        "text_language_id": _q_text_language_id,
         "text_quality": _q_text_quality,
-        "text_token_counts": _q_text_token_counts,
         "text_fingerprint": _q_text_fingerprint,
         "salted_distinct_degrees": _q_salted_distinct_degrees,
         "events_sessionized": _q_events_sessionized,
         "session_stats": _q_session_stats,
-        "docs_hash_sample": _q_docs_hash_sample,
         "docs_split_counts": _q_docs_split_counts,
         "customers_balanced_sample": _q_customers_balanced_sample,
         "lineitem_pricing_summary": _q_lineitem_pricing_summary,
@@ -776,18 +788,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_ngram_pairs": _q_dedup_ngram_pairs,
         "dedup_clusters": _q_dedup_clusters,
-        "docs_token_shards": _q_docs_token_shards,
-        "dedup_simhash": _q_dedup_simhash,
-        "dedup_simhash_pairs": _q_dedup_simhash_pairs,
-        "media_decode": _q_media_decode,
-        "media_features": _q_media_features,
-        "media_resize_decode": _q_media_resize_decode,
-        "media_frame_sample": _q_media_frame_sample,
-        "ann_bruteforce": _q_ann_bruteforce,
-        "ann_ivf": _q_ann_ivf,
-        "ann_ivf_probe2": _q_ann_ivf_probe2,
-        "kmeans_assign": _q_kmeans_assign,
-        "dedup_embedding": _q_dedup_embedding,
+        # ---- entries below may fall outside the driver's 50-entry
+        # check window: long-stable greens whose operators are exercised
+        # by checked queries above (rotation candidates for next round) --
+        "text_language_id": _q_text_language_id,
+        "text_token_counts": _q_text_token_counts,
+        "bizcard_parse": _q_bizcard_parse,
+        "bizcards": _q_bizcards,
+        "bizcard_vertices": _q_bizcard_vertices,
+        "bizcard_edges": _q_bizcard_edges,
+        "bizcard_content_dedup": _q_bizcard_content_dedup,
+        "url_decoded_keys": _q_url_decoded_keys,
+        "kinesis_partition_keys": _q_kinesis_partition_keys,
+        "graph_edges": _q_graph_edges,
+        "graph_vertices": _q_graph_vertices,
+        "docs_hash_sample": _q_docs_hash_sample,
     }
 
 
