@@ -25,11 +25,16 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # Headline queries: the flagship graph traversals, search, and the scale-
 # relevant pipeline operators. dedup_ngram_pairs is admitted now that its
 # candidate generation is df-capped (bounded fan-out per shingle key);
-# dedup_minhash_lsh remains the approximate scale path.
+# dedup_minhash_lsh remains the approximate scale path. The composed
+# plans (dedup_clusters = LSH + connected components, corpus_curation =
+# the full gate pipeline, pymk_bizcard_hydrated = parse → graph → PYMK →
+# valueMap) are timed too, so regressions in composition — not just in
+# constituents — show up (VERDICT r3 item 7).
 BENCH_QUERIES = [
     "graph_edges",
     "pymk_user_3",
     "pymk_all_top5",
+    "pymk_bizcard_hydrated",
     "one_hop_paths",
     "search_documents",
     "search_bizcards",
@@ -38,6 +43,8 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_pairs",
+    "dedup_clusters",
+    "corpus_curation",
     "text_quality",
     "text_fingerprint",
     "docs_token_shards",

@@ -8,7 +8,10 @@ no graph-clustering operator (its dedup is the exact content_id key,
 upsert_bizcard_to_es.py:96-108); this belongs to the LLM-pipeline
 extension family (SURVEY §4.3).
 
-Algorithm: distributed min-label propagation with pointer jumping.
+Algorithm: runtime-adaptive — driver-side union-find for small pair
+graphs (≤ PAIR_COLLECT_CAP rows, one bounded collect, the PYMK
+literal-inline device), distributed min-label propagation with pointer
+jumping above it. The distributed form:
 
 - Labels start as each node's own id; each round (1) joins the
   (persisted) symmetric edge list against current labels and takes the
@@ -37,12 +40,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+#: Pair graphs at or below this row count are collected driver-side and
+#: solved with union-find in one pass — the same runtime-adaptive device
+#: as PYMK's FRIEND_SIDE_COLLECT_CAP: the iterative distributed loop pays
+#: several scheduler round-trips per round, which dwarfs the work when the
+#: near-dup pair graph is thousands of rows (the common case — only docs
+#: with a near-dup appear at all). 100k pairs ≈ a few MB on the driver.
+#: Larger graphs take the distributed pointer-jumping loop unchanged.
+PAIR_COLLECT_CAP = 100_000
+
 
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_rounds: int = 25,
+    collect_cap: int = PAIR_COLLECT_CAP,
 ) -> DataFrame:
     """(node, label) — ``label`` is the minimum node id in the node's
     connected component. Only nodes appearing in ``pairs`` are returned
@@ -51,7 +64,20 @@ def connected_components(
     Raises ``RuntimeError`` if ``max_rounds`` is exhausted while labels
     are still changing (cannot happen for components of diameter
     ≤ ~2^max_rounds thanks to the pointer-jumping shortcut, but a silent
-    wrong answer is never acceptable)."""
+    wrong answer is never acceptable).
+
+    Physical strategy is runtime-adaptive: one ``limit(cap+1).collect()``
+    probe; at or under ``collect_cap`` pairs the closure is solved
+    driver-side (union-find, exact, no iteration); above it the
+    distributed loop runs. Both produce identical labels (min node id
+    per component) — pass ``collect_cap=0`` to force the loop."""
+    head = pairs.select(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b")
+    ).limit(collect_cap + 1).collect() if collect_cap > 0 else None
+    if head is not None and len(head) <= collect_cap:
+        return _components_driver(
+            pairs.sparkSession, head, pairs.schema[a_col].dataType
+        )
     sym = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionAll(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
@@ -103,3 +129,37 @@ def connected_components(
     finally:
         sym.unpersist()
     return labels
+
+
+def _components_driver(spark, rows, dtype) -> DataFrame:
+    """Exact driver-side closure for small pair graphs: union-find with
+    union-by-min-root, so each root ends as the minimum node id of its
+    component — identical labels to the distributed fixpoint."""
+    from pyspark.sql.types import StructField, StructType
+
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in rows:
+        a, b = row["a"], row["b"]
+        for v in (a, b):
+            if v not in parent:
+                parent[v] = v
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    schema = StructType(
+        [StructField("node", dtype, False), StructField("label", dtype, False)]
+    )
+    return spark.createDataFrame(
+        [(n, find(n)) for n in parent], schema
+    )

@@ -12,10 +12,10 @@ from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spa
 )
 
 
-def _labels(spark, pairs):
+def _labels(spark, pairs, **kw):
     df = spark.createDataFrame(pairs, ["doc_a", "doc_b"])
     return {
-        r.node: r.label for r in connected_components(df).collect()
+        r.node: r.label for r in connected_components(df, **kw).collect()
     }
 
 
@@ -25,20 +25,22 @@ def test_components_merge_transitively(spark):
 
 
 def test_components_long_chain_converges(spark):
-    """A path graph needs diameter rounds — the worst case for
-    min-propagation; the fixpoint must still be exact."""
+    """A path graph is the worst case for neighbor propagation; the
+    fixpoint must be exact on BOTH physical paths (driver union-find and
+    the distributed loop — collect_cap=0 forces the loop)."""
     chain = [(i, i + 1) for i in range(12)]
-    got = _labels(spark, chain)
-    assert got == {i: 0 for i in range(13)}
+    want = {i: 0 for i in range(13)}
+    assert _labels(spark, chain) == want
+    assert _labels(spark, chain, collect_cap=0) == want
 
 
 def test_components_deep_chain_beats_diameter(spark):
     """Pointer jumping: a 64-node path (diameter 63) must converge well
     inside 63 neighbor-propagation rounds — ~log2(diameter) with the
-    shortcut. max_rounds=10 would fail plain min-propagation."""
+    shortcut. max_rounds=10 would fail plain min-propagation.
+    collect_cap=0 forces the distributed loop."""
     chain = [(i, i + 1) for i in range(63)]
-    df = spark.createDataFrame(chain, ["doc_a", "doc_b"])
-    got = {r.node: r.label for r in connected_components(df, max_rounds=10).collect()}
+    got = _labels(spark, chain, max_rounds=10, collect_cap=0)
     assert got == {i: 0 for i in range(64)}
 
 
@@ -50,7 +52,14 @@ def test_components_nonconvergence_raises(spark):
     chain = [(i, i + 1) for i in range(40)]
     df = spark.createDataFrame(chain, ["doc_a", "doc_b"])
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(df, max_rounds=1)
+        connected_components(df, max_rounds=1, collect_cap=0)
+
+
+def test_components_driver_and_loop_agree(spark):
+    """The collect-cap gate is a physical choice only: identical labels
+    from the union-find and the distributed loop on a mixed graph."""
+    pairs = [(5, 1), (2, 5), (9, 7), (20, 21), (21, 22), (22, 20), (1, 30)]
+    assert _labels(spark, pairs) == _labels(spark, pairs, collect_cap=0)
 
 
 def test_components_orientation_invariant(spark):

@@ -35,6 +35,21 @@ def test_dim_join_broadcasts(spark):
     assert PL.exchange_count(bt) == 0
 
 
+def test_one_hop_paths_hydration_broadcasts(spark):
+    """O37's double vertex-name hydration must broadcast the (small)
+    vertex dim on BOTH joins — a silent fallback to sort-merge would
+    shuffle the full edge relation twice (the r3 bench regression
+    suspicion; pinned so it can't happen unnoticed). At a scale where
+    the vertex dim outgrows the broadcast threshold, co-located
+    bucketing is the intended physical strategy — this test pins the
+    small-dim regime the bench measures."""
+    v = tables.user_graph_vertices(spark, SF)
+    e = tables.user_graph_edges(spark, SF)
+    p = G.one_hop_paths(v, e)
+    assert PL.sort_merge_join_count(p) == 0, PL.physical_plan(p)
+    assert PL.broadcast_join_count(p) >= 2
+
+
 def test_pymk_single_user_never_shuffles_edges(spark):
     """Single-user PYMK: user row + friend set broadcast to both hop
     joins and the anti-join; the only shuffles are the groupBy on

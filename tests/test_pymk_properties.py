@@ -136,6 +136,54 @@ def test_pymk_all_whale_salting_is_physical_only(spark):
     assert got_plain == want
 
 
+def test_whale_split_routes_whale_keys(spark):
+    """VERDICT r3 item 8: prove the salted 2-hop path actually EXECUTES
+    and routes whale keys — not just that pymk_all's end result matches.
+
+    (a) Plan: with a whale present the hop2 plan carries the salt
+    replication (Generate/explode of the salt sequence) and the
+    normal/whale union. (b) Data: with the cap at 0 EVERY middle vertex
+    is a whale, the normal branch is empty by construction, and the
+    salted branch ALONE must reproduce the plain join's full bag —
+    routing and correctness in one assertion."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.graph.model import (
+        symmetrize,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.graph.pymk import (
+        _hop2_pairs,
+        _hop2_pairs_plain,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.plans.audit import (
+        physical_plan,
+    )
+
+    n = 24  # hub 0 → everyone + sparse ring (same fixture as above)
+    edge_list = [(0, i) for i in range(1, n)] + [
+        (i, i + 1) for i in range(1, n - 1, 3)
+    ]
+    e = spark.createDataFrame(
+        [(s, d, 1.0) for s, d in edge_list], ["src", "dst", "weight"]
+    )
+    bi = symmetrize(e)
+
+    salted = _hop2_pairs(bi, whale_degree_cap=2, salt_r=4)
+    plan = physical_plan(salted)
+    assert "Union" in plan, plan
+    assert "explode(sequence(0" in plan or "Generate" in plan, plan
+
+    plain = sorted(map(tuple, _hop2_pairs_plain(bi).collect()))
+    assert plain, "fixture must produce 2-hop pairs"
+    got = sorted(map(tuple, salted.collect()))
+    assert got == plain
+
+    # cap=0: every middle vertex is a whale → the normal branch is empty
+    # and the salted branch alone must carry the entire bag.
+    all_whale = sorted(
+        map(tuple, _hop2_pairs(bi, whale_degree_cap=0, salt_r=4).collect())
+    )
+    assert all_whale == plain
+
+
 def test_pymk_reciprocal_pair_double_counts(spark):
     """SURVEY R1: u—f stored in BOTH directions yields the 2-hop candidate
     twice (two paths through f). Bag semantics must be replicated, not
