@@ -384,6 +384,31 @@ def _q_streaming_dedup(spark, sf_dir):
     return d.survivors().select("text_hash")
 
 
+def _q_streaming_dedup_minhash(spark, sf_dir):
+    """Incremental MinHash-LSH (streaming/neardup.py): the dup-augmented
+    corpus drained through a multi-batch stream that maintains the banded
+    LSH index incrementally; the converged verified pair set is
+    row-identical to batch dedup_minhash_lsh — the shared oracle."""
+    import tempfile
+
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.streaming.neardup import (
+        StreamingNearDeduper,
+    )
+
+    aug = _aug(spark, sf_dir).withColumn(
+        "ts", F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+    )
+    base = tempfile.mkdtemp(prefix="sgr-sndd-")
+    aug.select("doc_id", "text", "ts").repartition(3).write.mode(
+        "overwrite"
+    ).parquet(f"{base}/landing")
+    d = StreamingNearDeduper(spark, f"{base}/wh")
+    d.run_available_now(
+        f"{base}/landing", f"{base}/ckpt", max_files_per_trigger=1
+    )
+    return d.near_dup_pairs(threshold=0.5)
+
+
 def _q_archive_replay(spark, sf_dir):
     """O4 round-trip: write the Firehose-style gzip archive, replay it
     through the partition-pruned reader (year+month predicates), return
@@ -749,9 +774,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce": _q_ann_bruteforce,
         "ann_ivf": _q_ann_ivf,
         "dedup_embedding": _q_dedup_embedding,
+        # -- new in round 4 ----------------------------------------------
+        "streaming_dedup_minhash": _q_streaming_dedup_minhash,
         # -- green in round 3 --------------------------------------------
         "graph_degrees": _q_graph_degrees,
-        "graph_counts": _q_graph_counts,
         "one_hop_paths": _q_one_hop_paths,
         "pymk_user_3": _q_pymk_user_3,
         "pymk_all_top5": _q_pymk_all_top5,
@@ -802,6 +828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kinesis_partition_keys": _q_kinesis_partition_keys,
         "graph_edges": _q_graph_edges,
         "graph_vertices": _q_graph_vertices,
+        "graph_counts": _q_graph_counts,
         "docs_hash_sample": _q_docs_hash_sample,
     }
 

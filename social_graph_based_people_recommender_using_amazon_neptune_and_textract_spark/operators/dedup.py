@@ -175,10 +175,12 @@ def minhash_signatures_from_shingles(sh: DataFrame) -> DataFrame:
     return hashed.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
-    """Band the 16 minhashes into 4 bands × 4 rows; docs sharing any band
-    signature become candidate pairs (doc_a < doc_b)."""
-    banded = signatures.select(
+def banded_signatures(signatures: DataFrame) -> DataFrame:
+    """(doc_id, band, sig) — the LSH bucket index rows: the 16 minhashes
+    folded into 4 bands × 4 rows, each band's signature md5-compressed.
+    This IS the persistent LSH index shape (one row per doc per band);
+    the streaming near-dup operator accumulates exactly this table."""
+    return signatures.select(
         "doc_id",
         *[
             F.substring(
@@ -204,6 +206,12 @@ def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
             )
         ),
     )
+
+
+def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
+    """Docs sharing any band signature become candidate pairs
+    (doc_a < doc_b) — bucket-local joins, never all-pairs."""
+    banded = banded_signatures(signatures)
     a = banded.select(F.col("doc_id").alias("doc_a"), "band", "sig")
     b = banded.select(F.col("doc_id").alias("doc_b"), "band", "sig")
     return (

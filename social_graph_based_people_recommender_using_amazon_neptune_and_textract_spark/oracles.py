@@ -724,6 +724,10 @@ WITH {AUG_CORPUS_SQL}, {_SHINGLE_CTES},
 {_VERIFY}
 SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.5"""
 
+# Streaming incremental MinHash-LSH (streaming/neardup.py): the drained
+# stream's converged pair set is the batch operator's — same oracle.
+ORACLES["streaming_dedup_minhash"] = ORACLES["dedup_minhash_lsh"]
+
 # Cluster assignment (operators/components.py): connected components of
 # the verified ≥0.5-Jaccard pair graph — min reachable id via a
 # recursive label-propagation CTE (UNION dedups, so it reaches the

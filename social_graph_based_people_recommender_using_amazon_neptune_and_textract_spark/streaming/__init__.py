@@ -21,6 +21,7 @@ from .schemas import (
 )
 from .dedup import StreamingDeduper
 from .ingest import IngestPipeline, read_text_lines_stream
+from .neardup import StreamingNearDeduper
 from .table import KeyedParquetTable
 
 __all__ = [
@@ -31,6 +32,7 @@ __all__ = [
     "decode_kinesis_records",
     "IngestPipeline",
     "StreamingDeduper",
+    "StreamingNearDeduper",
     "read_text_lines_stream",
     "KeyedParquetTable",
 ]

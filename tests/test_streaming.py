@@ -206,6 +206,60 @@ def test_streaming_dedup_first_arrival_wins(spark, tmp_path):
     assert d.survivors().count() == 3
 
 
+def test_streaming_neardup_converges_to_batch_lsh(spark, tmp_path):
+    """Incremental MinHash-LSH: a drained multi-batch stream must produce
+    EXACTLY the batch operator's verified pair set — candidate discovery
+    is incremental (each pair found when its later member arrives), so
+    the converged union equals the full banding self-join."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        dedup as D,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.sources import (
+        tables,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.streaming.neardup import (
+        StreamingNearDeduper,
+    )
+
+    corpus = D.aug_corpus(
+        tables.load_table(spark, "/root/testdata/sf0.001", "documents")
+    )
+    landing = str(tmp_path / "landing")
+    corpus.withColumn(
+        "ts", F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+    ).select("doc_id", "text", "ts").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(landing)
+
+    d = StreamingNearDeduper(spark, str(tmp_path / "wh"))
+    # one file per trigger → 4 micro-batches: cross-batch pairs are real
+    d.run_available_now(
+        landing, str(tmp_path / "ckpt"), max_files_per_trigger=1
+    )
+
+    got = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in d.near_dup_pairs(0.5).collect()
+    }
+    want = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in D.dedup_minhash_lsh(corpus, 0.5).collect()
+    }
+    assert got == want and want, "converged stream must equal batch LSH"
+
+    # checkpointed replay: no index growth, identical pairs
+    n_index = spark.read.parquet(d.index_dir).count()
+    d.run_available_now(
+        landing, str(tmp_path / "ckpt"), max_files_per_trigger=1
+    )
+    assert spark.read.parquet(d.index_dir).count() == n_index
+    got2 = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in d.near_dup_pairs(0.5).collect()
+    }
+    assert got2 == want
+
+
 def test_kinesis_shard_distribution(spark):
     """O2 producer semantics: the 'part-%05d' key covers 1..1024, is
     deterministic per record key, and the sink path hash-distributes by
