@@ -33,23 +33,62 @@ def _profile_score(tokens: Column, words: list[str]) -> Column:
     return F.size(F.filter(tokens, lambda x: F.array_contains(wl, x)))
 
 
+def language_pred(text_col: Column) -> Column:
+    """``predicted_lang`` as a single Column expression — argmax profile
+    score, ties broken by language code ascending, all-zero → 'und'.
+    Exposed so single-scan composers (operators/curation.py) can evaluate
+    the gate inline on the corpus scan instead of via a semi-join; the
+    expression tree is the one ``language_id``'s staged selects collapse
+    to under Catalyst's projection collapsing, so both forms are
+    plan-identical per row."""
+    toks = tokenize(text_col)
+    scores = {
+        lang: _profile_score(toks, words)
+        for lang, words in sorted(LANG_PROFILES.items())
+    }
+    best = F.greatest(*scores.values())
+    pred = F.when(best == F.lit(0), F.lit("und"))
+    for lang in sorted(scores):  # first (asc) language hitting the max wins
+        pred = pred.when(scores[lang] == best, F.lit(lang))
+    return pred
+
+
 def language_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Predicted language = argmax profile score; ties broken by language
     code ascending; all-zero → 'und'. Returns (id_col, predicted_lang)."""
-    toks = tokenize(F.col(text_col))
-    scored = df.select(
-        F.col(id_col),
-        *[
-            _profile_score(toks, words).alias(f"s_{lang}")
-            for lang, words in sorted(LANG_PROFILES.items())
-        ],
+    return df.select(
+        F.col(id_col), language_pred(F.col(text_col)).alias("predicted_lang")
     )
-    langs = sorted(LANG_PROFILES)
-    best = F.greatest(*[F.col(f"s_{l}") for l in langs])
-    pred = F.when(best == 0, F.lit("und"))
-    for l in langs:  # first (asc) language hitting the max wins
-        pred = pred.when(F.col(f"s_{l}") == best, F.lit(l))
-    return scored.select(F.col(id_col), pred.alias("predicted_lang"))
+
+
+def _quality_cols(text_col: Column) -> dict[str, Column]:
+    """The quality-feature expressions, shared by ``quality_scores`` and
+    the inline gate ``quality_score_col`` so the formula cannot drift."""
+    toks = tokenize(text_col)
+    nt = F.size(toks).cast("long")
+    token_chars = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+    n_stop = _profile_score(toks, STOPWORDS_EN)
+    avg_len = F.when(nt > 0, token_chars / nt).otherwise(F.lit(0.0))
+    stop_ratio = F.when(nt > 0, n_stop / nt).otherwise(F.lit(0.0))
+    # Composite: in-range token count, reasonable word length, some stopwords.
+    score = (
+        F.when((nt >= 10) & (nt <= 1000), F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when((avg_len >= 3) & (avg_len <= 10), F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when(stop_ratio > 0, F.lit(0.3)).otherwise(F.lit(0.0))
+    )
+    return {
+        "n_chars": F.length(text_col).cast("long"),
+        "n_tokens": nt,
+        "avg_token_len": F.round(avg_len, 6),
+        "stopword_ratio": F.round(stop_ratio, 6),
+        "quality_score": F.round(score, 6),
+    }
+
+
+def quality_score_col(text_col: Column) -> Column:
+    """The 6dp-rounded composite quality score as a Column — the inline
+    form of the ``quality_scores`` gate for single-scan composition."""
+    return _quality_cols(text_col)["quality_score"]
 
 
 def quality_scores(
@@ -58,32 +97,13 @@ def quality_scores(
     """Heuristic quality features + composite score. Returns
     (id, n_tokens, n_chars, avg_token_len, stopword_ratio, quality_score);
     ratios rounded to 6dp (double), deterministic across engines."""
-    toks = tokenize(F.col(text_col))
-    base = df.select(
+    cols = _quality_cols(F.col(text_col))
+    return df.select(
         F.col(id_col),
-        F.length(F.col(text_col)).cast("long").alias("n_chars"),
-        F.size(toks).cast("long").alias("n_tokens"),
-        F.aggregate(
-            toks, F.lit(0), lambda acc, x: acc + F.length(x)
-        ).alias("token_chars"),
-        _profile_score(toks, STOPWORDS_EN).alias("n_stop"),
-    )
-    nt = F.col("n_tokens")
-    avg_len = F.when(nt > 0, F.col("token_chars") / nt).otherwise(F.lit(0.0))
-    stop_ratio = F.when(nt > 0, F.col("n_stop") / nt).otherwise(F.lit(0.0))
-    # Composite: in-range token count, reasonable word length, some stopwords.
-    score = (
-        F.when((nt >= 10) & (nt <= 1000), F.lit(0.4)).otherwise(F.lit(0.0))
-        + F.when((avg_len >= 3) & (avg_len <= 10), F.lit(0.3)).otherwise(F.lit(0.0))
-        + F.when(stop_ratio > 0, F.lit(0.3)).otherwise(F.lit(0.0))
-    )
-    return base.select(
-        F.col(id_col),
-        "n_chars",
-        "n_tokens",
-        F.round(avg_len, 6).alias("avg_token_len"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(score, 6).alias("quality_score"),
+        *[cols[name].alias(name) for name in (
+            "n_chars", "n_tokens", "avg_token_len", "stopword_ratio",
+            "quality_score",
+        )],
     )
 
 

@@ -22,8 +22,11 @@ the corpus plus three semi/anti-joins against small derived relations.
 Scale: the expensive derived relations (shingle bag, LSH candidates) are
 the SAME pinned relations the standalone dedup queries use (keys embed
 ``semanticHash``), so a curation run after a dedup audit re-reads the
-cached index rather than re-shingling 100 TB; the gates themselves are
-narrow projections with map-side semi-joins.
+cached index rather than re-shingling 100 TB. The two text gates
+(language, quality) are scalar predicates — they evaluate INLINE on the
+one base corpus scan (functions/text.py expression builders), not via
+self-semi-joins; only the relational gates (exact-canonical, near-dup)
+join, against small derived relations.
 """
 
 from __future__ import annotations
@@ -31,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import language_id, quality_scores
+from ..functions.text import language_pred, quality_score_col
 from .dedup import dedup_exact, dedup_minhash_lsh
 from .sampling import hash_split
 
@@ -46,10 +49,6 @@ def curate(
 ) -> DataFrame:
     """(doc_id, split) for documents surviving every gate, split
     deterministically by key hash (leak-free; operators/sampling)."""
-    langs = language_id(corpus).filter(F.col("predicted_lang") == lang)
-    qual = quality_scores(corpus).filter(
-        F.col("quality_score") >= min_quality
-    )
     canon = dedup_exact(corpus).select(
         F.col("canonical_doc_id").alias("doc_id")
     )
@@ -59,9 +58,11 @@ def curate(
         .distinct()
     )
     kept = (
-        corpus.select("doc_id")
-        .join(langs.select("doc_id"), "doc_id", "left_semi")
-        .join(qual.select("doc_id"), "doc_id", "left_semi")
+        corpus.filter(
+            (language_pred(F.col("text")) == F.lit(lang))
+            & (quality_score_col(F.col("text")) >= F.lit(min_quality))
+        )
+        .select("doc_id")
         .join(canon, "doc_id", "left_semi")
         .join(near_b, "doc_id", "left_anti")
     )
