@@ -119,6 +119,12 @@ class StreamingNearDeduper:
     # -- convergence-point reads -------------------------------------------
 
     def candidate_pairs(self) -> DataFrame:
+        """Accumulated candidate pairs; a stream that never processed a
+        batch (empty landing) has no tables on disk and serves the empty
+        relation — degrade like every other degenerate input, don't
+        crash on a missing path."""
+        if not os.path.isdir(self.cands_dir):
+            return self.spark.createDataFrame([], "doc_a long, doc_b long")
         return self.spark.read.parquet(self.cands_dir).distinct()
 
     def near_dup_pairs(self, threshold: float = 0.5) -> DataFrame:
@@ -126,6 +132,10 @@ class StreamingNearDeduper:
         far — on a drained stream, row-identical to the batch
         ``dedup_minhash_lsh`` (the oracle contract). Verification builds
         distinct shingle sets only for docs in some candidate pair."""
+        if not os.path.isdir(self.docs_dir):
+            return self.spark.createDataFrame(
+                [], "doc_a long, doc_b long, jaccard double"
+            )
         cands = self.candidate_pairs()
         docs = self.spark.read.parquet(self.docs_dir)
         cand_docs = (

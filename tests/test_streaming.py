@@ -260,6 +260,25 @@ def test_streaming_neardup_converges_to_batch_lsh(spark, tmp_path):
     assert got2 == want
 
 
+def test_streaming_neardup_empty_stream_serves_empty(spark, tmp_path):
+    """A drained-but-empty stream (no files ever landed) must serve the
+    empty pair relation with the standard schema, not crash on missing
+    state tables."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.streaming.neardup import (
+        StreamingNearDeduper,
+    )
+
+    landing = str(tmp_path / "landing")
+    import os
+
+    os.makedirs(landing)
+    d = StreamingNearDeduper(spark, str(tmp_path / "wh"))
+    d.run_available_now(landing, str(tmp_path / "ckpt"))
+    out = d.near_dup_pairs(0.5)
+    assert out.columns == ["doc_a", "doc_b", "jaccard"]
+    assert out.count() == 0
+
+
 def test_kinesis_shard_distribution(spark):
     """O2 producer semantics: the 'part-%05d' key covers 1..1024, is
     deterministic per record key, and the sink path hash-distributes by
