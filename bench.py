@@ -90,7 +90,7 @@ def main() -> None:
         try:
             fn(spark, SF_DIR).count()  # warm: codegen + caches
             best = float("inf")
-            for _ in range(2):  # min-of-2: robust to GC / cleanup interference
+            for _ in range(3):  # min-of-3: robust to GC / cleanup interference
                 t0 = time.perf_counter()
                 fn(spark, SF_DIR).count()
                 best = min(best, time.perf_counter() - t0)

@@ -258,10 +258,14 @@ def dedup_minhash_lsh(corpus: DataFrame, threshold: float = 0.5) -> DataFrame:
     - One shuffle of raw text (by_doc); shingling + the 16-way min()
       aggregate are then partition-local over the shingle *bag*
       (min() is multiset-invariant — no per-doc distinct needed).
-    - The bag and the tiny candidate/restricted-shingle tables are
-      pinned (registry-persisted, releasable): each is referenced by 2-3
-      downstream joins, and without pinning, the full shingle pipeline
-      re-executes per reference.
+    - The bag, the tiny candidate/restricted-shingle tables, AND the
+      unthresholded verified-pair table are pinned (registry-persisted,
+      releasable): each is referenced by 2-3 downstream consumers
+      (standalone query, cluster assignment, curation), and without
+      pinning, the full shingle pipeline — or the verification joins —
+      re-execute per reference. The verified table is the dedup AUDIT
+      relation a warehouse would materialize anyway: one row per
+      candidate pair, orders of magnitude smaller than the corpus.
     - Verification builds distinct shingle sets ONLY for docs that appear
       in some candidate pair (semi-join restriction), so the exact-Jaccard
       joins touch a tiny fraction of the corpus."""
@@ -284,10 +288,10 @@ def dedup_minhash_lsh(corpus: DataFrame, threshold: float = 0.5) -> DataFrame:
         sh_cand = bag.join(cand_docs, "doc_id").dropDuplicates(
             ["doc_id", "shingle"]
         )
-        return bag, cands, sh_cand
+        verified = verify_jaccard(cands, sh_cand)
+        return bag, cands, sh_cand, verified
 
-    _, cands, sh_cand = pinned(("minhash_lsh", corpus.semanticHash()), _build)
-    verified = verify_jaccard(cands, sh_cand)
+    _, _, _, verified = pinned(("minhash_lsh", corpus.semanticHash()), _build)
     return verified.filter(F.col("jaccard") >= threshold)
 
 
