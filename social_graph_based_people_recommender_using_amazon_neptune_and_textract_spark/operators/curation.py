@@ -19,14 +19,18 @@ well-defined without specifying stage order, keeps both engines' plans
 trivially equivalent, and lets Spark evaluate everything as one pass over
 the corpus plus three semi/anti-joins against small derived relations.
 
-Scale: the expensive derived relations (shingle bag, LSH candidates) are
-the SAME pinned relations the standalone dedup queries use (keys embed
-``semanticHash``), so a curation run after a dedup audit re-reads the
-cached index rather than re-shingling 100 TB. The two text gates
-(language, quality) are scalar predicates — they evaluate INLINE on the
-one base corpus scan (functions/text.py expression builders), not via
-self-semi-joins; only the relational gates (exact-canonical, near-dup)
-join, against small derived relations.
+Scale: the expensive derived relations (shingle bag, LSH candidates, the
+verified pair table) are the SAME pinned relations the standalone dedup
+queries use (keys embed ``semanticHash``), so a curation run after a
+dedup audit re-reads the cached index rather than re-shingling 100 TB.
+The two text gates (language, quality) read from a pinned per-doc
+gate-metadata relation (``text_gate_stats`` — the doc-stats table a
+curation warehouse materializes): the heavy tokenize/score expressions
+evaluate once per corpus in a single projection (where whole-stage
+codegen eliminates the shared subexpressions), and every curation run —
+at any threshold — filters the cached (doc_id, predicted_lang,
+quality_score) rows. Only the relational gates (exact-canonical,
+near-dup) join, against small derived relations.
 """
 
 from __future__ import annotations
@@ -35,8 +39,27 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import language_pred, quality_score_col
+from ..pinned import pinned
 from .dedup import dedup_exact, dedup_minhash_lsh
 from .sampling import hash_split
+
+
+def text_gate_stats(corpus: DataFrame) -> DataFrame:
+    """(doc_id, predicted_lang, quality_score) — per-document gate
+    metadata, pinned once per corpus. One corpus scan, one projection;
+    thresholds stay OUT of the pinned relation so any (lang,
+    min_quality) combination reuses it."""
+    (gates,) = pinned(
+        ("text_gates", corpus.semanticHash()),
+        lambda: (
+            corpus.select(
+                "doc_id",
+                language_pred(F.col("text")).alias("predicted_lang"),
+                quality_score_col(F.col("text")).alias("quality_score"),
+            ),
+        ),
+    )
+    return gates
 
 
 def curate(
@@ -58,9 +81,10 @@ def curate(
         .distinct()
     )
     kept = (
-        corpus.filter(
-            (language_pred(F.col("text")) == F.lit(lang))
-            & (quality_score_col(F.col("text")) >= F.lit(min_quality))
+        text_gate_stats(corpus)
+        .filter(
+            (F.col("predicted_lang") == F.lit(lang))
+            & (F.col("quality_score") >= F.lit(min_quality))
         )
         .select("doc_id")
         .join(canon, "doc_id", "left_semi")

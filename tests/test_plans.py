@@ -203,8 +203,12 @@ def test_curation_reuses_pinned_dedup_relations(spark):
     keys_after_dedup = set(pinned_keys())
     curation.curate(corpus).count()
     try:
-        assert set(pinned_keys()) == keys_after_dedup, (
-            "curation must not pin a second copy of the LSH relations"
+        new_keys = set(pinned_keys()) - keys_after_dedup
+        assert keys_after_dedup <= set(pinned_keys()), (
+            "curation must not re-pin or replace the LSH relations"
+        )
+        assert {k[0] for k in new_keys} == {"text_gates"}, (
+            f"curation may add only its gate-metadata pin, got {new_keys}"
         )
     finally:
         release_all()
