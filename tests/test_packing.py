@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
@@ -66,6 +68,48 @@ def test_components_orientation_invariant(spark):
     """Pair orientation (a<b vs b<a) must not change components."""
     got = _labels(spark, [(5, 1), (2, 5), (9, 7)])
     assert got == {1: 1, 2: 1, 5: 1, 7: 7, 9: 7}
+
+
+def _python_components(pairs):
+    """Reference: min node id per component via repeated relaxation."""
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    label = {n: n for n in adj}
+    changed = True
+    while changed:
+        changed = False
+        for n in adj:
+            m = min([label[n]] + [label[x] for x in adj[n]])
+            if m < label[n]:
+                label[n] = m
+                changed = True
+    return label
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=15),
+            st.integers(min_value=0, max_value=15),
+        ).filter(lambda p: p[0] != p[1]),
+        min_size=1,
+        max_size=24,
+    )
+)
+def test_components_match_reference_on_random_graphs(spark, pairs):
+    """Property: on random pair graphs BOTH physical strategies (driver
+    union-find and the distributed pointer-jumping loop) agree with a
+    pure-Python reference evaluation."""
+    want = _python_components(pairs)
+    assert _labels(spark, pairs) == want
+    assert _labels(spark, pairs, collect_cap=0) == want
 
 
 def _shard_df(spark, rows):
