@@ -118,6 +118,35 @@ def _q_pymk_bizcard_hydrated(spark, sf_dir):
     )
 
 
+def _q_graph_degrees_bucketed(spark, sf_dir):
+    """Bucketed-layout round-trip (sources/bucketed.py): write the
+    symmetrized edges bucketed on src, read through the catalog, and
+    aggregate degrees — the groupBy rides the bucket layout with no
+    Exchange (asserted in test_plans), and the result is layout-
+    independent: graph_degrees' oracle verbatim."""
+    import tempfile
+
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.graph.model import (
+        symmetrize,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.sources.bucketed import (
+        read_bucketed,
+        write_bucketed,
+    )
+
+    bi = symmetrize(tables.user_graph_edges(spark, sf_dir))
+    base = tempfile.mkdtemp(prefix="sgr-bkt-")
+    write_bucketed(
+        bi, "sgr_edges_bucketed_q", "src", n_buckets=8, path=f"{base}/edges"
+    )
+    return (
+        read_bucketed(spark, "sgr_edges_bucketed_q")
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .withColumnRenamed("src", "id")
+    )
+
+
 def _q_graph_shortest_paths(spark, sf_dir):
     """Iterative BFS from the md5 person-id of owner c000000001 on the
     bizcard graph (sparse at every sf, so hop levels stay meaningful)."""
@@ -776,6 +805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": _q_dedup_embedding,
         # -- new in round 4 ----------------------------------------------
         "streaming_dedup_minhash": _q_streaming_dedup_minhash,
+        "graph_degrees_bucketed": _q_graph_degrees_bucketed,
         # -- green in round 3 --------------------------------------------
         "graph_degrees": _q_graph_degrees,
         "one_hop_paths": _q_one_hop_paths,
@@ -804,7 +834,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_text_fingerprint,
         "salted_distinct_degrees": _q_salted_distinct_degrees,
         "events_sessionized": _q_events_sessionized,
-        "session_stats": _q_session_stats,
         "docs_split_counts": _q_docs_split_counts,
         "customers_balanced_sample": _q_customers_balanced_sample,
         "lineitem_pricing_summary": _q_lineitem_pricing_summary,
@@ -817,6 +846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- entries below may fall outside the driver's 50-entry
         # check window: long-stable greens whose operators are exercised
         # by checked queries above (rotation candidates for next round) --
+        "session_stats": _q_session_stats,
         "text_language_id": _q_text_language_id,
         "text_token_counts": _q_text_token_counts,
         "bizcard_parse": _q_bizcard_parse,

@@ -192,6 +192,11 @@ ORACLES["graph_degrees"] = f"""\
 WITH {EDGES_SQL}, {BI_SQL}
 SELECT src AS id, count(*) AS degree FROM bi GROUP BY src"""
 
+# Bucketed-layout round-trip (sources/bucketed.py): same degrees relation
+# computed from the bucket-co-located catalog table — layout is physical
+# only, so the oracle is graph_degrees' verbatim.
+ORACLES["graph_degrees_bucketed"] = ORACLES["graph_degrees"]
+
 ORACLES["graph_counts"] = f"""\
 WITH {EDGES_SQL}, {VERTICES_SQL}
 SELECT (SELECT count(*) FROM vertices) AS vertex_count,
