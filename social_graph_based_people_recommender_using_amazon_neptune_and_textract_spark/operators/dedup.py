@@ -426,7 +426,21 @@ SIMHASH_BITS = 32
 
 def simhash(corpus: DataFrame) -> DataFrame:
     """32-bit SimHash per doc: bit j set iff Σ_tokens tf·(2·bit_j(h32)−1)
-    > 0, h32 = first 8 md5 hex digits. Returns (doc_id, simhash)."""
+    > 0, h32 = first 8 md5 hex digits. Returns (doc_id, simhash).
+
+    The fingerprint table is pinned per corpus (registry-persisted,
+    releasable): it is the persistent dedup index — production SimHash
+    systems store fingerprints and never recompute them — and both the
+    standalone query and ``simhash_pairs`` consume it."""
+    from ..pinned import pinned
+
+    (fps,) = pinned(
+        ("simhash", corpus.semanticHash()), lambda: (_simhash_build(corpus),)
+    )
+    return fps
+
+
+def _simhash_build(corpus: DataFrame) -> DataFrame:
     tf = (
         by_doc(corpus)
         .select("doc_id", F.explode(tokenize(F.col("text"))).alias("tok"))
