@@ -337,7 +337,24 @@ def dedup_ngram_pairs(
       needs no per-side size joins at all.
     Neither prune changes the result set (the bound is implied by the
     threshold), so the oracle SQL is unchanged. The shingle table + df
-    counts are pinned (releasable) — they feed four consumers."""
+    counts are pinned (releasable) — they feed four consumers — and so is
+    the finished pair table per (threshold, cap): the dedup audit
+    relation, recomputed only when the corpus (or the audit setting)
+    changes. The threshold rides the pin key because the size-ratio
+    bound evaluates inside the candidate join — the pinned rows are
+    specific to it."""
+    from ..pinned import pinned
+
+    (pairs,) = pinned(
+        ("ngram_pairs", corpus.semanticHash(), float(threshold), shingle_df_cap),
+        lambda: (_ngram_pairs_build(corpus, threshold, shingle_df_cap),),
+    )
+    return pairs
+
+
+def _ngram_pairs_build(
+    corpus: DataFrame, threshold: float, shingle_df_cap: int
+) -> DataFrame:
     from pyspark.sql import Window
 
     from ..pinned import pinned
