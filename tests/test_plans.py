@@ -210,6 +210,13 @@ def test_curation_reuses_pinned_dedup_relations(spark):
         assert {k[0] for k in new_keys} == {"text_gates"}, (
             f"curation may add only its gate-metadata pin, got {new_keys}"
         )
+        # Different gate thresholds must REUSE the pinned gate metadata —
+        # thresholds live outside the pin.
+        keys_now = set(pinned_keys())
+        curation.curate(corpus, lang="de", min_quality=0.2).count()
+        assert set(pinned_keys()) == keys_now, (
+            "a different (lang, min_quality) setting must not add pins"
+        )
     finally:
         release_all()
 
