@@ -229,7 +229,7 @@ def _q_search_documents_count(spark, sf_dir):
     )
 
     docs = tables.load_table(spark, sf_dir, "documents")
-    postings, doclen = build_index(docs, "doc_id", "text")
+    postings, doclen, _vocab = build_index(docs, "doc_id", "text")
     scored = bm25_scores(postings, doclen, oracles.DOC_QUERY_TERMS)
     return scored.agg(F.count(F.lit(1)).alias("total_hits"))
 

@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..checkpoints import checkpoint, free
 from .model import symmetrize
 
 #: Frontier row bound under which the broadcast hint is safe. ~1M ids of
@@ -72,17 +73,25 @@ def shortest_paths(
     )
     frontier = dist.select("id")
     frontier_rows = 1  # the source vertex
+    dist_ids = frontier_ids = frozenset()
 
     for hop in range(1, max_hops + 1):
-        nxt = expand_frontier(
+        # Eager tracked checkpoint: truncates lineage per superstep and
+        # hands back a release handle for the round's scratch.
+        nxt, nxt_ids = checkpoint(expand_frontier(
             bi, frontier, dist, hop,
             frontier_rows=frontier_rows, broadcast_max=broadcast_max,
-        ).localCheckpoint(eager=True)  # truncate lineage per superstep
+        ))
+        free(spark, frontier_ids)  # previous frontier fully consumed
         frontier_rows = nxt.count()  # cheap: nxt is checkpointed
         if frontier_rows == 0:
+            free(spark, nxt_ids)
             break
-        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
-        frontier = nxt.select("id")
+        dist, new_ids = checkpoint(dist.unionByName(nxt))
+        free(spark, dist_ids)  # superseded by the new settled set
+        dist_ids = new_ids
+        frontier, frontier_ids = nxt.select("id"), nxt_ids
 
+    free(spark, frontier_ids)  # the last frontier's data lives on in dist
     bi.unpersist()
     return dist

@@ -23,9 +23,11 @@ jumping above it. The distributed form:
   component would exceed any fixed cap); with the shortcut the label
   graph's depth roughly halves per round, so rounds ≈ log2(diameter) —
   a depth-2^25 component converges inside the default cap of 25.
-- ``localCheckpoint`` truncates the growing lineage (same device as
-  k-hop BFS, graph/traverse.py) and the loop exits when a round changes
-  nothing. If the cap is ever exhausted with changes still occurring,
+- Tracked ``localCheckpoint`` (checkpoints.py) truncates the growing
+  lineage (same device as k-hop BFS, graph/traverse.py); each round frees
+  the previous round's scratch so in-flight storage is O(1), and the
+  final labels checkpoint is released by ``checkpoints.release_all``
+  when the caller is done. The loop exits when a round changes nothing. If the cap is ever exhausted with changes still occurring,
   the loop RAISES rather than returning silently wrong labels —
   non-convergence is a correctness failure, not a best-effort answer.
 - 100 TB: the edge list is a pair table orders of magnitude smaller
@@ -39,6 +41,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..checkpoints import checkpoint, free
 
 #: Pair graphs at or below this row count are collected driver-side and
 #: solved with union-find in one pass — the same runtime-adaptive device
@@ -83,11 +87,11 @@ def connected_components(
         .unionAll(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .persist()
     )
-    labels = (
+    spark = pairs.sparkSession
+    labels, labels_ids = checkpoint(
         sym.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
     )
     try:
         for _ in range(max_rounds):
@@ -106,10 +110,9 @@ def connected_components(
             lut = labels.select(
                 F.col("node").alias("_ln"), F.col("label").alias("_ll")
             )
-            new = (
+            new, new_ids = checkpoint(
                 mins.join(lut, mins["label"] == lut["_ln"])
                 .select("node", F.least("label", "_ll").alias("label"))
-                .localCheckpoint()
             )
             changed = (
                 new.join(labels.withColumnRenamed("label", "old"), "node")
@@ -117,7 +120,11 @@ def connected_components(
                 .limit(1)
                 .count()
             )
-            labels = new
+            # Round N is materialized and the convergence probe has run:
+            # round N-1's checkpoint is dead scratch — free it now so
+            # in-flight storage stays O(1) rounds, not O(rounds).
+            free(spark, labels_ids)
+            labels, labels_ids = new, new_ids
             if changed == 0:
                 break
         else:

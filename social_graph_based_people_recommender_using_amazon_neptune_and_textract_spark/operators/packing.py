@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..checkpoints import checkpoint
 from ..search.index import tokenize
 
 #: Range partitions for the prefix sum. At cluster scale this tracks the
@@ -50,10 +51,11 @@ def token_shards(
     counted = documents.select(
         F.col(id_col), F.size(tokenize(F.col(text_col))).cast("long").alias("n_tokens")
     )
-    ranged = (
+    # Tracked checkpoint: the returned DataFrame reads ``ranged``, so its
+    # storage is released by checkpoints.release_all once consumed.
+    ranged, _ = checkpoint(
         counted.repartitionByRange(n_partitions, F.col(id_col))
         .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint()
     )
 
     totals = ranged.groupBy("pid").agg(F.sum("n_tokens").alias("t")).collect()

@@ -23,6 +23,8 @@ from .bm25 import (
     bm25_scores_by_field,
     corpus_stats,
     corpus_stats_by_field,
+    vocab_dfs,
+    vocab_dfs_by_field,
 )
 from .index import build_index, tokenize
 
@@ -56,8 +58,8 @@ def _melt_fields(bizcards: DataFrame) -> DataFrame:
 
 def documents_index(
     documents: DataFrame, token=None
-) -> tuple[DataFrame, DataFrame]:
-    """(postings, doclen) for the documents corpus — the materialized
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(postings, doclen, vocab) for the documents corpus — the materialized
     auxiliary structure (SURVEY §3.2), built + persisted ONCE per corpus
     via the pinned-relation registry and reused by every subsequent query
     (the ES/Lucene index/query split, upsert_bizcard_to_es.py:77-90 vs
@@ -75,11 +77,13 @@ def documents_index(
 
 def bizcard_index(
     bizcards: DataFrame, token=None
-) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """(alive, postings, doclen) — the per-field bizcard index, pinned
-    once per corpus (keys embed ``semanticHash``; ``token`` versions
-    in-place corpus swaps, see ``documents_index``). ``alive`` is pinned
-    too: it feeds the melt AND the final hydration join."""
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """(alive, postings, doclen, vocab) — the per-field bizcard index,
+    pinned once per corpus (keys embed ``semanticHash``; ``token``
+    versions in-place corpus swaps, see ``documents_index``). ``alive``
+    is pinned too: it feeds the melt AND the final hydration join;
+    ``vocab`` is the per-field term dictionary (field, tok, df) so query
+    term stats are a point lookup, not a postings scan."""
 
     def _build():
         alive = bizcards.filter(F.col("is_alive") == 1)
@@ -98,7 +102,10 @@ def bizcard_index(
             .groupBy("id", "owner", "field", "dl", "tok")
             .agg(F.count(F.lit(1)).alias("tf"))
         )
-        return alive, postings, doclen
+        vocab = postings.groupBy("field", "tok").agg(
+            F.count(F.lit(1)).alias("df")
+        )
+        return alive, postings, doclen, vocab
 
     return pinned(("bizcard_index", bizcards.semanticHash()), _build, token=token)
 
@@ -107,7 +114,7 @@ def search_documents(
     documents: DataFrame,
     query: str,
     limit: int = 10,
-    index: tuple[DataFrame, DataFrame] | None = None,
+    index: tuple[DataFrame, DataFrame, DataFrame] | None = None,
     token=None,
 ) -> DataFrame:
     """Single-field BM25 top-k over the documents corpus.
@@ -120,13 +127,15 @@ def search_documents(
     corpus swaps (see ``documents_index``)."""
     terms = [t for t in _terms(query)]
     if index is not None:
-        postings, doclen = index
+        postings, doclen, vocab = index
         parent = None
     else:
-        postings, doclen = documents_index(documents, token=token)
+        postings, doclen, vocab = documents_index(documents, token=token)
         parent = effective_key(("doc_index", documents.semanticHash()), token)
     scored = bm25_scores(
-        postings, doclen, terms, stats=_memo_stats(doclen, False, parent)
+        postings, doclen, terms,
+        stats=_memo_stats(doclen, False, parent),
+        dfs=vocab_dfs(vocab, terms),
     )
     return (
         scored.select(F.col("id").alias("doc_id"), "score")
@@ -140,7 +149,7 @@ def search_bizcards(
     query: str | None,
     user: str | None = None,
     limit: int = 10,
-    index: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+    index: tuple[DataFrame, DataFrame, DataFrame, DataFrame] | None = None,
     token=None,
 ) -> DataFrame:
     """O26/O27/O28/O29: boosted multi-field search over alive bizcards.
@@ -157,10 +166,10 @@ def search_bizcards(
     upsert_bizcard_to_es.py built, it never re-indexes per request.
     """
     if index is not None:
-        alive, postings, doclen = index
+        alive, postings, doclen, vocab = index
         parent = None
     else:
-        alive, postings, doclen = bizcard_index(bizcards, token=token)
+        alive, postings, doclen, vocab = bizcard_index(bizcards, token=token)
         parent = effective_key(("bizcard_index", bizcards.semanticHash()), token)
     terms = [t for t in _terms(query)] if query else []
 
@@ -173,7 +182,9 @@ def search_bizcards(
         return hits.orderBy(F.desc("score"), F.asc("doc_id")).limit(limit)
 
     fscores = bm25_scores_by_field(
-        postings, doclen, terms, stats=_memo_stats(doclen, True, parent)
+        postings, doclen, terms,
+        stats=_memo_stats(doclen, True, parent),
+        dfs=vocab_dfs_by_field(vocab, terms),
     )
 
     boost = F.when(F.col("field") == "name", F.lit(3.0)).otherwise(F.lit(1.0))

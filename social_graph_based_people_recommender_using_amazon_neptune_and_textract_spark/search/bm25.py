@@ -18,11 +18,14 @@ Scale architecture (how Lucene actually serves a query, re-expressed):
    are collected ONCE per corpus (one tiny agg job over the pinned
    doclen) and memoized driver-side by the caller — exactly Lucene's
    in-memory ``CollectionStatistics``.
-3. **Term statistics are a point lookup.** Per query, the df of each
-   query term is fetched with one small collect over the pinned postings
-   (filter on ≤ a handful of terms → ≤ terms×fields rows). At warehouse
-   scale this is the only per-query metadata job; the vocabulary-sized
-   df table is never materialized driver-side.
+3. **Term statistics are a point lookup.** The term dictionary (token →
+   df) is built at INDEX time (``build_index``'s ``vocab`` relation —
+   Lucene's segment term dictionary) and pinned with the index; per query
+   the df of each term is one small filter+collect over that
+   vocabulary-sized relation (≤ terms×fields rows back), never a scan of
+   the postings themselves. The postings-scan fallbacks
+   (``term_dfs``/``term_dfs_by_field``) remain for callers without a
+   prebuilt vocabulary.
 4. **Scoring is a zero-join scan.** idf and avgdl enter the plan as
    literals (CASE chains over the ≤ terms×fields fetched pairs), so the
    whole query is postings-scan → filter → project → per-doc aggregate →
@@ -98,6 +101,21 @@ def term_dfs_by_field(
     return {(r["field"], r["tok"]): int(r["df"]) for r in rows}
 
 
+def vocab_dfs(vocab: DataFrame, terms: Sequence[str]) -> dict[str, int]:
+    """{term: df} from the prebuilt term dictionary — a point lookup over
+    the vocabulary-sized pinned relation."""
+    rows = vocab.filter(F.col("tok").isin(list(terms))).collect()
+    return {r["tok"]: int(r["df"]) for r in rows}
+
+
+def vocab_dfs_by_field(
+    vocab: DataFrame, terms: Sequence[str]
+) -> dict[tuple[str, str], int]:
+    """{(field, term): df} from the prebuilt per-field term dictionary."""
+    rows = vocab.filter(F.col("tok").isin(list(terms))).collect()
+    return {(r["field"], r["tok"]): int(r["df"]) for r in rows}
+
+
 def _contrib(idf_col: Column, avgdl_col: Column) -> Column:
     """The shared BM25 contribution expression; shape mirrored in
     oracles.py:
@@ -129,20 +147,23 @@ def bm25_scores(
     doclen: DataFrame,
     terms: Sequence[str],
     stats: tuple[int, float] | None = None,
+    dfs: dict[str, int] | None = None,
 ) -> DataFrame:
     """Per-document BM25 score for the given query terms over a
     single-field postings index carrying ``dl``.
 
     Returns (id, score) for every document matching ≥1 term; ``score`` is
-    rounded to SCORE_DECIMALS. One job fetches term dfs (plus one for
-    corpus stats when not supplied), then the scoring plan is a zero-join
-    postings scan with a single per-doc aggregation."""
+    rounded to SCORE_DECIMALS. Term dfs come from the caller's prebuilt
+    term dictionary (``dfs=vocab_dfs(...)``) or one small lookup job;
+    the scoring plan itself is a zero-join postings scan with a single
+    per-doc aggregation."""
     n, avgdl = stats if stats is not None else corpus_stats(doclen)
     if n == 0:
         # Empty index: zero hits by definition — short-circuit to an empty
         # relation with the result schema (no term-stats job, no scan).
         return postings.select("id", F.lit(0.0).alias("score")).limit(0)
-    dfs = term_dfs(postings, terms)
+    if dfs is None:
+        dfs = term_dfs(postings, terms)
     idf_col = _case_chain(
         [(F.col("tok") == t, idf(n, df)) for t, df in sorted(dfs.items())]
     )
@@ -158,6 +179,7 @@ def bm25_scores_by_field(
     doclen: DataFrame,
     terms: Sequence[str],
     stats: dict[str, tuple[int, float]] | None = None,
+    dfs: dict[tuple[str, str], int] | None = None,
 ) -> DataFrame:
     """Per-(document, field) BM25 — postings carry ``field`` and ``dl``;
     statistics (df, N, avgdl) are per-field as in Lucene. Returns
@@ -168,7 +190,8 @@ def bm25_scores_by_field(
     bizcard ``owner`` used by O28 filter context) are carried through the
     aggregation untouched."""
     by_field = stats if stats is not None else corpus_stats_by_field(doclen)
-    dfs = term_dfs_by_field(postings, terms)
+    if dfs is None:
+        dfs = term_dfs_by_field(postings, terms)
     idf_col = _case_chain(
         [
             ((F.col("field") == f) & (F.col("tok") == t), idf(*_nd(by_field, f, d)))

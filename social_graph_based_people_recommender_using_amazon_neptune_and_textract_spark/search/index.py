@@ -28,14 +28,20 @@ def tokenize(col: Column) -> Column:
 
 def build_index(
     docs: DataFrame, id_col: str, text_col: str
-) -> tuple[DataFrame, DataFrame]:
-    """Returns (postings, doclen):
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Returns (postings, doclen, vocab):
     postings: (id, dl, tok, tf) — term frequency per document, with the
               document's token count denormalized alongside (Lucene keeps
               length norms IN the index; scoring then needs no doclen
               join — the postings scan alone carries everything);
     doclen:   (id, dl)          — token count per document (feeds the
-              one-time corpus statistics (N, avgdl) fetch).
+              one-time corpus statistics (N, avgdl) fetch);
+    vocab:    (tok, df)         — the term dictionary: document frequency
+              per token, built AT INDEX TIME exactly as Lucene keeps term
+              statistics in the segment dictionary. Per-query term stats
+              are then a point lookup over this vocabulary-sized relation
+              instead of a full postings scan (the round-4 bench showed
+              the per-query df scan dominating warm search latency).
     """
     toks = docs.select(
         F.col(id_col).alias("id"), tokenize(F.col(text_col)).alias("tokens")
@@ -46,4 +52,5 @@ def build_index(
         .groupBy("id", "dl", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    return postings, doclen
+    vocab = postings.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    return postings, doclen, vocab

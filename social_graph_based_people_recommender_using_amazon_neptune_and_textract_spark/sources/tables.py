@@ -54,14 +54,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     generations: parquet TIMESTAMP(NANOS) (which Spark 4 rejects unless read
     as long nanos) and plain TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ).
     Normalize both to a TIMESTAMP whose instant is the stored wall clock
-    read as UTC. Both branches are timezone-EXPLICIT — the NTZ branch
-    round-trips through a string with an explicit 'Z' zone, which the
-    string→timestamp cast honors over the session zone — so the instants
-    are correct even if host code later changes
+    read as UTC. Both branches are timezone-EXPLICIT and purely
+    ARITHMETIC: the NTZ branch decomposes the wall clock into epoch days
+    (``unix_date`` on the tz-free NTZ→date cast) plus time-of-day
+    micros — every term is timezone-independent, so the instants are
+    correct even if host code later changes
     ``spark.sql.session.timeZone`` (round-3 ADVICE: a bare
     ``cast("timestamp")`` is interpreted with the session zone at QUERY
-    time, not load time). The session zone is still pinned UTC for
-    deterministic ``date_format``/``window`` RENDERING downstream.
+    time, not load time; the round-4 remedy — a per-row string round-trip
+    with an explicit 'Z' — was equally correct but allocated a string per
+    row on the hottest base table, a measured 45-70% regression on events
+    scans). The session zone is still pinned UTC for deterministic
+    ``date_format``/``window`` RENDERING downstream.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -70,12 +74,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         ts_type = df.schema["ts"].dataType.simpleString()
         if ts_type == "bigint":  # nanos-as-long generation
             return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        # TIMESTAMP_NTZ (micros) generation: NTZ→string is timezone-free;
-        # the explicit 'Z' suffix pins the parse to UTC in any session.
-        return df.withColumn(
-            "ts",
-            F.concat(F.col("ts").cast("string"), F.lit("Z")).cast("timestamp"),
+        # TIMESTAMP_NTZ (micros) generation: wall clock → epoch micros,
+        # all tz-free terms (date/hour/minute on NTZ read the wall clock;
+        # SECOND is decimal(8,6) so sub-second precision is exact).
+        micros = (
+            F.unix_date(F.col("ts").cast("date")).cast("long") * F.lit(86_400_000_000)
+            + F.hour("ts").cast("long") * F.lit(3_600_000_000)
+            + F.minute("ts").cast("long") * F.lit(60_000_000)
+            + (F.date_part(F.lit("SECOND"), F.col("ts")) * F.lit(1_000_000)).cast("long")
         )
+        return df.withColumn("ts", F.timestamp_micros(micros))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

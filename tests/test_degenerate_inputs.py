@@ -107,7 +107,7 @@ def test_search_empty_corpus_serves_zero_hits(spark):
         build_index,
     )
 
-    _, doclen = build_index(empty, "doc_id", "text")
+    _, doclen, _ = build_index(empty, "doc_id", "text")
     assert corpus_stats(doclen) == (0, 0.0)
 
 

@@ -16,6 +16,9 @@ from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spa
 from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.plans.audit import (
     physical_plan,
 )
+from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark import (
+    checkpoints as CKPT,
+)
 from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.sources import (
     tables,
 )
@@ -27,14 +30,29 @@ def _n_persisted(spark) -> int:
     return spark.sparkContext._jsc.getPersistentRDDs().size()
 
 
+def _reset_storage(spark) -> int:
+    """Hard-reset executor storage to a deterministic baseline: release
+    every pinned relation and tracked checkpoint, clear the SQL cache,
+    then sweep any stray persistent RDDs other tests may have leaked
+    (storage-accounting baselines must not depend on suite order or on
+    when the async ContextCleaner happens to run)."""
+    PIN.release_all()
+    CKPT.release_all(spark)
+    spark.catalog.clearCache()
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for rdd in list(jmap.values()):  # py4j JavaMap: dict-style view
+        rdd.unpersist(True)
+    base = _n_persisted(spark)
+    assert base == 0
+    return base
+
+
 def test_search_index_built_once_released_clean(spark):
     """Two different queries over one corpus must share ONE pinned index
     build (no extra persisted RDDs on the second query), and release_all
     must return storage to baseline — the leak the long-lived-server
     hygiene contract forbids."""
-    PIN.release_all()
-    spark.catalog.clearCache()
-    base = _n_persisted(spark)
+    base = _reset_storage(spark)
 
     docs = tables.load_table(spark, SF, "documents")
     r1 = S.search_documents(docs, "spark join", limit=5).collect()
@@ -61,9 +79,7 @@ def test_search_index_built_once_released_clean(spark):
 def test_pymk_no_net_persist_after_release(spark):
     """pymk pins the symmetrized edge view and the vertex relation once
     per corpus; release_all unpersists both — no net persisted RDDs."""
-    PIN.release_all()
-    spark.catalog.clearCache()
-    base = _n_persisted(spark)
+    base = _reset_storage(spark)
 
     v = tables.user_graph_vertices(spark, SF)
     e = tables.user_graph_edges(spark, SF)
@@ -162,9 +178,7 @@ def test_token_versions_inplace_corpus_swap(spark, tmp_path):
 def test_bizcard_index_shared_across_query_shapes(spark):
     """Scored, filtered, and filter-only searches all serve from the same
     pinned bizcard index."""
-    PIN.release_all()
-    spark.catalog.clearCache()
-    base = _n_persisted(spark)
+    base = _reset_storage(spark)
 
     rows = [
         dict(doc_id="d1", owner="u1", name="alpha beta", company="c",

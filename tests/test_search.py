@@ -196,3 +196,29 @@ def test_envelope(spark):
     assert row["_index"] == "idx" and row["_type"] == "t"
     assert row["_id"] == row["_source"]["doc_id"]
     assert isinstance(row["_score"], float)
+
+
+def test_vocab_term_dictionary_matches_postings(spark):
+    """The index-time term dictionary (vocab) must agree with dfs
+    recomputed from the postings — the round-5 point-lookup path serves
+    the same statistics as the old per-query postings scan, for every
+    term in the corpus."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.search import (
+        api,
+        bm25,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.search.index import (
+        build_index,
+    )
+
+    docs = _corpus(spark)
+    postings, _, vocab = build_index(docs, "doc_id", "text")
+    all_terms = [r["tok"] for r in vocab.select("tok").distinct().collect()]
+    assert bm25.vocab_dfs(vocab, all_terms) == bm25.term_dfs(postings, all_terms)
+
+    b = _demo_bizcards(spark)
+    _, bposts, _, bvocab = api.bizcard_index(b)
+    bterms = [r["tok"] for r in bvocab.select("tok").distinct().collect()]
+    assert bm25.vocab_dfs_by_field(bvocab, bterms) == bm25.term_dfs_by_field(
+        bposts, bterms
+    )

@@ -1,0 +1,45 @@
+"""Events timestamp normalization: the load-time cast must be
+timezone-EXPLICIT — identical instants whatever
+``spark.sql.session.timeZone`` is at query time (round-3 ADVICE) — and
+must agree with DuckDB's direct reading of the parquet wall clock."""
+
+import duckdb
+from pyspark.sql import functions as F
+
+from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.sources import (
+    tables,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _epoch_micros_sum(spark, tz: str) -> int:
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", tz)
+        df = tables.load_table(spark, SF, "events")
+        # load_table pins the session zone back to UTC; re-apply the probe
+        # zone AFTER load so the expression evaluates under it (the cast
+        # runs at query time, which is exactly what this test exercises).
+        spark.conf.set("spark.sql.session.timeZone", tz)
+        return df.select(
+            F.sum(F.unix_micros("ts")).alias("s")
+        ).collect()[0]["s"]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_events_ts_instant_is_session_tz_independent(spark):
+    utc = _epoch_micros_sum(spark, "UTC")
+    assert _epoch_micros_sum(spark, "America/New_York") == utc
+    assert _epoch_micros_sum(spark, "Asia/Seoul") == utc
+
+
+def test_events_ts_matches_duckdb_wall_clock(spark):
+    """DuckDB reads the parquet NTZ/nanos wall clock directly; the Spark
+    instant (read as UTC) must land on the same wall clock."""
+    oracle = duckdb.sql(
+        "SELECT sum(CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS HUGEINT)) AS s "
+        f"FROM read_parquet('{SF}/events.parquet')"
+    ).fetchone()[0]
+    assert _epoch_micros_sum(spark, "UTC") == int(oracle)
