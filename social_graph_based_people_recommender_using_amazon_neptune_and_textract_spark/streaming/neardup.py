@@ -6,19 +6,26 @@ surface near-dups as documents ARRIVE rather than in a nightly batch
 Spark-first shape: ``foreachBatch`` over a document stream maintains the
 LSH index as an accumulating parquet table of banded signature rows
 (``(doc_id, band, sig)`` — operators/dedup.banded_signatures, the same
-rows the batch operator derives transiently). Per micro-batch:
+rows the batch operator derives transiently), laid out
+``partitionBy(band, sigb)`` where ``sigb = pmod(hash(sig), n_sig_buckets)``.
+Per micro-batch:
 
 1. The batch's signatures are computed ONCE (the CPU-heavy
    tokenize→shingle→16-permutation work happens per document exactly
    once, at arrival — the whole point of the incremental form).
 2. Candidate pairs are the band-bucket join of the batch's banded rows
-   against the accumulated index PLUS the batch itself — a new document
-   is compared only against buckets it lands in, never all-pairs. The
-   old×old pairs were emitted by earlier batches, so the union over
-   batches is EXACTLY the batch operator's candidate set (each pair is
-   discovered when its later member arrives).
+   against the accumulated index PLUS the batch itself — and the index
+   read is FILTERED to the exact (band, sigb) partitions the batch's own
+   rows land in, so parquet partition pruning skips every bucket the
+   batch does not touch (rows sharing (band, sig) by construction share
+   sigb, so no candidate is lost). The old×old pairs were emitted by
+   earlier batches, so the union over batches is EXACTLY the batch
+   operator's candidate set (each pair is discovered when its later
+   member arrives).
 3. The batch's banded rows and raw texts are appended to the index /
-   docs tables.
+   docs tables; every ``compact_every`` batches the candidate table is
+   rewritten to its distinct rows so convergence-point reads stay
+   O(distinct pairs), not O(sum of per-batch emissions).
 
 ``near_dup_pairs`` then verifies exact Jaccard over the accumulated
 candidates — restricted to candidate docs, the same
@@ -26,21 +33,28 @@ verification-restriction the batch operator uses — so on convergence
 (stream fully drained) the output is row-identical to
 ``dedup_minhash_lsh`` on the same corpus: the oracle-checked contract.
 
+State existence is probed through the Hadoop FileSystem API (never
+``os.path`` — on S3/HDFS/DBFS a driver-local isdir is always False and
+would silently drop the accumulated index from candidate generation).
+
 Scale notes (100 TB):
-- State is the banded-signature table: 4 small rows per document,
-  partition-pruned by the bucket join; raw text is read again only for
-  docs that land in some candidate pair.
+- State is the banded-signature table: 4 small rows per document. The
+  (band, sigb) layout bounds per-batch read work to the buckets the
+  batch actually touches (≤ 4 × n_sig_buckets directories, typically far
+  fewer for a micro-batch); raise ``n_sig_buckets`` so a single bucket's
+  rows fit an executor comfortably.
 - The per-batch bucket join shuffles only the BATCH's banded rows
-  against the index's matching buckets (AQE broadcasts small batches).
+  against the pruned index buckets (AQE broadcasts small batches).
 - Hot buckets (boilerplate-heavy corpora) fan out exactly as in the
-  batch operator; the accumulated-candidates table dedups on read.
+  batch operator; the accumulated-candidates table dedups on read and
+  is periodically compacted to its distinct rows.
 - Verification cost is deferred and incremental-friendly: callers can
   verify per convergence point instead of per batch.
 """
 
 from __future__ import annotations
 
-import os
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -49,33 +63,81 @@ from ..operators import dedup as D
 
 DOC_STREAM_SCHEMA = "doc_id long, text string, ts timestamp"
 
+#: Default sig-hash buckets per band in the index layout. 4 bands × 64
+#: buckets = 256 partition directories — cheap to list, and a micro-batch
+#: prunes to the handful its signatures land in.
+N_SIG_BUCKETS = 64
+
 
 class StreamingNearDeduper:
-    """Owns the LSH index (banded signatures), docs, and candidate-pair
-    tables under ``out_dir``; availableNow drains a landing directory
-    exactly once per checkpoint."""
+    """Owns the LSH index (banded signatures, partitioned by
+    ``(band, sigb)``), docs, and candidate-pair tables under ``out_dir``;
+    availableNow drains a landing directory exactly once per checkpoint."""
 
-    def __init__(self, spark: SparkSession, out_dir: str) -> None:
+    def __init__(
+        self,
+        spark: SparkSession,
+        out_dir: str,
+        n_sig_buckets: int = N_SIG_BUCKETS,
+        compact_every: int = 8,
+    ) -> None:
         self.spark = spark
         self.out_dir = out_dir
-        self.index_dir = os.path.join(out_dir, "lsh_index")
-        self.docs_dir = os.path.join(out_dir, "docs")
-        self.cands_dir = os.path.join(out_dir, "cands")
+        self.n_sig_buckets = n_sig_buckets
+        self.compact_every = compact_every
+        self.index_dir = f"{out_dir}/lsh_index"
+        self.docs_dir = f"{out_dir}/docs"
+        self.cands_dir = f"{out_dir}/cands"
+
+    # -- filesystem state (Hadoop FS, not driver-local os.path) -------------
+
+    def _fs_path(self, path: str):
+        jvm = self.spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        return fs, jpath
+
+    def _exists(self, path: str) -> bool:
+        fs, jpath = self._fs_path(path)
+        return bool(fs.exists(jpath))
+
+    def _sigb(self):
+        return F.pmod(F.hash("sig"), F.lit(self.n_sig_buckets))
 
     # -- per-batch increment ------------------------------------------------
 
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         docs = batch_df.select("doc_id", "text")
-        banded_b = D.banded_signatures(D.minhash_signatures(docs)).persist()
+        banded_b = (
+            D.banded_signatures(D.minhash_signatures(docs))
+            .withColumn("sigb", self._sigb())
+            .persist()
+        )
         try:
             new_side = banded_b.select(
                 F.col("doc_id").alias("_new_id"), "band", "sig"
             )
-            if os.path.isdir(self.index_dir):
+            if self._exists(self.index_dir):
+                # Prune the index read to the exact partitions this
+                # batch's rows land in: equal (band, sig) ⇒ equal sigb,
+                # so the OR-of-partition-equalities loses no candidate.
+                touched = banded_b.select("band", "sigb").distinct().collect()
                 index = self.spark.read.parquet(self.index_dir)
-                probe = index.unionByName(banded_b)
+                if touched:
+                    cond = reduce(
+                        lambda a, b: a | b,
+                        [
+                            (F.col("band") == r["band"])
+                            & (F.col("sigb") == r["sigb"])
+                            for r in touched
+                        ],
+                    )
+                    index = index.filter(cond)
+                probe = index.select("doc_id", "band", "sig").unionByName(
+                    banded_b.select("doc_id", "band", "sig")
+                )
             else:
-                probe = banded_b
+                probe = banded_b.select("doc_id", "band", "sig")
             cands = (
                 probe.select(F.col("doc_id").alias("_old_id"), "band", "sig")
                 .join(new_side, ["band", "sig"])
@@ -87,10 +149,31 @@ class StreamingNearDeduper:
                 .distinct()
             )
             cands.write.mode("append").parquet(self.cands_dir)
-            banded_b.write.mode("append").parquet(self.index_dir)
+            banded_b.write.partitionBy("band", "sigb").mode("append").parquet(
+                self.index_dir
+            )
             docs.write.mode("append").parquet(self.docs_dir)
         finally:
             banded_b.unpersist()
+        if self.compact_every and (batch_id + 1) % self.compact_every == 0:
+            self.compact()
+
+    def compact(self) -> None:
+        """Rewrite the candidate table to its distinct rows (cross-batch
+        re-emissions of the same pair otherwise accumulate forever — the
+        distinct()-on-read stays correct but its input grows O(batches)).
+        Materialize-then-swap via the Hadoop FS so a crash mid-compact
+        leaves either the old or the new table, never a half state."""
+        if not self._exists(self.cands_dir):
+            return
+        tmp = f"{self.cands_dir}__compact"
+        self.spark.read.parquet(self.cands_dir).distinct().write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        fs, dst = self._fs_path(self.cands_dir)
+        _, src = self._fs_path(tmp)
+        fs.delete(dst, True)
+        fs.rename(src, dst)
 
     def run_available_now(
         self,
@@ -123,7 +206,7 @@ class StreamingNearDeduper:
         batch (empty landing) has no tables on disk and serves the empty
         relation — degrade like every other degenerate input, don't
         crash on a missing path."""
-        if not os.path.isdir(self.cands_dir):
+        if not self._exists(self.cands_dir):
             return self.spark.createDataFrame([], "doc_a long, doc_b long")
         return self.spark.read.parquet(self.cands_dir).distinct()
 
@@ -132,7 +215,7 @@ class StreamingNearDeduper:
         far — on a drained stream, row-identical to the batch
         ``dedup_minhash_lsh`` (the oracle contract). Verification builds
         distinct shingle sets only for docs in some candidate pair."""
-        if not os.path.isdir(self.docs_dir):
+        if not self._exists(self.docs_dir):
             return self.spark.createDataFrame(
                 [], "doc_a long, doc_b long, jaccard double"
             )

@@ -347,3 +347,92 @@ def test_archive_read_partition_pruning(spark, landing, tmp_path):
 
     miss = read_archive(spark, archive, year="1999")
     assert miss.count() == 0
+
+
+def test_streaming_neardup_index_partition_pruning(spark, tmp_path):
+    """The accumulated LSH index is laid out partitionBy(band, sigb); a
+    bucket-restricted read must touch ONLY matching partition files —
+    the device that keeps per-batch cost proportional to the buckets a
+    batch lands in, not to the whole accumulated index."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        dedup as D,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.sources import (
+        tables,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.streaming.neardup import (
+        StreamingNearDeduper,
+    )
+
+    corpus = D.aug_corpus(
+        tables.load_table(spark, "/root/testdata/sf0.001", "documents")
+    )
+    landing = str(tmp_path / "landing")
+    corpus.withColumn(
+        "ts", F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+    ).select("doc_id", "text", "ts").repartition(2).write.mode(
+        "overwrite"
+    ).parquet(landing)
+    d = StreamingNearDeduper(spark, str(tmp_path / "wh"), n_sig_buckets=8)
+    d.run_available_now(landing, str(tmp_path / "ckpt"), max_files_per_trigger=1)
+
+    index = spark.read.parquet(d.index_dir)
+    all_files = set(index.inputFiles())  # full listing, pruning-insensitive
+    row = index.select("band", "sigb").distinct().limit(1).collect()[0]
+    pruned = index.filter(
+        (F.col("band") == row["band"]) & (F.col("sigb") == row["sigb"])
+    )
+    # input_file_name() surfaces the files the executed scan ACTUALLY
+    # read — partition pruning must keep it to the one matching dir.
+    read_files = {
+        r["f"]
+        for r in pruned.select(F.input_file_name().alias("f")).distinct().collect()
+    }
+    marker = f"band={row['band']}/sigb={row['sigb']}"
+    assert read_files and read_files < all_files
+    assert all(marker in f for f in read_files)
+    # and Catalyst classified the predicates as partition filters
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+
+def test_streaming_neardup_candidate_compaction(spark, tmp_path):
+    """Candidate re-emissions must not accumulate: after compaction the
+    on-disk candidate table holds exactly its distinct rows, and a
+    checkpointed re-drain over the same landing data adds nothing."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        dedup as D,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.sources import (
+        tables,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.streaming.neardup import (
+        StreamingNearDeduper,
+    )
+
+    corpus = D.aug_corpus(
+        tables.load_table(spark, "/root/testdata/sf0.001", "documents")
+    )
+    landing = str(tmp_path / "landing")
+    corpus.withColumn(
+        "ts", F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+    ).select("doc_id", "text", "ts").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(landing)
+    # compact_every=2 → auto-compaction fires mid-drain too
+    d = StreamingNearDeduper(
+        spark, str(tmp_path / "wh"), compact_every=2
+    )
+    d.run_available_now(landing, str(tmp_path / "ckpt"), max_files_per_trigger=1)
+
+    want = {
+        (r["doc_a"], r["doc_b"]) for r in d.candidate_pairs().collect()
+    }
+    d.compact()
+    raw = spark.read.parquet(d.cands_dir)
+    assert raw.count() == len(want)  # on-disk == distinct
+    assert {(r["doc_a"], r["doc_b"]) for r in raw.collect()} == want
+
+    # re-drain same landing + checkpoint: no growth
+    d.run_available_now(landing, str(tmp_path / "ckpt"), max_files_per_trigger=1)
+    assert spark.read.parquet(d.cands_dir).count() == len(want)
