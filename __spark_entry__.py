@@ -124,6 +124,7 @@ def _q_graph_degrees_bucketed(spark, sf_dir):
     aggregate degrees — the groupBy rides the bucket layout with no
     Exchange (asserted in test_plans), and the result is layout-
     independent: graph_degrees' oracle verbatim."""
+    import hashlib
     import tempfile
 
     from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.graph.model import (
@@ -135,12 +136,16 @@ def _q_graph_degrees_bucketed(spark, sf_dir):
     )
 
     bi = symmetrize(tables.user_graph_edges(spark, sf_dir))
-    base = tempfile.mkdtemp(prefix="sgr-bkt-")
-    write_bucketed(
-        bi, "sgr_edges_bucketed_q", "src", n_buckets=8, path=f"{base}/edges"
-    )
+    # Stable location + table name keyed by sf_dir: repeated invocations
+    # (bench min-of-N, correctness drivers) overwrite in place instead of
+    # orphaning a fresh mkdtemp per call, and two drivers on different
+    # sf_dirs don't race on one table name.
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    table = f"sgr_edges_bucketed_q_{key}"
+    base = f"{tempfile.gettempdir()}/sgr-bkt-{key}"
+    write_bucketed(bi, table, "src", n_buckets=8, path=f"{base}/edges")
     return (
-        read_bucketed(spark, "sgr_edges_bucketed_q")
+        read_bucketed(spark, table)
         .groupBy("src")
         .agg(F.count(F.lit(1)).alias("degree"))
         .withColumnRenamed("src", "id")

@@ -30,7 +30,10 @@ evicted precisely when that key is released; memos without a declared
 parent are dropped on ANY successful release (over-invalidation is the
 safe direction — recompute is one small aggregate). A ``release`` of a
 key that was never pinned is a pure no-op: it returns False and
-invalidates nothing.
+invalidates nothing. ``_MEMOS`` is LRU-bounded at ``MEMO_CAP`` so a
+server that scores transient unpinned corpora forever (and never
+releases anything) still has bounded driver memory; eviction just means
+recompute on next use.
 
 Aliasing caveat and the ``token`` remedy: keys embed
 ``DataFrame.semanticHash()`` — a 32-bit hash of the LOGICAL plan, not the
@@ -59,6 +62,12 @@ _REGISTRY: dict[Hashable, tuple[DataFrame, ...]] = {}
 _MEMOS: dict[Hashable, object] = {}
 #: pinned key -> the memo keys derived from it (precise eviction set).
 _MEMO_DEPS: dict[Hashable, set[Hashable]] = {}
+#: LRU bound on driver-side scalar memos. A long-lived server that scores
+#: transient unpinned corpora (and never calls release) would otherwise
+#: grow _MEMOS without limit; each entry is a tiny stats scalar, so 1024
+#: is generous while keeping worst-case growth bounded. Eviction is
+#: recompute-on-next-use, never a correctness event.
+MEMO_CAP = 1024
 
 
 def effective_key(key: Hashable, token: Hashable | None = None) -> Hashable:
@@ -93,8 +102,15 @@ def memo(
     derives from (see ``effective_key``): declared parents get precise
     eviction on that key's release; undeclared memos are cleared on any
     successful release."""
-    if key not in _MEMOS:
+    if key in _MEMOS:
+        _MEMOS[key] = _MEMOS.pop(key)  # refresh LRU position
+    else:
         _MEMOS[key] = compute()
+        while len(_MEMOS) > MEMO_CAP:
+            evicted = next(iter(_MEMOS))
+            del _MEMOS[evicted]
+            for deps in _MEMO_DEPS.values():
+                deps.discard(evicted)
     if parent is not None:
         _MEMO_DEPS.setdefault(parent, set()).add(key)
     return _MEMOS[key]
@@ -122,6 +138,10 @@ def release(key: Hashable, token: Hashable | None = None) -> bool:
     for mk in list(_MEMOS):
         if mk not in tracked:
             del _MEMOS[mk]
+    # Prune dependency entries whose memo set has emptied (their parent
+    # key may never be released again; the empty set would linger).
+    for pk in [pk for pk, deps in _MEMO_DEPS.items() if not deps]:
+        del _MEMO_DEPS[pk]
     return True
 
 

@@ -195,3 +195,41 @@ def test_bizcard_index_shared_across_query_shapes(spark):
     assert len(PIN.pinned_keys()) == 1
     PIN.release_all()
     assert _n_persisted(spark) == base
+
+
+def test_memo_growth_bounded_lru(spark):
+    """A server that memoizes stats for transient corpora forever (and
+    never releases anything) must not grow driver memory without bound:
+    _MEMOS is LRU-capped at MEMO_CAP, and recently-used entries survive
+    eviction while the oldest go first."""
+    PIN.release_all()
+    n = PIN.MEMO_CAP + 50
+    for i in range(n):
+        PIN.memo(("transient", i), lambda i=i: i)
+    assert len(PIN._MEMOS) == PIN.MEMO_CAP
+    # oldest 50 evicted, newest survive
+    assert ("transient", 0) not in PIN._MEMOS
+    assert ("transient", n - 1) in PIN._MEMOS
+
+    # LRU refresh: touching an old-ish survivor keeps it alive through
+    # further inserts that evict its neighbors
+    keep = ("transient", 60)
+    assert PIN.memo(keep, lambda: "MISS") == 60  # hit refreshes position
+    for i in range(n, n + PIN.MEMO_CAP - 1):
+        PIN.memo(("transient", i), lambda i=i: i)
+    assert keep in PIN._MEMOS
+    assert ("transient", 61) not in PIN._MEMOS
+    PIN.release_all()
+
+
+def test_release_prunes_empty_dep_sets(spark):
+    """_MEMO_DEPS entries whose memo set emptied are pruned on release —
+    a server churning corpora doesn't accumulate empty dep sets for
+    parents that will never be released again."""
+    PIN.release_all()
+    PIN.pinned("corpX", lambda: (spark.range(2),))
+    PIN.memo("statsX", lambda: 1, parent="corpX")
+    assert "corpX" in PIN._MEMO_DEPS
+    assert PIN.release("corpX") is True
+    assert "corpX" not in PIN._MEMO_DEPS
+    PIN.release_all()

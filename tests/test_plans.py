@@ -274,6 +274,7 @@ def test_bucketed_join_eliminates_exchange(spark, tmp_path):
         b = be.select(F.col("src").alias("k"), F.col("dst").alias("d2"))
         # disable auto-broadcast so the co-location (not a broadcast)
         # is what eliminates the exchanges
+        saved_abt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         try:
             joined = a.join(b, "k")
@@ -286,7 +287,7 @@ def test_bucketed_join_eliminates_exchange(spark, tmp_path):
             # bucketing is physical only: identical join results
             assert joined.count() == ra.join(rb, "k").count()
         finally:
-            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved_abt)
     finally:
         spark.sql("DROP TABLE IF EXISTS edges_by_src_test")
 
