@@ -786,72 +786,35 @@ def _q_media_frame_sample(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order IS the driver's check order, and the driver
     verifies the FIRST 50 entries only. Policy (VERDICT r3 item 1):
-    queries with the least correctness evidence come first (never-
-    verified, then verified-in-r1-only, then new-this-round); the tail
-    holds long-stable green entries whose operators are constituents of
-    other checked queries (the bizcard parse pipeline also runs inside
-    streaming_bizcards / archive_replay / pymk_bizcard_hydrated /
-    graph_shortest_paths; graph_edges feeds degrees / one_hop_paths;
-    language-id + token-count ride corpus_curation). Rotate per round."""
+    queries with the least correctness evidence come first — this round
+    (5) that means queries whose ENGINE CODE changed (search term
+    dictionary, events timestamp arithmetic, streaming LSH layout,
+    tracked checkpoints), then the 14 queries rotated out in round 4
+    (r3-green, evidence two rounds old — VERDICT r4 item 6), then stable
+    r4 greens. The tail holds the queries verified fresh in round 4 and
+    untouched since (media/ann/simhash/kmeans family, plus the two
+    trivial point lookups); rotate again next round."""
     return {
-        # -- never oracle-verified before round 4 ------------------------
-        "media_features": _q_media_features,
-        "kmeans_assign": _q_kmeans_assign,
-        "ann_ivf_probe2": _q_ann_ivf_probe2,
-        "docs_token_shards": _q_docs_token_shards,
-        # -- last verified in round 1 ------------------------------------
-        "dedup_simhash": _q_dedup_simhash,
-        "dedup_simhash_pairs": _q_dedup_simhash_pairs,
-        "media_decode": _q_media_decode,
-        "media_resize_decode": _q_media_resize_decode,
-        "media_frame_sample": _q_media_frame_sample,
-        "ann_bruteforce": _q_ann_bruteforce,
-        "ann_ivf": _q_ann_ivf,
-        "dedup_embedding": _q_dedup_embedding,
-        # -- new in round 4 ----------------------------------------------
+        # -- engine code changed in round 5 ------------------------------
         "streaming_dedup_minhash": _q_streaming_dedup_minhash,
         "graph_degrees_bucketed": _q_graph_degrees_bucketed,
-        # -- green in round 3 --------------------------------------------
-        "graph_degrees": _q_graph_degrees,
-        "one_hop_paths": _q_one_hop_paths,
-        "pymk_user_3": _q_pymk_user_3,
-        "pymk_all_top5": _q_pymk_all_top5,
-        "pymk_user_3_hydrated": _q_pymk_user_3_hydrated,
-        "pymk_bizcard_hydrated": _q_pymk_bizcard_hydrated,
-        "graph_shortest_paths": _q_graph_shortest_paths,
-        "vertex_lookup": _q_vertex_lookup,
-        "edge_exists_first": _q_edge_exists_first,
-        "search_bizcards_envelope": _q_search_bizcards_envelope,
-        "status_latest": _q_status_latest,
-        "streaming_bizcards": _q_streaming_bizcards,
-        "streaming_status": _q_streaming_status,
-        "streaming_status_machine": _q_streaming_status_machine,
-        "streaming_event_windows": _q_streaming_event_windows,
-        "archive_replay": _q_archive_replay,
-        "album_replay": _q_album_replay,
-        "streaming_dedup": _q_streaming_dedup,
+        "search_bizcards": _q_search_bizcards,
         "search_documents": _q_search_documents,
         "search_documents_count": _q_search_documents_count,
-        "search_bizcards": _q_search_bizcards,
+        "search_bizcards_envelope": _q_search_bizcards_envelope,
         "search_bizcards_owner": _q_search_bizcards_owner,
         "search_bizcards_user_only": _q_search_bizcards_user_only,
-        "text_quality": _q_text_quality,
-        "text_fingerprint": _q_text_fingerprint,
-        "salted_distinct_degrees": _q_salted_distinct_degrees,
+        "status_latest": _q_status_latest,
+        "graph_edges": _q_graph_edges,
         "events_sessionized": _q_events_sessionized,
-        "docs_split_counts": _q_docs_split_counts,
-        "customers_balanced_sample": _q_customers_balanced_sample,
-        "lineitem_pricing_summary": _q_lineitem_pricing_summary,
-        "region_revenue": _q_region_revenue,
-        "dedup_exact": _q_dedup_exact,
-        "corpus_curation": _q_corpus_curation,
-        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
-        "dedup_ngram_pairs": _q_dedup_ngram_pairs,
-        "dedup_clusters": _q_dedup_clusters,
-        # ---- entries below may fall outside the driver's 50-entry
-        # check window: long-stable greens whose operators are exercised
-        # by checked queries above (rotation candidates for next round) --
         "session_stats": _q_session_stats,
+        "streaming_event_windows": _q_streaming_event_windows,
+        "streaming_status": _q_streaming_status,
+        "streaming_status_machine": _q_streaming_status_machine,
+        "docs_token_shards": _q_docs_token_shards,
+        "dedup_clusters": _q_dedup_clusters,
+        "graph_shortest_paths": _q_graph_shortest_paths,
+        # -- rotated back in (last verified round 3) ---------------------
         "text_language_id": _q_text_language_id,
         "text_token_counts": _q_text_token_counts,
         "bizcard_parse": _q_bizcard_parse,
@@ -861,10 +824,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bizcard_content_dedup": _q_bizcard_content_dedup,
         "url_decoded_keys": _q_url_decoded_keys,
         "kinesis_partition_keys": _q_kinesis_partition_keys,
-        "graph_edges": _q_graph_edges,
         "graph_vertices": _q_graph_vertices,
         "graph_counts": _q_graph_counts,
         "docs_hash_sample": _q_docs_hash_sample,
+        # -- stable round-4 greens, untouched this round -----------------
+        "graph_degrees": _q_graph_degrees,
+        "one_hop_paths": _q_one_hop_paths,
+        "pymk_user_3": _q_pymk_user_3,
+        "pymk_all_top5": _q_pymk_all_top5,
+        "pymk_user_3_hydrated": _q_pymk_user_3_hydrated,
+        "pymk_bizcard_hydrated": _q_pymk_bizcard_hydrated,
+        "streaming_bizcards": _q_streaming_bizcards,
+        "archive_replay": _q_archive_replay,
+        "album_replay": _q_album_replay,
+        "streaming_dedup": _q_streaming_dedup,
+        "text_quality": _q_text_quality,
+        "text_fingerprint": _q_text_fingerprint,
+        "salted_distinct_degrees": _q_salted_distinct_degrees,
+        "docs_split_counts": _q_docs_split_counts,
+        "customers_balanced_sample": _q_customers_balanced_sample,
+        "lineitem_pricing_summary": _q_lineitem_pricing_summary,
+        "region_revenue": _q_region_revenue,
+        "dedup_exact": _q_dedup_exact,
+        "corpus_curation": _q_corpus_curation,
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        # ---- entries below fall outside the driver's 50-entry check
+        # window: verified fresh in round 4, untouched since; their
+        # operator families are represented above (minhash/exact/clusters
+        # for dedup; graph lookups ride the pymk/hydration paths). They
+        # rotate back into the window next round. ------------------------
+        "dedup_ngram_pairs": _q_dedup_ngram_pairs,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_simhash_pairs": _q_dedup_simhash_pairs,
+        "dedup_embedding": _q_dedup_embedding,
+        "media_decode": _q_media_decode,
+        "media_resize_decode": _q_media_resize_decode,
+        "media_frame_sample": _q_media_frame_sample,
+        "media_features": _q_media_features,
+        "ann_bruteforce": _q_ann_bruteforce,
+        "ann_ivf": _q_ann_ivf,
+        "ann_ivf_probe2": _q_ann_ivf_probe2,
+        "kmeans_assign": _q_kmeans_assign,
+        "vertex_lookup": _q_vertex_lookup,
+        "edge_exists_first": _q_edge_exists_first,
     }
 
 
