@@ -2,12 +2,23 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec, ...}, "sf": ...}.
+"queries": {name: sec, ...}, "builds": {name: sec, ...}, "sf": ...}.
 
 Each query is executed to completion (count() materializes every row
-through the full plan) after a warm-up of the input file scans. Timings
-are wall-clock per query, single run (the driver compares round-over-
-round; keep runs deterministic and cheap).
+through the full plan) after a warm-up of the input file scans.
+
+Two timing regimes per query (VERDICT r4 item 5 — pin-shuffling must not
+flatter the warm numbers):
+
+- ``queries``: steady-state serving — min-of-3 after a warm run, pinned
+  indexes (postings, bi-edges, LSH/audit tables) already built, exactly
+  how ES/Neptune serve from prebuilt structures.
+- ``builds``: cold serving — every pinned relation and tracked
+  checkpoint is released first, then ONE timed run pays index build +
+  serve. Whole-stage-codegen is already JIT-compiled by the warm pass,
+  so the cold number measures build work, not JVM warm-up. Queries
+  sharing a pin (e.g. the bizcard index) each pay its build here —
+  per-query cold latency, not a deduplicated build ledger.
 """
 
 from __future__ import annotations
@@ -98,12 +109,38 @@ def main() -> None:
         except Exception as exc:  # one broken query must not kill the report
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
 
+    # Cold-build pass: release every pin / tracked checkpoint before each
+    # query so the timed run pays its index builds (codegen is warm from
+    # the pass above, so this isolates build work from JVM JIT).
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark import (
+        checkpoints as CKPT,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark import (
+        pinned as PIN,
+    )
+
+    builds: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        if name in errors:
+            continue
+        fn = qs[name]
+        try:
+            PIN.release_all()
+            CKPT.release_all(spark)
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).count()
+            builds[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:
+            errors[name] = f"cold: {type(exc).__name__}: {exc}"[:200]
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "builds": builds,
+        "builds_total": round(sum(builds.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:

@@ -59,6 +59,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .. import fsutil
 from ..operators import dedup as D
 
 DOC_STREAM_SCHEMA = "doc_id long, text string, ts timestamp"
@@ -89,17 +90,10 @@ class StreamingNearDeduper:
         self.docs_dir = f"{out_dir}/docs"
         self.cands_dir = f"{out_dir}/cands"
 
-    # -- filesystem state (Hadoop FS, not driver-local os.path) -------------
-
-    def _fs_path(self, path: str):
-        jvm = self.spark._jvm
-        jpath = jvm.org.apache.hadoop.fs.Path(path)
-        fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
-        return fs, jpath
+    # -- filesystem state (Hadoop FS via fsutil, not driver-local os.path) --
 
     def _exists(self, path: str) -> bool:
-        fs, jpath = self._fs_path(path)
-        return bool(fs.exists(jpath))
+        return fsutil.exists(self.spark, path)
 
     def _sigb(self):
         return F.pmod(F.hash("sig"), F.lit(self.n_sig_buckets))
@@ -170,10 +164,8 @@ class StreamingNearDeduper:
         self.spark.read.parquet(self.cands_dir).distinct().write.mode(
             "overwrite"
         ).parquet(tmp)
-        fs, dst = self._fs_path(self.cands_dir)
-        _, src = self._fs_path(tmp)
-        fs.delete(dst, True)
-        fs.rename(src, dst)
+        fsutil.delete(self.spark, self.cands_dir)
+        fsutil.rename(self.spark, tmp, self.cands_dir)
 
     def run_available_now(
         self,

@@ -22,17 +22,19 @@ exactly the reference's deterministic-id upsert argument (SURVEY §2.5).
 Scale: a snapshot rewrite is O(table); at warehouse scale this sink is
 swapped for a real Delta/Iceberg MERGE (same keyed semantics, log-
 structured). The interface is the contract, the snapshot layout is the
-local implementation.
+local implementation. All pointer/GC metadata goes through the Hadoop
+FileSystem API (fsutil) so the table works unchanged on file:/, hdfs:/
+or s3a:/ roots — driver-local ``os.path`` would silently see an empty
+table on any remote store (the round-4 ADVICE defect class).
 """
 
 from __future__ import annotations
 
-import os
-import shutil
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .. import fsutil
 from ..operators.upsert import latest_by_key
 
 _POINTER = "_LATEST"
@@ -52,40 +54,35 @@ class KeyedParquetTable:
         self.keys = list(keys)
         self.order_by = list(order_by)
         self.keep_snapshots = keep_snapshots
-        os.makedirs(root, exist_ok=True)
+        fsutil.mkdirs(spark, root)
 
     # -- snapshot bookkeeping ------------------------------------------
     def _pointer_path(self) -> str:
-        return os.path.join(self.root, _POINTER)
+        return f"{self.root}/{_POINTER}"
 
     def current_snapshot(self) -> str | None:
-        try:
-            with open(self._pointer_path(), encoding="utf-8") as f:
-                name = f.read().strip()
-            return name or None
-        except FileNotFoundError:
-            return None
+        name = fsutil.read_utf8(self.spark, self._pointer_path())
+        return name.strip() or None if name is not None else None
 
     def _commit(self, name: str) -> None:
-        tmp = self._pointer_path() + ".tmp"
-        with open(tmp, "w", encoding="utf-8") as f:
-            f.write(name)
-        os.replace(tmp, self._pointer_path())  # atomic on POSIX
+        fsutil.write_utf8(self.spark, self._pointer_path(), name)
 
     def _gc(self, latest: str) -> None:
         snaps = sorted(
-            d for d in os.listdir(self.root) if d.startswith("snap-")
+            d
+            for d in fsutil.list_names(self.spark, self.root)
+            if d.startswith("snap-")
         )
         for d in snaps[: -self.keep_snapshots]:
             if d != latest:
-                shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
+                fsutil.delete(self.spark, f"{self.root}/{d}")
 
     # -- public API ------------------------------------------------------
     def read(self) -> DataFrame | None:
         snap = self.current_snapshot()
         if snap is None:
             return None
-        return self.spark.read.parquet(os.path.join(self.root, snap))
+        return self.spark.read.parquet(f"{self.root}/{snap}")
 
     def merge(self, batch: DataFrame) -> None:
         current = self.read()
@@ -93,6 +90,6 @@ class KeyedParquetTable:
         merged = latest_by_key(merged, self.keys, self.order_by)
         snap = self.current_snapshot()
         nxt = f"snap-{(int(snap.split('-')[1]) + 1) if snap else 1:06d}"
-        merged.write.mode("overwrite").parquet(os.path.join(self.root, nxt))
+        merged.write.mode("overwrite").parquet(f"{self.root}/{nxt}")
         self._commit(nxt)
         self._gc(nxt)
