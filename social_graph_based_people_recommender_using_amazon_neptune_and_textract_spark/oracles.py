@@ -1125,3 +1125,9 @@ SELECT vec_a, vec_b, cos FROM (
     round({_DOT.format(a="a.v", b="b.v")} / (sqrt(a.n2) * sqrt(b.n2)), 6) AS cos
   FROM norms a JOIN norms b ON a.label = b.label AND a.vec_id < b.vec_id
 ) WHERE cos >= 0.99"""
+
+# Incremental index maintenance (search/incremental.py): the corpus is
+# upserted batch-by-batch through the ES create-or-replace maintainer; a
+# drained maintainer's serving state must equal from-scratch search over
+# the whole corpus — so the query shares search_bizcards' oracle verbatim.
+ORACLES["streaming_search_bizcards"] = ORACLES["search_bizcards"]

@@ -87,27 +87,38 @@ def bizcard_index(
 
     def _build():
         alive = bizcards.filter(F.col("is_alive") == 1)
-        toks = _melt_fields(alive).select(
-            "id", "owner", "field", tokenize(F.col("text")).alias("tokens")
-        )
-        doclen = toks.select("id", "field", F.size("tokens").alias("dl"))
-        postings = (
-            toks.select(
-                "id",
-                "owner",
-                "field",
-                F.size("tokens").alias("dl"),
-                F.explode("tokens").alias("tok"),
-            )
-            .groupBy("id", "owner", "field", "dl", "tok")
-            .agg(F.count(F.lit(1)).alias("tf"))
-        )
-        vocab = postings.groupBy("field", "tok").agg(
-            F.count(F.lit(1)).alias("df")
-        )
-        return alive, postings, doclen, vocab
+        return (alive, *build_bizcard_postings(alive))
 
     return pinned(("bizcard_index", bizcards.semanticHash()), _build, token=token)
+
+
+def build_bizcard_postings(
+    alive: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(postings, doclen, vocab) derived from an alive-bizcards relation —
+    the per-field index structure shared by the pinned whole-corpus index
+    (``bizcard_index``) and the incremental per-batch maintainer
+    (search/incremental.py): both produce identical rows for identical
+    documents, which is what makes segment replacement sound."""
+    toks = _melt_fields(alive).select(
+        "id", "owner", "field", tokenize(F.col("text")).alias("tokens")
+    )
+    doclen = toks.select("id", "field", F.size("tokens").alias("dl"))
+    postings = (
+        toks.select(
+            "id",
+            "owner",
+            "field",
+            F.size("tokens").alias("dl"),
+            F.explode("tokens").alias("tok"),
+        )
+        .groupBy("id", "owner", "field", "dl", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    vocab = postings.groupBy("field", "tok").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    return postings, doclen, vocab
 
 
 def search_documents(

@@ -40,19 +40,15 @@ from ..operators.upsert import latest_by_key
 _POINTER = "_LATEST"
 
 
-class KeyedParquetTable:
+class _SnapshotTable:
+    """Shared snapshot/pointer protocol; subclasses define how a batch
+    merges into the current state."""
+
     def __init__(
-        self,
-        spark: SparkSession,
-        root: str,
-        keys: Sequence[str],
-        order_by: Sequence[str],
-        keep_snapshots: int = 2,
+        self, spark: SparkSession, root: str, keep_snapshots: int = 2
     ) -> None:
         self.spark = spark
         self.root = root
-        self.keys = list(keys)
-        self.order_by = list(order_by)
         self.keep_snapshots = keep_snapshots
         fsutil.mkdirs(spark, root)
 
@@ -77,6 +73,13 @@ class KeyedParquetTable:
             if d != latest:
                 fsutil.delete(self.spark, f"{self.root}/{d}")
 
+    def _write_next(self, merged: DataFrame) -> None:
+        snap = self.current_snapshot()
+        nxt = f"snap-{(int(snap.split('-')[1]) + 1) if snap else 1:06d}"
+        merged.write.mode("overwrite").parquet(f"{self.root}/{nxt}")
+        self._commit(nxt)
+        self._gc(nxt)
+
     # -- public API ------------------------------------------------------
     def read(self) -> DataFrame | None:
         snap = self.current_snapshot()
@@ -84,12 +87,59 @@ class KeyedParquetTable:
             return None
         return self.spark.read.parquet(f"{self.root}/{snap}")
 
+
+class KeyedParquetTable(_SnapshotTable):
+    """Row-level upsert: the newest row per key wins under the caller's
+    declared total order (O6 ES ``_id`` overwrite, O7 DynamoDB
+    update_item)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        keys: Sequence[str],
+        order_by: Sequence[str],
+        keep_snapshots: int = 2,
+    ) -> None:
+        super().__init__(spark, root, keep_snapshots)
+        self.keys = list(keys)
+        self.order_by = list(order_by)
+
     def merge(self, batch: DataFrame) -> None:
         current = self.read()
         merged = batch if current is None else current.unionByName(batch)
         merged = latest_by_key(merged, self.keys, self.order_by)
-        snap = self.current_snapshot()
-        nxt = f"snap-{(int(snap.split('-')[1]) + 1) if snap else 1:06d}"
-        merged.write.mode("overwrite").parquet(f"{self.root}/{nxt}")
-        self._commit(nxt)
-        self._gc(nxt)
+        self._write_next(merged)
+
+
+class GroupedParquetTable(_SnapshotTable):
+    """Group-level replace: ``merge(rows, group_keys_df)`` DELETES every
+    row whose group key appears in ``group_keys_df`` and inserts ``rows``
+    — the shape of an inverted-index segment update, where a document
+    re-index must remove the OLD version's postings (tokens that vanished
+    from the new text would survive a row-level upsert) and a document
+    delete inserts nothing. One anti-join + union per batch; at warehouse
+    scale this rewrite becomes a Delta/Iceberg MERGE WHEN MATCHED DELETE,
+    same semantics."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        group_keys: Sequence[str],
+        keep_snapshots: int = 2,
+    ) -> None:
+        super().__init__(spark, root, keep_snapshots)
+        self.group_keys = list(group_keys)
+
+    def merge(self, rows: DataFrame, group_keys_df: DataFrame) -> None:
+        current = self.read()
+        if current is None:
+            merged = rows
+        else:
+            merged = current.join(
+                group_keys_df.select(self.group_keys).distinct(),
+                self.group_keys,
+                "left_anti",
+            ).unionByName(rows)
+        self._write_next(merged)
