@@ -164,6 +164,15 @@ class IngestPipeline:
         )
         self.archive_dir = os.path.join(warehouse_dir, "archive")
         self.album_dir = os.path.join(warehouse_dir, "album")
+        # O6's consumer side: the live search index, kept current per
+        # batch exactly as upsert_bizcard_to_es pushes each batch INTO
+        # the ES index the search lambda serves from (deferred import:
+        # search.incremental depends on streaming.table).
+        from ..search.incremental import IncrementalIndexer
+
+        self.search_index = IncrementalIndexer(
+            spark, os.path.join(warehouse_dir, "search_index")
+        )
         self.metrics: list[dict[str, Any]] = []
 
     # -- foreachBatch body ------------------------------------------------
@@ -229,6 +238,7 @@ class IngestPipeline:
             "s3_key",
         )
         self.bizcards.merge(doc)
+        self.search_index.upsert(doc)  # index stays query-current per batch
 
         # O31-O33 — graph upserts.
         vertices, edges = batch_ingest.graph_from_text(parsed)

@@ -79,6 +79,23 @@ def test_streaming_matches_batch(spark, landing, tmp_path):
     assert status.count() == recs.count()
     assert status.select("mts").distinct().collect()[0][0] == "20240101000000"
 
+    # O6 consumer side: the per-batch-maintained search index serves the
+    # same hits as a from-scratch search over the converged LWW table
+    # (upsert_bizcard_to_es keeps the index es_search_bizcard reads).
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark import (
+        search as S,
+    )
+
+    got_hits = [
+        (r["doc_id"], r["owner"], r["score"])
+        for r in pipe.search_index.search("trading", limit=5).collect()
+    ]
+    want_hits = [
+        (r["doc_id"], r["owner"], r["score"])
+        for r in S.search_bizcards(want_bizcards, "trading", limit=5).collect()
+    ]
+    assert got_hits == want_hits and len(got_hits) > 0
+
 
 def test_streaming_observed_invalid_counter(spark, tmp_path):
     """A record that fails the O13 validity filter (empty s3_key → empty
