@@ -94,3 +94,25 @@ def test_incremental_index_survives_restart(spark, tmp_path):
     assert ix2.search("alpha").count() == 0
     assert [r["name"] for r in ix2.search("omega").collect()] == ["omega kim"]
     PIN.release_all()
+
+
+def test_incremental_index_degenerate_paths(spark, tmp_path):
+    """search before any upsert is a caller error (ES index_not_found);
+    a delete-only batch empties the index and serving degrades to zero
+    hits rather than crashing."""
+    import pytest
+
+    PIN.release_all()
+    ix = IncrementalIndexer(spark, str(tmp_path / "esix"))
+    with pytest.raises(ValueError):
+        ix.index()
+
+    ix.upsert(_df(spark, [("d1", "u1", "alpha kim", "c", "j", "a", 1)]))
+    assert ix.search("alpha").count() == 1
+
+    # delete-only batch: the sole doc tombstoned
+    ix.upsert(_df(spark, [("d1", "u1", "alpha kim", "c", "j", "a", 0)]))
+    assert ix.postings.read().count() == 0
+    assert ix.search("alpha").count() == 0
+    assert ix.search(None, user="u1").count() == 0
+    PIN.release_all()
