@@ -418,6 +418,35 @@ def _q_streaming_dedup(spark, sf_dir):
     return d.survivors().select("text_hash")
 
 
+def _q_events_asof_last_click(spark, sf_dir):
+    """As-of join (operators/asof.py): for every 'error' event, the
+    latest 'click' by the same user at or before it — the temporal
+    point-lookup, one shuffle, no inequality-join blowup. Null columns
+    where the user never clicked before the error (left-outer)."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.asof import (
+        asof_join,
+    )
+
+    ev = tables.load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = asof_join(
+        errors, clicks, ["user_id"], "ts", "ts",
+        value_cols=["event_id", "value"], tie_break="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("error_ts_us"),
+        F.col("asof_event_id").alias("last_click_id"),
+        F.col("asof_value").alias("last_click_value"),
+    )
+
+
 def _q_streaming_search_bizcards(spark, sf_dir):
     """Incremental index maintenance (search/incremental.py — the
     upsert_bizcard_to_es/es_search_bizcard split): the bizcard corpus is
@@ -818,6 +847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     trivial point lookups); rotate again next round."""
     return {
         # -- engine code changed in round 5 ------------------------------
+        "events_asof_last_click": _q_events_asof_last_click,  # new r5
         "streaming_search_bizcards": _q_streaming_search_bizcards,  # new r5
         "streaming_dedup_minhash": _q_streaming_dedup_minhash,
         "graph_degrees_bucketed": _q_graph_degrees_bucketed,
@@ -867,7 +897,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_split_counts": _q_docs_split_counts,
         "customers_balanced_sample": _q_customers_balanced_sample,
         "lineitem_pricing_summary": _q_lineitem_pricing_summary,
-        "region_revenue": _q_region_revenue,
         "dedup_exact": _q_dedup_exact,
         "corpus_curation": _q_corpus_curation,
         # ---- entries below fall outside the driver's 50-entry check
@@ -876,7 +905,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # for dedup; graph lookups ride the pymk/hydration paths). They
         # rotate back into the window next round. dedup_minhash_lsh's
         # exact oracle is checked in-window via streaming_dedup_minhash
-        # (identical SQL). ------------------------------------------------
+        # (identical SQL); region_revenue's star-join plan remains pinned
+        # by test_plans. --------------------------------------------------
+        "region_revenue": _q_region_revenue,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_ngram_pairs": _q_dedup_ngram_pairs,
         "dedup_simhash": _q_dedup_simhash,

@@ -1131,3 +1131,33 @@ SELECT vec_a, vec_b, cos FROM (
 # drained maintainer's serving state must equal from-scratch search over
 # the whole corpus — so the query shares search_bizcards' oracle verbatim.
 ORACLES["streaming_search_bizcards"] = ORACLES["search_bizcards"]
+
+# As-of join (operators/asof.py): window twin of the union+window plan —
+# identical total order (ats, is_l, tb NULLS FIRST) so ties resolve the
+# same way in both engines; epoch_us mirrors the session_stats pattern.
+ORACLES["events_asof_last_click"] = """\
+WITH errors AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+),
+clicks AS (
+  SELECT event_id, user_id, ts, "value" FROM events WHERE event_type = 'click'
+),
+tagged AS (
+  SELECT user_id, ts AS ats, 1 AS is_l, CAST(NULL AS BIGINT) AS tb,
+         event_id, CAST(NULL AS BIGINT) AS c_id, CAST(NULL AS DOUBLE) AS c_val
+  FROM errors
+  UNION ALL
+  SELECT user_id, ts, 0, event_id, NULL, event_id, "value" FROM clicks
+),
+filled AS (
+  SELECT user_id, ats, is_l, event_id,
+         last_value(c_id IGNORE NULLS) OVER w AS last_click_id,
+         last_value(c_val IGNORE NULLS) OVER w AS last_click_value
+  FROM tagged
+  WINDOW w AS (PARTITION BY user_id
+               ORDER BY ats ASC, is_l ASC, tb ASC NULLS FIRST
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, epoch_us(ats) AS error_ts_us,
+       last_click_id, last_click_value
+FROM filled WHERE is_l = 1"""
