@@ -1161,3 +1161,18 @@ filled AS (
 SELECT event_id, user_id, epoch_us(ats) AS error_ts_us,
        last_click_id, last_click_value
 FROM filled WHERE is_l = 1"""
+
+# Bounded range join (operators/rangejoin.py): the oracle is the direct
+# inequality join — DuckDB optimizes range predicates natively, Spark
+# needs the bucketize-equi-join device; both must produce the same pairs.
+ORACLES["events_error_click_pairs_5m"] = """\
+SELECT e.event_id, e.user_id,
+       epoch_us(e.ts) AS error_ts_us,
+       c.event_id AS click_id,
+       epoch_us(c.ts) AS click_ts_us
+FROM events e
+JOIN events c
+  ON c.user_id = e.user_id
+ AND c.ts >= e.ts - INTERVAL '300 seconds'
+ AND c.ts <= e.ts
+WHERE e.event_type = 'error' AND c.event_type = 'click'"""
