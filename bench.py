@@ -43,6 +43,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # constituents — show up (VERDICT r3 item 7).
 BENCH_QUERIES = [
     "graph_edges",
+    "events_asof_last_click",
+    "events_error_click_pairs_5m",
     "pymk_user_3",
     "pymk_all_top5",
     "pymk_bizcard_hydrated",

@@ -116,3 +116,35 @@ def test_asof_matches_duckdb_window_twin(spark):
         """).fetchall()
     )
     assert got == want
+
+
+def test_asof_matches_bruteforce_random(spark):
+    """Seeded random corpus with heavy ts collisions vs the O(n*m)
+    definition: latest right row per key with ts <= left ts, greatest
+    rid among equal-ts ties."""
+    import random
+    from datetime import datetime, timedelta
+
+    rng = random.Random(13)
+    base = datetime(2024, 1, 1)
+    t = lambda s: base + timedelta(seconds=s)
+    lrows = [
+        (i, rng.randint(1, 5), t(rng.randint(0, 40))) for i in range(120)
+    ]
+    rrows = [
+        (i, rng.randint(1, 5), t(rng.randint(0, 40)), float(i))
+        for i in range(150)
+    ]
+    left = spark.createDataFrame(lrows, ["lid", "k", "ts"])
+    right = spark.createDataFrame(rrows, ["rid", "k", "ts", "v"])
+
+    got = {
+        r["lid"]: r["asof_rid"]
+        for r in asof_join(
+            left, right, ["k"], "ts", "ts", ["rid"], tie_break="rid"
+        ).collect()
+    }
+    for lid, k, ts in lrows:
+        cands = [(rts, rid) for rid, rk, rts, _ in rrows if rk == k and rts <= ts]
+        want = max(cands)[1] if cands else None
+        assert got[lid] == want, (lid, k, ts)
