@@ -683,6 +683,22 @@ def _q_customers_balanced_sample(spark, sf_dir):
     )
 
 
+def _q_lineitem_pricing_rollup(spark, sf_dir):
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        warehouse as W,
+    )
+
+    return W.pricing_rollup(tables.load_table(spark, sf_dir, "lineitem"))
+
+
+def _q_events_value_percentiles(spark, sf_dir):
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        warehouse as W,
+    )
+
+    return W.value_percentiles(tables.load_table(spark, sf_dir, "events"))
+
+
 def _q_lineitem_pricing_summary(spark, sf_dir):
     from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
         warehouse as W,
@@ -876,6 +892,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- engine code changed in round 5 ------------------------------
         "events_asof_last_click": _q_events_asof_last_click,  # new r5
         "events_error_click_pairs_5m": _q_events_error_click_pairs_5m,  # new r5
+        "lineitem_pricing_rollup": _q_lineitem_pricing_rollup,  # new r5
+        "events_value_percentiles": _q_events_value_percentiles,  # new r5
         "streaming_search_bizcards": _q_streaming_search_bizcards,  # new r5
         "streaming_dedup_minhash": _q_streaming_dedup_minhash,
         "graph_degrees_bucketed": _q_graph_degrees_bucketed,
@@ -922,8 +940,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "text_fingerprint": _q_text_fingerprint,
         "salted_distinct_degrees": _q_salted_distinct_degrees,
-        "docs_split_counts": _q_docs_split_counts,
-        "customers_balanced_sample": _q_customers_balanced_sample,
         "dedup_exact": _q_dedup_exact,
         "corpus_curation": _q_corpus_curation,
         # ---- entries below fall outside the driver's 50-entry check
@@ -933,9 +949,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotate back into the window next round. dedup_minhash_lsh's
         # exact oracle is checked in-window via streaming_dedup_minhash
         # (identical SQL); the two warehouse queries' plans remain pinned
-        # by test_plans. --------------------------------------------------
+        # by test_plans, the sampling pair by test_sampling's property
+        # tests. ----------------------------------------------------------
         "lineitem_pricing_summary": _q_lineitem_pricing_summary,
         "region_revenue": _q_region_revenue,
+        "docs_split_counts": _q_docs_split_counts,
+        "customers_balanced_sample": _q_customers_balanced_sample,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_ngram_pairs": _q_dedup_ngram_pairs,
         "dedup_simhash": _q_dedup_simhash,

@@ -59,6 +59,49 @@ def pricing_summary(lineitem: DataFrame, cutoff: str = "2000-12-31") -> DataFram
     )
 
 
+def pricing_rollup(lineitem: DataFrame, cutoff: str = "2000-12-31") -> DataFrame:
+    """ROLLUP form of the pricing summary: per-(returnflag, linestatus)
+    rows PLUS per-returnflag subtotals PLUS the grand total, one pass.
+
+    At 100 TB this is the device that replaces N separate aggregation
+    jobs over the same scan: Catalyst expands the rollup into a single
+    Expand + partial/final aggregate — the fact table is read once.
+    ``grouping_id`` disambiguates subtotal rows from genuine NULL groups
+    (both engines compute it identically: bit i set = column i rolled
+    up)."""
+    qty = F.col("l_quantity").cast(DEC)
+    li = lineitem.filter(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp"))
+    agg = li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum(qty).alias("_sq"),
+        F.count(F.lit(1)).alias("count_order"),
+        F.grouping_id().alias("gid"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round(F.col("_sq").cast("double"), 4).alias("sum_qty"),
+        "count_order",
+        "gid",
+    )
+
+
+def value_percentiles(events: DataFrame) -> DataFrame:
+    """Exact continuous percentiles of the event measure per event_type
+    (p50/p90/p99) plus the row count — the distribution-sketch query
+    every metrics pipeline runs. Uses the EXACT ``percentile``
+    (sort-based, linear-interpolated, identical definition to DuckDB's
+    ``quantile_cont``) so the result is oracle-checkable; the approximate
+    ``percentile_approx`` is the 100 TB drop-in when exactness stops
+    mattering (declared trade, not used here because approximate sketches
+    are engine-specific and cannot hash-match an oracle)."""
+    return events.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def region_revenue(
     lineitem: DataFrame,
     orders: DataFrame,

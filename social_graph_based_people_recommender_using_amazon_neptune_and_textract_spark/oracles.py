@@ -1176,3 +1176,26 @@ JOIN events c
  AND c.ts >= e.ts - INTERVAL '300 seconds'
  AND c.ts <= e.ts
 WHERE e.event_type = 'error' AND c.event_type = 'click'"""
+
+# One-pass ROLLUP (operators/warehouse.py pricing_rollup): detail rows +
+# per-returnflag subtotals + grand total; GROUPING bitmask conventions
+# agree between engines (first column = MSB), verified empirically.
+ORACLES["lineitem_pricing_rollup"] = """\
+SELECT l_returnflag, l_linestatus,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_qty,
+       count(*) AS count_order,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-31'
+GROUP BY ROLLUP (l_returnflag, l_linestatus)"""
+
+# Exact continuous percentiles (operators/warehouse.py value_percentiles):
+# Spark `percentile` and DuckDB `quantile_cont` share the sort +
+# linear-interpolation definition; 6dp round collapses ulp divergence.
+ORACLES["events_value_percentiles"] = """\
+SELECT event_type,
+  round(quantile_cont("value", 0.5), 6) AS p50,
+  round(quantile_cont("value", 0.9), 6) AS p90,
+  round(quantile_cont("value", 0.99), 6) AS p99,
+  count(*) AS n
+FROM events GROUP BY event_type"""

@@ -307,3 +307,18 @@ def test_region_revenue_broadcasts_dims(spark):
         tables.load_table(spark, SF, "region"),
     )
     assert PL.broadcast_join_count(q5) >= 2
+
+
+def test_pricing_rollup_single_scan_expand(spark):
+    """ROLLUP must compile to ONE fact-table scan (filter pushed) feeding
+    an Expand + single partial/final aggregate — not one job per grouping
+    set; the device that makes subtotal reports affordable at 100 TB."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        warehouse as W,
+    )
+
+    df = W.pricing_rollup(tables.load_table(spark, SF, "lineitem"))
+    plan = PL.physical_plan(df)
+    assert "Expand" in plan
+    assert len(PL.read_schema_columns(df)) == 1  # exactly one scan
+    assert any("l_shipdate" in p for p in PL.pushed_filters(df))
