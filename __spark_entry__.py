@@ -683,6 +683,36 @@ def _q_customers_balanced_sample(spark, sf_dir):
     )
 
 
+def _q_streaming_error_click_pairs(spark, sf_dir):
+    """Stream-stream windowed join (streaming/joins.py): events drained
+    through the watermarked error⋈click join in 3 micro-batches; the
+    converged pair set equals the batch bounded_range_join — the shared
+    oracle. Delay spans the corpus because the landing files are not
+    time-ordered (declared trade, see module docstring)."""
+    import hashlib
+    import tempfile
+
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.streaming.joins import (
+        StreamingRangeJoiner,
+    )
+
+    ev = tables.load_table(spark, sf_dir, "events")
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"{tempfile.gettempdir()}/sgr-ssj-{key}"
+    ev.repartition(3).write.mode("overwrite").parquet(f"{base}/landing")
+    j = StreamingRangeJoiner(spark, f"{base}/wh", window_s=300, delay="40 days")
+    j.run_available_now(
+        f"{base}/landing", f"{base}/ckpt", max_files_per_trigger=1
+    )
+    return j.pairs().select(
+        F.col("e_id").alias("event_id"),
+        F.col("e_user").alias("user_id"),
+        F.unix_micros("e_ts").alias("error_ts_us"),
+        F.col("c_id").alias("click_id"),
+        F.unix_micros("c_ts").alias("click_ts_us"),
+    )
+
+
 def _q_lineitem_pricing_rollup(spark, sf_dir):
     from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
         warehouse as W,
@@ -894,6 +924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_error_click_pairs_5m": _q_events_error_click_pairs_5m,  # new r5
         "lineitem_pricing_rollup": _q_lineitem_pricing_rollup,  # new r5
         "events_value_percentiles": _q_events_value_percentiles,  # new r5
+        "streaming_error_click_pairs": _q_streaming_error_click_pairs,  # new r5
         "streaming_search_bizcards": _q_streaming_search_bizcards,  # new r5
         "streaming_dedup_minhash": _q_streaming_dedup_minhash,
         "graph_degrees_bucketed": _q_graph_degrees_bucketed,
@@ -939,7 +970,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": _q_streaming_dedup,
         "text_quality": _q_text_quality,
         "text_fingerprint": _q_text_fingerprint,
-        "salted_distinct_degrees": _q_salted_distinct_degrees,
         "dedup_exact": _q_dedup_exact,
         "corpus_curation": _q_corpus_curation,
         # ---- entries below fall outside the driver's 50-entry check
@@ -950,7 +980,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact oracle is checked in-window via streaming_dedup_minhash
         # (identical SQL); the two warehouse queries' plans remain pinned
         # by test_plans, the sampling pair by test_sampling's property
-        # tests. ----------------------------------------------------------
+        # tests, the salted distinct by test_skew. -------------------------
+        "salted_distinct_degrees": _q_salted_distinct_degrees,
         "lineitem_pricing_summary": _q_lineitem_pricing_summary,
         "region_revenue": _q_region_revenue,
         "docs_split_counts": _q_docs_split_counts,

@@ -1199,3 +1199,8 @@ SELECT event_type,
   round(quantile_cont("value", 0.99), 6) AS p99,
   count(*) AS n
 FROM events GROUP BY event_type"""
+
+# Stream-stream windowed join (streaming/joins.py): a drained stream
+# must emit exactly the batch bounded_range_join pair set — the oracle
+# is shared verbatim.
+ORACLES["streaming_error_click_pairs"] = ORACLES["events_error_click_pairs_5m"]

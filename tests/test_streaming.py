@@ -453,3 +453,50 @@ def test_streaming_neardup_candidate_compaction(spark, tmp_path):
     # re-drain same landing + checkpoint: no growth
     d.run_available_now(landing, str(tmp_path / "ckpt"), max_files_per_trigger=1)
     assert spark.read.parquet(d.cands_dir).count() == len(want)
+
+
+def test_streaming_range_join_converges_to_batch(spark, tmp_path):
+    """Stream-stream windowed join: a drained multi-batch stream must
+    emit EXACTLY the batch bounded_range_join's pair set — the state
+    store matches across micro-batch boundaries, so batching cannot lose
+    cross-batch pairs."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.rangejoin import (
+        bounded_range_join,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.streaming.joins import (
+        StreamingRangeJoiner,
+    )
+
+    ev = tables.load_table(spark, SF_DIR, "events")
+    landing = str(tmp_path / "landing")
+    ev.repartition(4).write.mode("overwrite").parquet(landing)
+
+    # the landing files are randomly shuffled in time, so the watermark
+    # delay must cover the full disorder — in production the delay is
+    # sized to the stream's actual lateness bound (declared trade).
+    j = StreamingRangeJoiner(
+        spark, str(tmp_path / "wh"), window_s=300, delay="40 days"
+    )
+    j.run_available_now(landing, str(tmp_path / "ckpt"), max_files_per_trigger=1)
+    got = {
+        (r["e_id"], r["c_id"]) for r in j.pairs().collect()
+    }
+
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    want = {
+        (r["event_id"], r["r_event_id"])
+        for r in bounded_range_join(
+            errors, clicks, ["user_id"], "ts", "ts", -300.0, 0.0
+        ).collect()
+    }
+    assert got == want and want
+
+    # checkpointed replay: no duplicate emissions
+    j.run_available_now(landing, str(tmp_path / "ckpt"), max_files_per_trigger=1)
+    assert {(r["e_id"], r["c_id"]) for r in j.pairs().collect()} == want
+    assert j.pairs().count() == len(want)
