@@ -907,6 +907,80 @@ def _q_media_frame_sample(spark, sf_dir):
     )
 
 
+def _q_graph_triangles(spark, sf_dir):
+    """Triangle count + wedge count + global clustering coefficient over
+    the social graph (graph/triangles.py) — degree-ordered orientation,
+    so wedge fan-out is bounded by O(sqrt(m)) per vertex; the oracle
+    counts the same triangles with the simpler id-ordered join."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.graph.triangles import (
+        triangle_stats,
+    )
+
+    return triangle_stats(tables.user_graph_edges(spark, sf_dir))
+
+
+def _q_status_history_scd2(spark, sf_dir):
+    """SCD2 validity history of each user's event_type (operators/scd.py):
+    one row per run of equal values with [valid_from, valid_to) in
+    microseconds and the open run flagged current — the warehouse-history
+    twin of the reference's latest-only DynamoDB status (O7)."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.scd import (
+        scd2_history,
+    )
+
+    ev = tables.load_table(spark, sf_dir, "events")
+    h = scd2_history(ev, ["user_id"], "ts", ["event_id"], "event_type")
+    return h.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        F.unix_micros("valid_to").alias("valid_to_us"),
+        "is_current",
+    )
+
+
+def _q_split_contamination(spark, sf_dir):
+    """Train/test leakage audit (operators/contamination.py): for every
+    test-split document (hash_split on doc_id), how many of its distinct
+    8-token shingles occur anywhere in the train split. Train side joins
+    as a distinct shingle SET (fan-out 1 per test shingle)."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.contamination import (
+        contamination_report,
+    )
+
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        sampling as SA,
+    )
+
+    docs = SA.hash_split(tables.load_table(spark, sf_dir, "documents"), "doc_id")
+    return contamination_report(docs)
+
+
+def _q_docs_top_terms(spark, sf_dir):
+    """Corpus vocabulary head: top-50 tokens by document frequency
+    (functions/text.py document_frequency_topk) — map-side-combined
+    explode+count, TakeOrderedAndProject top-k, declared tie order."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.functions import (
+        text as T,
+    )
+
+    return T.document_frequency_topk(
+        tables.load_table(spark, sf_dir, "documents"), 50
+    )
+
+
+def _q_events_transitions(spark, sf_dir):
+    """Per-user event-type Markov transitions (operators/sessionize.py
+    transition_counts): lag window shares sessionize's exact shuffle;
+    first events count from the '^' start state so rows are conserved."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.sessionize import (
+        transition_counts,
+    )
+
+    return transition_counts(tables.load_table(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order IS the driver's check order, and the driver
     verifies the FIRST 50 entries only. Policy (VERDICT r3 item 1):
@@ -919,6 +993,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     untouched since (media/ann/simhash/kmeans family, plus the two
     trivial point lookups); rotate again next round."""
     return {
+        # -- brand-new in round 5 (never verified) -----------------------
+        "graph_triangles": _q_graph_triangles,  # new r5
+        "status_history_scd2": _q_status_history_scd2,  # new r5
+        "split_contamination": _q_split_contamination,  # new r5
+        "docs_top_terms": _q_docs_top_terms,  # new r5
+        "events_transitions": _q_events_transitions,  # new r5
         # -- engine code changed in round 5 ------------------------------
         "events_asof_last_click": _q_events_asof_last_click,  # new r5
         "events_error_click_pairs_5m": _q_events_error_click_pairs_5m,  # new r5
@@ -967,11 +1047,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_bizcards": _q_streaming_bizcards,
         "archive_replay": _q_archive_replay,
         "album_replay": _q_album_replay,
-        "streaming_dedup": _q_streaming_dedup,
-        "text_quality": _q_text_quality,
-        "text_fingerprint": _q_text_fingerprint,
-        "dedup_exact": _q_dedup_exact,
-        "corpus_curation": _q_corpus_curation,
         # ---- entries below fall outside the driver's 50-entry check
         # window: verified fresh in round 4, untouched since; their
         # operator families are represented above (minhash/exact/clusters
@@ -980,7 +1055,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact oracle is checked in-window via streaming_dedup_minhash
         # (identical SQL); the two warehouse queries' plans remain pinned
         # by test_plans, the sampling pair by test_sampling's property
-        # tests, the salted distinct by test_skew. -------------------------
+        # tests, the salted distinct by test_skew; the five entries the
+        # round-5 additions displaced (streaming_dedup … corpus_curation)
+        # are r4-green and tested in-suite at sf0.001. ----------------------
+        "streaming_dedup": _q_streaming_dedup,
+        "text_quality": _q_text_quality,
+        "text_fingerprint": _q_text_fingerprint,
+        "dedup_exact": _q_dedup_exact,
+        "corpus_curation": _q_corpus_curation,
         "salted_distinct_degrees": _q_salted_distinct_degrees,
         "lineitem_pricing_summary": _q_lineitem_pricing_summary,
         "region_revenue": _q_region_revenue,

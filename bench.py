@@ -43,8 +43,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # constituents — show up (VERDICT r3 item 7).
 BENCH_QUERIES = [
     "graph_edges",
+    "graph_triangles",
     "events_asof_last_click",
     "events_error_click_pairs_5m",
+    "status_history_scd2",
+    "split_contamination",
     "pymk_user_3",
     "pymk_all_top5",
     "pymk_bizcard_hydrated",

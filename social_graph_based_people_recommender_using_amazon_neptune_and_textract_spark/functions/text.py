@@ -134,3 +134,29 @@ def fingerprint(
         F.concat_ws(" ", F.array_sort(F.array_distinct(toks))).cast("binary")
     )
     return df.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+def document_frequency_topk(
+    df: DataFrame, k: int = 50, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus vocabulary head: the k terms with the highest document
+    frequency. Returns (token, df) — the stats table a tokenizer-training
+    or stopword-mining pass starts from (and the same tok→df relation the
+    search index's term dictionary pins per corpus, search/index.py).
+
+    Ties are declared: df desc, token asc.
+
+    Scale: explode(distinct tokens per doc) → groupBy(token) count is one
+    shuffle with map-side partial aggregation (hot tokens like 'the'
+    partial-combine in every task before the exchange), and the final
+    orderBy+limit is TakeOrderedAndProject — per-partition top-k heaps, a
+    k-row driver result, no global sort.
+    """
+    toks = F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("token")
+    return (
+        df.select(F.col(id_col), toks)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("df").desc(), F.col("token").asc())
+        .limit(k)
+    )

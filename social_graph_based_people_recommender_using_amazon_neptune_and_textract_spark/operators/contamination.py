@@ -1,0 +1,105 @@
+"""Train/test contamination detection by n-gram shingle overlap.
+
+A training-data pipeline that splits a corpus (operators/sampling.py
+``hash_split``) must verify the split: a test document sharing long
+token n-grams with any train document leaks evaluation data into
+training. The standard check (public practice from GPT-3/PaLM/Llama
+dataset reports) flags test documents whose token shingles also occur
+anywhere in the train split.
+
+Plan shape, built to survive 100 TB:
+
+- Each side is tokenized with the engine-wide frozen analyzer
+  (search/index.py ``tokenize``) and exploded into *distinct* n-token
+  shingles per document — ``array_distinct`` before the explode keeps a
+  document from emitting the same shingle twice.
+- The train side is reduced to the distinct shingle SET (no doc ids) —
+  so the contamination join has fan-out exactly 1 per (test doc,
+  shingle): a shingle occurring in a million train docs is still ONE
+  row on the build side. This is what keeps the join safe under
+  power-law shingle frequency; no df-cap is needed (contrast
+  dedup.py's pair-generating ngram join, which needs one).
+- Join key is the 64-bit md5 prefix of the shingle, not the shingle
+  string: the shuffle carries 16 bytes instead of ~50+ per row. Both
+  sides (and the DuckDB oracle) hash identically, so parity is exact;
+  a collision merging two distinct shingles is the same declared
+  md5-prefix boundary as every other key in this engine.
+- A left join back onto the distinct test-doc relation keeps
+  zero-overlap documents in the report (n_overlap = 0), so the result
+  is a complete audit table, not just the flagged subset.
+
+Shuffle budget: one explode+distinct per side, one equi-join on the
+shingle hash, one count aggregation by doc — all with map-side partial
+aggregation; nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..search.index import tokenize
+
+NGRAM_N = 8  # token shingle width — the published contamination norm
+
+
+def _shingle_hashes(text: Column, n: int) -> Column:
+    """Distinct n-token shingles of ``text`` as 64-bit md5-prefix hex.
+    Short documents (< n tokens) shingle to the empty array — the guard
+    matters because ``F.sequence(1, stop)`` runs DESCENDING when stop < 1
+    (same pattern as dedup._shingles)."""
+    toks = tokenize(text)
+    m = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), m - F.lit(n - 1)),
+        lambda i: F.substring(
+            F.md5(F.concat_ws(" ", F.slice(toks, i, n)).cast("binary")), 1, 16
+        ),
+    )
+    return F.array_distinct(
+        F.when(m >= F.lit(n), grams).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def contamination_report(
+    docs: DataFrame,
+    key: str = "doc_id",
+    text: str = "text",
+    split_col: str = "split",
+    train: str = "train",
+    test: str = "test",
+    n: int = NGRAM_N,
+) -> DataFrame:
+    """Per test document: (key, n_shingles, n_overlap, contaminated).
+
+    ``n_overlap`` counts the test document's distinct shingles that occur
+    anywhere in the train split; ``contaminated`` = n_overlap > 0.
+    Documents shorter than ``n`` tokens have no shingles and report 0.
+    """
+    sh = F.col("_sh")
+    test_docs = docs.filter(F.col(split_col) == test).select(
+        F.col(key), _shingle_hashes(F.col(text), n).alias("_shs")
+    )
+    test_sh = test_docs.select(key, F.explode("_shs").alias("_sh"))
+    train_sh = (
+        docs.filter(F.col(split_col) == train)
+        .select(F.explode(_shingle_hashes(F.col(text), n)).alias("_sh"))
+        .distinct()
+    )
+    hits = (
+        test_sh.join(train_sh, "_sh")
+        .groupBy(key)
+        .agg(F.count(sh).alias("n_overlap"))
+    )
+    base = test_docs.select(
+        key, F.size("_shs").cast("long").alias("n_shingles")
+    )
+    return (
+        base.join(hits, key, "left")
+        .select(
+            key,
+            "n_shingles",
+            F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+            (F.coalesce(F.col("n_overlap"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

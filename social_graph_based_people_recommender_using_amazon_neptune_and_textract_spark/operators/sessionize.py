@@ -63,3 +63,25 @@ def session_stats(events: DataFrame, gap_s: int = DEFAULT_GAP_S) -> DataFrame:
         F.countDistinct("event_type").alias("n_event_types"),
         F.round(F.sum("value"), 6).alias("value_sum"),
     )
+
+
+def transition_counts(events: DataFrame) -> DataFrame:
+    """Markov transition table over per-user event streams: how often
+    event type A is immediately followed by B. Returns
+    (prev_type, event_type, n) — first events (no predecessor) count
+    under prev_type = '^' so rows are conserved.
+
+    Shares sessionize's exact window spec (user_id, ts, event_id), so a
+    composed plan pays the per-user shuffle once; the transition count
+    itself is a map-side-combined aggregate over at most
+    |event_types|^2 + |event_types| keys — tiny result, no skew hazard.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(F.col("event_type")).over(w)
+    return (
+        events.select(
+            F.coalesce(prev, F.lit("^")).alias("prev_type"), "event_type"
+        )
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -1204,3 +1204,116 @@ FROM events GROUP BY event_type"""
 # must emit exactly the batch bounded_range_join pair set — the oracle
 # is shared verbatim.
 ORACLES["streaming_error_click_pairs"] = ORACLES["events_error_click_pairs_5m"]
+
+
+# ---------------------------------------------------------------------------
+# Round-5 additions: graph analytics, SCD2 history, contamination audit,
+# corpus vocabulary head, Markov transitions
+# ---------------------------------------------------------------------------
+
+# Triangle count (graph/triangles.py): the oracle uses the simple
+# id-ordered triple join (a<b<c, each triangle exactly once); the Spark
+# plan's degree-ordered orientation is a physical choice that cannot
+# change the count. Wedges = sum d(d-1)/2 over undirected degrees.
+ORACLES["graph_triangles"] = f"""\
+WITH {EDGES_SQL},
+e AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst
+),
+deg AS (
+  SELECT v, count(*) AS d
+  FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e) GROUP BY v
+),
+tri AS (
+  SELECT count(*) AS triangle_count
+  FROM e e1 JOIN e e2 ON e2.a = e1.b
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+wed AS (SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) AS wedge_count FROM deg)
+SELECT CAST(triangle_count AS BIGINT) AS triangle_count,
+       wedge_count,
+       CASE WHEN wedge_count = 0 THEN 0.0
+            ELSE round(3.0 * triangle_count / wedge_count, 6)
+       END AS clustering_coeff
+FROM tri, wed"""
+
+# SCD2 history (operators/scd.py): run-starts via lag-change filter, then
+# lead over the surviving rows — identical total order (ts, event_id) on
+# both engines; open runs have NULL valid_to_us and is_current = true.
+ORACLES["status_history_scd2"] = """\
+WITH runs AS (
+  SELECT event_id, user_id, ts, event_type FROM (
+    SELECT event_id, user_id, ts, event_type,
+           lag(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+           ) AS prev_type
+    FROM events
+  ) WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT event_id, user_id, event_type,
+       epoch_us(ts) AS valid_from_us,
+       epoch_us(lead(ts) OVER w) AS valid_to_us,
+       (lead(ts) OVER w IS NULL) AS is_current
+FROM runs
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)"""
+
+# Train/test contamination (operators/contamination.py): 8-token shingles
+# hashed to the 64-bit md5 prefix on BOTH engines, train side reduced to
+# the distinct shingle set, zero-overlap test docs kept via left join.
+_SHINGLE8 = (
+    "list_distinct(list_transform("
+    "range(0, greatest(len(tokens) - 7, 0)), "
+    "i -> substr(md5(array_to_string(tokens[i+1:i+8], ' ')), 1, 16)))"
+)
+ORACLES["split_contamination"] = f"""\
+WITH toksrc AS (
+  SELECT doc_id, {TOKENIZE.format(col='text')} AS tokens,
+         CASE WHEN {_BUCKET} < 8000 THEN 'train'
+              WHEN {_BUCKET} < 9000 THEN 'dev'
+              ELSE 'test' END AS split
+  FROM documents
+),
+shingled AS (SELECT doc_id, split, {_SHINGLE8} AS shs FROM toksrc),
+test_docs AS (
+  SELECT doc_id, CAST(len(shs) AS BIGINT) AS n_shingles, shs
+  FROM shingled WHERE split = 'test'
+),
+test_sh AS (SELECT doc_id, unnest(shs) AS sh FROM test_docs),
+train_sh AS (
+  SELECT DISTINCT unnest(shs) AS sh FROM shingled WHERE split = 'train'
+),
+hits AS (
+  SELECT doc_id, count(*) AS n_overlap
+  FROM test_sh JOIN train_sh USING (sh) GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_shingles,
+       coalesce(h.n_overlap, 0) AS n_overlap,
+       coalesce(h.n_overlap, 0) > 0 AS contaminated
+FROM test_docs t LEFT JOIN hits h ON t.doc_id = h.doc_id"""
+
+# Corpus vocabulary head (functions/text.py document_frequency_topk):
+# declared tie order df desc, token asc.
+ORACLES["docs_top_terms"] = f"""\
+WITH toksrc AS (
+  SELECT doc_id, {TOKENIZE.format(col='text')} AS tokens FROM documents
+)
+SELECT token, count(*) AS df
+FROM (SELECT doc_id, unnest(list_distinct(tokens)) AS token FROM toksrc)
+GROUP BY token
+ORDER BY df DESC, token ASC
+LIMIT 50"""
+
+# Per-user event-type transitions (operators/sessionize.py
+# transition_counts): first events transition from the '^' start state.
+ORACLES["events_transitions"] = """\
+SELECT coalesce(prev_type, '^') AS prev_type, event_type,
+       count(*) AS n
+FROM (
+  SELECT event_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+         ) AS prev_type
+  FROM events
+)
+GROUP BY 1, 2"""

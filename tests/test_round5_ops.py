@@ -1,0 +1,217 @@
+"""Round-5 extension operators: triangle counting, SCD2 history,
+train/test contamination, corpus vocabulary head, transition counts.
+
+Semantics on handcrafted graphs/logs plus the plan shapes that must
+survive 100 TB (no nested-loop joins, single-shuffle windows)."""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from pyspark.sql import functions as F
+
+from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark import (
+    plans as PL,
+)
+from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.functions.text import (
+    document_frequency_topk,
+)
+from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.graph.triangles import (
+    triangle_stats,
+)
+from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.contamination import (
+    contamination_report,
+)
+from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.scd import (
+    scd2_history,
+)
+from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.sessionize import (
+    transition_counts,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [(int(a), int(b), 1.0) for a, b in pairs], "src long, dst long, weight double"
+    )
+
+
+# --------------------------------------------------------------------------
+# triangles
+# --------------------------------------------------------------------------
+
+
+def test_triangles_known_graph(spark):
+    # 4-clique {1,2,3,4} (4 triangles) + pendant 5-1 + isolated edge 6-7.
+    pairs = list(combinations([1, 2, 3, 4], 2)) + [(5, 1), (6, 7)]
+    row = triangle_stats(_edges(spark, pairs)).collect()[0]
+    assert row.triangle_count == 4
+    # degrees: 1->4, 2..4->3, 5->1, 6,7->1; wedges = 6 + 3*3 + 0 = 15
+    assert row.wedge_count == 15
+    assert abs(row.clustering_coeff - round(12 / 15, 6)) < 1e-12
+
+
+def test_triangles_direction_and_duplicate_invariant(spark):
+    # Same undirected graph expressed with reversed + duplicated +
+    # self-loop edges must count identically (canonicalization).
+    base = [(1, 2), (2, 3), (1, 3)]
+    noisy = base + [(2, 1), (3, 2), (1, 1)]
+    a = triangle_stats(_edges(spark, base)).collect()[0]
+    b = triangle_stats(_edges(spark, noisy)).collect()[0]
+    assert (a.triangle_count, a.wedge_count) == (b.triangle_count, b.wedge_count) == (1, 3)
+
+
+def test_triangles_wedge_free_graph_zero_coeff(spark):
+    row = triangle_stats(_edges(spark, [(1, 2), (3, 4)])).collect()[0]
+    assert row.triangle_count == 0
+    assert row.wedge_count == 0
+    assert row.clustering_coeff == 0.0
+
+
+def test_triangles_plan_no_nested_loop(spark):
+    """The wedge join and the closing semi-join must be equi-joins; the
+    only cartesian allowed is the final 1x1 stat combine. At 100 TB a
+    BroadcastNestedLoopJoin on the wedge stream is a non-starter."""
+    df = triangle_stats(_edges(spark, list(combinations(range(8), 2))))
+    plan = PL.physical_plan(df)
+    # formatted explain lists each node twice (tree + details): count
+    # distinct node ids, not substring hits
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.plans.audit import (
+        _node_ids,
+    )
+
+    nlj = _node_ids(plan, r"BroadcastNestedLoopJoin")
+    assert len(nlj) <= 1  # the 1x1 combine only
+    assert "CartesianProduct" not in plan
+
+
+# --------------------------------------------------------------------------
+# SCD2
+# --------------------------------------------------------------------------
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+
+
+def test_scd2_collapses_runs_and_chains_validity(spark):
+    import datetime as dt
+
+    t = lambda h: dt.datetime(2024, 1, 1, h)
+    rows = [
+        (1, 7, t(0), "a"),
+        (2, 7, t(1), "a"),  # same run
+        (3, 7, t(2), "b"),  # change
+        (4, 7, t(3), "b"),
+        (5, 7, t(4), "a"),  # change back -> new run
+        (6, 9, t(0), "x"),  # other user
+    ]
+    out = scd2_history(
+        _events(spark, rows), ["user_id"], "ts", ["event_id"], "event_type"
+    ).collect()
+    u7 = sorted([r for r in out if r.user_id == 7], key=lambda r: r.valid_from)
+    assert [r.event_id for r in u7] == [1, 3, 5]
+    assert [r.event_type for r in u7] == ["a", "b", "a"]
+    # validity chains with no gaps: valid_to == next valid_from
+    assert u7[0].valid_to == u7[1].valid_from
+    assert u7[1].valid_to == u7[2].valid_from
+    assert u7[2].valid_to is None and u7[2].is_current
+    assert sum(r.is_current for r in out) == 2  # one open run per user
+
+
+def test_scd2_single_shuffle(spark):
+    """Both windows share (key, ts, tiebreak) — Catalyst must plan ONE
+    exchange; a second shuffle would double the cost of the biggest
+    window op in the warehouse."""
+    import datetime as dt
+
+    df = _events(spark, [(1, 1, dt.datetime(2024, 1, 1), "a")])
+    out = scd2_history(df, ["user_id"], "ts", ["event_id"], "event_type")
+    assert PL.exchange_count(out) == 1
+
+
+# --------------------------------------------------------------------------
+# contamination
+# --------------------------------------------------------------------------
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, split string")
+
+
+def test_contamination_flags_shared_8gram(spark):
+    leak = "alpha bravo charlie delta echo foxtrot golf hotel"
+    rows = [
+        (1, f"prefix words then {leak} and a tail", "train"),
+        (2, f"{leak} other content entirely here now", "test"),  # leaked
+        (3, "totally different words with no overlap at all ok", "test"),
+        (4, "short doc", "test"),  # < 8 tokens -> no shingles
+        (5, "dev split docs are ignored by the audit entirely yes", "dev"),
+    ]
+    out = {
+        r.doc_id: r
+        for r in contamination_report(_docs(spark, rows)).collect()
+    }
+    assert set(out) == {2, 3, 4}  # test docs only, zero-overlap kept
+    assert out[2].contaminated and out[2].n_overlap >= 1
+    assert not out[3].contaminated and out[3].n_overlap == 0
+    assert out[4].n_shingles == 0 and not out[4].contaminated
+    # n_overlap never exceeds the doc's own shingle count
+    assert all(r.n_overlap <= r.n_shingles for r in out.values())
+
+
+def test_contamination_train_side_is_set_semantics(spark):
+    """The same shingle in MANY train docs must count once per test
+    shingle (fan-out 1) — this is the property that makes the join safe
+    under power-law shingle frequency."""
+    leak = "one two three four five six seven eight"
+    rows = [(i, f"filler{i} {leak}", "train") for i in range(10)]
+    rows.append((100, leak, "test"))
+    out = contamination_report(_docs(spark, rows)).collect()
+    assert len(out) == 1 and out[0].n_overlap == 1 and out[0].n_shingles == 1
+
+
+# --------------------------------------------------------------------------
+# vocabulary head / transitions
+# --------------------------------------------------------------------------
+
+
+def test_document_frequency_topk_tie_order(spark):
+    df = spark.createDataFrame(
+        [(1, "b a"), (2, "a b"), (3, "c b a"), (4, "z")],
+        "doc_id long, text string",
+    )
+    rows = document_frequency_topk(df, 3).collect()
+    assert [(r.token, r.df) for r in rows] == [("a", 3), ("b", 3), ("c", 1)]
+
+
+def test_document_frequency_topk_is_take_ordered(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    assert PL.has_take_ordered(document_frequency_topk(df, 5))
+
+
+def test_transition_counts_conserve_rows(spark):
+    import datetime as dt
+
+    t = lambda h: dt.datetime(2024, 1, 1, h)
+    ev = spark.createDataFrame(
+        [
+            (1, 7, t(0), "click", 0.0),
+            (2, 7, t(1), "view", 0.0),
+            (3, 7, t(2), "view", 0.0),
+            (4, 9, t(0), "error", 0.0),
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string, value double",
+    )
+    rows = transition_counts(ev).collect()
+    got = {(r.prev_type, r.event_type): r.n for r in rows}
+    assert got == {
+        ("^", "click"): 1,
+        ("click", "view"): 1,
+        ("view", "view"): 1,
+        ("^", "error"): 1,
+    }
+    assert sum(got.values()) == 4  # rows conserved
+    assert sum(n for (p, _), n in got.items() if p == "^") == 2  # users
