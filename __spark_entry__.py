@@ -981,6 +981,18 @@ def _q_events_transitions(spark, sf_dir):
     return transition_counts(tables.load_table(spark, sf_dir, "events"))
 
 
+def _q_graph_pagerank_top20(spark, sf_dir):
+    """PageRank top-20 (graph/rank.py): 3 damped supersteps over the
+    bag-symmetrized graph, normalized rank (mean 1.0) rounded to 6dp,
+    ordered by (rank_norm desc, id asc). The oracle unrolls the same 3
+    rounds as CTEs; tracked checkpoints keep Spark's lineage O(1)/step."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.graph.rank import (
+        pagerank_topk,
+    )
+
+    return pagerank_topk(tables.user_graph_edges(spark, sf_dir), 20)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order IS the driver's check order, and the driver
     verifies the FIRST 50 entries only. Policy (VERDICT r3 item 1):
@@ -994,6 +1006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     trivial point lookups); rotate again next round."""
     return {
         # -- brand-new in round 5 (never verified) -----------------------
+        "graph_pagerank_top20": _q_graph_pagerank_top20,  # new r5
         "graph_triangles": _q_graph_triangles,  # new r5
         "status_history_scd2": _q_status_history_scd2,  # new r5
         "split_contamination": _q_split_contamination,  # new r5
@@ -1046,7 +1059,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pymk_bizcard_hydrated": _q_pymk_bizcard_hydrated,
         "streaming_bizcards": _q_streaming_bizcards,
         "archive_replay": _q_archive_replay,
-        "album_replay": _q_album_replay,
         # ---- entries below fall outside the driver's 50-entry check
         # window: verified fresh in round 4, untouched since; their
         # operator families are represented above (minhash/exact/clusters
@@ -1057,7 +1069,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # by test_plans, the sampling pair by test_sampling's property
         # tests, the salted distinct by test_skew; the five entries the
         # round-5 additions displaced (streaming_dedup … corpus_curation)
-        # are r4-green and tested in-suite at sf0.001. ----------------------
+        # are r4-green and tested in-suite at sf0.001 (album_replay joins
+        # them to make room for graph_pagerank_top20). ----------------------
+        "album_replay": _q_album_replay,
         "streaming_dedup": _q_streaming_dedup,
         "text_quality": _q_text_quality,
         "text_fingerprint": _q_text_fingerprint,

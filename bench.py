@@ -44,6 +44,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 BENCH_QUERIES = [
     "graph_edges",
     "graph_triangles",
+    "graph_pagerank_top20",
     "events_asof_last_click",
     "events_error_click_pairs_5m",
     "status_history_scd2",

@@ -1,0 +1,109 @@
+"""PageRank over the social graph — the iterative-analytics flagship
+beyond BFS (traverse.py) and connected components (operators/
+components.py).
+
+Semantics: standard damped PageRank (Page et al., public) on the
+bag-symmetrized edge view (model.symmetrize — the same ``both()``
+multiplicity the reference's Gremlin traversal uses, SURVEY O38c). The
+vertex domain is the set of edge endpoints; every such vertex has
+degree >= 1 under symmetrization, so there is no dangling-mass special
+case — isolated vertices (no edges at all) are excluded by declaration
+and would hold exactly the teleport mass anyway.
+
+Iteration k: r_{k+1}(v) = (1-d)/N + d * sum_{u->v} r_k(u)/deg(u).
+
+Plan shape per superstep (the classic DataFrame PageRank):
+  1. contribs: edges ⋈ state on the tail vertex — shuffle on src;
+  2. sum by head vertex — shuffle on dst, map-side partial agg;
+  3. reattach degree: deg ⋈ agg on id — deg is persisted once, AQE
+     reuses its layout.
+The edge relation is persisted across all supersteps (scanned K times,
+materialized once), and each superstep's state is routed through the
+tracked-checkpoint registry (checkpoints.py) so lineage depth stays
+O(1) per iteration and the previous round's scratch RDDs are freed
+eagerly — the same discipline as BFS/components.
+
+Fixed iteration count keeps the operator a pure dataflow the DuckDB
+oracle can mirror with K unrolled CTE rounds; float sums differ from
+the oracle only in summation order (ulp-level), absorbed by the 6dp
+round on the normalized rank.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..checkpoints import checkpoint, free
+from .model import symmetrize
+
+DAMPING = 0.85
+ITERATIONS = 3  # registered-query default; callers tune freely
+
+
+def pagerank(
+    edges: DataFrame, iterations: int = ITERATIONS, damping: float = DAMPING
+) -> DataFrame:
+    """(id, rank) after ``iterations`` damped supersteps; ranks sum to ~1
+    over the edge-endpoint vertex domain."""
+    spark = edges.sparkSession
+    bi = symmetrize(edges).persist()
+    deg = (
+        bi.groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).alias("d"))
+        .persist()
+    )
+    n = deg.count()  # one driver scalar; also materializes deg and bi
+    if n == 0:
+        bi.unpersist()
+        deg.unpersist()
+        return spark.createDataFrame([], "id long, rank double")
+
+    teleport = (1.0 - damping) / n
+    state = deg.withColumn("r", F.lit(1.0 / n))
+    state_ids = frozenset()
+    for _ in range(iterations):
+        contribs = bi.join(state, bi["src"] == state["id"]).select(
+            F.col("dst").alias("id"), (F.col("r") / F.col("d")).alias("c")
+        )
+        agg = contribs.groupBy("id").agg(F.sum("c").alias("s"))
+        nxt = deg.join(agg, "id").select(
+            "id",
+            "d",
+            (F.lit(teleport) + F.lit(damping) * F.col("s")).alias("r"),
+        )
+        state, ids = checkpoint(nxt)
+        free(spark, state_ids)
+        state_ids = ids
+
+    out = state.select("id", F.col("r").alias("rank"))
+    bi.unpersist()
+    deg.unpersist()
+    return out
+
+
+def pagerank_topk(
+    edges: DataFrame,
+    k: int = 20,
+    iterations: int = ITERATIONS,
+    damping: float = DAMPING,
+) -> DataFrame:
+    """Top-k vertices by normalized rank (rank * N, mean 1.0, 6dp).
+
+    Ordering is by the ROUNDED value then id — both engines order on
+    identical quantities, so a pair separated by less than 5e-7 ties and
+    falls to the deterministic id order instead of flapping on ulps.
+    TakeOrderedAndProject: per-partition heaps, k-row driver result.
+    """
+    pr = pagerank(edges, iterations, damping)
+    # normalize with a 1-row crossJoin of the vertex count (the same
+    # 1x1 combine device as graph_counts) — no single-partition window
+    total = pr.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        pr.crossJoin(total)
+        .select(
+            "id", F.round(F.col("rank") * F.col("_n"), 6).alias("rank_norm")
+        )
+        .orderBy(F.col("rank_norm").desc(), F.col("id").asc())
+        .limit(k)
+    )

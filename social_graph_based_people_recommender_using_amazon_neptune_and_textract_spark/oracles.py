@@ -1317,3 +1317,29 @@ FROM (
   FROM events
 )
 GROUP BY 1, 2"""
+
+# PageRank (graph/rank.py): K=3 damped supersteps unrolled as CTE rounds
+# over the bag-symmetrized view (BI_SQL multiplicity — both() bag
+# semantics); rank normalized to mean 1.0 and rounded to 6dp, ordered by
+# the ROUNDED value then id so ulp-level float-sum divergence between
+# engines cannot reorder the top-k.
+_PR_ROUNDS = "".join(
+    f""",
+r{k + 1} AS (
+  SELECT deg.id, deg.d, 0.15 / (SELECT n FROM nv) + 0.85 * agg.s AS r
+  FROM deg JOIN (
+    SELECT bi.dst AS id, sum(p.r / p.d) AS s
+    FROM bi JOIN r{k} p ON bi.src = p.id GROUP BY bi.dst
+  ) agg ON agg.id = deg.id
+)"""
+    for k in range(3)
+)
+ORACLES["graph_pagerank_top20"] = f"""\
+WITH {EDGES_SQL}, {BI_SQL},
+deg AS (SELECT src AS id, count(*) AS d FROM bi GROUP BY src),
+nv AS (SELECT count(*) AS n FROM deg),
+r0 AS (SELECT id, d, 1.0 / (SELECT n FROM nv) AS r FROM deg){_PR_ROUNDS}
+SELECT id, round(r * (SELECT n FROM nv), 6) AS rank_norm
+FROM r3
+ORDER BY rank_norm DESC, id ASC
+LIMIT 20"""

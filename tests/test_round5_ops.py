@@ -215,3 +215,64 @@ def test_transition_counts_conserve_rows(spark):
     }
     assert sum(got.values()) == 4  # rows conserved
     assert sum(n for (p, _), n in got.items() if p == "^") == 2  # users
+
+
+# --------------------------------------------------------------------------
+# PageRank
+# --------------------------------------------------------------------------
+
+
+def test_pagerank_mass_conservation_and_star_ordering(spark):
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.graph.rank import (
+        pagerank,
+        pagerank_topk,
+    )
+
+    # star: hub 1 with leaves 2..6 — hub must outrank every leaf, total
+    # mass ~1 (no dangling vertices under symmetrization)
+    star = _edges(spark, [(1, i) for i in range(2, 7)])
+    ranks = {r.id: r.rank for r in pagerank(star, iterations=5).collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    assert all(ranks[1] > ranks[i] for i in range(2, 7))
+    top = pagerank_topk(star, 3).collect()
+    assert top[0].id == 1
+    # leaves are symmetric: identical rounded ranks, id-ordered
+    assert [r.id for r in top[1:]] == [2, 3]
+    assert top[1].rank_norm == top[2].rank_norm
+
+
+def test_pagerank_uniform_on_cycle(spark):
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.graph.rank import (
+        pagerank,
+    )
+
+    cyc = _edges(spark, [(i, (i + 1) % 6) for i in range(6)])
+    ranks = [r.rank for r in pagerank(cyc, iterations=4).collect()]
+    assert len(ranks) == 6
+    assert max(ranks) - min(ranks) < 1e-12  # regular graph -> uniform
+
+
+def test_pagerank_empty_graph(spark):
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.graph.rank import (
+        pagerank,
+    )
+
+    e = spark.createDataFrame([], "src long, dst long, weight double")
+    assert pagerank(e).count() == 0
+
+
+def test_pagerank_frees_checkpoint_scratch(spark):
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark import (
+        checkpoints as CKPT,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.graph.rank import (
+        pagerank,
+    )
+
+    before = len(CKPT.live_ids())
+    pagerank(_edges(spark, [(1, 2), (2, 3)]), iterations=3).count()
+    # only the final state's checkpoint may remain tracked beyond what
+    # was already live before the call
+    assert len(CKPT.live_ids()) - before <= 1
+    CKPT.release_all(spark)
+    assert len(CKPT.live_ids()) == 0
