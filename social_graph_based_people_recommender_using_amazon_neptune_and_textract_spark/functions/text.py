@@ -160,3 +160,51 @@ def document_frequency_topk(
         .orderBy(F.col("df").desc(), F.col("token").asc())
         .limit(k)
     )
+
+
+def unigram_logprob_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Unigram language-model fluency score per document: the mean log
+    probability of the document's tokens under the corpus's own unigram
+    distribution — the classic cheap LM-quality gate (low scores = rare-
+    token gibberish; public practice in the CCNet/Gopher-style cleaning
+    stacks, there with an external LM; here self-scored, so the operator
+    is closed over its input).
+
+    Returns (id, n_tokens, unigram_logprob): score = avg(ln(tf/T)), NULL
+    for documents with zero analyzer tokens, rounded to 6dp (absorbs
+    summation-order and libm ulp divergence vs the oracle).
+
+    Scale: two shuffles — global term frequencies (map-side combined; the
+    vocabulary relation is one row per distinct token, so the scoring
+    join has fan-out 1 per token occurrence regardless of how hot 'the'
+    is), then the per-document average. The tf relation is NOT force-
+    broadcast: a 100 TB corpus's vocabulary (URLs, typos, code) can be
+    tens of GB; AQE broadcasts it when it is actually small.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("token")
+    )
+    tf = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = toks.agg(F.count(F.lit(1)).alias("t"))
+    scored = (
+        toks.join(tf, "token")
+        .crossJoin(total)  # 1-row combine, same device as graph_counts
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("cnt") / F.col("t"))), 6).alias(
+                "unigram_logprob"
+            ),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            "unigram_logprob",
+        )
+    )

@@ -133,3 +133,22 @@ def region_revenue(
         .groupBy("r_name")
         .agg(F.round(F.sum("_rev").cast("double"), 4).alias("revenue"))
     )
+
+
+def events_cube(events: DataFrame) -> DataFrame:
+    """CUBE over (event_type, hour-of-day): counts and value sums for
+    every combination INCLUDING the per-hour marginals ROLLUP can't
+    express (rollup only nests left-to-right; cube adds the
+    (NULL, hour) slices). Same one-scan Expand + single partial/final
+    aggregate device as pricing_rollup — 4 groupings, one shuffle,
+    ``grouping_id`` disambiguates subtotal rows from genuine NULLs."""
+    hr = F.hour("ts").cast("long").alias("hr")
+    return (
+        events.select("event_type", hr, "value")
+        .cube("event_type", "hr")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("value_sum"),
+            F.grouping_id().alias("gid"),
+        )
+    )

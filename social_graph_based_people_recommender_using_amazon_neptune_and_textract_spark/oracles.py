@@ -1343,3 +1343,31 @@ SELECT id, round(r * (SELECT n FROM nv), 6) AS rank_norm
 FROM r3
 ORDER BY rank_norm DESC, id ASC
 LIMIT 20"""
+
+# Unigram LM score (functions/text.py unigram_logprob_scores): the
+# corpus scores itself — avg ln(tf/T); zero-token docs stay in the
+# report with NULL score. 6dp round absorbs summation-order/libm ulps.
+ORACLES["docs_unigram_logprob"] = f"""\
+WITH toksrc AS (
+  SELECT doc_id, {TOKENIZE.format(col='text')} AS tokens FROM documents
+),
+tok AS (SELECT doc_id, unnest(tokens) AS token FROM toksrc),
+tf AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+tot AS (SELECT count(*) AS t FROM tok),
+scored AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         round(avg(ln(cnt / (SELECT t FROM tot))), 6) AS unigram_logprob
+  FROM tok JOIN tf USING (token) GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(s.n_tokens, 0) AS n_tokens, s.unigram_logprob
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id"""
+
+# CUBE over (event_type, hour) (operators/warehouse.py events_cube):
+# GROUPING bitmask conventions agree (first column = MSB), same as the
+# pricing rollup; session tz is UTC so hour() matches the naive oracle.
+ORACLES["events_cube"] = """\
+SELECT event_type, hr, count(*) AS n,
+       round(sum("value"), 4) AS value_sum,
+       CAST(GROUPING(event_type, hr) AS BIGINT) AS gid
+FROM (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr, "value" FROM events)
+GROUP BY CUBE (event_type, hr)"""

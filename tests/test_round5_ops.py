@@ -276,3 +276,54 @@ def test_pagerank_frees_checkpoint_scratch(spark):
     assert len(CKPT.live_ids()) - before <= 1
     CKPT.release_all(spark)
     assert len(CKPT.live_ids()) == 0
+
+
+# --------------------------------------------------------------------------
+# unigram LM score / cube
+# --------------------------------------------------------------------------
+
+
+def test_unigram_logprob_values_and_null(spark):
+    import math
+
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.functions.text import (
+        unigram_logprob_scores,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a a"), (2, "b"), (3, "??!")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in unigram_logprob_scores(df).collect()}
+    # corpus tokens: a a b -> T=3, tf(a)=2, tf(b)=1
+    assert out[1].n_tokens == 2
+    assert abs(out[1].unigram_logprob - round(math.log(2 / 3), 6)) < 1e-9
+    assert abs(out[2].unigram_logprob - round(math.log(1 / 3), 6)) < 1e-9
+    assert out[1].unigram_logprob > out[2].unigram_logprob  # common > rare
+    assert out[3].n_tokens == 0 and out[3].unigram_logprob is None
+
+
+def test_events_cube_has_all_slices_single_exchange(spark):
+    import datetime as dt
+
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.warehouse import (
+        events_cube,
+    )
+
+    ev = spark.createDataFrame(
+        [
+            (1, 7, dt.datetime(2024, 1, 1, 3), "click", 1.0),
+            (2, 7, dt.datetime(2024, 1, 1, 3), "view", 2.0),
+            (3, 9, dt.datetime(2024, 1, 1, 5), "click", 4.0),
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string, value double",
+    )
+    rows = events_cube(ev).collect()
+    gids = {r.gid for r in rows}
+    assert gids == {0, 1, 2, 3}
+    # the per-hour marginal ROLLUP cannot express: (NULL type, hr=3)
+    marg = [r for r in rows if r.gid == 2 and r.hr == 3]
+    assert len(marg) == 1 and marg[0].n == 2 and marg[0].value_sum == 3.0
+    grand = [r for r in rows if r.gid == 3]
+    assert len(grand) == 1 and grand[0].n == 3
+    # one scan, one aggregate shuffle (Expand feeds a single exchange)
+    assert PL.exchange_count(events_cube(ev)) == 1
