@@ -73,7 +73,7 @@ def pagerank(
             (F.lit(teleport) + F.lit(damping) * F.col("s")).alias("r"),
         )
         state, ids = checkpoint(nxt)
-        free(spark, state_ids)
+        free(spark, state_ids, blocking=False)
         state_ids = ids
 
     out = state.select("id", F.col("r").alias("rank"))

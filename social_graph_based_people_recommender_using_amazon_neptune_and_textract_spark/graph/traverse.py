@@ -82,13 +82,13 @@ def shortest_paths(
             bi, frontier, dist, hop,
             frontier_rows=frontier_rows, broadcast_max=broadcast_max,
         ))
-        free(spark, frontier_ids)  # previous frontier fully consumed
+        free(spark, frontier_ids, blocking=False)  # prev frontier consumed
         frontier_rows = nxt.count()  # cheap: nxt is checkpointed
         if frontier_rows == 0:
-            free(spark, nxt_ids)
+            free(spark, nxt_ids, blocking=False)
             break
         dist, new_ids = checkpoint(dist.unionByName(nxt))
-        free(spark, dist_ids)  # superseded by the new settled set
+        free(spark, dist_ids, blocking=False)  # superseded settled set
         dist_ids = new_ids
         frontier, frontier_ids = nxt.select("id"), nxt_ids
 

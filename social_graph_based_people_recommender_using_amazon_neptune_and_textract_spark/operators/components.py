@@ -123,7 +123,7 @@ def connected_components(
             # Round N is materialized and the convergence probe has run:
             # round N-1's checkpoint is dead scratch — free it now so
             # in-flight storage stays O(1) rounds, not O(rounds).
-            free(spark, labels_ids)
+            free(spark, labels_ids, blocking=False)
             labels, labels_ids = new, new_ids
             if changed == 0:
                 break
