@@ -50,6 +50,8 @@ BENCH_QUERIES = [
     "status_history_scd2",
     "split_contamination",
     "pymk_user_3",
+    "pymk_user_3_ppr",
+    "orders_topk_revenue",
     "pymk_all_top5",
     "pymk_bizcard_hydrated",
     "one_hop_paths",

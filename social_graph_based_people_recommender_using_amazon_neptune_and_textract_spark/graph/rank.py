@@ -107,3 +107,88 @@ def pagerank_topk(
         .orderBy(F.col("rank_norm").desc(), F.col("id").asc())
         .limit(k)
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    source_id,
+    iterations: int = ITERATIONS,
+    damping: float = DAMPING,
+) -> DataFrame:
+    """Personalized PageRank: the teleport vector concentrates on ONE
+    source vertex, so rank mass measures proximity to that user — the
+    random-walk generalization of PYMK's mutual-friend count (2-hop
+    paths are exactly the walks PYMK counts; PPR also credits longer
+    walks, damped). Same superstep loop and checkpoint discipline as
+    ``pagerank``; after K iterations only vertices within K hops carry
+    mass, everything else holds exactly 0 — the oracle mirrors this with
+    a CASE teleport in each unrolled round. Returns (id, rank)."""
+    spark = edges.sparkSession
+    bi = symmetrize(edges).persist()
+    deg = (
+        bi.groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).alias("d"))
+        .persist()
+    )
+    n = deg.count()
+    if n == 0:
+        bi.unpersist()
+        deg.unpersist()
+        return spark.createDataFrame([], "id long, rank double")
+
+    teleport = F.when(F.col("id") == source_id, F.lit(1.0 - damping)).otherwise(
+        F.lit(0.0)
+    )
+    state = deg.withColumn(
+        "r",
+        F.when(F.col("id") == source_id, F.lit(1.0)).otherwise(F.lit(0.0)),
+    )
+    state_ids = frozenset()
+    for _ in range(iterations):
+        contribs = bi.join(state, bi["src"] == state["id"]).select(
+            F.col("dst").alias("id"), (F.col("r") / F.col("d")).alias("c")
+        )
+        agg = contribs.groupBy("id").agg(F.sum("c").alias("s"))
+        nxt = deg.join(agg, "id").select(
+            "id", "d", (teleport + F.lit(damping) * F.col("s")).alias("r")
+        )
+        state, ids = checkpoint(nxt)
+        free(spark, state_ids, blocking=False)
+        state_ids = ids
+
+    out = state.select("id", F.col("r").alias("rank"))
+    bi.unpersist()
+    deg.unpersist()
+    return out
+
+
+def pymk_ppr(
+    edges: DataFrame,
+    source_id,
+    k: int = 10,
+    iterations: int = ITERATIONS,
+    damping: float = DAMPING,
+) -> DataFrame:
+    """People-you-may-know by personalized PageRank: PPR from the source,
+    minus the source itself and its existing 1-hop friends — the same
+    exclusion rule as the reference's Gremlin PYMK (aggregate('friends')
+    … without('friends'), neptune_recommend_bizcard.py:60-67), with walk
+    mass replacing the mutual-friend count as the score. Top-k orders on
+    the 9dp-rounded rank (values live at 1e-2..1e-5; ulp noise is 1e-15)
+    then id — deterministic, oracle-identical. Friends anti-join before
+    the top-k so the heap never holds excluded vertices."""
+    pr = personalized_pagerank(edges, source_id, iterations, damping)
+    friends = (
+        symmetrize(edges)
+        .filter(F.col("src") == source_id)
+        .select(F.col("dst").alias("id"))
+        .distinct()
+    )
+    return (
+        pr.filter(F.col("id") != source_id)
+        .join(friends, "id", "left_anti")
+        .select("id", F.round("rank", 9).alias("ppr"))
+        .filter(F.col("ppr") > 0)  # only vertices the walk actually reached
+        .orderBy(F.col("ppr").desc(), F.col("id").asc())
+        .limit(k)
+    )

@@ -152,3 +152,90 @@ def events_cube(events: DataFrame) -> DataFrame:
             F.grouping_id().alias("gid"),
         )
     )
+
+
+def topk_order_revenue(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-01-01",
+    k: int = 10,
+) -> DataFrame:
+    """TPC-H Q3 shape: unshipped-order revenue for one market segment —
+    the canonical selective-dim ⋈ fact ⋈ fact pipeline.
+
+    Plan contract at 100 TB: the segment filter reduces customer ~5x and
+    that TINY side broadcasts into orders (never the reverse); the
+    orders⋈lineitem join is the only shuffle pair, on the natural
+    orderkey; both date filters push into the parquet scans. Revenue
+    sums in exact DECIMAL (module docstring) and the top-k orders on the
+    EXACT decimal before the display round, so the cut is deterministic
+    and identical to the oracle's; TakeOrderedAndProject keeps it a
+    k-row driver result.
+    """
+    ts = F.lit(cutoff).cast("timestamp")
+    c = customer.filter(F.col("c_mktsegment") == segment).select("c_custkey")
+    o = orders.filter(F.col("o_orderdate") < ts).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    li = lineitem.filter(F.col("l_shipdate") > ts).select(
+        "l_orderkey",
+        (
+            F.col("l_extendedprice").cast(DEC)
+            * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+        ).alias("_r"),
+    )
+    j = li.join(
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    agg = j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.sum("_r").alias("_rev")
+    )
+    return (
+        agg.orderBy(
+            F.col("_rev").desc(), F.col("o_orderdate").asc(), F.col("l_orderkey").asc()
+        )
+        .limit(k)
+        .select(
+            "l_orderkey",
+            F.round(F.col("_rev").cast("double"), 4).alias("revenue"),
+            # parquet reads NTZ; session tz is pinned UTC so this cast is
+            # the same instant the oracle's epoch_us(naive) computes
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+                "o_orderdate_us"
+            ),
+            "o_orderpriority",
+        )
+    )
+
+
+def value_histogram(
+    events: DataFrame, lo: float = 0.0, hi: float = 500.0, nbuckets: int = 10
+) -> DataFrame:
+    """Fixed-bound histogram of the event measure per event_type:
+    bucket i covers [lo + i*w, lo + (i+1)*w); underflow lands in bucket
+    -1, overflow in bucket ``nbuckets``. Fixed (declared) bounds — not
+    data-dependent min/max — so the operator is a single scan + one
+    map-side-combined aggregation with at most |types|*(nbuckets+2)
+    groups, and incremental re-runs bucket identically as data grows.
+    Returns (event_type, bucket, bucket_lo, n)."""
+    w = (hi - lo) / nbuckets
+    raw = F.floor((F.col("value") - F.lit(lo)) / F.lit(w)).cast("long")
+    b = (
+        F.when(F.col("value") < lo, F.lit(-1).cast("long"))
+        .when(F.col("value") >= hi, F.lit(nbuckets).cast("long"))
+        .otherwise(raw)
+    )
+    return (
+        events.select("event_type", b.alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            "bucket",
+            F.round(F.lit(lo) + F.col("bucket") * F.lit(w), 6).alias("bucket_lo"),
+            "n",
+        )
+    )

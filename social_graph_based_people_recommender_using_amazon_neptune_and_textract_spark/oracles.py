@@ -1371,3 +1371,67 @@ SELECT event_type, hr, count(*) AS n,
        CAST(GROUPING(event_type, hr) AS BIGINT) AS gid
 FROM (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr, "value" FROM events)
 GROUP BY CUBE (event_type, hr)"""
+
+# TPC-H Q3 shape (operators/warehouse.py topk_order_revenue): exact
+# DECIMAL revenue, top-10 cut on the exact value, 4dp display round.
+ORACLES["orders_topk_revenue"] = """\
+SELECT l_orderkey,
+       round(CAST(rev AS DOUBLE), 4) AS revenue,
+       epoch_us(o_orderdate) AS o_orderdate_us,
+       o_orderpriority
+FROM (
+  SELECT l_orderkey, o_orderdate, o_orderpriority,
+         sum(CAST(l_extendedprice AS DECIMAL(18,6))
+             * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS rev
+  FROM customer
+  JOIN orders ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '1998-01-01'
+    AND l_shipdate > TIMESTAMP '1998-01-01'
+  GROUP BY l_orderkey, o_orderdate, o_orderpriority
+)
+ORDER BY rev DESC, o_orderdate ASC, l_orderkey ASC
+LIMIT 10"""
+
+# Fixed-bound histogram (operators/warehouse.py value_histogram):
+# declared [0,500) x 10; underflow -> -1, overflow -> 10.
+ORACLES["events_value_histogram"] = """\
+SELECT event_type, bucket,
+       round(0.0 + bucket * 50.0, 6) AS bucket_lo,
+       count(*) AS n
+FROM (
+  SELECT event_type,
+         CASE WHEN "value" < 0.0 THEN CAST(-1 AS BIGINT)
+              WHEN "value" >= 500.0 THEN CAST(10 AS BIGINT)
+              ELSE CAST(floor(("value" - 0.0) / 50.0) AS BIGINT) END AS bucket
+  FROM events
+) GROUP BY event_type, bucket"""
+
+# Personalized PageRank PYMK (graph/rank.py pymk_ppr): K=3 unrolled
+# rounds with a CASE teleport on the source; the teleport literal is
+# written (1 - 0.85) so both engines compute the identical double.
+_PPR_ROUNDS = "".join(
+    f""",
+p{k + 1} AS (
+  SELECT deg.id, deg.d,
+         CASE WHEN deg.id = 3 THEN (1 - 0.85) ELSE 0.0 END + 0.85 * agg.s AS r
+  FROM deg JOIN (
+    SELECT bi.dst AS id, sum(p.r / p.d) AS s
+    FROM bi JOIN p{k} p ON bi.src = p.id GROUP BY bi.dst
+  ) agg ON agg.id = deg.id
+)"""
+    for k in range(3)
+)
+ORACLES["pymk_user_3_ppr"] = f"""\
+WITH {EDGES_SQL}, {BI_SQL},
+deg AS (SELECT src AS id, count(*) AS d FROM bi GROUP BY src),
+p0 AS (
+  SELECT id, d, CASE WHEN id = 3 THEN 1.0 ELSE 0.0 END AS r FROM deg
+){_PPR_ROUNDS},
+friends AS (SELECT DISTINCT dst AS id FROM bi WHERE src = 3)
+SELECT id, round(r, 9) AS ppr
+FROM p3
+WHERE id <> 3 AND id NOT IN (SELECT id FROM friends) AND round(r, 9) > 0
+ORDER BY ppr DESC, id ASC
+LIMIT 10"""

@@ -327,3 +327,89 @@ def test_events_cube_has_all_slices_single_exchange(spark):
     assert len(grand) == 1 and grand[0].n == 3
     # one scan, one aggregate shuffle (Expand feeds a single exchange)
     assert PL.exchange_count(events_cube(ev)) == 1
+
+
+# --------------------------------------------------------------------------
+# personalized PageRank / Q3 top-k / histogram
+# --------------------------------------------------------------------------
+
+
+def test_ppr_mass_and_locality(spark):
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.graph.rank import (
+        personalized_pagerank,
+    )
+
+    # path graph 1-2-3-4-5-6; source 1; K=3 supersteps reach at most
+    # vertex 4 — vertices 5,6 must hold exactly 0 mass
+    path = _edges(spark, [(i, i + 1) for i in range(1, 6)])
+    r = {row.id: row.rank for row in personalized_pagerank(path, 1, iterations=3).collect()}
+    assert abs(sum(r.values()) - 1.0) < 1e-9  # mass conserved
+    assert r[5] == 0.0 and r[6] == 0.0  # beyond K hops: exactly zero
+    # mass sloshes on a path at small K (bipartite oscillation), so the
+    # robust proximity facts are the SAME-parity comparisons:
+    assert r[1] > r[3] > 0  # odd-step mass decays with distance
+    assert r[2] > r[4] > 0  # even-step mass decays with distance
+
+
+def test_pymk_ppr_excludes_source_and_friends(spark):
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.graph.rank import (
+        pymk_ppr,
+    )
+
+    # 1 knows 2,3; 2 knows 4; 3 knows 4,5 — PYMK(1) must suggest only
+    # {4, 5}, with 4 (two paths) above 5 (one)
+    g = _edges(spark, [(1, 2), (1, 3), (2, 4), (3, 4), (3, 5)])
+    rows = pymk_ppr(g, 1, 10).collect()
+    assert [r.id for r in rows] == [4, 5]
+    assert rows[0].ppr > rows[1].ppr
+
+
+def test_topk_order_revenue_plan(spark):
+    """Segment-filtered customer must broadcast; the k-row cut must be
+    TakeOrderedAndProject, not a global sort materialization."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.warehouse import (
+        topk_order_revenue,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.sources import (
+        tables,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    df = topk_order_revenue(
+        tables.load_table(spark, SF, "customer"),
+        tables.load_table(spark, SF, "orders"),
+        tables.load_table(spark, SF, "lineitem"),
+    )
+    assert PL.broadcast_join_count(df) >= 1
+    assert PL.has_take_ordered(df)
+    # both date predicates reach the parquet scans
+    pushed = " ".join(PL.pushed_filters(df))
+    assert "o_orderdate" in pushed and "l_shipdate" in pushed
+
+
+def test_value_histogram_edge_buckets(spark):
+    import datetime as dt
+
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.warehouse import (
+        value_histogram,
+    )
+
+    ev = spark.createDataFrame(
+        [
+            (1, 1, dt.datetime(2024, 1, 1), "a", -3.0),   # underflow
+            (2, 1, dt.datetime(2024, 1, 1), "a", 0.0),    # bucket 0 lower edge
+            (3, 1, dt.datetime(2024, 1, 1), "a", 49.999), # bucket 0
+            (4, 1, dt.datetime(2024, 1, 1), "a", 50.0),   # bucket 1 lower edge
+            (5, 1, dt.datetime(2024, 1, 1), "a", 499.99), # bucket 9
+            (6, 1, dt.datetime(2024, 1, 1), "a", 500.0),  # overflow
+            (7, 1, dt.datetime(2024, 1, 1), "a", 780.0),  # overflow
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string, value double",
+    )
+    got = {r.bucket: (r.n, r.bucket_lo) for r in value_histogram(ev).collect()}
+    assert got[-1] == (1, -50.0)
+    assert got[0] == (2, 0.0)
+    assert got[1] == (1, 50.0)
+    assert got[9] == (1, 450.0)
+    assert got[10] == (2, 500.0)
+    assert sum(n for n, _ in got.values()) == 7  # rows conserved
