@@ -696,9 +696,16 @@ def _q_streaming_error_click_pairs(spark, sf_dir):
         StreamingRangeJoiner,
     )
 
+    import shutil
+
     ev = tables.load_table(spark, sf_dir, "events")
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     base = f"{tempfile.gettempdir()}/sgr-ssj-{key}"
+    # The streaming checkpoint + append-mode pairs sink accumulate across
+    # invocations (a rerun re-joins the rewritten landing files as "new"
+    # data and duplicates every pair) — the stable name bounds orphan
+    # dirs, the wipe restores per-invocation idempotency.
+    shutil.rmtree(base, ignore_errors=True)
     ev.repartition(3).write.mode("overwrite").parquet(f"{base}/landing")
     j = StreamingRangeJoiner(spark, f"{base}/wh", window_s=300, delay="40 days")
     j.run_available_now(
@@ -981,6 +988,27 @@ def _q_events_transitions(spark, sf_dir):
     return transition_counts(tables.load_table(spark, sf_dir, "events"))
 
 
+def _q_streaming_session_stats(spark, sf_dir):
+    """Streaming session windows (streaming/sessions.py): append-mode
+    session_window stats, open sessions flushed by a watermark-advancing
+    sentinel; converged per-(user, session) rows equal batch sessionize's
+    (the shared 12h gap rule)."""
+    import tempfile
+
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.streaming.sessions import (
+        StreamingSessionizer,
+    )
+
+    ev = tables.load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    base = tempfile.mkdtemp(prefix="sgr-sess-")
+    ev.repartition(3).write.mode("overwrite").parquet(f"{base}/landing")
+    s = StreamingSessionizer(spark, f"{base}/wh")
+    s.run_available_now(f"{base}/landing", f"{base}/ckpt")
+    return s.current()
+
+
 def _q_orders_topk_revenue(spark, sf_dir):
     """TPC-H Q3 shape (operators/warehouse.py topk_order_revenue):
     segment-filtered customer broadcasts into orders, orders⋈lineitem
@@ -1072,6 +1100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- brand-new in round 5 (never verified) -----------------------
         "graph_pagerank_top20": _q_graph_pagerank_top20,  # new r5
         "pymk_user_3_ppr": _q_pymk_user_3_ppr,  # new r5
+        "streaming_session_stats": _q_streaming_session_stats,  # new r5
         "orders_topk_revenue": _q_orders_topk_revenue,  # new r5
         "events_value_histogram": _q_events_value_histogram,  # new r5
         "docs_unigram_logprob": _q_docs_unigram_logprob,  # new r5
@@ -1092,7 +1121,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degrees_bucketed": _q_graph_degrees_bucketed,
         "search_bizcards": _q_search_bizcards,
         "search_documents": _q_search_documents,
-        "search_documents_count": _q_search_documents_count,
         "search_bizcards_envelope": _q_search_bizcards_envelope,
         "search_bizcards_owner": _q_search_bizcards_owner,
         "search_bizcards_user_only": _q_search_bizcards_user_only,
@@ -1140,6 +1168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and streaming_status_machine; the PYMK variants beyond the
         # in-window flagship pymk_user_3 are r4-green, benched every round,
         # and pinned by test_pymk_properties/test_plans). --------------------
+        "search_documents_count": _q_search_documents_count,
         "pymk_all_top5": _q_pymk_all_top5,
         "pymk_user_3_hydrated": _q_pymk_user_3_hydrated,
         "pymk_bizcard_hydrated": _q_pymk_bizcard_hydrated,

@@ -1435,3 +1435,16 @@ FROM p3
 WHERE id <> 3 AND id NOT IN (SELECT id FROM friends) AND round(r, 9) > 0
 ORDER BY ppr DESC, id ASC
 LIMIT 10"""
+
+# Streaming session windows (streaming/sessions.py): the converged
+# append-mode session set equals batch sessionize's per-session stats —
+# the shared _SESSIONIZE CTE, grouped per session without the seq column
+# (the stream identifies a session by its start, not a per-user counter).
+ORACLES["streaming_session_stats"] = f"""\
+WITH {_SESSIONIZE}
+SELECT user_id,
+  min(epoch_us(ts)) AS start_us,
+  max(epoch_us(ts)) AS end_us,
+  count(*) AS n_events,
+  round(sum(value), 6) AS value_sum
+FROM sess GROUP BY user_id, session_seq"""

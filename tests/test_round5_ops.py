@@ -413,3 +413,55 @@ def test_value_histogram_edge_buckets(spark):
     assert got[9] == (1, 450.0)
     assert got[10] == (2, 500.0)
     assert sum(n for n, _ in got.values()) == 7  # rows conserved
+
+
+# --------------------------------------------------------------------------
+# streaming session windows
+# --------------------------------------------------------------------------
+
+
+def test_streaming_sessions_merge_across_drains(spark, tmp_path):
+    """A bridging event arriving in a LATER drain must fuse two open
+    sessions into one — the mergeable-window semantics that forced the
+    append-mode design (update+keyed-merge would strand the swallowed
+    session's row)."""
+    import datetime as dt
+
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.streaming.sessions import (
+        StreamingSessionizer,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    landing = str(tmp_path / "landing")
+    ddl = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    # two events 20h apart: separate sessions under the 12h gap
+    spark.createDataFrame(
+        [(1, t0, 7, "a", 1.0), (2, t0 + dt.timedelta(hours=20), 7, "b", 2.0)],
+        ddl,
+    ).write.mode("overwrite").parquet(landing)
+    s = StreamingSessionizer(spark, str(tmp_path / "wh"))
+    ckpt = str(tmp_path / "ckpt")
+    s._drain(landing, ckpt, "48 hours", 300)
+    # the bridge lands 10h in — both gaps now <= 12h -> ONE session
+    spark.createDataFrame(
+        [(3, t0 + dt.timedelta(hours=10), 7, "c", 4.0)], ddl
+    ).write.mode("append").parquet(landing)
+    s.run_available_now(landing, ckpt)
+    rows = s.current().collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_events == 3 and r.value_sum == 7.0
+    assert r.start_us == int(t0.timestamp() * 1_000_000)
+    assert r.end_us == int((t0 + dt.timedelta(hours=20)).timestamp() * 1_000_000)
+
+
+def test_streaming_sessions_empty_landing(spark, tmp_path):
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.streaming.sessions import (
+        StreamingSessionizer,
+    )
+
+    landing = str(tmp_path / "landing")
+    ddl = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    spark.createDataFrame([], ddl).write.mode("overwrite").parquet(landing)
+    s = StreamingSessionizer(spark, str(tmp_path / "wh"))
+    s.run_available_now(landing, str(tmp_path / "ckpt"))  # no-op, no crash
