@@ -1048,6 +1048,29 @@ def _q_pymk_user_3_ppr(spark, sf_dir):
     return pymk_ppr(tables.user_graph_edges(spark, sf_dir), 3, 10)
 
 
+def _q_pymk_user_3_jaccard(spark, sf_dir):
+    """PYMK by Jaccard neighborhood overlap (graph/linkpred.py): the
+    flagship's candidate set and exclusion rule, scored by
+    |N(u)∩N(c)| / |N(u)∪N(c)| over SET neighborhoods — normalizes the
+    mutual-friend count by combined neighborhood size."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.graph.linkpred import (
+        jaccard_pymk,
+    )
+
+    return jaccard_pymk(tables.user_graph_edges(spark, sf_dir), 3, 10)
+
+
+def _q_pymk_user_3_adamic_adar(spark, sf_dir):
+    """PYMK by Adamic-Adar (graph/linkpred.py): shared friends weighted
+    by 1/ln(degree) — a low-degree mutual friend is stronger evidence
+    than a celebrity hub."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.graph.linkpred import (
+        adamic_adar_pymk,
+    )
+
+    return adamic_adar_pymk(tables.user_graph_edges(spark, sf_dir), 3, 10)
+
+
 def _q_docs_unigram_logprob(spark, sf_dir):
     """Self-scored unigram LM fluency per document (functions/text.py
     unigram_logprob_scores): avg ln(tf/T) over the corpus's own unigram
@@ -1100,6 +1123,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- brand-new in round 5 (never verified) -----------------------
         "graph_pagerank_top20": _q_graph_pagerank_top20,  # new r5
         "pymk_user_3_ppr": _q_pymk_user_3_ppr,  # new r5
+        "pymk_user_3_jaccard": _q_pymk_user_3_jaccard,  # new r5
+        "pymk_user_3_adamic_adar": _q_pymk_user_3_adamic_adar,  # new r5
         "streaming_session_stats": _q_streaming_session_stats,  # new r5
         "orders_topk_revenue": _q_orders_topk_revenue,  # new r5
         "events_value_histogram": _q_events_value_histogram,  # new r5
@@ -1148,11 +1173,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_counts": _q_graph_counts,
         "docs_hash_sample": _q_docs_hash_sample,
         # -- stable round-4 greens, untouched this round -----------------
-        "graph_degrees": _q_graph_degrees,
-        "one_hop_paths": _q_one_hop_paths,
         "pymk_user_3": _q_pymk_user_3,
         # ---- entries below fall outside the driver's 50-entry check
-        # window: verified fresh in round 4, untouched since; their
+        # window: verified fresh in round 4, untouched since (including
+        # graph_degrees and one_hop_paths, displaced by the two link-
+        # prediction PYMK variants — both benched every round and
+        # plan-pinned in test_plans; the flagship pymk_user_3 keeps the
+        # last in-window slot); their
         # operator families are represented above (minhash/exact/clusters
         # for dedup; graph lookups ride the pymk/hydration paths). They
         # rotate back into the window next round. dedup_minhash_lsh's
@@ -1168,6 +1195,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and streaming_status_machine; the PYMK variants beyond the
         # in-window flagship pymk_user_3 are r4-green, benched every round,
         # and pinned by test_pymk_properties/test_plans). --------------------
+        "graph_degrees": _q_graph_degrees,
+        "one_hop_paths": _q_one_hop_paths,
         "search_documents_count": _q_search_documents_count,
         "pymk_all_top5": _q_pymk_all_top5,
         "pymk_user_3_hydrated": _q_pymk_user_3_hydrated,

@@ -1448,3 +1448,43 @@ SELECT user_id,
   count(*) AS n_events,
   round(sum(value), 6) AS value_sum
 FROM sess GROUP BY user_id, session_seq"""
+
+# Link-prediction PYMK variants (graph/linkpred.py): SET neighborhood
+# semantics (bs = distinct symmetrized pairs), same candidate set and
+# source/friend exclusion as the flagship. Jaccard orders on one exact
+# IEEE division rounded 9dp; Adamic-Adar on a float sum rounded 6dp
+# (addend order differs across engines — same tolerance as PageRank).
+_LINKPRED_CTES = f"""\
+{EDGES_SQL}, {BI_SQL},
+bs AS (SELECT DISTINCT src, dst FROM bi),
+deg AS (SELECT src AS id, count(*) AS d FROM bs GROUP BY src),
+friends AS (SELECT dst AS id FROM bs WHERE src = 3)"""
+
+ORACLES["pymk_user_3_jaccard"] = f"""\
+WITH {_LINKPRED_CTES},
+common AS (
+  SELECT bs.dst AS id, count(*) AS c
+  FROM bs JOIN friends f ON bs.src = f.id
+  GROUP BY bs.dst
+)
+SELECT common.id,
+       round(CAST(c AS DOUBLE) / (du.d + dc.d - c), 9) AS jaccard
+FROM common
+JOIN deg dc ON dc.id = common.id
+CROSS JOIN (SELECT d FROM deg WHERE id = 3) du
+WHERE common.id <> 3 AND common.id NOT IN (SELECT id FROM friends)
+ORDER BY jaccard DESC, common.id ASC
+LIMIT 10"""
+
+ORACLES["pymk_user_3_adamic_adar"] = f"""\
+WITH {_LINKPRED_CTES},
+aa AS (
+  SELECT bs.dst AS id, sum(1.0 / ln(deg.d)) AS s
+  FROM bs JOIN friends f ON bs.src = f.id
+          JOIN deg ON deg.id = bs.src
+  GROUP BY bs.dst
+)
+SELECT id, round(s, 6) AS aa FROM aa
+WHERE id <> 3 AND id NOT IN (SELECT id FROM friends)
+ORDER BY aa DESC, id ASC
+LIMIT 10"""

@@ -465,3 +465,66 @@ def test_streaming_sessions_empty_landing(spark, tmp_path):
     spark.createDataFrame([], ddl).write.mode("overwrite").parquet(landing)
     s = StreamingSessionizer(spark, str(tmp_path / "wh"))
     s.run_available_now(landing, str(tmp_path / "ckpt"))  # no-op, no crash
+
+
+# --------------------------------------------------------------------------
+# link prediction (graph/linkpred.py)
+# --------------------------------------------------------------------------
+
+
+def test_jaccard_known_values(spark):
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.graph.linkpred import (
+        jaccard_pymk,
+    )
+
+    # 1-2, 1-3, 2-4, 3-4, 2-5: candidates of 1 are 4 (via 2 and 3) and 5
+    # (via 2). N(1)={2,3}; N(4)={2,3} -> J=2/2=1.0; N(5)={2} -> J=1/2.
+    rows = jaccard_pymk(
+        _edges(spark, [(1, 2), (1, 3), (2, 4), (3, 4), (2, 5)]), 1, 10
+    ).collect()
+    got = {r.id: r.jaccard for r in rows}
+    assert got == {4: 1.0, 5: 0.5}
+    # order: score desc then id asc
+    assert [r.id for r in rows] == [4, 5]
+
+
+def test_adamic_adar_known_values(spark):
+    import math
+
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.graph.linkpred import (
+        adamic_adar_pymk,
+    )
+
+    # same graph: deg(2)=3, deg(3)=2. AA(1,4)=1/ln3 + 1/ln2; AA(1,5)=1/ln3.
+    rows = adamic_adar_pymk(
+        _edges(spark, [(1, 2), (1, 3), (2, 4), (3, 4), (2, 5)]), 1, 10
+    ).collect()
+    got = {r.id: r.aa for r in rows}
+    assert got == {
+        4: round(1 / math.log(3) + 1 / math.log(2), 6),
+        5: round(1 / math.log(3), 6),
+    }
+
+
+def test_linkpred_excludes_source_and_friends(spark):
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.graph.linkpred import (
+        adamic_adar_pymk,
+        jaccard_pymk,
+    )
+
+    # triangle 1-2-3 plus 3-4: 2 and 3 are friends of 1; 2-1 and 3-1
+    # back-walks must not resurface them or the source.
+    edges = _edges(spark, [(1, 2), (2, 3), (3, 1), (3, 4)])
+    for fn, col in ((jaccard_pymk, "jaccard"), (adamic_adar_pymk, "aa")):
+        ids = {r.id for r in fn(edges, 1, 10).collect()}
+        assert ids == {4}, f"{col}: {ids}"
+
+
+def test_linkpred_topk_is_take_ordered(spark):
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.graph.linkpred import (
+        jaccard_pymk,
+    )
+
+    df = jaccard_pymk(_edges(spark, [(1, 2), (2, 3), (2, 4)]), 1, 5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
