@@ -52,3 +52,38 @@ def graph_counts(vertices: DataFrame, edges: DataFrame) -> DataFrame:
     v = vertices.agg(F.count(F.lit(1)).alias("vertex_count"))
     e = edges.agg(F.count(F.lit(1)).alias("edge_count"))
     return v.crossJoin(e)
+
+
+def pinned_bi(edges: DataFrame) -> DataFrame:
+    """The symmetrized edge view, pinned HASH-PARTITIONED on ``src`` once
+    per edge relation — the clustered adjacency layout a graph store
+    keeps. Every consumer that joins or aggregates on the tail vertex
+    (PYMK's 2-hop self-join, PageRank/PPR supersteps, degree probes)
+    reuses this one layout and shuffles only its small side; the single
+    exchange is paid at pin materialization. The in-memory twin of the
+    on-disk bucketed layout (sources/bucketed.py)."""
+    from ..pinned import pinned  # local import: pinned has no deps on model
+
+    (bi,) = pinned(
+        ("graph_bi", edges.semanticHash()),
+        lambda: (symmetrize(edges).repartition(F.col("src")),),
+    )
+    return bi
+
+
+def pinned_bi_deg(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(bi, deg): the pinned symmetrized view plus the bag-degree table
+    (id, d) derived from it — deg inherits hash(id) partitioning from the
+    groupBy, so id-keyed joins against it skip their exchange too."""
+    from ..pinned import pinned
+
+    bi = pinned_bi(edges)
+    (deg,) = pinned(
+        ("graph_bi_deg", edges.semanticHash()),
+        lambda: (
+            bi.groupBy(F.col("src").alias("id")).agg(
+                F.count(F.lit(1)).alias("d")
+            ),
+        ),
+    )
+    return bi, deg

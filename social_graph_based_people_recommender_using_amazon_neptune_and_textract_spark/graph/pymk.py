@@ -35,7 +35,6 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..pinned import memo, pinned
-from .model import symmetrize
 
 
 def _bi(edges: DataFrame) -> DataFrame:
@@ -50,12 +49,11 @@ def _bi(edges: DataFrame) -> DataFrame:
     cached view (measured: one fewer shuffle and ~2× faster batch PYMK
     at sf0.1). One exchange is paid once at pin materialization; the
     in-memory equivalent of bucketing the edge table by src
-    (sources/bucketed.py is the on-disk form)."""
-    (bi,) = pinned(
-        ("graph_bi", edges.semanticHash()),
-        lambda: (symmetrize(edges).repartition(F.col("src")),),
-    )
-    return bi
+    (sources/bucketed.py is the on-disk form). Shared with PageRank/PPR
+    (graph/rank.py) via model.pinned_bi — one layout per process."""
+    from .model import pinned_bi
+
+    return pinned_bi(edges)
 
 
 def _v(vertices: DataFrame) -> DataFrame:

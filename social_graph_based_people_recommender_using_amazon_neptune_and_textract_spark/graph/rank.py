@@ -13,15 +13,18 @@ and would hold exactly the teleport mass anyway.
 Iteration k: r_{k+1}(v) = (1-d)/N + d * sum_{u->v} r_k(u)/deg(u).
 
 Plan shape per superstep (the classic DataFrame PageRank):
-  1. contribs: edges ⋈ state on the tail vertex — shuffle on src;
+  1. contribs: edges ⋈ state on the tail vertex — the edge side is the
+     PINNED hash(src)-partitioned symmetrized view (model.pinned_bi,
+     shared with PYMK), so only the vertex-sized state shuffles; the big
+     edge relation is materialized and exchanged exactly once per
+     process, not once per superstep;
   2. sum by head vertex — shuffle on dst, map-side partial agg;
-  3. reattach degree: deg ⋈ agg on id — deg is persisted once, AQE
-     reuses its layout.
-The edge relation is persisted across all supersteps (scanned K times,
-materialized once), and each superstep's state is routed through the
-tracked-checkpoint registry (checkpoints.py) so lineage depth stays
-O(1) per iteration and the previous round's scratch RDDs are freed
-eagerly — the same discipline as BFS/components.
+  3. reattach degree: deg ⋈ agg on id — deg is pinned hash(id)-
+     partitioned (model.pinned_bi_deg), no exchange on its side.
+Each superstep's state is routed through the tracked-checkpoint
+registry (checkpoints.py) so lineage depth stays O(1) per iteration and
+the previous round's scratch RDDs are freed eagerly — the same
+discipline as BFS/components.
 
 Fixed iteration count keeps the operator a pure dataflow the DuckDB
 oracle can mirror with K unrolled CTE rounds; float sums differ from
@@ -35,10 +38,39 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..checkpoints import checkpoint, free
-from .model import symmetrize
+from ..pinned import memo
+from .model import pinned_bi_deg
 
 DAMPING = 0.85
 ITERATIONS = 3  # registered-query default; callers tune freely
+
+
+def _supersteps(
+    bi: DataFrame,
+    deg: DataFrame,
+    state: DataFrame,
+    teleport_col,
+    iterations: int,
+    damping: float,
+) -> DataFrame:
+    """Shared damped-iteration loop: ``state`` is (id, d, r);
+    ``teleport_col`` is the per-vertex teleport Column added each round.
+    Returns the final state relation (still checkpoint-persisted —
+    checkpoints.release_all is the caller-facing cleanup handle)."""
+    spark = bi.sparkSession
+    state_ids = frozenset()
+    for _ in range(iterations):
+        contribs = bi.join(state, bi["src"] == state["id"]).select(
+            F.col("dst").alias("id"), (F.col("r") / F.col("d")).alias("c")
+        )
+        agg = contribs.groupBy("id").agg(F.sum("c").alias("s"))
+        nxt = deg.join(agg, "id").select(
+            "id", "d", (teleport_col + F.lit(damping) * F.col("s")).alias("r")
+        )
+        state, ids = checkpoint(nxt)
+        free(spark, state_ids, blocking=False)
+        state_ids = ids
+    return state
 
 
 def pagerank(
@@ -47,39 +79,16 @@ def pagerank(
     """(id, rank) after ``iterations`` damped supersteps; ranks sum to ~1
     over the edge-endpoint vertex domain."""
     spark = edges.sparkSession
-    bi = symmetrize(edges).persist()
-    deg = (
-        bi.groupBy(F.col("src").alias("id"))
-        .agg(F.count(F.lit(1)).alias("d"))
-        .persist()
-    )
-    n = deg.count()  # one driver scalar; also materializes deg and bi
+    bi, deg = pinned_bi_deg(edges)
+    h = edges.semanticHash()
+    n = memo(("graph_n", h), deg.count, parent=("graph_bi_deg", h))
     if n == 0:
-        bi.unpersist()
-        deg.unpersist()
         return spark.createDataFrame([], "id long, rank double")
 
     teleport = (1.0 - damping) / n
     state = deg.withColumn("r", F.lit(1.0 / n))
-    state_ids = frozenset()
-    for _ in range(iterations):
-        contribs = bi.join(state, bi["src"] == state["id"]).select(
-            F.col("dst").alias("id"), (F.col("r") / F.col("d")).alias("c")
-        )
-        agg = contribs.groupBy("id").agg(F.sum("c").alias("s"))
-        nxt = deg.join(agg, "id").select(
-            "id",
-            "d",
-            (F.lit(teleport) + F.lit(damping) * F.col("s")).alias("r"),
-        )
-        state, ids = checkpoint(nxt)
-        free(spark, state_ids, blocking=False)
-        state_ids = ids
-
-    out = state.select("id", F.col("r").alias("rank"))
-    bi.unpersist()
-    deg.unpersist()
-    return out
+    out = _supersteps(bi, deg, state, F.lit(teleport), iterations, damping)
+    return out.select("id", F.col("r").alias("rank"))
 
 
 def pagerank_topk(
@@ -124,16 +133,10 @@ def personalized_pagerank(
     mass, everything else holds exactly 0 — the oracle mirrors this with
     a CASE teleport in each unrolled round. Returns (id, rank)."""
     spark = edges.sparkSession
-    bi = symmetrize(edges).persist()
-    deg = (
-        bi.groupBy(F.col("src").alias("id"))
-        .agg(F.count(F.lit(1)).alias("d"))
-        .persist()
-    )
-    n = deg.count()
+    bi, deg = pinned_bi_deg(edges)
+    h = edges.semanticHash()
+    n = memo(("graph_n", h), deg.count, parent=("graph_bi_deg", h))
     if n == 0:
-        bi.unpersist()
-        deg.unpersist()
         return spark.createDataFrame([], "id long, rank double")
 
     teleport = F.when(F.col("id") == source_id, F.lit(1.0 - damping)).otherwise(
@@ -143,23 +146,8 @@ def personalized_pagerank(
         "r",
         F.when(F.col("id") == source_id, F.lit(1.0)).otherwise(F.lit(0.0)),
     )
-    state_ids = frozenset()
-    for _ in range(iterations):
-        contribs = bi.join(state, bi["src"] == state["id"]).select(
-            F.col("dst").alias("id"), (F.col("r") / F.col("d")).alias("c")
-        )
-        agg = contribs.groupBy("id").agg(F.sum("c").alias("s"))
-        nxt = deg.join(agg, "id").select(
-            "id", "d", (teleport + F.lit(damping) * F.col("s")).alias("r")
-        )
-        state, ids = checkpoint(nxt)
-        free(spark, state_ids, blocking=False)
-        state_ids = ids
-
-    out = state.select("id", F.col("r").alias("rank"))
-    bi.unpersist()
-    deg.unpersist()
-    return out
+    out = _supersteps(bi, deg, state, teleport, iterations, damping)
+    return out.select("id", F.col("r").alias("rank"))
 
 
 def pymk_ppr(
@@ -178,9 +166,9 @@ def pymk_ppr(
     then id — deterministic, oracle-identical. Friends anti-join before
     the top-k so the heap never holds excluded vertices."""
     pr = personalized_pagerank(edges, source_id, iterations, damping)
+    bi, _ = pinned_bi_deg(edges)  # point filter against the cached view
     friends = (
-        symmetrize(edges)
-        .filter(F.col("src") == source_id)
+        bi.filter(F.col("src") == source_id)
         .select(F.col("dst").alias("id"))
         .distinct()
     )
