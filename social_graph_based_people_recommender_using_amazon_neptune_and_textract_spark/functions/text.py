@@ -9,7 +9,7 @@ oracles.py. The analyzer is the engine-wide frozen tokenizer
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..search.index import tokenize
@@ -207,4 +207,51 @@ def unigram_logprob_scores(
             F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
             "unigram_logprob",
         )
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame, k: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document keyword extraction: the k terms with the highest
+    TF-IDF in each document — the classic relevance weighting (Sparck
+    Jones, public) and the per-doc dual of ``document_frequency_topk``'s
+    corpus-level head. Returns (doc_id, token, tfidf).
+
+    tfidf = tf * ln(N / df) with raw counts: N is the corpus row count
+    (empty docs count — they dilute nothing but keep N stable), df the
+    number of documents containing the term. Ranking is on the 6dp-ROUNDED
+    score then token asc, so both engines order on identical quantities
+    (ln differs across libm implementations at ulp level).
+
+    Scale: tf is one (doc, token) shuffle with map-side combine; df
+    derives from tf by a token-keyed re-aggregation (no second corpus
+    scan); N enters as a broadcast 1-row relation; the per-doc top-k
+    window partitions by doc_id — no global sort, no driver loop.
+    """
+    tf = (
+        df.select(F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("dfr"))
+    n = df.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col(id_col),
+            "token",
+            F.round(
+                F.col("tf") * F.log(F.col("n").cast("double") / F.col("dfr")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
     )

@@ -1488,3 +1488,28 @@ SELECT id, round(s, 6) AS aa FROM aa
 WHERE id <> 3 AND id NOT IN (SELECT id FROM friends)
 ORDER BY aa DESC, id ASC
 LIMIT 10"""
+
+# Per-document TF-IDF keywords (functions/text.py tfidf_top_terms):
+# tf * ln(N/df) on raw counts, ranked per doc on the 6dp-rounded score
+# then token asc — both engines order on identical quantities.
+ORACLES["docs_tfidf_top3"] = f"""\
+WITH toksrc AS (
+  SELECT doc_id, {TOKENIZE.format(col='text')} AS tokens FROM documents
+),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS token FROM toksrc)
+  GROUP BY doc_id, token
+),
+dfreq AS (SELECT token, count(*) AS dfr FROM tf GROUP BY token),
+n AS (SELECT count(*) AS n FROM documents)
+SELECT doc_id, token, tfidf FROM (
+  SELECT tf.doc_id, tf.token,
+         round(tf * ln(CAST(n.n AS DOUBLE) / dfr), 6) AS tfidf,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY round(tf * ln(CAST(n.n AS DOUBLE) / dfr), 6) DESC,
+                    tf.token ASC
+         ) AS rn
+  FROM tf JOIN dfreq USING (token) CROSS JOIN n
+) WHERE rn <= 3"""

@@ -528,3 +528,46 @@ def test_linkpred_topk_is_take_ordered(spark):
     df = jaccard_pymk(_edges(spark, [(1, 2), (2, 3), (2, 4)]), 1, 5)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_tfidf_top_terms_values_and_ties(spark):
+    import math
+
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.functions.text import (
+        tfidf_top_terms,
+    )
+
+    # 3 docs; "common" is in all 3 (idf=0); "rare" only in d1 (idf=ln3).
+    docs = spark.createDataFrame(
+        [
+            ("d1", "common rare rare"),
+            ("d2", "common zebra"),
+            ("d3", "common"),
+        ],
+        "doc_id string, text string",
+    )
+    rows = tfidf_top_terms(docs, 2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.token, r.tfidf))
+    # d1: rare (tf=2, idf=ln3) outranks common (0.0)
+    assert by_doc["d1"][0] == ("rare", round(2 * math.log(3), 6))
+    assert by_doc["d1"][1] == ("common", 0.0)
+    # d3 has only one distinct token -> one row, no padding
+    assert by_doc["d3"] == [("common", 0.0)]
+    # d2: zebra (ln3) then common
+    assert by_doc["d2"][0] == ("zebra", round(math.log(3), 6))
+
+
+def test_tfidf_empty_and_null_docs(spark):
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.functions.text import (
+        tfidf_top_terms,
+    )
+
+    docs = spark.createDataFrame(
+        [("d1", "alpha"), ("d2", ""), ("d3", None)],
+        "doc_id string, text string",
+    )
+    rows = tfidf_top_terms(docs, 3).collect()
+    # token-free docs yield no rows; N=3 still counts them in idf
+    assert {r.doc_id for r in rows} == {"d1"}
