@@ -1513,3 +1513,12 @@ SELECT doc_id, token, tfidf FROM (
          ) AS rn
   FROM tf JOIN dfreq USING (token) CROSS JOIN n
 ) WHERE rn <= 3"""
+
+# Date-partitioned layout (sources/partitioned.py): the Spark side reads
+# the Hive-partitioned rewrite and prunes on event_date; the result is
+# layout-independent — a plain one-day filter over events.
+ORACLES["events_day_pruned"] = """\
+SELECT event_type, count(*) AS n, round(sum("value"), 6) AS value_sum
+FROM events
+WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+GROUP BY event_type"""

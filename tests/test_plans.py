@@ -322,3 +322,35 @@ def test_pricing_rollup_single_scan_expand(spark):
     assert "Expand" in plan
     assert len(PL.read_schema_columns(df)) == 1  # exactly one scan
     assert any("l_shipdate" in p for p in PL.pushed_filters(df))
+
+
+def test_partitioned_layout_prunes_files(spark, tmp_path):
+    """Date-partitioned layout (sources/partitioned.py): a one-day filter
+    must reach the scan as a PartitionFilter and the file index must keep
+    ONLY the matching day's files — the 100 TB log-query device."""
+    import datetime
+
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.sources.partitioned import (
+        read_partitioned,
+        write_partitioned,
+    )
+
+    ev = tables.load_table(spark, SF, "events")
+    path = str(tmp_path / "events_by_day")
+    write_partitioned(
+        ev.withColumn("event_date", F.to_date("ts")), path, "event_date"
+    )
+    t = read_partitioned(spark, path)
+    day = datetime.date(2024, 1, 15)
+    q = t.filter(F.col("event_date") == F.lit(day)).select("event_id")
+
+    # the day predicate must be a PARTITION filter (file-index pruning),
+    # fully consumed there — no residual row-level DataFilter remains.
+    # executedPlan().toString() carries the scan's full filter detail.
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_date" in plan, plan
+    assert "= 2024-01-15" in plan, plan
+    assert "DataFilters: []" in plan, plan
+    # semantic equivalence with the unpartitioned filter
+    base = ev.filter(F.to_date("ts") == F.lit(day)).count()
+    assert q.count() == base and base > 0
