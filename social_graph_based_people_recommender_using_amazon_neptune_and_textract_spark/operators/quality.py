@@ -1,0 +1,77 @@
+"""Data-quality audit operators: referential integrity, key uniqueness,
+null/blank profiling.
+
+The reference enforces its integrity invariants imperatively at write
+time — the validity filter drops body-less records (O13,
+upsert_bizcard_to_es.py), the graph upsert refuses self-loops and
+duplicate (src, dst) pairs (O33, upsert_bizcard_to_graph_db.py:104-109),
+and DynamoDB/ES conditional writes keep one row per key (O6/O7). A
+100 TB lake can't re-validate row-at-a-time on every write; the
+warehouse equivalent is a SCAN-TIME AUDIT: declarative checks that run
+as ordinary aggregations and produce a small metrics relation a pipeline
+gate can assert on (the batch analog of O23's stream counters).
+
+Every check is one scan + one shuffle at most, no broadcast assumptions:
+
+- ``referential_orphan_count``: child rows whose FK misses the parent —
+  LEFT ANTI against the parent's DISTINCT key set (the distinct bounds
+  join fan-out to 1 per child row; both sides shuffle on the key, AQE
+  handles skewed FKs).
+- ``duplicate_key_count``: keys with >1 row — groupBy + HAVING, map-side
+  combine does the heavy lifting on mostly-unique keys.
+- ``null_or_blank_count``: conditional agg in a single pass.
+
+``dq_audit`` assembles named checks into ONE one-row relation via the
+1×1 crossJoin device (graph_counts, O34) — each input table is scanned
+exactly once per check that needs it, and the tiny result is what a
+scheduler alerts on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def referential_orphan_count(
+    child: DataFrame, parent: DataFrame, fk: str, pk: str, name: str
+) -> DataFrame:
+    """One row, one column ``name``: count of child rows whose ``fk``
+    has no match in the parent's ``pk`` (NULL FKs count as orphans —
+    they reference nothing)."""
+    keys = parent.select(F.col(pk).alias(fk)).distinct()
+    return (
+        child.select(fk)
+        .join(keys, fk, "left_anti")
+        .agg(F.count(F.lit(1)).alias(name))
+    )
+
+
+def duplicate_key_count(df: DataFrame, key_cols: list[str], name: str) -> DataFrame:
+    """One row, one column ``name``: number of key tuples that occur
+    more than once."""
+    dups = (
+        df.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+    )
+    return dups.agg(F.count(F.lit(1)).alias(name))
+
+
+def null_or_blank_count(df: DataFrame, col: str, name: str) -> DataFrame:
+    """One row, one column ``name``: rows where ``col`` is NULL, or (for
+    strings) empty after trim."""
+    c = F.col(col)
+    cond = c.isNull()
+    if dict(df.dtypes)[col] == "string":
+        cond = cond | (F.trim(c) == "")
+    return df.agg(F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(name))
+
+
+def dq_audit(checks: list[DataFrame]) -> DataFrame:
+    """Fold single-metric relations into one one-row audit relation —
+    each input is a 1×1; the crossJoins are free."""
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.crossJoin(c)
+    return out

@@ -1522,3 +1522,24 @@ SELECT event_type, count(*) AS n, round(sum("value"), 6) AS value_sum
 FROM events
 WHERE CAST(ts AS DATE) = DATE '2024-01-15'
 GROUP BY event_type"""
+
+# Scan-time data-quality audit (operators/quality.py): NOT EXISTS
+# mirrors the anti-join's NULL-FK-is-orphan semantics; duplicate-key and
+# blank checks are plain aggregates.
+ORACLES["dq_audit_core"] = """\
+SELECT
+  (SELECT count(*) FROM orders o
+   WHERE NOT EXISTS (SELECT 1 FROM customer c
+                     WHERE c.c_custkey = o.o_custkey)) AS orders_orphans,
+  (SELECT count(*) FROM lineitem l
+   WHERE NOT EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_orderkey = l.l_orderkey)) AS lineitem_orphans,
+  (SELECT count(*) FROM (
+     SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1
+  )) AS orders_dup_pk,
+  (SELECT count(*) FROM events WHERE user_id IS NULL) AS events_null_user,
+  (SELECT count(*) FROM documents
+   WHERE text IS NULL OR trim(text) = '') AS docs_blank_text,
+  (SELECT count(*) FROM (
+     SELECT text FROM documents GROUP BY text HAVING count(*) > 1
+  )) AS docs_dup_text"""

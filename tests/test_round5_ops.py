@@ -571,3 +571,53 @@ def test_tfidf_empty_and_null_docs(spark):
     rows = tfidf_top_terms(docs, 3).collect()
     # token-free docs yield no rows; N=3 still counts them in idf
     assert {r.doc_id for r in rows} == {"d1"}
+
+
+# --------------------------------------------------------------------------
+# data-quality audit (operators/quality.py)
+# --------------------------------------------------------------------------
+
+
+def test_dq_checks_detect_planted_defects(spark):
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        quality as Q,
+    )
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 99), (4, None)], "id long, fk long"
+    )
+    parent = spark.createDataFrame([(10,), (20,), (20,)], "pk long")
+    # 99 misses; NULL FK counts as an orphan (references nothing)
+    assert (
+        Q.referential_orphan_count(child, parent, "fk", "pk", "n").collect()[0].n
+        == 2
+    )
+
+    dup = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (1, "b"), (2, "c")], "k long, v string"
+    )
+    assert Q.duplicate_key_count(dup, ["k", "v"], "n").collect()[0].n == 1
+    assert Q.duplicate_key_count(dup, ["k"], "n").collect()[0].n == 1
+
+    txt = spark.createDataFrame(
+        [("x",), ("  ",), ("",), (None,)], "t string"
+    )
+    assert Q.null_or_blank_count(txt, "t", "n").collect()[0].n == 3
+
+
+def test_dq_audit_one_row_and_clean_data(spark):
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        quality as Q,
+    )
+
+    child = spark.createDataFrame([(1, 10)], "id long, fk long")
+    parent = spark.createDataFrame([(10,)], "pk long")
+    out = Q.dq_audit(
+        [
+            Q.referential_orphan_count(child, parent, "fk", "pk", "orphans"),
+            Q.duplicate_key_count(child, ["id"], "dups"),
+        ]
+    )
+    rows = out.collect()
+    assert len(rows) == 1
+    assert rows[0].orphans == 0 and rows[0].dups == 0
