@@ -1048,6 +1048,30 @@ def _q_pymk_user_3_ppr(spark, sf_dir):
     return pymk_ppr(tables.user_graph_edges(spark, sf_dir), 3, 10)
 
 
+def _q_customer_running_totals(spark, sf_dir):
+    """Per-customer running order totals (operators/warehouse.py
+    customer_running_totals): first-5 orders with cumulative spend —
+    one shuffle serves both the running-sum frame and the rank cut."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        warehouse as W,
+    )
+
+    return W.customer_running_totals(tables.load_table(spark, sf_dir, "orders"), 5)
+
+
+def _q_part_cheapest_supplier(spark, sf_dir):
+    """Grouped argmin (operators/warehouse.py cheapest_supplier_per_part):
+    per-part lowest-average-price supplier over the pre-aggregated
+    (part, supplier) relation — the Q2 shape on the lineitem fact."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        warehouse as W,
+    )
+
+    return W.cheapest_supplier_per_part(
+        tables.load_table(spark, sf_dir, "lineitem"), 3
+    )
+
+
 def _q_dq_audit_core(spark, sf_dir):
     """Scan-time data-quality audit (operators/quality.py): referential
     orphans, duplicate keys, null/blank profiling folded into one
@@ -1284,6 +1308,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_event_windows": _q_streaming_event_windows,  # r4-green;
         # windows.py untouched in r5, and the event-time-window family is
         # represented in-window by the stricter streaming_session_stats
+        # late-r5 additions past a full window: suite-verified against
+        # their oracles at sf0.001 AND sf0.01 every run; they rotate to
+        # the head of the window next round as never-driver-verified
+        "customer_running_totals": _q_customer_running_totals,  # new r5
+        "part_cheapest_supplier": _q_part_cheapest_supplier,  # new r5
         "graph_degrees": _q_graph_degrees,
         "one_hop_paths": _q_one_hop_paths,
         "search_documents_count": _q_search_documents_count,

@@ -23,7 +23,7 @@ in double space — identical inputs, identical IEEE result.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 DEC = "decimal(18,6)"
@@ -237,5 +237,83 @@ def value_histogram(
             "bucket",
             F.round(F.lit(lo) + F.col("bucket") * F.lit(w), 6).alias("bucket_lo"),
             "n",
+        )
+    )
+
+
+def customer_running_totals(orders: DataFrame, first_n: int = 5) -> DataFrame:
+    """Per-customer running order totals: each of a customer's first
+    ``first_n`` orders (by date, then key) with the cumulative spend
+    through that order — the classic ROWS UNBOUNDED PRECEDING frame.
+
+    Scale: ONE shuffle on o_custkey serves both the running-sum window
+    and the rank cut (same partitioning, same ordering — Catalyst fuses
+    them into a single Window operator over one sort). The frame is
+    running, so state per partition is O(1), not O(rows); the first_n
+    cut bounds the output at n rows per customer. Decimal cumulative sum
+    (exact), rounded at the edge per the module contract.
+    """
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    run = (
+        F.sum(F.col("o_totalprice").cast(DEC))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(w).alias("order_seq"),
+            F.round(run, 4).alias("running_total"),
+        )
+        .filter(F.col("order_seq") <= first_n)
+    )
+
+
+def cheapest_supplier_per_part(lineitem: DataFrame, min_lines: int = 3) -> DataFrame:
+    """Grouped argmin: for each part, the supplier with the lowest
+    average sale price (parts with < ``min_lines`` total lines dropped
+    as noise). Ties declared: lowest avg, then lowest supplier key.
+
+    The Q2 shape (min-cost supplier) recast onto the lineitem fact: one
+    (part, supp) aggregation — map-side combined — then a per-part
+    argmin window over the ALREADY-AGGREGATED relation, which is orders
+    of magnitude smaller than the fact table; the window's sort never
+    sees raw lineitem rows. Ranking compares rounded-sum/n quotients —
+    both engines divide identical doubles, so order is identical.
+    """
+    per = (
+        lineitem.groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_extendedprice").cast(DEC)).alias("_sum"),
+        )
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            "n_lines",
+            # module contract: round the exact-decimal sum at the double
+            # edge FIRST, then divide — both engines divide identical
+            # doubles, so the quotient (and its ordering) is identical
+            (
+                F.round(F.col("_sum").cast("double"), 4) / F.col("n_lines")
+            ).alias("_avg"),
+        )
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.col("_avg").asc(), F.col("l_suppkey").asc()
+    )
+    per_part = per.groupBy("l_partkey").agg(
+        F.sum("n_lines").alias("part_lines")
+    )
+    return (
+        per.join(per_part, "l_partkey")
+        .filter(F.col("part_lines") >= min_lines)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_partkey", "l_suppkey", F.round("_avg", 4).alias("avg_price")
         )
     )

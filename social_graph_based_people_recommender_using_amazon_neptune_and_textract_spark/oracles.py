@@ -1543,3 +1543,37 @@ SELECT
   (SELECT count(*) FROM (
      SELECT text FROM documents GROUP BY text HAVING count(*) > 1
   )) AS docs_dup_text"""
+
+# Running totals (operators/warehouse.py customer_running_totals):
+# decimal cumulative frame, double+4dp at the edge.
+ORACLES["customer_running_totals"] = """\
+SELECT o_custkey, o_orderkey, order_seq, running_total FROM (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER w AS order_seq,
+         round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+           ROWS UNBOUNDED PRECEDING
+         ) AS DOUBLE), 4) AS running_total
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+) WHERE order_seq <= 5"""
+
+# Grouped argmin (operators/warehouse.py cheapest_supplier_per_part):
+# ranking divides the 4dp-rounded decimal sum by the line count — both
+# engines divide identical doubles.
+ORACLES["part_cheapest_supplier"] = """\
+WITH per AS (
+  SELECT l_partkey, l_suppkey, count(*) AS n_lines,
+         round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 4)
+           / count(*) AS avg0
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+pp AS (SELECT l_partkey, sum(n_lines) AS part_lines FROM per GROUP BY l_partkey)
+SELECT l_partkey, l_suppkey, round(avg0, 4) AS avg_price FROM (
+  SELECT per.l_partkey, per.l_suppkey, per.avg0,
+         row_number() OVER (
+           PARTITION BY per.l_partkey ORDER BY per.avg0 ASC, per.l_suppkey ASC
+         ) AS rn
+  FROM per JOIN pp ON pp.l_partkey = per.l_partkey
+  WHERE pp.part_lines >= 3
+) WHERE rn = 1"""

@@ -621,3 +621,63 @@ def test_dq_audit_one_row_and_clean_data(spark):
     rows = out.collect()
     assert len(rows) == 1
     assert rows[0].orphans == 0 and rows[0].dups == 0
+
+
+def test_running_totals_single_window_exchange(spark):
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        warehouse as W,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.sources import (
+        tables,
+    )
+
+    orders = tables.load_table(spark, "/root/testdata/sf0.001", "orders")
+    df = W.customer_running_totals(orders, 5)
+    # one shuffle serves both the cumulative frame and the rank cut
+    assert PL.exchange_count(df) == 1, PL.physical_plan(df)
+    plan = PL.physical_plan(df)
+    assert plan.count("Window") >= 1
+
+
+def test_running_totals_values(spark):
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        warehouse as W,
+    )
+
+    orders = spark.createDataFrame(
+        [
+            (1, 10, "2024-01-01", 100.0),
+            (1, 11, "2024-01-02", 50.5),
+            (2, 12, "2024-01-01", 10.0),
+        ],
+        "o_custkey long, o_orderkey long, o_orderdate string, o_totalprice double",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+    rows = {
+        (r.o_custkey, r.order_seq): r.running_total
+        for r in W.customer_running_totals(orders, 5).collect()
+    }
+    assert rows == {(1, 1): 100.0, (1, 2): 150.5, (2, 1): 10.0}
+
+
+def test_cheapest_supplier_argmin_and_ties(spark):
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        warehouse as W,
+    )
+
+    li = spark.createDataFrame(
+        # part 1: supp 7 avg 5.0 (2 lines), supp 3 avg 5.0 (1 line)
+        #   -> tie on avg, lower suppkey (3) wins
+        # part 2: only 2 lines total -> dropped by min_lines=3
+        [
+            (1, 7, 4.0),
+            (1, 7, 6.0),
+            (1, 3, 5.0),
+            (2, 9, 1.0),
+            (2, 9, 2.0),
+        ],
+        "l_partkey long, l_suppkey long, l_extendedprice double",
+    )
+    rows = W.cheapest_supplier_per_part(li, 3).collect()
+    assert len(rows) == 1
+    assert rows[0].l_partkey == 1 and rows[0].l_suppkey == 3
+    assert rows[0].avg_price == 5.0
