@@ -1,0 +1,97 @@
+"""Small-file compaction — table maintenance for append-heavy layouts.
+
+Every streaming sink in this engine (micro-batch appends, per-day
+backfills, the LSH index) accretes files; at 100 TB the failure mode is
+not data size but FILE COUNT: a million 1 MB files turn every scan's
+driver-side listing + footer reads into the bottleneck and defeat the
+128 MB-partition economics the scan planner assumes. Production
+lakehouses run a compaction job on a cadence (Delta OPTIMIZE, Iceberg
+rewrite_data_files are this operation); this is the plain-parquet form,
+generalizing the streaming deduper's candidate-table compaction
+(streaming/neardup.py ``compact``).
+
+Protocol per (sub)directory:
+1. read → coalesce to ``ceil(bytes / target_bytes)`` output files —
+   coalesce, not repartition: compaction must not pay a shuffle, it only
+   narrows the write parallelism;
+2. write to a sibling ``__compact`` temp;
+3. delete-then-rename via the Hadoop FS (fsutil) so a crash leaves the
+   old or the new table, never a half state. (HDFS renames are atomic;
+   on S3 the rename is copy+delete and a committer-based swap or a
+   catalog pointer — sources/table.py's device — replaces step 3.)
+
+For Hive-partitioned tables pass ``partitions`` to compact only chosen
+partition directories (e.g. yesterday's) — the steady-state cadence
+touches one day, not the table.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import SparkSession
+
+from .. import fsutil
+
+#: Parquet target output size. The classic 128 MB sweet spot: big enough
+#: that scan tasks amortize footer/dictionary overhead, small enough to
+#: split work across a cluster.
+TARGET_BYTES = 128 * 1024 * 1024
+
+
+def dir_bytes(spark: SparkSession, path: str) -> int:
+    """Total length of data files under ``path`` (Hadoop FS, recursive)."""
+    fs, p = fsutil.fs_and_path(spark, path)
+    return int(fs.getContentSummary(p).getLength())
+
+
+def n_data_files(spark: SparkSession, path: str) -> int:
+    """Count of parquet data files under ``path`` (recursive, excludes
+    _SUCCESS / hidden files)."""
+    fs, p = fsutil.fs_and_path(spark, path)
+    it = fs.listFiles(p, True)
+    n = 0
+    while it.hasNext():
+        name = it.next().getPath().getName()
+        if not name.startswith("_") and not name.startswith("."):
+            n += 1
+    return n
+
+
+def compact_dir(
+    spark: SparkSession, path: str, target_bytes: int = TARGET_BYTES
+) -> int:
+    """Rewrite the parquet directory at ``path`` into
+    ``ceil(bytes/target_bytes)`` files (≥1). Returns the output file
+    count. No shuffle — coalesce only narrows parallelism."""
+    n_out = max(1, math.ceil(dir_bytes(spark, path) / target_bytes))
+    tmp = f"{path}__compact"
+    spark.read.parquet(path).coalesce(n_out).write.mode("overwrite").parquet(tmp)
+    fsutil.delete(spark, path)
+    fsutil.rename(spark, tmp, path)
+    return n_out
+
+
+def compact_partitioned(
+    spark: SparkSession,
+    path: str,
+    partitions: list[str] | None = None,
+    target_bytes: int = TARGET_BYTES,
+) -> dict[str, int]:
+    """Compact a Hive-partitioned table per partition directory.
+
+    ``partitions``: directory names like ``event_date=2024-01-15``;
+    None compacts every partition. Each directory swaps independently,
+    so a cadence job can touch only the freshly-written day. Returns
+    {partition: output file count}.
+    """
+    names = partitions
+    if names is None:
+        names = [
+            n
+            for n in fsutil.list_names(spark, path)
+            if "=" in n and not n.startswith("_")
+        ]
+    return {
+        n: compact_dir(spark, f"{path}/{n}", target_bytes) for n in names
+    }

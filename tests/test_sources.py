@@ -43,3 +43,55 @@ def test_events_ts_matches_duckdb_wall_clock(spark):
         f"FROM read_parquet('{SF}/events.parquet')"
     ).fetchone()[0]
     assert _epoch_micros_sum(spark, "UTC") == int(oracle)
+
+
+# --------------------------------------------------------------------------
+# compaction (sources/compact.py)
+# --------------------------------------------------------------------------
+
+
+def test_compact_dir_preserves_rows_and_reduces_files(spark, tmp_path):
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.sources.compact import (
+        compact_dir,
+        n_data_files,
+    )
+
+    path = str(tmp_path / "many")
+    df = spark.range(0, 10_000).withColumn("v", F.col("id") * 2)
+    df.repartition(32).write.parquet(path)
+    # simulate micro-batch appends
+    df.limit(100).repartition(8).write.mode("append").parquet(path)
+    before = n_data_files(spark, path)
+    assert before >= 40
+
+    expected = sorted(
+        (r.id, r.v) for r in spark.read.parquet(path).collect()
+    )
+    n_out = compact_dir(spark, path)
+    after = n_data_files(spark, path)
+    assert after == n_out and after < before
+    got = sorted((r.id, r.v) for r in spark.read.parquet(path).collect())
+    assert got == expected
+
+
+def test_compact_partitioned_touches_only_named_partition(spark, tmp_path):
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.sources.compact import (
+        compact_partitioned,
+        n_data_files,
+    )
+
+    path = str(tmp_path / "part")
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(1000)], "id long, k string"
+    )
+    df.repartition(16).write.partitionBy("k").parquet(path)
+    before_b = n_data_files(spark, f"{path}/k=b")
+    out = compact_partitioned(spark, path, partitions=["k=a"])
+    assert set(out) == {"k=a"}
+    assert n_data_files(spark, f"{path}/k=a") == out["k=a"] < 16
+    # untouched partition keeps its layout
+    assert n_data_files(spark, f"{path}/k=b") == before_b
+    # table still reads whole, with partition column intact
+    whole = spark.read.parquet(path)
+    assert whole.count() == 1000
+    assert whole.filter(F.col("k") == "a").count() == 500
