@@ -1048,6 +1048,38 @@ def _q_pymk_user_3_ppr(spark, sf_dir):
     return pymk_ppr(tables.user_graph_edges(spark, sf_dir), 3, 10)
 
 
+def _q_bizcard_pii_redacted(spark, sf_dir):
+    """PII scrubbing over the bizcard OCR text (functions/parse.py
+    redact_pii): emails/phones found by the reference's own frozen
+    patterns are counted on the original text and replaced in the
+    output — the corpus-pipeline inverse of the O14/O15 harvest."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.functions.parse import (
+        pii_counts,
+        redact_pii,
+    )
+
+    recs = tables.bizcard_text_records(spark, sf_dir)
+    text = F.array_join(F.col("lines"), "\n")
+    n_emails, n_phones = pii_counts(text)
+    return recs.select(
+        "s3_key",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        redact_pii(text).alias("redacted"),
+    )
+
+
+def _q_events_trailing_24h(spark, sf_dir):
+    """Per-event trailing-24h user activity (operators/warehouse.py
+    user_trailing_24h): RANGE frame on epoch microseconds — the
+    batch twin of the streaming sliding window."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        warehouse as W,
+    )
+
+    return W.user_trailing_24h(tables.load_table(spark, sf_dir, "events"))
+
+
 def _q_customer_running_totals(spark, sf_dir):
     """Per-customer running order totals (operators/warehouse.py
     customer_running_totals): first-5 orders with cumulative spend —
@@ -1313,6 +1345,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the head of the window next round as never-driver-verified
         "customer_running_totals": _q_customer_running_totals,  # new r5
         "part_cheapest_supplier": _q_part_cheapest_supplier,  # new r5
+        "events_trailing_24h": _q_events_trailing_24h,  # new r5
+        "bizcard_pii_redacted": _q_bizcard_pii_redacted,  # new r5
         "graph_degrees": _q_graph_degrees,
         "one_hop_paths": _q_one_hop_paths,
         "search_documents_count": _q_search_documents_count,

@@ -140,3 +140,27 @@ def validity_filter(df, data_col="data", owner_col="owner", key_col="s3_key"):
         & F.col(key_col).isNotNull()
         & (F.col(key_col) != "")
     )
+
+
+def redact_pii(text: Column) -> Column:
+    """PII-redacted text: every email replaced by ``<EMAIL>``, then every
+    phone by ``<PHONE>``, using the engine's FROZEN reference patterns
+    (EMAIL_RE / PHONE_RE — the same expressions O14/O15 extract with).
+    The training-data-pipeline inverse of the parser: where the reference
+    HARVESTS contact fields into documents (get_text_from_s3_image.py),
+    a corpus pipeline scrubs them before the text ships to a model.
+    Order is declared (emails first, phones over the email-redacted
+    text); both replacements are narrow per-row expressions — no UDF,
+    no shuffle."""
+    return F.regexp_replace(
+        F.regexp_replace(text, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+
+
+def pii_counts(text: Column) -> tuple[Column, Column]:
+    """(n_emails, n_phones) found in ``text`` by the frozen patterns —
+    counted on the ORIGINAL text, independent of redaction order."""
+    return (
+        F.regexp_count(text, F.lit(EMAIL_RE)),
+        F.regexp_count(text, F.lit(PHONE_RE)),
+    )

@@ -317,3 +317,37 @@ def cheapest_supplier_per_part(lineitem: DataFrame, min_lines: int = 3) -> DataF
             "l_partkey", "l_suppkey", F.round("_avg", 4).alias("avg_price")
         )
     )
+
+
+def user_trailing_24h(events: DataFrame) -> DataFrame:
+    """Per-event trailing-24-hour activity: for every event, how many
+    events the same user produced in the preceding 24 hours (inclusive
+    of now), and their value sum — the RANGE-frame sibling of
+    ``customer_running_totals``'s ROWS frame, and the batch twin of the
+    streaming sliding window (streaming/windows.py).
+
+    The frame is declared on epoch MICROSECONDS (the native event-time
+    resolution): ``RANGE [now - 24h + 1µs, now]``. Both engines frame on
+    the identical integer column, so boundary events land identically —
+    framing on engine-native timestamps instead would tie the result to
+    each engine's interval arithmetic.
+
+    Scale: one shuffle on user_id; the range frame keeps a sliding
+    buffer bounded by one user-day of events, not the partition. Skewed
+    bot users are the hazard — the same salting escape hatch as
+    operators/skew.py applies when one user-day exceeds a task.
+    """
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-(86_400_000_000 - 1), 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_24h"),
+        F.round(
+            F.sum(F.col("value").cast(DEC)).over(w).cast("double"), 4
+        ).alias("value_24h"),
+    )

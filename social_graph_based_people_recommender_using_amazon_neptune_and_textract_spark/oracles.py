@@ -1577,3 +1577,29 @@ SELECT l_partkey, l_suppkey, round(avg0, 4) AS avg_price FROM (
   FROM per JOIN pp ON pp.l_partkey = per.l_partkey
   WHERE pp.part_lines >= 3
 ) WHERE rn = 1"""
+
+# Trailing-24h RANGE frame (operators/warehouse.py user_trailing_24h):
+# both engines frame on the identical epoch-microsecond integers.
+ORACLES["events_trailing_24h"] = """\
+SELECT event_id, user_id,
+  count(*) OVER w AS n_24h,
+  round(CAST(sum(CAST("value" AS DECIMAL(18,6))) OVER w AS DOUBLE), 4)
+    AS value_24h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 86399999999 PRECEDING AND CURRENT ROW)"""
+
+# PII redaction over the bizcard OCR text (functions/parse.py
+# redact_pii): counts on the original text, emails replaced before
+# phones, both with the frozen reference patterns.
+ORACLES["bizcard_pii_redacted"] = f"""\
+WITH {BIZCARD_LINES_SQL},
+txt AS (
+  SELECT s3_key, array_to_string(lines, chr(10)) AS text FROM bizcard_raw
+)
+SELECT s3_key,
+  len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+  len(regexp_extract_all(text, '{PHONE_RE}')) AS n_phones,
+  regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                 '{PHONE_RE}', '<PHONE>', 'g') AS redacted
+FROM txt"""

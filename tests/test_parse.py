@@ -101,3 +101,29 @@ def test_owner_from_key(spark):
         df.select(P.owner_from_key(F.col("s3_key")).alias("o")).collect()[0]["o"]
         == "edy"
     )
+
+
+def test_redact_pii_and_counts(spark):
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.functions.parse import (
+        pii_counts,
+        redact_pii,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("a@b.com and c.d@e-f.org", 2, 0),
+            ("Tel: 02-1234-5678", 0, 1),
+            ("no pii here", 0, 0),
+        ],
+        "t string, e int, p int",
+    )
+    ne, np_ = pii_counts(F.col("t"))
+    got = df.select("t", "e", "p", ne.alias("ne"), np_.alias("np"),
+                    redact_pii(F.col("t")).alias("r")).collect()
+    for r in got:
+        assert r.ne == r.e and r.np == r.p, r
+    by = {r.t: r.r for r in got}
+    assert "<EMAIL>" in by["a@b.com and c.d@e-f.org"]
+    assert "@" not in by["a@b.com and c.d@e-f.org"]
+    assert "<PHONE>" in by["Tel: 02-1234-5678"]
+    assert by["no pii here"] == "no pii here"

@@ -681,3 +681,42 @@ def test_cheapest_supplier_argmin_and_ties(spark):
     assert len(rows) == 1
     assert rows[0].l_partkey == 1 and rows[0].l_suppkey == 3
     assert rows[0].avg_price == 5.0
+
+
+def test_trailing_24h_frame_boundaries(spark):
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        warehouse as W,
+    )
+
+    rows = [
+        # user 1: events at t0, t0+1h, t0+24h (exactly 24h later: the
+        # first event is OUTSIDE the trailing frame of the third —
+        # frame is (now-24h, now], open on the left)
+        (1, 1, "2024-01-01 00:00:00", 1.0),
+        (2, 1, "2024-01-01 01:00:00", 2.0),
+        (3, 1, "2024-01-02 00:00:00", 4.0),
+        (4, 2, "2024-01-01 00:00:00", 8.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r.event_id: (r.n_24h, r.value_24h) for r in W.user_trailing_24h(ev).collect()}
+    assert got[1] == (1, 1.0)
+    assert got[2] == (2, 3.0)
+    # event 1 fell out (exactly 24h old), event 2 still inside
+    assert got[3] == (2, 6.0)
+    assert got[4] == (1, 8.0)
+
+
+def test_trailing_24h_single_exchange(spark):
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        warehouse as W,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.sources import (
+        tables,
+    )
+
+    df = W.user_trailing_24h(
+        tables.load_table(spark, "/root/testdata/sf0.001", "events")
+    )
+    assert PL.exchange_count(df) == 1, PL.physical_plan(df)

@@ -95,3 +95,36 @@ def test_compact_partitioned_touches_only_named_partition(spark, tmp_path):
     whole = spark.read.parquet(path)
     assert whole.count() == 1000
     assert whole.filter(F.col("k") == "a").count() == 500
+
+
+def test_partitioned_backfill_rewrites_only_named_day(spark, tmp_path):
+    """Dynamic partition overwrite: re-writing one day's data replaces
+    ONLY that directory; other days' files and rows stay untouched —
+    the idempotent-backfill contract of sources/partitioned.py."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.sources.partitioned import (
+        read_partitioned,
+        write_partitioned,
+    )
+
+    path = str(tmp_path / "days")
+    full = spark.createDataFrame(
+        [(1, "2024-01-01", 1.0), (2, "2024-01-01", 2.0), (3, "2024-01-02", 3.0)],
+        "id long, d string, v double",
+    )
+    write_partitioned(full, path, "d")
+
+    # backfill day 1 with corrected values (one fewer row)
+    fix = spark.createDataFrame([(9, "2024-01-01", 99.0)], "id long, d string, v double")
+    (
+        fix.repartition("d")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("d")
+        .parquet(path)
+    )
+
+    # partition-type inference reads the directory names back as dates
+    got = sorted(
+        (r.id, str(r.d), r.v) for r in read_partitioned(spark, path).collect()
+    )
+    assert got == [(3, "2024-01-02", 3.0), (9, "2024-01-01", 99.0)]
