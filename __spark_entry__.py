@@ -1048,6 +1048,38 @@ def _q_pymk_user_3_ppr(spark, sf_dir):
     return pymk_ppr(tables.user_graph_edges(spark, sf_dir), 3, 10)
 
 
+def _q_streaming_enriched_segments(spark, sf_dir):
+    """Stream-static dimension enrichment (streaming/enrich.py): the
+    events stream joins the broadcast customer dim per micro-batch and
+    accumulates per-segment partials; the converged merge equals the
+    batch join+groupBy (the oracle). Drained in multiple batches
+    (maxFilesPerTrigger=1) to exercise the partial-merge path."""
+    import tempfile
+
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.streaming.enrich import (
+        StreamingEnricher,
+    )
+
+    ev = tables.load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    base = tempfile.mkdtemp(prefix="sgr-enrich-")
+    ev.repartition(3).write.mode("overwrite").parquet(f"{base}/landing")
+    enr = StreamingEnricher(
+        spark,
+        tables.load_table(spark, sf_dir, "customer"),
+        "user_id",
+        "c_custkey",
+        "c_mktsegment",
+        f"{base}/out",
+        stream_schema=ev.schema,
+    )
+    enr.run_available_now(
+        f"{base}/landing", f"{base}/ckpt", max_files_per_trigger=1
+    )
+    return enr.result()
+
+
 def _q_bizcard_pii_redacted(spark, sf_dir):
     """PII scrubbing over the bizcard OCR text (functions/parse.py
     redact_pii): emails/phones found by the reference's own frozen
@@ -1347,6 +1379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_cheapest_supplier": _q_part_cheapest_supplier,  # new r5
         "events_trailing_24h": _q_events_trailing_24h,  # new r5
         "bizcard_pii_redacted": _q_bizcard_pii_redacted,  # new r5
+        "streaming_enriched_segments": _q_streaming_enriched_segments,  # new r5
         "graph_degrees": _q_graph_degrees,
         "one_hop_paths": _q_one_hop_paths,
         "search_documents_count": _q_search_documents_count,

@@ -45,6 +45,11 @@ BENCH_QUERIES = [
     "graph_edges",
     "graph_triangles",
     "graph_pagerank_top20",
+    "pymk_user_3_jaccard",
+    "docs_tfidf_top3",
+    "customer_running_totals",
+    "events_trailing_24h",
+    "events_day_pruned",
     "events_asof_last_click",
     "events_error_click_pairs_5m",
     "status_history_scd2",

@@ -1603,3 +1603,13 @@ SELECT s3_key,
   regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
                  '{PHONE_RE}', '<PHONE>', 'g') AS redacted
 FROM txt"""
+
+# Stream-static enrichment (streaming/enrich.py): converged partial-merge
+# equals the batch join + groupBy.
+ORACLES["streaming_enriched_segments"] = """\
+SELECT c.c_mktsegment,
+       count(*) AS n,
+       round(CAST(sum(CAST(e."value" AS DECIMAL(18,6))) AS DOUBLE), 4)
+         AS value_sum
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment"""

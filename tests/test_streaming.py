@@ -500,3 +500,39 @@ def test_streaming_range_join_converges_to_batch(spark, tmp_path):
     j.run_available_now(landing, str(tmp_path / "ckpt"), max_files_per_trigger=1)
     assert {(r["e_id"], r["c_id"]) for r in j.pairs().collect()} == want
     assert j.pairs().count() == len(want)
+
+
+def test_streaming_enrichment_drain_independent(spark, tmp_path):
+    """Stream-static enrichment (streaming/enrich.py): many tiny batches
+    and one big batch converge to the same merged relation, and the
+    per-batch join must BROADCAST the static dim."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.streaming.enrich import (
+        StreamingEnricher,
+    )
+
+    ev = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(30)],
+        "event_id long, user_id long, value double",
+    )
+    dim = spark.createDataFrame(
+        [(0, "A"), (1, "B"), (2, "A")], "c_custkey long, c_mktsegment string"
+    )
+    landing = str(tmp_path / "landing")
+    ev.repartition(5).write.parquet(landing)
+
+    def drain(tag, mfpt):
+        enr = StreamingEnricher(
+            spark, dim, "user_id", "c_custkey", "c_mktsegment",
+            str(tmp_path / f"out-{tag}"), stream_schema=ev.schema,
+        )
+        enr.run_available_now(
+            landing, str(tmp_path / f"ckpt-{tag}"), max_files_per_trigger=mfpt
+        )
+        return sorted(tuple(r) for r in enr.result().collect())
+
+    many = drain("many", 1)
+    one = drain("one", None)
+    assert many == one
+    # A: users 0,2 -> 20 events; B: user 1 -> 10 events
+    got = {t[0]: (t[1], t[2]) for t in many}
+    assert got["B"][0] == 10 and got["A"][0] == 20
