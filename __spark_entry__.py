@@ -1048,6 +1048,17 @@ def _q_pymk_user_3_ppr(spark, sf_dir):
     return pymk_ppr(tables.user_graph_edges(spark, sf_dir), 3, 10)
 
 
+def _q_docs_chunks(spark, sf_dir):
+    """Overlapping token-window chunking (functions/text.py
+    chunk_documents): width 50 / stride 40 — the standard training/RAG
+    preprocessing explode; JVM-side array ops, no shuffle."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.functions.text import (
+        chunk_documents,
+    )
+
+    return chunk_documents(tables.load_table(spark, sf_dir, "documents"))
+
+
 def _q_streaming_enriched_segments(spark, sf_dir):
     """Stream-static dimension enrichment (streaming/enrich.py): the
     events stream joins the broadcast customer dim per micro-batch and
@@ -1380,6 +1391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_trailing_24h": _q_events_trailing_24h,  # new r5
         "bizcard_pii_redacted": _q_bizcard_pii_redacted,  # new r5
         "streaming_enriched_segments": _q_streaming_enriched_segments,  # new r5
+        "docs_chunks": _q_docs_chunks,  # new r5
         "graph_degrees": _q_graph_degrees,
         "one_hop_paths": _q_one_hop_paths,
         "search_documents_count": _q_search_documents_count,

@@ -255,3 +255,46 @@ def tfidf_top_terms(
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    width: int = 50,
+    stride: int = 40,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into overlapping token-window chunks — the
+    standard training/RAG preprocessing step (``width`` tokens per
+    chunk, new chunk every ``stride``; width > stride ⟹ overlap keeps
+    boundary context). Returns (doc_id, chunk_idx, n_chunk_tokens,
+    chunk_text); token-free docs yield no chunks (declared).
+
+    All JVM-side array ops — tokenize once, generate chunk starts with
+    ``sequence`` (no UDF, no driver loop), ``posexplode`` for the chunk
+    index, ``slice`` for the window. One narrow explode whose fan-out is
+    ceil(n/stride) per doc: output size is (width/stride)× the corpus —
+    the planned, bounded expansion every chunking pipeline pays. No
+    shuffle at all: chunking is embarrassingly parallel per document.
+    """
+    toks = tokenize(F.col(text_col))
+    n = F.size(toks)
+    starts = F.sequence(
+        F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)
+    )
+    base = df.select(
+        F.col(id_col), toks.alias("_toks"), n.alias("_n"), starts.alias("_st")
+    ).filter(F.col("_n") > 0)
+    pos = F.posexplode(F.col("_st"))
+    return base.select(
+        id_col, "_toks", pos.alias("chunk_idx", "_start")
+    ).select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size(F.slice("_toks", F.col("_start") + 1, width))
+        .cast("long")
+        .alias("n_chunk_tokens"),
+        F.array_join(
+            F.slice("_toks", F.col("_start") + 1, width), " "
+        ).alias("chunk_text"),
+    )

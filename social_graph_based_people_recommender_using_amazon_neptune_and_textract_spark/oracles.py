@@ -1613,3 +1613,23 @@ SELECT c.c_mktsegment,
          AS value_sum
 FROM events e JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY c.c_mktsegment"""
+
+# Overlapping token-window chunking (functions/text.py chunk_documents):
+# width 50 / stride 40; chunk_idx = start/stride (starts are exact
+# stride multiples in both engines).
+ORACLES["docs_chunks"] = f"""\
+WITH toksrc AS (
+  SELECT doc_id, {TOKENIZE.format(col='text')} AS tokens FROM documents
+),
+base AS (
+  SELECT doc_id, tokens, len(tokens) AS n FROM toksrc WHERE len(tokens) > 0
+),
+st AS (
+  SELECT doc_id, tokens,
+         CAST(unnest(range(0, n, 40)) AS BIGINT) AS start
+  FROM base
+)
+SELECT doc_id, start // 40 AS chunk_idx,
+       len(tokens[start + 1 : start + 50]) AS n_chunk_tokens,
+       array_to_string(tokens[start + 1 : start + 50], ' ') AS chunk_text
+FROM st"""

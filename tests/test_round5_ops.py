@@ -720,3 +720,34 @@ def test_trailing_24h_single_exchange(spark):
         tables.load_table(spark, "/root/testdata/sf0.001", "events")
     )
     assert PL.exchange_count(df) == 1, PL.physical_plan(df)
+
+
+def test_chunking_overlap_and_boundaries(spark):
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.functions.text import (
+        chunk_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            ("d1", " ".join(f"t{i}" for i in range(95))),  # 3 chunks
+            ("d2", "only three tokens"),  # 1 chunk
+            ("d3", ""),  # no chunks
+            ("d4", None),  # no chunks
+        ],
+        "doc_id string, text string",
+    )
+    rows = chunk_documents(docs, width=50, stride=40).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r.doc_id, {})[r.chunk_idx] = r
+    assert set(by) == {"d1", "d2"}
+    assert sorted(by["d1"]) == [0, 1, 2]
+    assert by["d1"][0].n_chunk_tokens == 50
+    assert by["d1"][1].n_chunk_tokens == 50
+    assert by["d1"][2].n_chunk_tokens == 15  # tail chunk truncates
+    # overlap: chunk 1 starts at token 40
+    assert by["d1"][1].chunk_text.split(" ")[0] == "t40"
+    assert by["d2"][0].n_chunk_tokens == 3
+    # no shuffle: chunking is per-document narrow work
+    df = chunk_documents(docs)
+    assert PL.exchange_count(df) == 0, PL.physical_plan(df)
