@@ -1048,6 +1048,27 @@ def _q_pymk_user_3_ppr(spark, sf_dir):
     return pymk_ppr(tables.user_graph_edges(spark, sf_dir), 3, 10)
 
 
+def _q_user_event_pivot(spark, sf_dir):
+    """Relational pivot (operators/warehouse.py user_event_pivot): one
+    aggregate pass with per-type conditional counts over the declared
+    event taxonomy."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        warehouse as W,
+    )
+
+    return W.user_event_pivot(tables.load_table(spark, sf_dir, "events"))
+
+
+def _q_customer_spend_quartiles(spark, sf_dir):
+    """NTILE(4) spend segmentation (operators/warehouse.py
+    customer_spend_quartiles): aggregate-then-window, declared ties."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        warehouse as W,
+    )
+
+    return W.customer_spend_quartiles(tables.load_table(spark, sf_dir, "orders"))
+
+
 def _q_docs_chunks(spark, sf_dir):
     """Overlapping token-window chunking (functions/text.py
     chunk_documents): width 50 / stride 40 — the standard training/RAG
@@ -1392,6 +1413,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bizcard_pii_redacted": _q_bizcard_pii_redacted,  # new r5
         "streaming_enriched_segments": _q_streaming_enriched_segments,  # new r5
         "docs_chunks": _q_docs_chunks,  # new r5
+        "user_event_pivot": _q_user_event_pivot,  # new r5
+        "customer_spend_quartiles": _q_customer_spend_quartiles,  # new r5
         "graph_degrees": _q_graph_degrees,
         "one_hop_paths": _q_one_hop_paths,
         "search_documents_count": _q_search_documents_count,

@@ -351,3 +351,55 @@ def user_trailing_24h(events: DataFrame) -> DataFrame:
             F.sum(F.col("value").cast(DEC)).over(w).cast("double"), 4
         ).alias("value_24h"),
     )
+
+
+#: Declared pivot domain: pivoting on an OPEN domain at 100 TB means an
+#: extra distinct-scan to discover columns AND a schema that drifts with
+#: the data; production pivots declare the domain (it is the event
+#: taxonomy, a contract — not data).
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def user_event_pivot(events: DataFrame) -> DataFrame:
+    """Per-user event-type matrix: one row per user, one LONG count
+    column per declared event type, as ONE aggregate pass with per-type
+    conditional counts — one scan, one shuffle, map-side partial agg.
+
+    Deliberately NOT ``groupBy().pivot(values=...)``: Spark lowers that
+    to a two-phase plan (pre-aggregate on (user, type), re-shuffle on
+    user — two Exchanges), because the generic pivot must handle
+    arbitrary agg expressions. With a DECLARED domain and count/sum
+    aggs, the conditional-column form shuffles once and carries 5
+    counters per user instead of 5 rows — the single-Exchange plan is
+    asserted in tests. Undeclared types fall out of every column
+    (the oracle mirrors with the same CASE columns)."""
+    return events.groupBy("user_id").agg(
+        *[
+            F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")
+            for t in EVENT_TYPES
+        ]
+    )
+
+
+def customer_spend_quartiles(orders: DataFrame) -> DataFrame:
+    """Per-customer total spend with the NTILE(4) quartile bucket —
+    the segmentation primitive (deciles/quartiles) every growth
+    dashboard runs. Ties declared: ntile orders on (rounded spend desc,
+    custkey asc), so bucket boundaries are deterministic.
+
+    Scale: the aggregate reduces orders to one row per customer before
+    the window; the ntile window is a GLOBAL sort of the customer-sized
+    relation — the one legitimate single-partition window in the repo
+    (1 row per customer; at 100 TB this is the relation you'd hand a
+    dashboard, and the sort is the quantile definition). For billions of
+    customers the drop-in is percent_rank binning over range-partitioned
+    sort, declared here rather than implemented."""
+    spend = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.round(
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double"), 4
+        ).alias("total_spend")
+    )
+    w = Window.orderBy(F.col("total_spend").desc(), F.col("custkey").asc())
+    return spend.select(
+        "custkey", "total_spend", F.ntile(4).over(w).alias("quartile")
+    )

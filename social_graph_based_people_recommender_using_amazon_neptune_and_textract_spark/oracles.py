@@ -1633,3 +1633,27 @@ SELECT doc_id, start // 40 AS chunk_idx,
        len(tokens[start + 1 : start + 50]) AS n_chunk_tokens,
        array_to_string(tokens[start + 1 : start + 50], ' ') AS chunk_text
 FROM st"""
+
+# Relational pivot (operators/warehouse.py user_event_pivot): declared
+# event-type domain, conditional counts.
+ORACLES["user_event_pivot"] = """\
+SELECT user_id,
+  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view
+FROM events GROUP BY user_id"""
+
+# NTILE quartiles (operators/warehouse.py customer_spend_quartiles):
+# declared tie order (rounded spend desc, custkey asc).
+ORACLES["customer_spend_quartiles"] = """\
+WITH spend AS (
+  SELECT o_custkey AS custkey,
+         round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4)
+           AS total_spend
+  FROM orders GROUP BY o_custkey
+)
+SELECT custkey, total_spend,
+       ntile(4) OVER (ORDER BY total_spend DESC, custkey ASC) AS quartile
+FROM spend"""

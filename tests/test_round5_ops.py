@@ -751,3 +751,37 @@ def test_chunking_overlap_and_boundaries(spark):
     # no shuffle: chunking is per-document narrow work
     df = chunk_documents(docs)
     assert PL.exchange_count(df) == 0, PL.physical_plan(df)
+
+
+def test_pivot_single_aggregate_and_zeros(spark):
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        warehouse as W,
+    )
+
+    ev = spark.createDataFrame(
+        [(1, "click"), (1, "click"), (1, "view"), (2, "error")],
+        "user_id long, event_type string",
+    )
+    rows = {r.user_id: r for r in W.user_event_pivot(ev).collect()}
+    assert (rows[1].n_click, rows[1].n_view, rows[1].n_error) == (2, 1, 0)
+    assert rows[2].n_error == 1 and rows[2].n_click == 0
+    # Catalyst lowers a declared-domain pivot to ONE aggregate pass
+    df = W.user_event_pivot(ev)
+    assert PL.exchange_count(df) == 1, PL.physical_plan(df)
+
+
+def test_spend_quartiles_deterministic_buckets(spark):
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        warehouse as W,
+    )
+
+    orders = spark.createDataFrame(
+        [(c, c * 10, "2024-01-01", float(100 - c)) for c in range(8)],
+        "o_custkey long, o_orderkey long, o_orderdate string, o_totalprice double",
+    )
+    rows = sorted(
+        (r.custkey, r.quartile)
+        for r in W.customer_spend_quartiles(orders).collect()
+    )
+    # spend desc = custkey asc here; 8 customers -> 2 per quartile
+    assert rows == [(0, 1), (1, 1), (2, 2), (3, 2), (4, 3), (5, 3), (6, 4), (7, 4)]
