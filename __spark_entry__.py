@@ -1048,6 +1048,18 @@ def _q_pymk_user_3_ppr(spark, sf_dir):
     return pymk_ppr(tables.user_graph_edges(spark, sf_dir), 3, 10)
 
 
+def _q_graph_kcore_72(spark, sf_dir):
+    """72-core of the social graph (graph/kcore.py): iterative peeling
+    to fixpoint with tracked checkpoints; the oracle unrolls 8 peeling
+    rounds (idempotent past convergence). k=72 sits just under the
+    near-complete graph's connectivity so the peel does real work."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.graph.kcore import (
+        kcore,
+    )
+
+    return kcore(tables.user_graph_edges(spark, sf_dir), 72)
+
+
 def _q_user_event_pivot(spark, sf_dir):
     """Relational pivot (operators/warehouse.py user_event_pivot): one
     aggregate pass with per-type conditional counts over the declared
@@ -1415,6 +1427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_chunks": _q_docs_chunks,  # new r5
         "user_event_pivot": _q_user_event_pivot,  # new r5
         "customer_spend_quartiles": _q_customer_spend_quartiles,  # new r5
+        "graph_kcore_72": _q_graph_kcore_72,  # new r5
         "graph_degrees": _q_graph_degrees,
         "one_hop_paths": _q_one_hop_paths,
         "search_documents_count": _q_search_documents_count,

@@ -1657,3 +1657,42 @@ WITH spend AS (
 SELECT custkey, total_spend,
        ntile(4) OVER (ORDER BY total_spend DESC, custkey ASC) AS quartile
 FROM spend"""
+
+# k-core by unrolled peeling (graph/kcore.py): 8 rounds cover the
+# fixpoint at the driver's scale with margin (measured depth 1 at k=72,
+# sf0.01; peeling is idempotent past convergence, so extra rounds are
+# no-ops). The trailing weak-filter makes an unconverged unroll visibly
+# mismatch instead of silently passing.
+_KCORE_K = 72
+# MATERIALIZED is load-bearing: inlined, each round references the
+# previous one three times, so an 8-round unroll would expand into
+# thousands of base-table scans (observed: fd exhaustion).
+_KCORE_ROUNDS = "".join(
+    f""",
+e{i} AS MATERIALIZED (
+  SELECT a, b FROM e{i - 1}
+  WHERE a NOT IN (SELECT v FROM w{i - 1})
+    AND b NOT IN (SELECT v FROM w{i - 1})
+),
+d{i} AS MATERIALIZED (
+  SELECT v, count(*) AS d FROM (
+    SELECT a AS v FROM e{i} UNION ALL SELECT b AS v FROM e{i}
+  ) GROUP BY v
+),
+w{i} AS MATERIALIZED (SELECT v FROM d{i} WHERE d < {_KCORE_K})"""
+    for i in range(1, 9)
+)
+ORACLES["graph_kcore_72"] = f"""\
+WITH {EDGES_SQL},
+e0 AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst
+),
+d0 AS MATERIALIZED (
+  SELECT v, count(*) AS d FROM (
+    SELECT a AS v FROM e0 UNION ALL SELECT b AS v FROM e0
+  ) GROUP BY v
+),
+w0 AS MATERIALIZED (SELECT v FROM d0 WHERE d < {_KCORE_K}){_KCORE_ROUNDS}
+SELECT v AS id, d AS degree FROM d8
+WHERE v NOT IN (SELECT v FROM w8)"""

@@ -785,3 +785,65 @@ def test_spend_quartiles_deterministic_buckets(spark):
     )
     # spend desc = custkey asc here; 8 customers -> 2 per quartile
     assert rows == [(0, 1), (1, 1), (2, 2), (3, 2), (4, 3), (5, 3), (6, 4), (7, 4)]
+
+
+# --------------------------------------------------------------------------
+# k-core (graph/kcore.py)
+# --------------------------------------------------------------------------
+
+
+def test_kcore_known_graph(spark):
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.graph.kcore import (
+        kcore,
+    )
+
+    # 4-clique {1..4} + pendant chain 4-5-6: 3-core is exactly the clique
+    # (pendants peel in two rounds), each with in-core degree 3.
+    pairs = list(combinations([1, 2, 3, 4], 2)) + [(4, 5), (5, 6)]
+    rows = sorted((r.id, r.degree) for r in kcore(_edges(spark, pairs), 3).collect())
+    assert rows == [(1, 3), (2, 3), (3, 3), (4, 3)]
+    # 5-core of the same graph is empty
+    assert kcore(_edges(spark, pairs), 5).count() == 0
+
+
+def test_kcore_matches_reference_peeling(spark):
+    import collections
+    import random
+
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.graph.kcore import (
+        kcore,
+    )
+
+    rng = random.Random(7)
+    pairs = {(rng.randrange(30), rng.randrange(30)) for _ in range(120)}
+    pairs = [(a, b) for a, b in pairs if a != b]
+
+    def peel(es, k):
+        es = {(min(a, b), max(a, b)) for a, b in es}
+        while True:
+            deg = collections.Counter()
+            for a, b in es:
+                deg[a] += 1
+                deg[b] += 1
+            weak = {v for v, d in deg.items() if d < k}
+            if not weak:
+                return sorted(deg.items())
+            es = {(a, b) for a, b in es if a not in weak and b not in weak}
+
+    for k in (2, 3, 4):
+        got = sorted((r.id, r.degree) for r in kcore(_edges(spark, pairs), k).collect())
+        assert got == peel(pairs, k), f"k={k}"
+
+
+def test_kcore_frees_checkpoint_scratch(spark):
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark import (
+        checkpoints as CKPT,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.graph.kcore import (
+        kcore,
+    )
+
+    before = len(CKPT.live_ids())
+    kcore(_edges(spark, [(1, 2), (2, 3), (3, 1), (3, 4)]), 2).count()
+    assert len(CKPT.live_ids()) - before <= 1
+    CKPT.release_all(spark)
