@@ -1048,6 +1048,28 @@ def _q_pymk_user_3_ppr(spark, sf_dir):
     return pymk_ppr(tables.user_graph_edges(spark, sf_dir), 3, 10)
 
 
+def _q_salted_enriched_segments(spark, sf_dir):
+    """Skew-spread salted join (operators/skew.py salted_join): events ⋈
+    customer with the big side row-hash-salted and the dim replicated
+    per bucket, then per-segment totals — result provably equals the
+    plain join (the streaming enrichment's oracle, verbatim)."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.skew import (
+        salted_join,
+    )
+
+    ev = tables.load_table(spark, sf_dir, "events").select("user_id", "value")
+    cust = tables.load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    j = salted_join(ev, cust, "user_id", "c_custkey", buckets=8)
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
+        ).alias("value_sum"),
+    )
+
+
 def _q_graph_kcore_72(spark, sf_dir):
     """72-core of the social graph (graph/kcore.py): iterative peeling
     to fixpoint with tracked checkpoints; the oracle unrolls 8 peeling
@@ -1428,6 +1450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_event_pivot": _q_user_event_pivot,  # new r5
         "customer_spend_quartiles": _q_customer_spend_quartiles,  # new r5
         "graph_kcore_72": _q_graph_kcore_72,  # new r5
+        "salted_enriched_segments": _q_salted_enriched_segments,  # new r5
         "graph_degrees": _q_graph_degrees,
         "one_hop_paths": _q_one_hop_paths,
         "search_documents_count": _q_search_documents_count,

@@ -64,3 +64,43 @@ def salted_distinct_count(
         per_bucket.groupBy(key)
         .agg(F.sum("__partial").alias("n_distinct"))
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    buckets: int = DEFAULT_SALT_BUCKETS,
+) -> DataFrame:
+    """Skew-spread INNER equi-join for the gap AQE doesn't cover.
+
+    AQE's skew-join splitting rescues a skewed SORT-MERGE join by
+    splitting oversized partitions — but it only fires per shuffle
+    statistics and can't help when the small side is too big to
+    broadcast AND the planner mis-estimates, or off-AQE deployments.
+    Pre-salting is the deterministic fix: the BIG side gets a salt
+    derived from its own key column (hot key spreads over ``buckets``
+    reducers), the SMALL side is replicated once per salt bucket
+    (explode of a literal range — its cost is buckets × |small|, the
+    price of the spread), and the join key becomes (key, salt).
+
+    Result ≡ plain inner join (the salt provably cancels: every big row
+    meets every matching small row exactly once, in exactly one bucket).
+    The salt on the big side is content-deterministic (same device as
+    ``salted_distinct_count``), keyed by a hash of the whole ROW — NOT
+    the join key: salting by the key alone would put all copies of the
+    hot key in one bucket and spread nothing.
+    """
+    sb = [F.col(c) for c in big.columns]
+    b = big.withColumn("_salt", F.pmod(F.xxhash64(*sb), F.lit(buckets)))
+    s = small.withColumn(
+        "_salt",
+        F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)).cast("array<long>")),
+    )
+    joined = b.join(
+        s,
+        (b[big_key] == s[small_key]) & (b["_salt"] == s["_salt"]),
+        "inner",
+    )
+    return joined.drop("_salt")

@@ -1696,3 +1696,8 @@ d0 AS MATERIALIZED (
 w0 AS MATERIALIZED (SELECT v FROM d0 WHERE d < {_KCORE_K}){_KCORE_ROUNDS}
 SELECT v AS id, d AS degree FROM d8
 WHERE v NOT IN (SELECT v FROM w8)"""
+
+# Salted join (operators/skew.py salted_join): the salt provably
+# cancels — the oracle is the plain join + groupBy, identical to the
+# streaming enrichment's.
+ORACLES["salted_enriched_segments"] = ORACLES["streaming_enriched_segments"]

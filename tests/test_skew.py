@@ -34,3 +34,39 @@ def test_salt_spreads_hot_key(spark):
     )
     assert len(buckets) == 16, "500 distinct values must hit all 16 salt buckets"
     assert max(r["count"] for r in buckets) < 100, "no bucket should hog the key"
+
+
+def test_salted_join_equals_plain_join(spark):
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.skew import (
+        salted_join,
+    )
+
+    # heavy skew: 90% of big rows hit key 1
+    big = spark.createDataFrame(
+        [(1 if i % 10 else i % 5, float(i)) for i in range(500)],
+        "k long, v double",
+    )
+    small = spark.createDataFrame(
+        [(i, f"dim{i}") for i in range(5)], "sk long, name string"
+    )
+    got = sorted(
+        (r.k, r.v, r.name)
+        for r in salted_join(big, small, "k", "sk", buckets=4).collect()
+    )
+    want = sorted(
+        (r.k, r.v, r.name)
+        for r in big.join(small, big["k"] == small["sk"]).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_salted_join_key_includes_salt(spark):
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.skew import (
+        salted_join,
+    )
+
+    big = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    small = spark.createDataFrame([(1, "x")], "sk long, name string")
+    j = salted_join(big, small, "k", "sk", buckets=4)
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan  # the physical join key carries the salt
