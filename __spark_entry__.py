@@ -1048,6 +1048,31 @@ def _q_pymk_user_3_ppr(spark, sf_dir):
     return pymk_ppr(tables.user_graph_edges(spark, sf_dir), 3, 10)
 
 
+def _q_lineitem_revenue_forecast(spark, sf_dir):
+    """Q6-shaped pushdown probe (operators/warehouse.py
+    revenue_forecast): one scan, three pushed predicates, one global
+    agg — zero joins, zero groupings."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        warehouse as W,
+    )
+
+    return W.revenue_forecast(tables.load_table(spark, sf_dir, "lineitem"))
+
+
+def _q_orders_with_returns_by_priority(spark, sf_dir):
+    """EXISTS → LEFT SEMI (operators/warehouse.py
+    orders_with_returns_by_priority): returned-line order keys reduced
+    to a distinct set before the semi-join, then per-priority counts."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        warehouse as W,
+    )
+
+    return W.orders_with_returns_by_priority(
+        tables.load_table(spark, sf_dir, "orders"),
+        tables.load_table(spark, sf_dir, "lineitem"),
+    )
+
+
 def _q_salted_enriched_segments(spark, sf_dir):
     """Skew-spread salted join (operators/skew.py salted_join): events ⋈
     customer with the big side row-hash-salted and the dim replicated
@@ -1451,6 +1476,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_spend_quartiles": _q_customer_spend_quartiles,  # new r5
         "graph_kcore_72": _q_graph_kcore_72,  # new r5
         "salted_enriched_segments": _q_salted_enriched_segments,  # new r5
+        "lineitem_revenue_forecast": _q_lineitem_revenue_forecast,  # new r5
+        "orders_with_returns_by_priority": _q_orders_with_returns_by_priority,  # new r5
         "graph_degrees": _q_graph_degrees,
         "one_hop_paths": _q_one_hop_paths,
         "search_documents_count": _q_search_documents_count,

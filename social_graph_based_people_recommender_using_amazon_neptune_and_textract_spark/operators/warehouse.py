@@ -403,3 +403,56 @@ def customer_spend_quartiles(orders: DataFrame) -> DataFrame:
     return spend.select(
         "custkey", "total_spend", F.ntile(4).over(w).alias("quartile")
     )
+
+
+def revenue_forecast(
+    lineitem: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+    disc_lo: float = 0.02,
+    disc_hi: float = 0.04,
+    qty_below: int = 24,
+) -> DataFrame:
+    """TPC-H Q6 shape: revenue delta from a what-if discount change —
+    one scan, zero joins, zero groupings. The whole query is a filter
+    that must reach the parquet scan (all three predicates land in
+    PushedFilters — asserted in test_plans) followed by a single global
+    agg whose partial side does all the work. The canonical 'is
+    pushdown working' probe: at 100 TB the difference between scanning
+    2% and 100% of the fact table IS this plan."""
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+        & (F.col("l_discount") >= disc_lo)
+        & (F.col("l_discount") <= disc_hi)
+        & (F.col("l_quantity") < qty_below)
+    )
+    rev = F.col("l_extendedprice").cast(DEC) * F.col("l_discount").cast(DEC)
+    return li.agg(
+        F.round(F.sum(rev).cast("double"), 4).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def orders_with_returns_by_priority(
+    orders: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """EXISTS-shaped priority report: orders having at least one
+    returned line, counted per order priority — the Q4 pattern with the
+    reference schema's predicate. The EXISTS lowers to a LEFT SEMI
+    join: the lineitem side is reduced to DISTINCT qualifying order
+    keys BEFORE the join (semi-join semantics make duplicates free),
+    then one count per priority. At 100 TB both sides shuffle once on
+    orderkey and the filter pushes into the lineitem scan."""
+    returned = (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+        .distinct()
+    )
+    return (
+        orders.join(
+            returned, orders["o_orderkey"] == returned["l_orderkey"], "leftsemi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )

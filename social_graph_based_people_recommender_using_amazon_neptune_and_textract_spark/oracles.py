@@ -1701,3 +1701,25 @@ WHERE v NOT IN (SELECT v FROM w8)"""
 # cancels — the oracle is the plain join + groupBy, identical to the
 # streaming enrichment's.
 ORACLES["salted_enriched_segments"] = ORACLES["streaming_enriched_segments"]
+
+# Q6-shaped pushdown aggregate (operators/warehouse.py revenue_forecast).
+ORACLES["lineitem_revenue_forecast"] = """\
+SELECT
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+              * CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue,
+  count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.04
+  AND l_quantity < 24"""
+
+# EXISTS → LEFT SEMI (operators/warehouse.py orders_with_returns_by_priority).
+ORACLES["orders_with_returns_by_priority"] = """\
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+)
+GROUP BY o_orderpriority"""

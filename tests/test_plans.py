@@ -354,3 +354,36 @@ def test_partitioned_layout_prunes_files(spark, tmp_path):
     # semantic equivalence with the unpartitioned filter
     base = ev.filter(F.to_date("ts") == F.lit(day)).count()
     assert q.count() == base and base > 0
+
+
+def test_revenue_forecast_pushdown_and_no_joins(spark):
+    """Q6 probe: all three predicates must reach the parquet scan; the
+    plan has zero joins and a single global aggregate."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        warehouse as W,
+    )
+
+    df = W.revenue_forecast(tables.load_table(spark, SF, "lineitem"))
+    pushed = " ".join(PL.pushed_filters(df))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, pushed
+    plan = PL.physical_plan(df)
+    assert "Join" not in plan
+    # only the 4 needed columns are read
+    assert len(PL.read_schema_columns(df)) <= 4
+
+
+def test_orders_returns_semi_join(spark):
+    """EXISTS form must plan as a semi join (no row multiplication) with
+    the returnflag filter pushed into the lineitem scan."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        warehouse as W,
+    )
+
+    df = W.orders_with_returns_by_priority(
+        tables.load_table(spark, SF, "orders"),
+        tables.load_table(spark, SF, "lineitem"),
+    )
+    plan = PL.physical_plan(df)
+    assert "LeftSemi" in plan, plan
+    assert any("l_returnflag" in p for p in PL.pushed_filters(df))
