@@ -33,6 +33,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .. import fsutil
 from ..operators.upsert import latest_by_key
@@ -143,3 +144,54 @@ class GroupedParquetTable(_SnapshotTable):
                 "left_anti",
             ).unionByName(rows)
         self._write_next(merged)
+
+
+# ---------------------------------------------------------------------------
+# Time travel + change data feed over the snapshot layout
+# ---------------------------------------------------------------------------
+
+def _snapshot_names(spark: SparkSession, root: str) -> list[str]:
+    return sorted(
+        d for d in fsutil.list_names(spark, root) if d.startswith("snap-")
+    )
+
+
+def table_versions(spark: SparkSession, root: str) -> list[str]:
+    """Snapshot names still on disk, oldest→newest — the time-travel
+    window is ``keep_snapshots`` deep (GC'd snapshots are gone; a real
+    Delta/Iceberg log keeps as many as retention allows; the protocol
+    is the same)."""
+    return _snapshot_names(spark, root)
+
+
+def read_version(spark: SparkSession, root: str, snapshot: str) -> DataFrame:
+    """Time-travel read of one retained snapshot (``snap-000001``-style
+    name from ``table_versions``)."""
+    return spark.read.parquet(f"{root}/{snapshot}")
+
+
+def table_changes(
+    old: DataFrame, new: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """Change data feed between two table states: every row that
+    differs, tagged ``_change`` ∈ {insert, delete, update_pre,
+    update_post} — the CDF a downstream incremental consumer applies
+    instead of re-reading the table (Delta's CDC shape, public).
+
+    Bag semantics via ``exceptAll`` (duplicate-tolerant), then one
+    semi/anti join pair per direction classifies changed rows by key
+    presence on the other side. All shuffles are key-partitioned; the
+    diff never materializes unchanged rows.
+    """
+    keys = list(keys)
+    ins = new.exceptAll(old)
+    rem = old.exceptAll(new)
+    old_keys = old.select(keys).distinct()
+    new_keys = new.select(keys).distinct()
+    tag = lambda df, t: df.withColumn("_change", F.lit(t))  # noqa: E731
+    return (
+        tag(ins.join(old_keys, keys, "left_anti"), "insert")
+        .unionByName(tag(ins.join(old_keys, keys, "left_semi"), "update_post"))
+        .unionByName(tag(rem.join(new_keys, keys, "left_semi"), "update_pre"))
+        .unionByName(tag(rem.join(new_keys, keys, "left_anti"), "delete"))
+    )

@@ -64,3 +64,41 @@ def test_keyed_table_matches_dict_model(spark, tmp_path):
             (r["id"], r["val"], r["seq"]) for r in t.read().collect()
         )
         assert got == want, f"step {step}"
+
+
+def test_time_travel_and_change_feed(spark, tmp_path):
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.streaming.table import (
+        KeyedParquetTable,
+        read_version,
+        table_changes,
+        table_versions,
+    )
+
+    t = KeyedParquetTable(
+        spark, str(tmp_path / "kt"), keys=["k"], order_by=["ver"],
+        keep_snapshots=4,
+    )
+    t.merge(spark.createDataFrame([(1, 1, "a"), (2, 1, "b")], "k long, ver long, v string"))
+    t.merge(spark.createDataFrame([(2, 2, "B"), (3, 1, "c")], "k long, ver long, v string"))
+
+    vs = table_versions(spark, t.root)
+    assert vs == ["snap-000001", "snap-000002"]
+    old = read_version(spark, t.root, vs[0])
+    new = read_version(spark, t.root, vs[1])
+    assert {tuple(r) for r in old.collect()} == {(1, 1, "a"), (2, 1, "b")}
+
+    ch = {(r.k, r._change) for r in table_changes(old, new, ["k"]).collect()}
+    assert ch == {(3, "insert"), (2, "update_pre"), (2, "update_post")}
+
+
+def test_change_feed_delete_and_noop(spark):
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.streaming.table import (
+        table_changes,
+    )
+
+    old = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    new = spark.createDataFrame([(1, "a")], "k long, v string")
+    ch = [(r.k, r._change) for r in table_changes(old, new, ["k"]).collect()]
+    assert ch == [(2, "delete")]
+    # identical states -> empty feed (unchanged rows never materialize)
+    assert table_changes(old, old, ["k"]).count() == 0
