@@ -39,3 +39,27 @@ def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+FLOAT_SENSITIVE = [
+    "graph_pagerank_top20",
+    "pymk_user_3_adamic_adar",
+    "docs_unigram_logprob",
+    "customer_running_totals",
+]
+
+
+@pytest.mark.parametrize("name", FLOAT_SENSITIVE)
+def test_parity_is_partition_count_invariant(spark, name):
+    """Float-sensitive queries must hash-match the oracle under a
+    different shuffle-partition count — a partition-order-dependent
+    float sum would pass at 32 partitions and silently drift on a real
+    cluster's 2000. (Each query sums in exact decimal or rounds at a
+    declared edge; this pins that property.)"""
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try:
+        df = QUERIES[name](spark, SF_SMALL)
+        assert_matches_oracle(df, ORACLES[name], SF_SMALL, name)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
