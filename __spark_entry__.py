@@ -1048,6 +1048,28 @@ def _q_pymk_user_3_ppr(spark, sf_dir):
     return pymk_ppr(tables.user_graph_edges(spark, sf_dir), 3, 10)
 
 
+def _q_docs_collocations_top20(spark, sf_dir):
+    """PMI collocations over the vocab head (functions/text.py
+    collocations_topk): pair space bounded by the top-50 vocabulary so
+    the per-doc self-join fan-out is capped."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.functions.text import (
+        collocations_topk,
+    )
+
+    return collocations_topk(tables.load_table(spark, sf_dir, "documents"))
+
+
+def _q_events_funnel(spark, sf_dir):
+    """Ordered view→click→purchase funnel (operators/sessionize.py
+    funnel_counts): first-touch anchors, per-stage conditional-min
+    aggregates sharing the user_id partitioning."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.sessionize import (
+        funnel_counts,
+    )
+
+    return funnel_counts(tables.load_table(spark, sf_dir, "events"))
+
+
 def _q_lineitem_revenue_forecast(spark, sf_dir):
     """Q6-shaped pushdown probe (operators/warehouse.py
     revenue_forecast): one scan, three pushed predicates, one global
@@ -1478,6 +1500,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_enriched_segments": _q_salted_enriched_segments,  # new r5
         "lineitem_revenue_forecast": _q_lineitem_revenue_forecast,  # new r5
         "orders_with_returns_by_priority": _q_orders_with_returns_by_priority,  # new r5
+        "events_funnel": _q_events_funnel,  # new r5
+        "docs_collocations_top20": _q_docs_collocations_top20,  # new r5
         "graph_degrees": _q_graph_degrees,
         "one_hop_paths": _q_one_hop_paths,
         "search_documents_count": _q_search_documents_count,

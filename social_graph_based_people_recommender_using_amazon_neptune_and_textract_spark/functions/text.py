@@ -298,3 +298,65 @@ def chunk_documents(
             F.slice("_toks", F.col("_start") + 1, width), " "
         ).alias("chunk_text"),
     )
+
+
+def collocations_topk(
+    df: DataFrame,
+    vocab_k: int = 50,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k token collocations by document-level PMI over the
+    vocabulary head — the corpus-statistics pass behind phrase mining
+    and tokenizer-merge candidates. PMI(x,y) = ln(N·c_xy / (c_x·c_y))
+    on document-presence counts.
+
+    The UNBOUNDED version of this is quadratic per document (every
+    distinct-token pair); the declared boundary is the same device as
+    the n-gram DF cap: pairs are drawn only from the top-``vocab_k``
+    vocabulary (ties df desc, token asc — document_frequency_topk), so
+    the per-doc self-join fan-out is ≤ vocab_k and the pair space is
+    vocab_k²/2 regardless of corpus size. The vocab and its df counts
+    ride a broadcast (vocab_k rows); the only big shuffles are the
+    distinct doc-token projection and the pair count, both map-side
+    combined. Ranking on the 6dp-rounded PMI then (x, y) —
+    deterministic, TakeOrderedAndProject.
+    """
+    vocab = document_frequency_topk(df, vocab_k, id_col, text_col)
+    dt = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("token"),
+    )
+    dv = dt.join(F.broadcast(vocab.select("token")), "token")
+    a = dv.select(F.col(id_col), F.col("token").alias("x"))
+    b = dv.select(F.col(id_col), F.col("token").alias("y"))
+    pairs = (
+        a.join(b, id_col)
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+    )
+    n = df.agg(F.count(F.lit(1)).alias("n"))
+    vx = vocab.select(F.col("token").alias("x"), F.col("df").alias("dfx"))
+    vy = vocab.select(F.col("token").alias("y"), F.col("df").alias("dfy"))
+    return (
+        pairs.join(F.broadcast(vx), "x")
+        .join(F.broadcast(vy), "y")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "x",
+            "y",
+            "c_xy",
+            F.round(
+                F.log(
+                    F.col("n").cast("double")
+                    * F.col("c_xy")
+                    / (F.col("dfx") * F.col("dfy"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), F.col("x").asc(), F.col("y").asc())
+        .limit(k)
+    )

@@ -85,3 +85,55 @@ def transition_counts(events: DataFrame) -> DataFrame:
         .groupBy("prev_type", "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def funnel_counts(
+    events: DataFrame, stages: list[str] | None = None
+) -> DataFrame:
+    """Ordered funnel: how many users reached each stage IN ORDER —
+    stage k counts users with a stage-k event strictly after their
+    first qualifying stage-(k-1) event (first-touch semantics: each
+    stage anchors at its EARLIEST qualifying time, the standard
+    product-analytics funnel).
+
+    Plan: one pass per stage over the (user-partitioned) events — stage
+    k is a conditional min-timestamp aggregate joined back on user_id.
+    Every join and aggregate shares the hash(user_id) partitioning, so
+    stages after the first reuse the exchange (AQE coalesces); the
+    per-stage state is one timestamp per user. Stage count is the
+    funnel definition (3-5 in practice) — the linear pass count is the
+    semantics, not a missed optimization: stage k's anchor cannot be
+    known before stage k-1's.
+    Returns (stage_idx, stage, n_users) with stage_idx the 1-based
+    funnel position.
+    """
+    if stages is None:
+        stages = ["view", "click", "purchase"]
+    spark = events.sparkSession
+    ev = events.select("user_id", "event_type", "ts")
+    anchor = ev.filter(F.col("event_type") == stages[0]).groupBy("user_id").agg(
+        F.min("ts").alias("t")
+    )
+    counts = [(1, stages[0], anchor)]
+    for i, stage in enumerate(stages[1:], start=2):
+        prev = counts[-1][2]
+        nxt = (
+            ev.filter(F.col("event_type") == stage)
+            .join(prev, "user_id")
+            .filter(F.col("ts") > F.col("t"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t"))
+        )
+        counts.append((i, stage, nxt))
+    rows = [
+        df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(i).cast("long").alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            "n_users",
+        )
+        for i, name, df in counts
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

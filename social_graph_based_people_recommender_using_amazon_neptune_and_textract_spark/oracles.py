@@ -1723,3 +1723,60 @@ WHERE EXISTS (
   WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
 )
 GROUP BY o_orderpriority"""
+
+# Ordered funnel (operators/sessionize.py funnel_counts): first-touch
+# anchors — stage k's earliest event strictly after stage k-1's anchor.
+ORACLES["events_funnel"] = """\
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t
+  GROUP BY e.user_id
+)
+SELECT CAST(1 AS BIGINT) AS stage_idx, 'view' AS stage,
+       (SELECT count(*) FROM s1) AS n_users
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'click', (SELECT count(*) FROM s2)
+UNION ALL
+SELECT CAST(3 AS BIGINT), 'purchase', (SELECT count(*) FROM s3)"""
+
+# PMI collocations over the vocabulary head (functions/text.py
+# collocations_topk): pair space bounded by the top-50 vocab.
+ORACLES["docs_collocations_top20"] = f"""\
+WITH toksrc AS (
+  SELECT doc_id, {TOKENIZE.format(col='text')} AS tokens FROM documents
+),
+dt AS MATERIALIZED (
+  SELECT doc_id, unnest(list_distinct(tokens)) AS token FROM toksrc
+),
+vocab AS MATERIALIZED (
+  SELECT token, count(*) AS df FROM dt GROUP BY token
+  ORDER BY df DESC, token ASC LIMIT 50
+),
+dv AS MATERIALIZED (
+  SELECT dt.doc_id, dt.token FROM dt JOIN vocab ON vocab.token = dt.token
+),
+pairs AS (
+  SELECT a.token AS x, b.token AS y, count(*) AS c_xy
+  FROM dv a JOIN dv b ON a.doc_id = b.doc_id AND a.token < b.token
+  GROUP BY a.token, b.token
+),
+n AS (SELECT count(*) AS n FROM documents)
+SELECT x, y, c_xy,
+       round(ln(CAST(n.n AS DOUBLE) * c_xy / (vx.df * vy.df)), 6) AS pmi
+FROM pairs
+JOIN vocab vx ON vx.token = pairs.x
+JOIN vocab vy ON vy.token = pairs.y
+CROSS JOIN n
+ORDER BY pmi DESC, x ASC, y ASC
+LIMIT 20"""

@@ -847,3 +847,43 @@ def test_kcore_frees_checkpoint_scratch(spark):
     kcore(_edges(spark, [(1, 2), (2, 3), (3, 1), (3, 4)]), 2).count()
     assert len(CKPT.live_ids()) - before <= 1
     CKPT.release_all(spark)
+
+
+def test_collocations_pmi_values_and_bound(spark):
+    import math
+
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.functions.text import (
+        collocations_topk,
+    )
+
+    # 4 docs; (a,b) co-occur in 2, dfs: a=3, b=2, c=1
+    docs = spark.createDataFrame(
+        [
+            ("d1", "a b"),
+            ("d2", "a b"),
+            ("d3", "a c"),
+            ("d4", "x y z"),
+        ],
+        "doc_id string, text string",
+    )
+    rows = {(r.x, r.y): (r.c_xy, r.pmi) for r in collocations_topk(docs, vocab_k=3, k=10).collect()}
+    # vocab head (df desc, token asc) at k=3: a(3), b(2), c(1) — x,y,z out
+    assert all(x in "abc" and y in "abc" for x, y in rows)
+    assert rows[("a", "b")] == (2, round(math.log(4 * 2 / (3 * 2)), 6))
+    assert rows[("a", "c")] == (1, round(math.log(4 * 1 / (3 * 1)), 6))
+    assert ("b", "c") not in rows  # never co-occur
+
+
+def test_collocations_takeordered_and_broadcast(spark):
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.functions.text import (
+        collocations_topk,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.sources import (
+        tables,
+    )
+
+    df = collocations_topk(
+        tables.load_table(spark, "/root/testdata/sf0.001", "documents")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

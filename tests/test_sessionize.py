@@ -45,3 +45,31 @@ def test_stats_rollup(spark):
     assert s1.end_us - s1.start_us == 10_000_000
     s2 = stats[(7, 2)]
     assert (s2.n_events, s2.value_sum) == (1, 1.0)
+
+
+def test_funnel_first_touch_ordering(spark):
+    from pyspark.sql import functions as F
+
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.sessionize import (
+        funnel_counts,
+    )
+
+    rows = [
+        # u1 completes in order
+        (1, "view", "2024-01-01 00:00:00"),
+        (1, "click", "2024-01-01 01:00:00"),
+        (1, "purchase", "2024-01-01 02:00:00"),
+        # u2 clicks BEFORE first view, later click missing -> stops at view
+        (2, "click", "2024-01-01 00:00:00"),
+        (2, "view", "2024-01-01 01:00:00"),
+        # u3 views and clicks, never purchases
+        (3, "view", "2024-01-01 00:00:00"),
+        (3, "click", "2024-01-01 00:30:00"),
+        # u4 purchases without viewing -> never enters the funnel
+        (4, "purchase", "2024-01-01 00:00:00"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r.stage: (r.stage_idx, r.n_users) for r in funnel_counts(ev).collect()}
+    assert got == {"view": (1, 3), "click": (2, 2), "purchase": (3, 1)}
