@@ -1048,6 +1048,22 @@ def _q_pymk_user_3_ppr(spark, sf_dir):
     return pymk_ppr(tables.user_graph_edges(spark, sf_dir), 3, 10)
 
 
+def _q_graph_degree_distribution(spark, sf_dir):
+    """Degree distribution of the social graph (graph/model.py degrees →
+    re-aggregation): the power-law probe that sizes every downstream
+    skew decision (salting thresholds, whale caps). Two map-side-
+    combined shuffles, output rows = #distinct degrees."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.graph.model import (
+        degrees,
+    )
+
+    return (
+        degrees(tables.user_graph_edges(spark, sf_dir))
+        .groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_vertices"))
+    )
+
+
 def _q_docs_collocations_top20(spark, sf_dir):
     """PMI collocations over the vocab head (functions/text.py
     collocations_topk): pair space bounded by the top-50 vocabulary so
@@ -1502,6 +1518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_with_returns_by_priority": _q_orders_with_returns_by_priority,  # new r5
         "events_funnel": _q_events_funnel,  # new r5
         "docs_collocations_top20": _q_docs_collocations_top20,  # new r5
+        "graph_degree_distribution": _q_graph_degree_distribution,  # new r5
         "graph_degrees": _q_graph_degrees,
         "one_hop_paths": _q_one_hop_paths,
         "search_documents_count": _q_search_documents_count,

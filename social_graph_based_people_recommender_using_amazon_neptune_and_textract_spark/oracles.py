@@ -1780,3 +1780,9 @@ JOIN vocab vy ON vy.token = pairs.y
 CROSS JOIN n
 ORDER BY pmi DESC, x ASC, y ASC
 LIMIT 20"""
+
+# Degree distribution (graph/model.py degrees re-aggregated).
+ORACLES["graph_degree_distribution"] = f"""\
+WITH {EDGES_SQL}, {BI_SQL},
+deg AS (SELECT src AS id, count(*) AS degree FROM bi GROUP BY src)
+SELECT degree, count(*) AS n_vertices FROM deg GROUP BY degree"""
