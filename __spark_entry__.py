@@ -1048,6 +1048,20 @@ def _q_pymk_user_3_ppr(spark, sf_dir):
     return pymk_ppr(tables.user_graph_edges(spark, sf_dir), 3, 10)
 
 
+def _q_graph_landmark_distances(spark, sf_dir):
+    """Landmark BFS (graph/traverse.py multi_source_shortest_paths):
+    distances from 3 landmarks in ONE traversal — state keyed on
+    (landmark, vertex), one frontier join per superstep regardless of
+    landmark count."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.graph.traverse import (
+        multi_source_shortest_paths,
+    )
+
+    return multi_source_shortest_paths(
+        tables.user_graph_edges(spark, sf_dir), [3, 50, 120], max_hops=3
+    )
+
+
 def _q_graph_degree_distribution(spark, sf_dir):
     """Degree distribution of the social graph (graph/model.py degrees →
     re-aggregation): the power-law probe that sizes every downstream
@@ -1519,6 +1533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": _q_events_funnel,  # new r5
         "docs_collocations_top20": _q_docs_collocations_top20,  # new r5
         "graph_degree_distribution": _q_graph_degree_distribution,  # new r5
+        "graph_landmark_distances": _q_graph_landmark_distances,  # new r5
         "graph_degrees": _q_graph_degrees,
         "one_hop_paths": _q_one_hop_paths,
         "search_documents_count": _q_search_documents_count,

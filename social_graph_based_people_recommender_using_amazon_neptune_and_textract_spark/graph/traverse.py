@@ -95,3 +95,67 @@ def shortest_paths(
     free(spark, frontier_ids)  # the last frontier's data lives on in dist
     bi.unpersist()
     return dist
+
+
+def multi_source_shortest_paths(
+    edges: DataFrame,
+    source_ids: list,
+    max_hops: int = 4,
+    broadcast_max: int = BROADCAST_FRONTIER_MAX,
+) -> DataFrame:
+    """Landmark BFS: distances from EVERY source in one traversal —
+    (src_id, id, dist) for vertices within ``max_hops`` of each source.
+
+    The naive form is |sources| sequential BFS jobs; this vectorizes
+    them into one loop by widening the state key to (src_id, id): each
+    superstep is STILL one frontier⋈edges join (the frontier carries all
+    sources' waves at once), and the settled anti-join keys on the pair.
+    This is the landmark-distance primitive behind distance-sketch
+    estimators (Das Sarma et al., public): pick k landmarks, one
+    traversal, k distance fields per vertex. Same tracked-checkpoint and
+    gated-broadcast discipline as ``shortest_paths``; per-superstep cost
+    scales with the UNION of the waves, not their sum, when waves
+    overlap (the distinct collapses shared expansion work).
+    """
+    spark = edges.sparkSession
+    bi = symmetrize(edges).select("src", "dst").persist()
+
+    schema = edges.schema["src"].dataType
+    dist = spark.createDataFrame(
+        [(s, s, 0) for s in source_ids], ["src_id", "id", "dist"]
+    ).select(
+        F.col("src_id").cast(schema).alias("src_id"),
+        F.col("id").cast(schema).alias("id"),
+        F.col("dist").cast("int").alias("dist"),
+    )
+    frontier = dist.select("src_id", "id")
+    frontier_rows = len(source_ids)
+    dist_ids = frontier_ids = frozenset()
+
+    for hop in range(1, max_hops + 1):
+        maybe_small = (
+            F.broadcast(frontier)
+            if frontier_rows <= broadcast_max
+            else frontier
+        )
+        expanded = (
+            bi.join(maybe_small, bi["src"] == frontier["id"])
+            .select("src_id", F.col("dst").alias("id"))
+            .distinct()
+            .join(dist, ["src_id", "id"], "left_anti")
+            .withColumn("dist", F.lit(hop).cast("int"))
+        )
+        nxt, nxt_ids = checkpoint(expanded)
+        free(spark, frontier_ids, blocking=False)
+        frontier_rows = nxt.count()
+        if frontier_rows == 0:
+            free(spark, nxt_ids, blocking=False)
+            break
+        dist, new_ids = checkpoint(dist.unionByName(nxt))
+        free(spark, dist_ids, blocking=False)
+        dist_ids = new_ids
+        frontier, frontier_ids = nxt.select("src_id", "id"), nxt_ids
+
+    free(spark, frontier_ids)
+    bi.unpersist()
+    return dist

@@ -1786,3 +1786,20 @@ ORACLES["graph_degree_distribution"] = f"""\
 WITH {EDGES_SQL}, {BI_SQL},
 deg AS (SELECT src AS id, count(*) AS degree FROM bi GROUP BY src)
 SELECT degree, count(*) AS n_vertices FROM deg GROUP BY degree"""
+
+# Landmark (multi-source) BFS (graph/traverse.py
+# multi_source_shortest_paths): one recursive walk seeded with all
+# three landmarks; min(dist) per (landmark, vertex).
+ORACLES["graph_landmark_distances"] = f"""\
+WITH RECURSIVE {EDGES_SQL}, {BI_SQL},
+walk(src_id, id, dist) AS (
+  SELECT s.src_id, s.src_id AS id, 0 AS dist
+  FROM (VALUES (CAST(3 AS BIGINT)), (CAST(50 AS BIGINT)),
+               (CAST(120 AS BIGINT))) s(src_id)
+  UNION ALL
+  SELECT walk.src_id, bi.dst, walk.dist + 1
+  FROM walk JOIN bi ON bi.src = walk.id
+  WHERE walk.dist < 3
+)
+SELECT src_id, id, CAST(min(dist) AS INT) AS dist
+FROM walk GROUP BY src_id, id"""

@@ -887,3 +887,24 @@ def test_collocations_takeordered_and_broadcast(spark):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_multi_source_bfs_equals_per_source(spark):
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.graph.traverse import (
+        multi_source_shortest_paths,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.graph import (
+        shortest_paths,
+    )
+
+    pairs = [(1, 2), (2, 3), (3, 4), (5, 6)]  # path + separate component
+    e = _edges(spark, pairs)
+    multi = {
+        (r.src_id, r.id): r.dist
+        for r in multi_source_shortest_paths(e, [1, 5], max_hops=4).collect()
+    }
+    for s in (1, 5):
+        single = {r.id: r.dist for r in shortest_paths(e, s, max_hops=4).collect()}
+        assert {k[1]: v for k, v in multi.items() if k[0] == s} == single
+    # source 5's wave never crosses into the other component
+    assert (5, 4) not in multi
