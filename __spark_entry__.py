@@ -1048,6 +1048,19 @@ def _q_pymk_user_3_ppr(spark, sf_dir):
     return pymk_ppr(tables.user_graph_edges(spark, sf_dir), 3, 10)
 
 
+def _q_ann_lsh(spark, sf_dir):
+    """Sign-LSH ANN with Hamming-1 multiprobe (operators/similarity.py
+    ann_lsh): the hash-partitioned scale path next to IVF — bucket at
+    index time, probe n_bits+1 buckets per query, exact cosine rerank
+    within the candidate set."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        similarity as SIM,
+    )
+
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    return SIM.ann_lsh(emb, oracles.ANN_QUERY_IDS, k=10)
+
+
 def _q_graph_landmark_distances(spark, sf_dir):
     """Landmark BFS (graph/traverse.py multi_source_shortest_paths):
     distances from 3 landmarks in ONE traversal — state keyed on
@@ -1534,6 +1547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_collocations_top20": _q_docs_collocations_top20,  # new r5
         "graph_degree_distribution": _q_graph_degree_distribution,  # new r5
         "graph_landmark_distances": _q_graph_landmark_distances,  # new r5
+        "ann_lsh": _q_ann_lsh,  # new r5
         "graph_degrees": _q_graph_degrees,
         "one_hop_paths": _q_one_hop_paths,
         "search_documents_count": _q_search_documents_count,

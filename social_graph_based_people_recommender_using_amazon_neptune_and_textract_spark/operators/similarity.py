@@ -193,3 +193,124 @@ def embedding_near_dup_pairs(
         ).alias("cos"),
     )
     return scored.filter(F.col("cos") >= threshold)
+
+
+#: Random-hyperplane LSH width. 2^6 buckets at the test scale keeps
+#: buckets dense enough for top-10 reranking; production tunes bits to
+#: corpus size (buckets ~ N / desired-candidates).
+LSH_BITS = 6
+#: Independent hash tables — the recall lever (a true neighbor is missed
+#: only if it splits from the query in EVERY table). 3 tables lift
+#: measured recall@10 from ~0.3 (single table) to ~0.5 on the clustered
+#: test embeddings at the cost of 3× index rows — the classic LSH trade;
+#: production stacks more tables (or probes Hamming-2) for higher recall.
+LSH_TABLES = 3
+
+
+def _plane_coef(b: int, j: int) -> float:
+    """Deterministic pseudo-random hyperplane coefficient in [-1, 1] —
+    pure integer arithmetic (Knuth-style multiplier) evaluated
+    IDENTICALLY in Python (literals here) and SQL (the oracle), so both
+    engines hash every vector with the same planes. Not cryptographic;
+    sign-LSH only needs direction diversity."""
+    return ((b * 1009 + j) * 2654435761) % 2001 / 1000.0 - 1.0
+
+
+def lsh_bucket(vcol, n_bits: int = LSH_BITS, table: int = 0):
+    """Sign-LSH bucket id (Charikar's SimHash for vectors, public) for
+    one hash table: bit b = sign(v · plane_{table·n_bits+b}); bucket =
+    Σ 2^b. The dot is the same order-stable left fold as every vector
+    op here, so the sign — and the bucket — is bit-identical across
+    engines. Tables use disjoint plane ranges, so they are independent."""
+    acc = F.lit(0).cast("long")
+    for b in range(n_bits):
+        plane = F.array(
+            *[
+                F.lit(_plane_coef(table * n_bits + b, j))
+                for j in range(1, DIM + 1)
+            ]
+        )
+        acc = acc + F.when(dot(vcol, plane) >= 0, F.lit(1 << b)).otherwise(
+            F.lit(0)
+        ).cast("long")
+    return acc
+
+
+def ann_lsh(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_bits: int = LSH_BITS,
+    n_tables: int = LSH_TABLES,
+) -> DataFrame:
+    """LSH-bucketed ANN: the hash-partitioned scale path next to IVF's
+    clustered one. Every vector is sign-hashed into ``n_tables``
+    independent buckets at index time (3× index rows — the classic LSH
+    space-for-recall trade); a query probes, per table, its own bucket
+    PLUS each Hamming-1 neighbor (flip one bit — the standard
+    multiprobe that recovers near-boundary neighbors), the candidate
+    union is deduped per (query, neighbor), and survivors are exactly
+    reranked by cosine. Returns (query_id, neighbor_id, cos, rank) —
+    rank ≤ k within the probed candidate set; recall < 1 by design,
+    deterministic, and mirrored exactly by the oracle.
+
+    Scale shape: bucketing is a narrow per-row expression (index time);
+    the probe expansion is n_tables·(n_bits+1) rows per QUERY (tiny,
+    broadcast); the candidate join is an equi-join on (table, bucket) —
+    hash-partitioned, never all-pairs; rerank cost ≈
+    n_tables·(n_bits+1)·N/2^bits per query before the pair dedup."""
+    base = with_norm(embeddings.select("vec_id", "embedding"))
+    sig = base.select(
+        "vec_id",
+        "v",
+        "n2",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        lsh_bucket(F.col("v"), n_bits, t).alias("bucket"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", "v", "n2", F.col("s.tbl").alias("tbl"), F.col("s.bucket").alias("bucket"))
+
+    q = sig.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("n2").alias("qn2"),
+        "tbl",
+        "bucket",
+    )
+    # mask 0 = the query's own bucket; mask 2^b flips bit b (Hamming-1)
+    masks = F.array(
+        F.lit(0).cast("long"), *[F.lit(1 << b).cast("long") for b in range(n_bits)]
+    )
+    probes = q.select(
+        "query_id", "qv", "qn2", "tbl", F.explode(masks).alias("mask"), "bucket"
+    ).select(
+        "query_id",
+        "qv",
+        "qn2",
+        "tbl",
+        F.col("bucket").bitwiseXOR(F.col("mask")).alias("bucket"),
+    )
+    cand = (
+        sig.join(F.broadcast(probes), ["tbl", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(
+            cosine(F.col("qv"), F.col("v"), F.col("qn2"), F.col("n2")), 6
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )

@@ -1803,3 +1803,62 @@ walk(src_id, id, dist) AS (
 )
 SELECT src_id, id, CAST(min(dist) AS INT) AS dist
 FROM walk GROUP BY src_id, id"""
+
+# Sign-LSH ANN with Hamming-1 multiprobe over independent tables
+# (operators/similarity.py ann_lsh): hyperplane coefficients are
+# closed-form integer arithmetic evaluated identically in both engines
+# (global plane index = table*bits + b); dots are the same sequential
+# fold, so every bucket bit matches exactly. Candidate pairs dedupe
+# across tables before the exact rerank.
+_LSH_BITS = 6
+_LSH_TABLES = 3
+ORACLES["ann_lsh"] = f"""\
+WITH {_VEC.format(src="embeddings")},
+vb AS MATERIALIZED (
+  SELECT norms.vec_id, b.range AS gb,
+    list_sum(list_transform(range(1, 65),
+      i -> v[i] * (CAST(((b.range * 1009 + i) * 2654435761) % 2001
+                   AS DOUBLE) / 1000.0 - 1.0))) AS d
+  FROM norms CROSS JOIN range(0, {_LSH_TABLES * _LSH_BITS}) b
+),
+sigs AS MATERIALIZED (
+  SELECT vec_id, gb // {_LSH_BITS} AS tbl,
+    sum(CASE WHEN d >= 0
+        THEN (CAST(1 AS BIGINT) << (gb % {_LSH_BITS})) ELSE 0 END) AS bucket
+  FROM vb GROUP BY vec_id, gb // {_LSH_BITS}
+),
+nb AS MATERIALIZED (
+  SELECT norms.vec_id, norms.v, norms.n2, sigs.tbl, sigs.bucket
+  FROM norms JOIN sigs USING (vec_id)
+),
+q AS (
+  SELECT vec_id AS query_id, v AS qv, n2 AS qn2, tbl, bucket
+  FROM nb WHERE vec_id IN ({_qid_list})
+),
+probes AS (
+  SELECT query_id, qv, qn2, tbl,
+    CASE WHEN f.range = -1 THEN bucket
+         ELSE xor(bucket, (CAST(1 AS BIGINT) << f.range)) END AS bucket
+  FROM q CROSS JOIN range(-1, {_LSH_BITS}) f
+),
+cand AS (
+  SELECT DISTINCT p.query_id, n.vec_id
+  FROM nb n JOIN probes p ON n.tbl = p.tbl AND n.bucket = p.bucket
+  WHERE n.vec_id <> p.query_id
+),
+scored AS (
+  SELECT c.query_id, c.vec_id AS neighbor_id,
+    round({_DOT.format(a="q2.v", b="n2t.v")} / (sqrt(q2.n2) * sqrt(n2t.n2)), 6)
+      AS cos
+  FROM cand c
+  JOIN (SELECT DISTINCT vec_id, v, n2 FROM norms) q2 ON q2.vec_id = c.query_id
+  JOIN (SELECT DISTINCT vec_id, v, n2 FROM norms) n2t ON n2t.vec_id = c.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+    CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC
+    ) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 10"""

@@ -190,3 +190,36 @@ def test_embedding_near_dup_planted(spark):
     n_expected = emb.filter(F.col("vec_id") % 20 == 0).count()
     assert len(planted) == n_expected
     assert all(r["cos"] >= 0.99 for r in pairs)
+
+
+def test_ann_lsh_recall_and_determinism(spark):
+    """LSH ANN: candidate restriction is approximate by design, but the
+    probed top-k must (a) be deterministic, (b) agree with brute force
+    on every pair it returns (exact rerank), and (c) recover a decent
+    fraction of the true top-10 on the clustered test embeddings."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        similarity as SIM,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.sources.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    lsh = SIM.ann_lsh(emb, [0, 1, 2], k=10)
+    bf = SIM.ann_bruteforce(emb, [0, 1, 2], k=10)
+    lsh_rows = {(r.query_id, r.neighbor_id): r.cos for r in lsh.collect()}
+    bf_rows = {(r.query_id, r.neighbor_id): r.cos for r in bf.collect()}
+    # exact rerank: every returned cosine equals the brute-force cosine
+    bf_all = {
+        (r.query_id, r.neighbor_id): r.cos
+        for r in SIM.ann_bruteforce(emb, [0, 1, 2], k=10**6).collect()
+    }
+    for key, cos in lsh_rows.items():
+        assert bf_all[key] == cos
+    # recall@10 over the three queries on clustered data (measured ~0.5
+    # with 3 tables; the floor guards against a silent bucketing break)
+    hit = len(set(lsh_rows) & set(bf_rows))
+    assert hit >= 12, f"recall too low: {hit}/30"
+    # determinism
+    again = {(r.query_id, r.neighbor_id): r.cos for r in SIM.ann_lsh(emb, [0, 1, 2], k=10).collect()}
+    assert again == lsh_rows
