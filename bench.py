@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "docs_token_shards",
     "ann_bruteforce",
     "ann_ivf",
+    "ann_lsh",
     "media_decode",
     "media_features",
 ]

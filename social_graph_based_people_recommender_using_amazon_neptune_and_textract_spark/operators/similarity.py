@@ -259,23 +259,40 @@ def ann_lsh(
     broadcast); the candidate join is an equi-join on (table, bucket) —
     hash-partitioned, never all-pairs; rerank cost ≈
     n_tables·(n_bits+1)·N/2^bits per query before the pair dedup."""
-    base = with_norm(embeddings.select("vec_id", "embedding"))
-    sig = base.select(
-        "vec_id",
-        "v",
-        "n2",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"),
-                        lsh_bucket(F.col("v"), n_bits, t).alias("bucket"),
+    from ..pinned import pinned
+
+    def _build_sig():
+        base = with_norm(embeddings.select("vec_id", "embedding"))
+        return (
+            base.select(
+                "vec_id",
+                "v",
+                "n2",
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(t).alias("tbl"),
+                                lsh_bucket(F.col("v"), n_bits, t).alias("bucket"),
+                            )
+                            for t in range(n_tables)
+                        ]
                     )
-                    for t in range(n_tables)
-                ]
-            )
-        ).alias("s"),
-    ).select("vec_id", "v", "n2", F.col("s.tbl").alias("tbl"), F.col("s.bucket").alias("bucket"))
+                ).alias("s"),
+            ).select(
+                "vec_id",
+                "v",
+                "n2",
+                F.col("s.tbl").alias("tbl"),
+                F.col("s.bucket").alias("bucket"),
+            ),
+        )
+
+    # The signed table IS the LSH index — built once per (corpus, layout),
+    # served from the pinned registry like the postings/LSH-band tables.
+    (sig,) = pinned(
+        ("lsh_sig", embeddings.semanticHash(), n_bits, n_tables), _build_sig
+    )
 
     q = sig.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"),
