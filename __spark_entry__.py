@@ -793,6 +793,33 @@ def _q_dedup_ngram_pairs(spark, sf_dir):
     return D.dedup_ngram_pairs(_aug(spark, sf_dir), threshold=0.3)
 
 
+def _q_dedup_editdistance(spark, sf_dir):
+    """Typo-class near-dup pairs (operators/dedup.py
+    dedup_editdistance_pairs): rare-3-gram candidates + exact
+    Levenshtein <= 2 on the normalized 64-char prefix — the character-
+    metric member of the dedup family (the aug corpus' exact copies
+    surface as dist-0 pairs)."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        dedup as D,
+    )
+
+    return D.dedup_editdistance_pairs(_aug(spark, sf_dir), max_dist=2)
+
+
+def _q_docs_weighted_sample(spark, sf_dir):
+    """Deterministic PPS sample (operators/sampling.py weighted_sample):
+    sequential-Poisson priority u/w over md5-derived u (bit-identical
+    across engines — no libm), weight = n_chars, top-64 smallest."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        sampling as SA,
+    )
+
+    docs = tables.load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    return SA.weighted_sample(docs, "doc_id", "n_chars", 64)
+
+
 def _q_dedup_clusters(spark, sf_dir):
     from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
         dedup as D,
@@ -1582,6 +1609,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_assign": _q_kmeans_assign,
         "vertex_lookup": _q_vertex_lookup,
         "edge_exists_first": _q_edge_exists_first,
+        # -- late r5 additions (suite-verified; head of the r6 window) ---
+        "dedup_editdistance": _q_dedup_editdistance,  # new r5
+        "docs_weighted_sample": _q_docs_weighted_sample,  # new r5
     }
 
 

@@ -518,3 +518,91 @@ def simhash_pairs(corpus: DataFrame, max_hamming: int = 8) -> DataFrame:
         cands.select("doc_a", "doc_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# --- edit-distance near-dup (typo-class duplicates) ------------------------
+
+#: 3-gram document-frequency cap for edit-distance candidate generation.
+#: A pair within distance d on a 64-char prefix shares >= 62 - 3d of its
+#: 62 grams, so it is missed only if EVERY one of those ~56 shared grams
+#: is hotter than the cap — a far weaker boundary than the Jaccard op's
+#: (which needs only ceil(t/(1+t)·|union|) shared shingles).
+EDIT_GRAM_DF_CAP = 30
+
+#: Normalized comparison window. Edit distance is quadratic in string
+#: length, so production near-dup-by-edits runs on a bounded prefix (or
+#: title/URL field); 64 chars ~= the first sentence.
+EDIT_PREFIX = 64
+
+
+def _edit_norm(corpus: DataFrame) -> DataFrame:
+    """(doc_id, t): lowercased, stripped to [a-z0-9 ], first 64 chars.
+    Docs shorter than one 3-gram can never produce a candidate row and
+    are dropped up front."""
+    return corpus.select(
+        "doc_id",
+        F.expr(
+            f"left(regexp_replace(lower(text), '[^a-z0-9 ]', ''), {EDIT_PREFIX})"
+        ).alias("t"),
+    ).filter(F.length("t") >= 3)
+
+
+def dedup_editdistance_pairs(
+    corpus: DataFrame,
+    max_dist: int = 2,
+    gram_df_cap: int = EDIT_GRAM_DF_CAP,
+) -> DataFrame:
+    """Typo-class near-duplicates: pairs whose normalized 64-char
+    prefixes are within Levenshtein distance ``max_dist``.
+
+    MinHash/SimHash catch token-level rewording; they are blind to the
+    character-level class (OCR noise, mojibake variants, trailing-byte
+    truncations) where the *token sets* diverge but the byte stream is
+    nearly identical. This operator completes the dedup family with the
+    character metric, using the same two-phase shape as the other
+    members: bounded candidate generation + exact verification.
+
+    Candidates: docs sharing at least one *rare* character 3-gram
+    (df <= ``gram_df_cap``) of the normalized prefix — join fan-out is
+    bounded by cap² per gram key, so the pair space never goes
+    quadratic in the corpus. Verification: exact ``levenshtein`` (a
+    JVM-codegen built-in, identical DP definition in DuckDB) on the
+    two prefixes. The df-cap exactness boundary is declared above; the
+    distances reported are exact.
+
+    Scale: grams explode ≤ 62 rows/doc; the df count and the candidate
+    join shuffle on the gram key; verification joins the (small,
+    distinct) pair set back to the two prefix strings by doc_id. No
+    broadcast assumptions, no driver state.
+    """
+    norm = _edit_norm(corpus)
+    grams = norm.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr("transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))")
+            )
+        ).alias("g"),
+    )
+    dfs = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    rare = dfs.filter(F.col("df") <= gram_df_cap).select("g")
+    rg = grams.join(rare, "g")
+    cands = (
+        rg.select(F.col("doc_id").alias("doc_a"), "g")
+        .join(rg.select(F.col("doc_id").alias("doc_b"), "g"), "g")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    na = norm.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("ta"))
+    nb = norm.select(F.col("doc_id").alias("doc_b"), F.col("t").alias("tb"))
+    return (
+        cands.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("ta", "tb").alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
+    )

@@ -82,3 +82,38 @@ def stratified_topn(
         .filter(F.col("_rk") <= n_per_stratum)
         .drop("_rk")
     )
+
+
+#: 2^52 — the md5-derived uniform uses 13 hex digits (52 bits) so the
+#: int → double conversion is EXACT (< 2^53); the subsequent divisions
+#: are single correctly-rounded IEEE ops, so priorities are bit-identical
+#: across engines (no libm: ln/pow would admit 1-ulp cross-engine drift).
+_POW2_52 = float(1 << 52)
+
+
+def weighted_priority(key, weight):
+    """Sequential-Poisson sampling priority (Ohlsson 1998): u / w with
+    u = (md5₅₂(key)+1) / 2^52 ∈ (0, 1]. Taking the k SMALLEST priorities
+    yields an (approximate) probability-proportional-to-size sample —
+    the standard design for "sample documents proportional to length"
+    curation steps. Deterministic in the key, so membership is
+    auditable and re-runs / repartitioning never move a row."""
+    v = F.conv(
+        F.substring(F.md5(key.cast("string").cast("binary")), 1, 13), 16, 10
+    ).cast("long")
+    u = (v + F.lit(1)).cast("double") / F.lit(_POW2_52)
+    return u / weight.cast("double")
+
+
+def weighted_sample(df: DataFrame, key: str, weight: str, k: int) -> DataFrame:
+    """Top-k rows by sequential-Poisson priority — a deterministic
+    weighted (PPS) sample. Rows with non-positive weight are excluded
+    (zero weight = zero inclusion probability).
+
+    Scale: priority is a narrow per-row expression; the global top-k
+    plans as TakeOrderedAndProject (per-partition heaps + driver merge
+    of k·P rows) — no global sort, no shuffle of the data itself."""
+    out = df.filter(F.col(weight) > 0).withColumn(
+        "priority", weighted_priority(F.col(key), F.col(weight))
+    )
+    return out.orderBy(F.col("priority").asc(), F.col(key).asc()).limit(k)

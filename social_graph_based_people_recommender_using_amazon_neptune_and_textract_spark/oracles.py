@@ -660,6 +660,51 @@ SELECT md5(text) AS text_hash, min(doc_id) AS canonical_doc_id,
        count(*) AS n_docs
 FROM aug GROUP BY md5(text)"""
 
+# Edit-distance near-dup (operators/dedup.py dedup_editdistance_pairs):
+# identical candidate generation (rare character 3-grams of the normalized
+# 64-char prefix, df <= 30) + the same Levenshtein DP. DuckDB range(a, b)
+# is half-open = Spark sequence(1, len-2) inclusive; the 'g' flag mirrors
+# Spark regexp_replace's replace-all default.
+ORACLES["dedup_editdistance"] = f"""\
+WITH {AUG_CORPUS_SQL},
+n AS (
+  SELECT doc_id,
+         left(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), 64) AS t
+  FROM aug
+),
+n2 AS (SELECT doc_id, t FROM n WHERE length(t) >= 3),
+g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, length(t) - 1),
+                i -> substr(t, CAST(i AS INT), 3)))) AS g
+  FROM n2
+),
+dfs AS (SELECT g, count(*) AS df FROM g GROUP BY g),
+rg AS (SELECT g.doc_id, g.g FROM g JOIN dfs USING (g) WHERE dfs.df <= 30),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM rg a JOIN rg b ON a.g = b.g AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b, levenshtein(na.t, nb.t) AS dist
+FROM cand c
+JOIN n2 na ON na.doc_id = c.doc_a
+JOIN n2 nb ON nb.doc_id = c.doc_b
+WHERE levenshtein(na.t, nb.t) <= 2"""
+
+# Weighted PPS sample (operators/sampling.py weighted_sample): identical
+# 52-bit md5 uniform (exact int->double) and two correctly-rounded IEEE
+# divisions — priorities are bit-identical, so the raw double is safe to
+# hash-compare.
+ORACLES["docs_weighted_sample"] = """\
+SELECT doc_id, n_chars,
+  (CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+        AS BIGINT) + 1 AS DOUBLE) / CAST(4503599627370496 AS DOUBLE))
+  / CAST(n_chars AS DOUBLE) AS priority
+FROM documents
+WHERE n_chars > 0
+ORDER BY priority ASC, doc_id ASC
+LIMIT 64"""
+
 _SHINGLE_CTES = f"""\
 {_TOKS_AUG},
 shing AS (

@@ -223,3 +223,60 @@ def test_ann_lsh_recall_and_determinism(spark):
     # determinism
     again = {(r.query_id, r.neighbor_id): r.cos for r in SIM.ann_lsh(emb, [0, 1, 2], k=10).collect()}
     assert again == lsh_rows
+
+
+def test_editdistance_pairs_planted_typos(spark):
+    """Planted character-level corruption: the operator reports exact
+    distances for typo-class pairs, ignores reworded (token-level) ones
+    beyond the threshold, and pair output carries doc_a < doc_b."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2, "the quick brown fox jumps over the lazy dog near the river bank"),  # dist 0
+        (3, "the quick brown fox jumps over the lazy dog near the river bonk"),  # 1 sub
+        (4, "the quick brown fox jump over the lazy dog near the river bank"),   # 1 del
+        (5, "a completely different document about spark query planning"),
+        (6, "entirely unrelated text concerning duckdb oracle comparisons"),
+    ]
+    corpus = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {
+        (r.doc_a, r.doc_b): r.dist
+        for r in D.dedup_editdistance_pairs(corpus, max_dist=2).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert pairs[(1, 3)] == 1
+    assert pairs[(1, 4)] == 1
+    assert pairs[(3, 4)] == 2  # sub + del compound
+    assert all(a < b for a, b in pairs)
+    assert not any(5 in p or 6 in p for p in pairs), "unrelated docs must not pair"
+
+
+def test_editdistance_distance_matches_python_reference(spark):
+    """Spark's levenshtein must agree with a reference DP on the exact
+    normalized prefixes the operator compares (guards the cross-engine
+    levenshtein-definition assumption the oracle also relies on)."""
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i] + [0] * len(b)
+            for j, cb in enumerate(b, 1):
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            prev = cur
+        return prev[-1]
+
+    rows = [
+        (1, "lorem ipsum dolor sit amet consectetur adipiscing elit sed"),
+        (2, "lorem ipsum dolor sit amet consectetur adipiscing elit se"),
+        (3, "lorem ipsum d0lor sit amet consectetur adipiscing elit sed!"),
+    ]
+    corpus = spark.createDataFrame(rows, ["doc_id", "text"])
+    norm = {r.doc_id: r.t for r in D._edit_norm(corpus).collect()}
+    got = {
+        (r.doc_a, r.doc_b): r.dist
+        for r in D.dedup_editdistance_pairs(corpus, max_dist=5).collect()
+    }
+    for (a, b), d in got.items():
+        assert d == lev(norm[a], norm[b])
+    assert (1, 2) in got and (1, 3) in got

@@ -50,3 +50,31 @@ def test_stratified_topn_balances_and_is_stable(spark):
     sel_small = {r.k for r in SA.stratified_topn(df, "k", "g", 10).filter("g = 1").collect()}
     sel_big = {r.k for r in SA.stratified_topn(bigger, "k", "g", 10).filter("g = 1").collect()}
     assert sel_small == sel_big
+
+
+def test_weighted_sample_pps_and_deterministic(spark):
+    """Sequential-Poisson sample: heavy rows dominate, zero/negative
+    weights are excluded, membership is partition-invariant, and the
+    priority expression is a pure function of (key, weight)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"),
+        # rows 0-99 carry 1000x the weight of rows 100-999
+        F.when(F.col("id") < 100, F.lit(100000)).otherwise(F.lit(100)).alias("w"),
+    )
+    top = SA.weighted_sample(df, "doc_id", "w", 50).collect()
+    picked = {r.doc_id for r in top}
+    heavy = sum(1 for d in picked if d < 100)
+    # with a 1000:1 weight ratio the 100 heavy rows should own nearly
+    # the whole top-50 (each heavy row's priority is ~1000x smaller)
+    assert heavy >= 40, f"PPS should favor heavy rows, got {heavy}/50"
+
+    again = {r.doc_id for r in SA.weighted_sample(df.repartition(7), "doc_id", "w", 50).collect()}
+    assert picked == again, "membership must not depend on partitioning"
+
+    with_zero = df.withColumn(
+        "w", F.when(F.col("doc_id") % 2 == 0, F.lit(0)).otherwise(F.col("w"))
+    )
+    z = SA.weighted_sample(with_zero, "doc_id", "w", 100).collect()
+    assert all(r.doc_id % 2 == 1 for r in z), "zero-weight rows must be excluded"
