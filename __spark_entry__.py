@@ -820,6 +820,20 @@ def _q_docs_weighted_sample(spark, sf_dir):
     return SA.weighted_sample(docs, "doc_id", "n_chars", 64)
 
 
+def _q_events_wau(spark, sf_dir):
+    """Trailing 7-day active users per day (operators/warehouse.py
+    rolling_active_users): distinct user-days spread over a bounded
+    7-day explode, then count-distinct per report day — the windowed-
+    distinct shape RANGE frames cannot express."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        warehouse as W,
+    )
+
+    return W.rolling_active_users(
+        tables.load_table(spark, sf_dir, "events"), window_days=7
+    )
+
+
 def _q_dedup_clusters(spark, sf_dir):
     from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
         dedup as D,
@@ -1612,6 +1626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- late r5 additions (suite-verified; head of the r6 window) ---
         "dedup_editdistance": _q_dedup_editdistance,  # new r5
         "docs_weighted_sample": _q_docs_weighted_sample,  # new r5
+        "events_wau": _q_events_wau,  # new r5
     }
 
 

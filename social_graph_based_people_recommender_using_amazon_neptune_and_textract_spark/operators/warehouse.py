@@ -456,3 +456,37 @@ def orders_with_returns_by_priority(
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+
+
+def rolling_active_users(events: DataFrame, window_days: int = 7) -> DataFrame:
+    """Trailing N-day active users per day (WAU for N=7): for every day
+    d with at least one user active in [d-N+1, d], the count of
+    distinct users active in that window.
+
+    SQL window frames cannot express COUNT(DISTINCT) over a RANGE, and
+    a day-spine × events range self-join is O(days · events). The scale
+    pattern is CONTRIBUTION SPREADING: reduce events to distinct
+    (user, day) pairs first (one shuffle — this is the big win: the
+    spread operates on user-days, not raw events), then each user-day
+    contributes to exactly N report days via a bounded ``sequence``
+    explode, and a count-distinct per report day finishes. Total work is
+    N·|user-days| rows through hash exchanges — no inequality join, no
+    per-day rescans, fan-out a declared constant.
+
+    At 100 TB the exact per-day distinct is itself the bottleneck;
+    ``approx_count_distinct`` (HLL++, a mergeable sketch) is the
+    declared drop-in — same plan shape, fixed-size state per day —
+    pinned within 5% of exact by test_round5_ops.
+    """
+    user_days = events.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    spread = user_days.select(
+        "user_id",
+        F.explode(
+            F.expr(f"sequence(day, date_add(day, {int(window_days) - 1}))")
+        ).alias("day"),
+    )
+    return spread.groupBy("day").agg(
+        F.countDistinct("user_id").alias("active_users")
+    )

@@ -705,6 +705,18 @@ WHERE n_chars > 0
 ORDER BY priority ASC, doc_id ASC
 LIMIT 64"""
 
+# Trailing 7-day active users (operators/warehouse.py
+# rolling_active_users): same contribution-spreading construction —
+# distinct user-days, +0..6 day offsets, count distinct per report day.
+ORACLES["events_wau"] = """\
+WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+sp AS (
+  SELECT user_id, day + CAST(i AS INT) AS day
+  FROM ud, unnest(range(0, 7)) AS t(i)
+)
+SELECT day, count(DISTINCT user_id) AS active_users
+FROM sp GROUP BY day"""
+
 _SHINGLE_CTES = f"""\
 {_TOKS_AUG},
 shing AS (
