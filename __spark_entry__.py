@@ -1396,6 +1396,36 @@ def _q_events_day_pruned(spark, sf_dir):
     )
 
 
+def _q_events_user_range_pruned(spark, sf_dir):
+    """Range-clustered layout round-trip (sources/clustered.py): rewrite
+    events range-clustered on user_id (disjoint per-file min/max —
+    footer-stats skipping for a high-cardinality column directory
+    partitioning can't hold), read back, and aggregate one narrow
+    user_id range. Layout-independent: the oracle is a plain filter
+    over events."""
+    import hashlib
+    import tempfile
+
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.sources.clustered import (
+        read_range_clustered,
+        write_range_clustered,
+    )
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"{tempfile.gettempdir()}/sgr-clust-{key}/events_by_user"
+    ev = tables.load_table(spark, sf_dir, "events")
+    write_range_clustered(ev, path, "user_id")
+    t = read_range_clustered(spark, path)
+    return (
+        t.filter(F.col("user_id").between(4, 9))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("value_sum"),
+        )
+    )
+
+
 def _q_docs_tfidf_top3(spark, sf_dir):
     """Per-document TF-IDF keyword extraction (functions/text.py
     tfidf_top_terms): top-3 terms per document by tf * ln(N/df), ranked
@@ -1627,6 +1657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_editdistance": _q_dedup_editdistance,  # new r5
         "docs_weighted_sample": _q_docs_weighted_sample,  # new r5
         "events_wau": _q_events_wau,  # new r5
+        "events_user_range_pruned": _q_events_user_range_pruned,  # new r5
     }
 
 

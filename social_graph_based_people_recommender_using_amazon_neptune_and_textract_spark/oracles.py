@@ -717,6 +717,14 @@ sp AS (
 SELECT day, count(DISTINCT user_id) AS active_users
 FROM sp GROUP BY day"""
 
+# Range-clustered layout round-trip (sources/clustered.py): the result
+# is layout-independent — a plain user_id range filter over events.
+ORACLES["events_user_range_pruned"] = """\
+SELECT user_id, count(*) AS n, round(sum("value"), 6) AS value_sum
+FROM events
+WHERE user_id BETWEEN 4 AND 9
+GROUP BY user_id"""
+
 _SHINGLE_CTES = f"""\
 {_TOKS_AUG},
 shing AS (

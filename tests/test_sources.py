@@ -128,3 +128,53 @@ def test_partitioned_backfill_rewrites_only_named_day(spark, tmp_path):
         (r.id, str(r.d), r.v) for r in read_partitioned(spark, path).collect()
     )
     assert got == [(3, "2024-01-02", 3.0), (9, "2024-01-01", 99.0)]
+
+
+def test_range_clustered_files_have_disjoint_minmax(spark, tmp_path):
+    """The skipping contract: per-file parquet footer min/max on the
+    cluster column are pairwise non-overlapping (modulo a shared
+    boundary value), so a narrow range predicate can intersect at most
+    a couple of the N files — the structural evidence behind
+    events_user_range_pruned."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.sources.clustered import (
+        read_range_clustered,
+        write_range_clustered,
+    )
+
+    ev = tables.load_table(spark, SF, "events")
+    path = str(tmp_path / "ev_clustered")
+    write_range_clustered(ev, path, "user_id", n_files=8)
+
+    ranges = []
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        lo = min(
+            md.row_group(i).column(c).statistics.min
+            for i in range(md.num_row_groups)
+            for c in range(md.num_columns)
+            if md.row_group(i).column(c).path_in_schema == "user_id"
+        )
+        hi = max(
+            md.row_group(i).column(c).statistics.max
+            for i in range(md.num_row_groups)
+            for c in range(md.num_columns)
+            if md.row_group(i).column(c).path_in_schema == "user_id"
+        )
+        ranges.append((lo, hi))
+    ranges.sort()
+    assert len(ranges) >= 4, "expected several files for skipping to matter"
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        # contiguous ranges may share only the boundary value
+        assert hi1 <= lo2, f"overlapping file ranges {(lo1, hi1)} vs {(lo2, hi2)}"
+
+    # a narrow predicate (2 of sf0.001's 15 users ~= 13% selectivity)
+    # intersects at most ceil(sel·N)+1 = 3 of the 8 file ranges
+    hit = sum(1 for lo, hi in ranges if not (hi < 4 or lo > 5))
+    assert hit <= 3
+
+    # and the layout round-trips content
+    assert read_range_clustered(spark, path).count() == ev.count()
