@@ -1116,6 +1116,20 @@ def _q_graph_landmark_distances(spark, sf_dir):
     )
 
 
+def _q_graph_closeness_landmarks(spark, sf_dir):
+    """Landmark-estimated closeness centrality (graph/traverse.py
+    closeness_from_landmarks): one multi-source traversal, then
+    n_reached / dist_sum per vertex — the sampled stand-in for
+    all-pairs closeness."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.graph.traverse import (
+        closeness_from_landmarks,
+    )
+
+    return closeness_from_landmarks(
+        tables.user_graph_edges(spark, sf_dir), [3, 50, 120], max_hops=3
+    )
+
+
 def _q_graph_degree_distribution(spark, sf_dir):
     """Degree distribution of the social graph (graph/model.py degrees →
     re-aggregation): the power-law probe that sizes every downstream
@@ -1658,6 +1672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_weighted_sample": _q_docs_weighted_sample,  # new r5
         "events_wau": _q_events_wau,  # new r5
         "events_user_range_pruned": _q_events_user_range_pruned,  # new r5
+        "graph_closeness_landmarks": _q_graph_closeness_landmarks,  # new r5
     }
 
 

@@ -159,3 +159,38 @@ def multi_source_shortest_paths(
     free(spark, frontier_ids)
     bi.unpersist()
     return dist
+
+
+def closeness_from_landmarks(
+    edges: DataFrame, landmarks: list, max_hops: int = 4
+) -> DataFrame:
+    """Landmark-estimated closeness centrality: for each vertex v,
+    ``n_reached`` landmarks within ``max_hops``, their distance sum, and
+    the estimate ĉ(v) = n_reached / Σ d(l, v) — the standard sampled
+    closeness (exact closeness needs all-pairs distances, O(V·E) at
+    100 TB; k landmarks give an unbiased-ranking estimate from ONE
+    multi-source traversal, Das Sarma et al.'s sketch primitive).
+
+    Self rows (a landmark's dist-0 to itself) are excluded so a
+    landmark's own score is over the OTHER landmarks and the ratio is
+    never 0/0; a vertex reaching no landmark has no row (declared).
+    The division of two small exact integers is one correctly-rounded
+    IEEE op — deterministic across engines; rounded at 9dp anyway to
+    follow the house float-edge rule."""
+    d = multi_source_shortest_paths(edges, landmarks, max_hops)
+    return (
+        d.filter(F.col("dist") > 0)
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_reached"),
+            F.sum("dist").alias("dist_sum"),
+        )
+        .select(
+            "id",
+            "n_reached",
+            "dist_sum",
+            F.round(
+                F.col("n_reached").cast("double") / F.col("dist_sum"), 9
+            ).alias("closeness"),
+        )
+    )

@@ -1869,6 +1869,27 @@ walk(src_id, id, dist) AS (
 SELECT src_id, id, CAST(min(dist) AS INT) AS dist
 FROM walk GROUP BY src_id, id"""
 
+# Landmark-estimated closeness (graph/traverse.py
+# closeness_from_landmarks): the same recursive walk, self rows
+# excluded, n/Σd per vertex — one exact-integer division, 9dp edge.
+ORACLES["graph_closeness_landmarks"] = f"""\
+WITH RECURSIVE {EDGES_SQL}, {BI_SQL},
+walk(src_id, id, dist) AS (
+  SELECT s.src_id, s.src_id AS id, 0 AS dist
+  FROM (VALUES (CAST(3 AS BIGINT)), (CAST(50 AS BIGINT)),
+               (CAST(120 AS BIGINT))) s(src_id)
+  UNION ALL
+  SELECT walk.src_id, bi.dst, walk.dist + 1
+  FROM walk JOIN bi ON bi.src = walk.id
+  WHERE walk.dist < 3
+),
+mind AS (
+  SELECT src_id, id, min(dist) AS dist FROM walk GROUP BY src_id, id
+)
+SELECT id, count(*) AS n_reached, sum(dist) AS dist_sum,
+       round(CAST(count(*) AS DOUBLE) / sum(dist), 9) AS closeness
+FROM mind WHERE dist > 0 GROUP BY id"""
+
 # Sign-LSH ANN with Hamming-1 multiprobe over independent tables
 # (operators/similarity.py ann_lsh): hyperplane coefficients are
 # closed-form integer arithmetic evaluated identically in both engines

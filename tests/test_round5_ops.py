@@ -972,3 +972,30 @@ def test_wau_approx_drop_in_within_5pct(spark):
     assert exact.keys() == approx.keys()
     for d, n in exact.items():
         assert abs(approx[d] - n) <= max(1, 0.05 * n), (d, n, approx[d])
+
+
+# --- landmark closeness (graph/traverse.closeness_from_landmarks) ----------
+
+
+def test_closeness_landmarks_path_graph(spark):
+    """Path 1-2-3-4-5, landmarks {1, 5}: hand-computed distance sums;
+    landmark self rows excluded; unreachable vertices absent."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.graph.traverse import (
+        closeness_from_landmarks,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (8, 9)], ["src", "dst"]
+    )
+    rows = {
+        r.id: (r.n_reached, r.dist_sum, r.closeness)
+        for r in closeness_from_landmarks(edges, [1, 5], max_hops=4).collect()
+    }
+    # vertex 3 is 2 from each landmark: 2 reached, sum 4, c = 0.5
+    assert rows[3] == (2, 4, 0.5)
+    # vertex 2: d(1)=1, d(5)=3 -> 2, 4, 0.5 ; vertex 4 symmetric
+    assert rows[2] == (2, 4, 0.5) and rows[4] == (2, 4, 0.5)
+    # landmark 1: excludes self, reaches 5 at 4 -> (1, 4, 0.25)
+    assert rows[1] == (1, 4, 0.25) and rows[5] == (1, 4, 0.25)
+    # 8, 9 reach no landmark -> no row
+    assert 8 not in rows and 9 not in rows
