@@ -1440,6 +1440,28 @@ def _q_events_user_range_pruned(spark, sf_dir):
     )
 
 
+def _q_events_value_winsorized(spark, sf_dir):
+    """Per-type winsorization report (operators/warehouse.py
+    winsorized_stats): exact [p01, p99] bounds, clip counts, winsorized
+    mean — percentile agg + broadcast-back, no raw-row window."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        warehouse as W,
+    )
+
+    return W.winsorized_stats(tables.load_table(spark, sf_dir, "events"))
+
+
+def _q_events_zscores(spark, sf_dir):
+    """Per-row within-type z-scores (operators/warehouse.py
+    group_zscores): two-pass moments + broadcast-back normalization at
+    declared rounding edges."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        warehouse as W,
+    )
+
+    return W.group_zscores(tables.load_table(spark, sf_dir, "events"))
+
+
 def _q_docs_tfidf_top3(spark, sf_dir):
     """Per-document TF-IDF keyword extraction (functions/text.py
     tfidf_top_terms): top-3 terms per document by tf * ln(N/df), ranked
@@ -1673,6 +1695,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_wau": _q_events_wau,  # new r5
         "events_user_range_pruned": _q_events_user_range_pruned,  # new r5
         "graph_closeness_landmarks": _q_graph_closeness_landmarks,  # new r5
+        "events_value_winsorized": _q_events_value_winsorized,  # new r5
+        "events_zscores": _q_events_zscores,  # new r5
     }
 
 

@@ -490,3 +490,74 @@ def rolling_active_users(events: DataFrame, window_days: int = 7) -> DataFrame:
     return spread.groupBy("day").agg(
         F.countDistinct("user_id").alias("active_users")
     )
+
+
+def winsorized_stats(
+    events: DataFrame, lo_p: float = 0.01, hi_p: float = 0.99
+) -> DataFrame:
+    """Per-group winsorization report: clamp the measure to its exact
+    [p_lo, p_hi] percentiles within each event_type and report the clip
+    counts plus the winsorized mean — the robust-stats gate a training
+    pipeline runs before a heavy-tailed measure feeds a loss or a
+    reward model.
+
+    Plan: one percentile aggregate per group (exact sort-based
+    ``percentile`` ≡ DuckDB ``quantile_cont``, the value_percentiles
+    device), broadcast the few-row bounds table back onto the scan, and
+    finish with a second map-side-combined aggregate. Two scans of the
+    fact, one broadcast, no window over raw rows.
+
+    Float edges (house rule): the bounds are rounded at 6dp before
+    clamping — the clamp compares each raw double against the SAME
+    rounded bound in both engines; the winsorized sum is rounded at 6dp,
+    and the mean divides the rounded sum by the exact count (one IEEE
+    division)."""
+    bounds = events.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(float(lo_p))), 6).alias("lo"),
+        F.round(F.percentile("value", F.lit(float(hi_p))), 6).alias("hi"),
+    )
+    clamped = events.join(F.broadcast(bounds), "event_type").withColumn(
+        "wv", F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    )
+    return clamped.groupBy("event_type").agg(
+        F.min("lo").alias("lo"),
+        F.min("hi").alias("hi"),
+        F.sum((F.col("value") < F.col("lo")).cast("long")).alias("n_clipped_low"),
+        F.sum((F.col("value") > F.col("hi")).cast("long")).alias("n_clipped_high"),
+        (F.round(F.sum("wv"), 6) / F.count(F.lit(1))).alias("winsorized_mean"),
+    )
+
+
+def group_zscores(events: DataFrame) -> DataFrame:
+    """Per-row z-score of the measure within its event_type — the
+    per-group normalization step before mixed-scale measures feed a
+    model. Two-pass shape: a tiny per-group moment aggregate, broadcast
+    back onto the scan, then a narrow per-row expression (no window
+    over raw rows, so no per-group sort at 100 TB).
+
+    Determinism: the two order-dependent double sums (Σv, Σv²) are
+    rounded at declared edges (6dp / 4dp); every downstream step —
+    s²/n, the subtraction, /(n-1), ``sqrt``, (v-mean)/std — is a single
+    correctly-rounded IEEE op on identical inputs, so both engines land
+    on the same double, and the final z is rounded at 6dp."""
+    moments = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 6).alias("s"),
+        F.round(F.sum(F.col("value") * F.col("value")), 4).alias("ssq"),
+    )
+    stats = moments.select(
+        "event_type",
+        (F.col("s") / F.col("n")).alias("mean"),
+        F.sqrt(
+            (F.col("ssq") - F.col("s") * F.col("s") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("std"),
+    )
+    return (
+        events.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.round((F.col("value") - F.col("mean")) / F.col("std"), 6).alias("z"),
+        )
+    )

@@ -1265,6 +1265,43 @@ SELECT event_type,
   count(*) AS n
 FROM events GROUP BY event_type"""
 
+# Winsorization report (operators/warehouse.py winsorized_stats): same
+# rounded-bounds-then-clamp construction; quantile_cont ≡ Spark's exact
+# percentile.
+ORACLES["events_value_winsorized"] = """\
+WITH b AS (
+  SELECT event_type,
+         round(quantile_cont("value", 0.01), 6) AS lo,
+         round(quantile_cont("value", 0.99), 6) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, min(b.lo) AS lo, min(b.hi) AS hi,
+  sum(CASE WHEN e."value" < b.lo THEN 1 ELSE 0 END) AS n_clipped_low,
+  sum(CASE WHEN e."value" > b.hi THEN 1 ELSE 0 END) AS n_clipped_high,
+  round(sum(least(greatest(e."value", b.lo), b.hi)), 6) / count(*)
+    AS winsorized_mean
+FROM events e JOIN b USING (event_type)
+GROUP BY e.event_type"""
+
+# Within-type z-scores (operators/warehouse.py group_zscores): moments
+# rounded at the same declared edges (Σv at 6dp, Σv² at 4dp); every
+# later step is one correctly-rounded IEEE op, so the 6dp z matches.
+ORACLES["events_zscores"] = """\
+WITH m AS (
+  SELECT event_type, count(*) AS n,
+         round(sum("value"), 6) AS s,
+         round(sum("value" * "value"), 4) AS ssq
+  FROM events GROUP BY event_type
+),
+st AS (
+  SELECT event_type, s / n AS mean,
+         sqrt((ssq - s * s / n) / (n - 1)) AS std
+  FROM m
+)
+SELECT e.event_id, e.event_type,
+       round((e."value" - st.mean) / st.std, 6) AS z
+FROM events e JOIN st USING (event_type)"""
+
 # Stream-stream windowed join (streaming/joins.py): a drained stream
 # must emit exactly the batch bounded_range_join pair set — the oracle
 # is shared verbatim.

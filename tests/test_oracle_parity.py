@@ -46,6 +46,12 @@ FLOAT_SENSITIVE = [
     "pymk_user_3_adamic_adar",
     "docs_unigram_logprob",
     "customer_running_totals",
+    # r5 late additions: PPS priorities (bit-exact claim), a
+    # round(sum(double)) over per-user event groups, and the sampled
+    # closeness ratio
+    "docs_weighted_sample",
+    "events_user_range_pruned",
+    "graph_closeness_landmarks",
 ]
 
 

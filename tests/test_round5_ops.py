@@ -999,3 +999,42 @@ def test_closeness_landmarks_path_graph(spark):
     assert rows[1] == (1, 4, 0.25) and rows[5] == (1, 4, 0.25)
     # 8, 9 reach no landmark -> no row
     assert 8 not in rows and 9 not in rows
+
+
+# --- robust stats (warehouse.winsorized_stats / group_zscores) -------------
+
+
+def test_winsorized_stats_clips_planted_outliers(spark):
+    """100 unit values + two planted outliers per side: the outliers are
+    counted as clipped and the winsorized mean stays near 1."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.warehouse import (
+        winsorized_stats,
+    )
+
+    rows = [(i, "click", 1.0 + (i % 10) * 0.01) for i in range(100)]
+    rows += [(100, "click", 1e6), (101, "click", 2e6),
+             (102, "click", -1e6), (103, "click", -2e6)]
+    ev = spark.createDataFrame(rows, ["event_id", "event_type", "value"])
+    r = winsorized_stats(ev, lo_p=0.05, hi_p=0.95).collect()[0]
+    assert r.n_clipped_low >= 2 and r.n_clipped_high >= 2
+    assert 0.5 < r.winsorized_mean < 1.5, "outliers must not drag the mean"
+    assert r.lo <= r.hi
+
+
+def test_group_zscores_normalize_per_group(spark):
+    """Each group's z-scores have ~0 mean and ~1 std, and a cross-group
+    scale difference disappears after normalization."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.warehouse import (
+        group_zscores,
+    )
+
+    rows = [(i, "a", float(i % 7)) for i in range(70)]
+    rows += [(100 + i, "b", 1000.0 + 50.0 * (i % 5)) for i in range(50)]
+    ev = spark.createDataFrame(rows, ["event_id", "event_type", "value"])
+    z = group_zscores(ev).collect()
+    for g in ("a", "b"):
+        zs = [r.z for r in z if r.event_type == g]
+        m = sum(zs) / len(zs)
+        v = sum((x - m) ** 2 for x in zs) / (len(zs) - 1)
+        assert abs(m) < 1e-6, (g, m)
+        assert abs(v - 1.0) < 1e-3, (g, v)
