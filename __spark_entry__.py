@@ -1462,6 +1462,18 @@ def _q_events_zscores(spark, sf_dir):
     return W.group_zscores(tables.load_table(spark, sf_dir, "events"))
 
 
+def _q_orders_monthly_growth(spark, sf_dir):
+    """Monthly revenue + MoM/YoY growth (operators/warehouse.py
+    monthly_revenue_growth): one fact aggregate, then calendar
+    self-joins on the tiny month relation — never a lag-12-rows
+    window that breaks on missing months."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        warehouse as W,
+    )
+
+    return W.monthly_revenue_growth(tables.load_table(spark, sf_dir, "orders"))
+
+
 def _q_docs_tfidf_top3(spark, sf_dir):
     """Per-document TF-IDF keyword extraction (functions/text.py
     tfidf_top_terms): top-3 terms per document by tf * ln(N/df), ranked
@@ -1697,6 +1709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_closeness_landmarks": _q_graph_closeness_landmarks,  # new r5
         "events_value_winsorized": _q_events_value_winsorized,  # new r5
         "events_zscores": _q_events_zscores,  # new r5
+        "orders_monthly_growth": _q_orders_monthly_growth,  # new r5
     }
 
 

@@ -561,3 +561,49 @@ def group_zscores(events: DataFrame) -> DataFrame:
             F.round((F.col("value") - F.col("mean")) / F.col("std"), 6).alias("z"),
         )
     )
+
+
+def monthly_revenue_growth(orders: DataFrame) -> DataFrame:
+    """Monthly revenue with month-over-month and year-over-year growth —
+    the trend report every revenue dashboard serves.
+
+    Scale shape: ONE map-side-combined aggregate reduces the fact table
+    to one row per month (~tens of rows however big the fact is); the
+    MoM/YoY comparisons are then CALENDAR SELF-JOINS on that tiny
+    relation (month = prior + 1/12 months) rather than ``lag`` rows —
+    a lag-12-rows window silently breaks the moment a month is missing
+    from the data, the calendar join never does. Catalyst broadcasts
+    both sides; the fact is scanned once.
+
+    Float edges: exact decimal revenue rounded at 4dp; growth divides
+    two identical rounded doubles (single IEEE ops), rounded at 6dp.
+    Months with no prior-period row carry NULL growth (declared)."""
+    m = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month")
+    ).agg(
+        F.round(
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double"), 4
+        ).alias("revenue")
+    )
+    mom = m.select(
+        F.add_months(F.col("month"), 1).alias("month"),
+        F.col("revenue").alias("prev_rev"),
+    )
+    yoy = m.select(
+        F.add_months(F.col("month"), 12).alias("month"),
+        F.col("revenue").alias("yago_rev"),
+    )
+    return (
+        m.join(mom, "month", "left")
+        .join(yoy, "month", "left")
+        .select(
+            "month",
+            "revenue",
+            F.round(
+                (F.col("revenue") - F.col("prev_rev")) / F.col("prev_rev"), 6
+            ).alias("mom_pct"),
+            F.round(
+                (F.col("revenue") - F.col("yago_rev")) / F.col("yago_rev"), 6
+            ).alias("yoy_pct"),
+        )
+    )

@@ -1302,6 +1302,23 @@ SELECT e.event_id, e.event_type,
        round((e."value" - st.mean) / st.std, 6) AS z
 FROM events e JOIN st USING (event_type)"""
 
+# Monthly revenue growth (operators/warehouse.py monthly_revenue_growth):
+# identical month aggregate + calendar self-joins; decimal revenue at
+# the 4dp edge, growth at 6dp.
+ORACLES["orders_monthly_growth"] = """\
+WITH m AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4)
+           AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT m.month, m.revenue,
+       round((m.revenue - p.revenue) / p.revenue, 6) AS mom_pct,
+       round((m.revenue - y.revenue) / y.revenue, 6) AS yoy_pct
+FROM m
+LEFT JOIN m p ON m.month = CAST(p.month + INTERVAL 1 MONTH AS DATE)
+LEFT JOIN m y ON m.month = CAST(y.month + INTERVAL 12 MONTH AS DATE)"""
+
 # Stream-stream windowed join (streaming/joins.py): a drained stream
 # must emit exactly the batch bounded_range_join pair set — the oracle
 # is shared verbatim.

@@ -1038,3 +1038,39 @@ def test_group_zscores_normalize_per_group(spark):
         v = sum((x - m) ** 2 for x in zs) / (len(zs) - 1)
         assert abs(m) < 1e-6, (g, m)
         assert abs(v - 1.0) < 1e-3, (g, v)
+
+
+# --- monthly growth (warehouse.monthly_revenue_growth) ---------------------
+
+
+def test_monthly_growth_survives_missing_months(spark):
+    """A lag-12-rows window would mis-pair across a gap; the calendar
+    join must yield NULL growth when the prior period is absent and
+    exact ratios when present."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.warehouse import (
+        monthly_revenue_growth,
+    )
+
+    rows = [
+        (1, "1995-01-10", 100.0),
+        (2, "1995-02-10", 150.0),
+        # March missing entirely
+        (3, "1995-04-10", 200.0),
+        (4, "1996-01-10", 300.0),  # YoY vs 1995-01
+        (5, "1996-02-10", 150.0),  # YoY vs 1995-02 -> 0.0
+    ]
+    orders = spark.createDataFrame(
+        rows, ["o_orderkey", "d", "o_totalprice"]
+    ).select(
+        "o_orderkey",
+        F.col("d").cast("timestamp").alias("o_orderdate"),
+        "o_totalprice",
+    )
+    g = {str(r.month): (r.revenue, r.mom_pct, r.yoy_pct)
+         for r in monthly_revenue_growth(orders).collect()}
+    assert g["1995-01-01"] == (100.0, None, None)
+    assert g["1995-02-01"] == (150.0, 0.5, None)
+    # April: prior month (March) missing -> NULL MoM, not a pair with Feb
+    assert g["1995-04-01"] == (200.0, None, None)
+    assert g["1996-01-01"] == (300.0, None, 2.0)
+    assert g["1996-02-01"] == (150.0, -0.5, 0.0)
