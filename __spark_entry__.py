@@ -720,6 +720,38 @@ def _q_streaming_error_click_pairs(spark, sf_dir):
     )
 
 
+def _q_streaming_error_click_left(spark, sf_dir):
+    """Stream-stream LEFT OUTER windowed join (streaming/joins.py):
+    like streaming_error_click_pairs, plus every unmatched error emits
+    once with NULL click columns after the watermark passes its window —
+    flushed on drain by the sentinel device. Converged ≡ the batch LEFT
+    JOIN oracle."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.streaming.joins import (
+        StreamingRangeJoiner,
+    )
+
+    ev = tables.load_table(spark, sf_dir, "events")
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"{tempfile.gettempdir()}/sgr-ssjl-{key}"
+    shutil.rmtree(base, ignore_errors=True)
+    ev.repartition(3).write.mode("overwrite").parquet(f"{base}/landing")
+    j = StreamingRangeJoiner(
+        spark, f"{base}/wh", window_s=300, delay="40 days", how="leftOuter"
+    )
+    j.drain(f"{base}/landing", f"{base}/ckpt", max_files_per_trigger=1)
+    return j.pairs().select(
+        F.col("e_id").alias("event_id"),
+        F.col("e_user").alias("user_id"),
+        F.unix_micros("e_ts").alias("error_ts_us"),
+        F.col("c_id").alias("click_id"),
+        F.unix_micros("c_ts").alias("click_ts_us"),
+    )
+
+
 def _q_lineitem_pricing_rollup(spark, sf_dir):
     from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
         warehouse as W,
@@ -1710,6 +1742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_winsorized": _q_events_value_winsorized,  # new r5
         "events_zscores": _q_events_zscores,  # new r5
         "orders_monthly_growth": _q_orders_monthly_growth,  # new r5
+        "streaming_error_click_left": _q_streaming_error_click_left,  # new r5
     }
 
 

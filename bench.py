@@ -48,6 +48,10 @@ BENCH_QUERIES = [
     "pymk_user_3_jaccard",
     "docs_tfidf_top3",
     "customer_running_totals",
+    "orders_monthly_growth",
+    "events_wau",
+    "events_zscores",
+    "graph_closeness_landmarks",
     "events_trailing_24h",
     "events_day_pruned",
     "events_asof_last_click",
@@ -67,6 +71,7 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_pairs",
+    "dedup_editdistance",
     "dedup_clusters",
     "corpus_curation",
     "text_quality",

@@ -1324,6 +1324,22 @@ LEFT JOIN m y ON m.month = CAST(y.month + INTERVAL 12 MONTH AS DATE)"""
 # is shared verbatim.
 ORACLES["streaming_error_click_pairs"] = ORACLES["events_error_click_pairs_5m"]
 
+# LEFT OUTER stream-stream windowed join (streaming/joins.py,
+# how="leftOuter"): the batch LEFT JOIN with the same pre-filtered
+# sides and range condition — unmatched errors carry NULL click cols.
+ORACLES["streaming_error_click_left"] = """\
+WITH e AS (SELECT * FROM events WHERE event_type = 'error'),
+c AS (SELECT * FROM events WHERE event_type = 'click')
+SELECT e.event_id, e.user_id,
+       epoch_us(e.ts) AS error_ts_us,
+       c.event_id AS click_id,
+       epoch_us(c.ts) AS click_ts_us
+FROM e
+LEFT JOIN c
+  ON c.user_id = e.user_id
+ AND c.ts >= e.ts - INTERVAL '300 seconds'
+ AND c.ts <= e.ts"""
+
 
 # ---------------------------------------------------------------------------
 # Round-5 additions: graph analytics, SCD2 history, contamination audit,

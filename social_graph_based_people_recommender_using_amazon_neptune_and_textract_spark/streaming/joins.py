@@ -43,11 +43,27 @@ EVENT_STREAM_SCHEMA = (
 )
 
 
+#: Reserved user id for watermark-advancing sentinel rows (the
+#: sessions.py flush device); sentinel pairs never reach the output.
+SENTINEL_USER = -1
+
+
 class StreamingRangeJoiner:
     """Owns the emitted-pairs table under ``out_dir``; availableNow
     drains a landing directory of event files exactly once per
     checkpoint, emitting (error, click within ``window_s`` at-or-before)
-    pairs per user."""
+    pairs per user.
+
+    ``how="inner"`` (default) emits matches as both sides arrive.
+    ``how="leftOuter"`` additionally emits every UNMATCHED error with
+    NULL click columns — real-time attribution's "error with no
+    preceding click" alert. Outer emission is WATERMARK-GATED: an
+    unmatched left row is final only once the global watermark passes
+    its window (no future click can match it), so a drained-stream
+    flush needs the sessions.py sentinel device — ``drain()`` appends a
+    far-future sentinel row to BOTH sides (the global watermark is the
+    MIN across inputs) and re-drains, then the reserved user id is
+    filtered from the output."""
 
     def __init__(
         self,
@@ -55,11 +71,15 @@ class StreamingRangeJoiner:
         out_dir: str,
         window_s: int = 300,
         delay: str = "10 minutes",
+        how: str = "inner",
     ) -> None:
+        if how not in ("inner", "leftOuter"):
+            raise ValueError(f"unsupported join type: {how}")
         self.spark = spark
         self.out_dir = out_dir
         self.window_s = window_s
         self.delay = delay
+        self.how = how
         self.pairs_dir = f"{out_dir}/pairs"
 
     def run_available_now(
@@ -96,6 +116,7 @@ class StreamingRangeJoiner:
             (F.col("e_user") == F.col("c_user"))
             & (F.col("c_ts") >= F.col("e_ts") - F.expr(f"INTERVAL {self.window_s} SECONDS"))
             & (F.col("c_ts") <= F.col("e_ts")),
+            self.how,
         ).select("e_id", "e_user", "e_ts", "c_id", "c_ts")
         q = (
             pairs.writeStream.format("parquet")
@@ -111,7 +132,49 @@ class StreamingRangeJoiner:
         if q.exception() is not None:
             raise q.exception()
 
+    def drain(
+        self,
+        landing_dir: str,
+        checkpoint_dir: str,
+        max_files_per_trigger: int | None = None,
+        timeout_s: int = 300,
+    ) -> None:
+        """Drain the landing data; for ``leftOuter``, then flush
+        withheld unmatched errors with a watermark-advancing sentinel
+        on both sides and drain once more."""
+        import datetime as dt
+
+        self.run_available_now(
+            landing_dir, checkpoint_dir, max_files_per_trigger, timeout_s
+        )
+        if self.how != "leftOuter":
+            return
+        bounds = (
+            self.spark.read.schema(EVENT_STREAM_SCHEMA)
+            .parquet(landing_dir)
+            .agg(F.max("ts").alias("hi"))
+            .collect()[0]
+        )
+        if bounds.hi is None:
+            return
+        flush_at = bounds.hi + dt.timedelta(days=3650)
+        sentinel = self.spark.createDataFrame(
+            [
+                (-1, flush_at, SENTINEL_USER, "error", 0.0, None),
+                (-2, flush_at, SENTINEL_USER, "click", 0.0, None),
+            ],
+            EVENT_STREAM_SCHEMA,
+        )
+        sentinel.write.mode("append").parquet(landing_dir)
+        self.run_available_now(
+            landing_dir, checkpoint_dir, max_files_per_trigger, timeout_s
+        )
+
     def pairs(self) -> DataFrame:
-        return self.spark.read.schema(
-            "e_id long, e_user long, e_ts timestamp, c_id long, c_ts timestamp"
-        ).parquet(self.pairs_dir)
+        return (
+            self.spark.read.schema(
+                "e_id long, e_user long, e_ts timestamp, c_id long, c_ts timestamp"
+            )
+            .parquet(self.pairs_dir)
+            .filter(F.col("e_user") != SENTINEL_USER)
+        )

@@ -536,3 +536,48 @@ def test_streaming_enrichment_drain_independent(spark, tmp_path):
     # A: users 0,2 -> 20 events; B: user 1 -> 10 events
     got = {t[0]: (t[1], t[2]) for t in many}
     assert got["B"][0] == 10 and got["A"][0] == 20
+
+
+def test_streaming_left_outer_range_join_flushes_unmatched(spark, tmp_path):
+    """leftOuter drain: the emitted set is the batch LEFT JOIN — every
+    matched pair PLUS one NULL-click row per unmatched error, flushed
+    by the sentinel; matched errors never also emit a NULL row, and the
+    sentinel itself is filtered."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.streaming.joins import (
+        StreamingRangeJoiner,
+    )
+
+    ev = tables.load_table(spark, SF_DIR, "events")
+    landing = str(tmp_path / "landing")
+    ev.repartition(3).write.mode("overwrite").parquet(landing)
+
+    j = StreamingRangeJoiner(
+        spark, str(tmp_path / "wh"), window_s=300, delay="40 days",
+        how="leftOuter",
+    )
+    j.drain(landing, str(tmp_path / "ckpt"), max_files_per_trigger=1)
+    got = {(r["e_id"], r["c_id"]) for r in j.pairs().collect()}
+
+    errors = ev.filter(F.col("event_type") == "error").alias("e")
+    clicks = ev.filter(F.col("event_type") == "click").alias("c")
+    want = {
+        (r["e_id"], r["c_id"])
+        for r in errors.join(
+            clicks,
+            (F.col("e.user_id") == F.col("c.user_id"))
+            & (F.col("c.ts") >= F.col("e.ts") - F.expr("INTERVAL 300 SECONDS"))
+            & (F.col("c.ts") <= F.col("e.ts")),
+            "left",
+        )
+        .select(
+            F.col("e.event_id").alias("e_id"), F.col("c.event_id").alias("c_id")
+        )
+        .collect()
+    }
+    assert got == want and want
+    unmatched = {e for e, c in want if c is None}
+    matched = {e for e, c in want if c is not None}
+    assert unmatched, "fixture should contain clickless errors"
+    assert not (unmatched & matched)
+    # a matched error must not ALSO emit a null row
+    assert all((e, None) not in got for e in matched)
