@@ -752,6 +752,20 @@ def _q_streaming_error_click_left(spark, sf_dir):
     )
 
 
+def _q_events_monthly_users_hll(spark, sf_dir):
+    """Mergeable-sketch distinct rollup (operators/sketches.py): HLL
+    sketch per day, register-max merge per month. ROWS-ONLY by
+    declaration — DataSketches binaries have no DuckDB twin and the
+    estimate is not bit-stable across partitionings; the suite pins the
+    ~1.6% error bound against the exact count and merge-vs-direct
+    consistency instead (tests/test_round5_ops.py)."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.sketches import (
+        monthly_distinct_users,
+    )
+
+    return monthly_distinct_users(tables.load_table(spark, sf_dir, "events"))
+
+
 def _q_lineitem_pricing_rollup(spark, sf_dir):
     from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
         warehouse as W,
@@ -1743,6 +1757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_zscores": _q_events_zscores,  # new r5
         "orders_monthly_growth": _q_orders_monthly_growth,  # new r5
         "streaming_error_click_left": _q_streaming_error_click_left,  # new r5
+        "events_monthly_users_hll": _q_events_monthly_users_hll,  # new r5, rows-only
     }
 
 

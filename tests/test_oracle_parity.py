@@ -16,20 +16,39 @@ from oracle_compare import assert_matches_oracle
 QUERIES = entrymod.queries()
 ORACLES = entrymod.oracle_sql()
 
+#: Declared rows-only queries (driver records the weaker rows-only
+#: check): genuinely non-SQL-expressible outputs. Each must carry its
+#: own value-evidence tests instead (see the query docstring).
+ROWS_ONLY = {
+    # DataSketches HLL binaries have no DuckDB twin and estimates are
+    # not bit-stable across partitionings; error bound + merge
+    # consistency pinned in test_round5_ops.py.
+    "events_monthly_users_hll",
+}
+
 
 def test_registry_complete():
-    missing = set(QUERIES) - set(ORACLES)
+    missing = set(QUERIES) - set(ORACLES) - ROWS_ONLY
     assert not missing, f"queries without oracle: {missing}"
+    assert not (ROWS_ONLY & set(ORACLES)), "rows-only query grew an oracle"
 
 
-@pytest.mark.parametrize("name", sorted(QUERIES))
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - ROWS_ONLY))
 def test_parity_sf0001(spark, name):
     df = QUERIES[name](spark, SF_SMALL)
     assert_matches_oracle(df, ORACLES[name], SF_SMALL, name)
 
 
+@pytest.mark.parametrize("name", sorted(ROWS_ONLY))
+def test_rows_only_queries_run(spark, name):
+    """Rows-only queries must still execute and return rows at the
+    driver's scales (the driver's weaker check)."""
+    assert QUERIES[name](spark, SF_SMALL).count() > 0
+    assert QUERIES[name](spark, SF_CORRECTNESS).count() > 0
+
+
 @pytest.mark.slow
-@pytest.mark.parametrize("name", sorted(QUERIES))
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - ROWS_ONLY))
 def test_parity_sf001(spark, name):
     df = QUERIES[name](spark, SF_CORRECTNESS)
     assert_matches_oracle(df, ORACLES[name], SF_CORRECTNESS, name)

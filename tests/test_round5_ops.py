@@ -1074,3 +1074,57 @@ def test_monthly_growth_survives_missing_months(spark):
     assert g["1995-04-01"] == (200.0, None, None)
     assert g["1996-01-01"] == (300.0, None, 2.0)
     assert g["1996-02-01"] == (150.0, -0.5, 0.0)
+
+
+# --- mergeable HLL sketches (operators/sketches.py) ------------------------
+
+
+def test_hll_rollup_within_error_bound(spark):
+    """Monthly estimates from merged daily sketches stay within the HLL
+    error envelope of the exact per-month distinct (lgK=12 → rse ~1.6%;
+    assert 5% with a floor for small counts)."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.sketches import (
+        monthly_distinct_users,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.sources.tables import (
+        load_table,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events")
+    est = {str(r.month): r.users_est for r in monthly_distinct_users(ev).collect()}
+    exact = {
+        str(r.month): r.n
+        for r in ev.groupBy(
+            F.date_trunc("month", "ts").cast("date").alias("month")
+        )
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert est.keys() == exact.keys() and est
+    for m, n in exact.items():
+        assert abs(est[m] - n) <= max(2, 0.05 * n), (m, n, est[m])
+
+
+def test_hll_merge_consistent_with_direct_sketch(spark):
+    """Merging daily sketches must estimate ~the same as one direct
+    sketch over the whole period — the mergeability contract that makes
+    the persisted sketch table answer rollups without fact re-scans."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.sketches import (
+        daily_user_sketches,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.sources.tables import (
+        load_table,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events")
+    merged = (
+        daily_user_sketches(ev)
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("e"))
+        .collect()[0]["e"]
+    )
+    direct = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias("e")
+    ).collect()[0]["e"]
+    exact = ev.select("user_id").distinct().count()
+    assert abs(merged - exact) <= max(2, 0.05 * exact), (merged, exact)
+    assert abs(direct - exact) <= max(2, 0.05 * exact), (direct, exact)
