@@ -1128,3 +1128,30 @@ def test_hll_merge_consistent_with_direct_sketch(spark):
     exact = ev.select("user_id").distinct().count()
     assert abs(merged - exact) <= max(2, 0.05 * exact), (merged, exact)
     assert abs(direct - exact) <= max(2, 0.05 * exact), (direct, exact)
+
+
+def test_new_r5_plans_have_no_nested_loop_and_broadcast_small_sides(spark):
+    """Plan-shape pin for the late-r5 operators: no BroadcastNestedLoop
+    anywhere; the broadcast-back operators (z-scores, winsorize, growth)
+    actually broadcast their tiny aggregate sides."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.warehouse import (
+        group_zscores,
+        monthly_revenue_growth,
+        rolling_active_users,
+        winsorized_stats,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.sources.tables import (
+        load_table,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    for df, n_bc in [
+        (rolling_active_users(ev), 0),
+        (group_zscores(ev), 1),
+        (winsorized_stats(ev), 1),
+        (monthly_revenue_growth(orders), 2),
+    ]:
+        plan = PL.physical_plan(df)
+        assert "BroadcastNestedLoop" not in plan
+        assert PL.broadcast_join_count(df) >= n_bc
