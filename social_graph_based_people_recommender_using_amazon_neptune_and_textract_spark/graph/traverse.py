@@ -145,6 +145,18 @@ def multi_source_shortest_paths(
             .join(dist, ["src_id", "id"], "left_anti")
             .withColumn("dist", F.lit(hop).cast("int"))
         )
+        if hop == max_hops:
+            # Final hop: no further superstep reads this frontier, so the
+            # empty-check count and the checkpoint materialization are
+            # pure overhead — union the expansion (one shallow join over
+            # the last checkpoints) and finish. Saves one job + one
+            # checkpoint per traversal. The returned lineage READS the
+            # last frontier/dist checkpoints, so they must stay live
+            # (tracked; checkpoints.release_all frees them after the
+            # result is consumed) — do NOT free them here.
+            dist = dist.unionByName(expanded)
+            bi.unpersist()
+            return dist
         nxt, nxt_ids = checkpoint(expanded)
         free(spark, frontier_ids, blocking=False)
         frontier_rows = nxt.count()
