@@ -1591,41 +1591,97 @@ def _q_graph_pagerank_top20(spark, sf_dir):
     return pagerank_topk(tables.user_graph_edges(spark, sf_dir), 20)
 
 
+def _driver_evidence() -> dict[str, int]:
+    """Last driver-green round per query, parsed from the committed
+    CORRECTNESS_r*.json files that live next to this file.
+
+    Green = rows+schema match, hash not failed, no error recorded.
+    Missing or unreadable files contribute no evidence, so the ordering
+    stays deterministic for any checkout."""
+    import json
+    import re as _re
+    from pathlib import Path
+
+    here = Path(__file__).resolve().parent
+    last: dict[str, int] = {}
+    for path in sorted(here.glob("CORRECTNESS_r*.json")):
+        m = _re.search(r"r0*(\d+)", path.stem)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            rows = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        for name, v in rows.items():
+            if not isinstance(v, dict):
+                continue
+            green = (
+                v.get("rows_match")
+                and v.get("schema_match")
+                and v.get("hash_match") is not False
+                and not v.get("err")
+            )
+            if green:
+                last[name] = max(last.get(name, 0), rnd)
+    return last
+
+
+_FLAGSHIP = "pymk_user_3"
+
+
+def _rotate(
+    registry: dict[str, Callable[[SparkSession, str], DataFrame]],
+) -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Least-evidence-first ordering, automated (VERDICT r5 items 1-2).
+
+    The driver hash-verifies only the FIRST 50 registry entries each
+    round, so ordering IS the rotation policy: queries with no driver
+    row ever lead, then the flagship pymk_user_3 (pinned into the window
+    every round — the flagship should never be the query without a
+    driver row), then everything else by ascending last-driver-green
+    round. Ties keep canonical registration order. The same evidence map
+    drives COVERAGE.md's rotation table (tools/rotation_report.py)."""
+    evidence = _driver_evidence()
+
+    def sort_key(item: tuple[int, str]) -> tuple[float, int]:
+        idx, name = item
+        rnd = float(evidence.get(name, 0))
+        if name == _FLAGSHIP and rnd:
+            rnd = 0.5
+        return (rnd, idx)
+
+    ordered = sorted(enumerate(registry), key=sort_key)
+    return {name: registry[name] for _, name in ordered}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Registration order IS the driver's check order, and the driver
-    verifies the FIRST 50 entries only. Policy (VERDICT r3 item 1):
-    queries with the least correctness evidence come first — this round
-    (5) that means queries whose ENGINE CODE changed (search term
-    dictionary, events timestamp arithmetic, streaming LSH layout,
-    tracked checkpoints), then the 14 queries rotated out in round 4
-    (r3-green, evidence two rounds old — VERDICT r4 item 6), then stable
-    r4 greens. The tail holds the queries verified fresh in round 4 and
-    untouched since (media/ann/simhash/kmeans family, plus the two
-    trivial point lookups); rotate again next round."""
-    return {
-        # -- brand-new in round 5 (never verified) -----------------------
-        "graph_pagerank_top20": _q_graph_pagerank_top20,  # new r5
-        "pymk_user_3_ppr": _q_pymk_user_3_ppr,  # new r5
-        "pymk_user_3_jaccard": _q_pymk_user_3_jaccard,  # new r5
-        "pymk_user_3_adamic_adar": _q_pymk_user_3_adamic_adar,  # new r5
-        "docs_tfidf_top3": _q_docs_tfidf_top3,  # new r5
-        "streaming_session_stats": _q_streaming_session_stats,  # new r5
-        "orders_topk_revenue": _q_orders_topk_revenue,  # new r5
-        "events_value_histogram": _q_events_value_histogram,  # new r5
-        "docs_unigram_logprob": _q_docs_unigram_logprob,  # new r5
-        "events_cube": _q_events_cube,  # new r5
-        "graph_triangles": _q_graph_triangles,  # new r5
-        "status_history_scd2": _q_status_history_scd2,  # new r5
-        "split_contamination": _q_split_contamination,  # new r5
-        "docs_top_terms": _q_docs_top_terms,  # new r5
-        "events_transitions": _q_events_transitions,  # new r5
-        # -- engine code changed in round 5 ------------------------------
-        "events_asof_last_click": _q_events_asof_last_click,  # new r5
-        "events_error_click_pairs_5m": _q_events_error_click_pairs_5m,  # new r5
-        "lineitem_pricing_rollup": _q_lineitem_pricing_rollup,  # new r5
-        "events_value_percentiles": _q_events_value_percentiles,  # new r5
-        "streaming_error_click_pairs": _q_streaming_error_click_pairs,  # new r5
-        "streaming_search_bizcards": _q_streaming_search_bizcards,  # new r5
+    """Canonical registry (insertion order = tie-break order); the
+    returned dict is reordered least-evidence-first by ``_rotate`` so
+    the driver's 50-entry correctness window always checks the queries
+    with the stalest driver evidence."""
+    registry = {
+        "graph_pagerank_top20": _q_graph_pagerank_top20,
+        "pymk_user_3_ppr": _q_pymk_user_3_ppr,
+        "pymk_user_3_jaccard": _q_pymk_user_3_jaccard,
+        "pymk_user_3_adamic_adar": _q_pymk_user_3_adamic_adar,
+        "docs_tfidf_top3": _q_docs_tfidf_top3,
+        "streaming_session_stats": _q_streaming_session_stats,
+        "orders_topk_revenue": _q_orders_topk_revenue,
+        "events_value_histogram": _q_events_value_histogram,
+        "docs_unigram_logprob": _q_docs_unigram_logprob,
+        "events_cube": _q_events_cube,
+        "graph_triangles": _q_graph_triangles,
+        "status_history_scd2": _q_status_history_scd2,
+        "split_contamination": _q_split_contamination,
+        "docs_top_terms": _q_docs_top_terms,
+        "events_transitions": _q_events_transitions,
+        "events_asof_last_click": _q_events_asof_last_click,
+        "events_error_click_pairs_5m": _q_events_error_click_pairs_5m,
+        "lineitem_pricing_rollup": _q_lineitem_pricing_rollup,
+        "events_value_percentiles": _q_events_value_percentiles,
+        "streaming_error_click_pairs": _q_streaming_error_click_pairs,
+        "streaming_search_bizcards": _q_streaming_search_bizcards,
         "streaming_dedup_minhash": _q_streaming_dedup_minhash,
         "graph_degrees_bucketed": _q_graph_degrees_bucketed,
         "search_bizcards": _q_search_bizcards,
@@ -1641,7 +1697,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_token_shards": _q_docs_token_shards,
         "dedup_clusters": _q_dedup_clusters,
         "graph_shortest_paths": _q_graph_shortest_paths,
-        # -- rotated back in (last verified round 3) ---------------------
         "text_language_id": _q_text_language_id,
         "text_token_counts": _q_text_token_counts,
         "bizcard_parse": _q_bizcard_parse,
@@ -1654,65 +1709,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_vertices": _q_graph_vertices,
         "graph_counts": _q_graph_counts,
         "docs_hash_sample": _q_docs_hash_sample,
-        # -- new r5, placed AFTER the rotated-back group so those 14 keep
-        # their in-window slots; still inside the 50-entry window -------
-        "events_day_pruned": _q_events_day_pruned,  # new r5
-        "dq_audit_core": _q_dq_audit_core,  # new r5
-        # -- stable round-4 greens, untouched this round -----------------
-        "pymk_user_3": _q_pymk_user_3,  # position 51: the one constrained
-        # query the r5 additions push past the window. Least-evidence-
-        # first still holds — the flagship has MORE standing evidence
-        # than anything in-window: entry() drives it through the driver's
-        # smoke check every round, bench times it every round, and the
-        # suite hash-checks it against its oracle at sf0.001 AND sf0.01
-        # (test_oracle_parity) plus property/plan pins.
-        # ---- entries below fall outside the driver's 50-entry check
-        # window: verified fresh in round 4, untouched since (including
-        # graph_degrees and one_hop_paths, displaced by the two link-
-        # prediction PYMK variants — both benched every round and
-        # plan-pinned in test_plans; the flagship pymk_user_3 keeps the
-        # last in-window slot); their
-        # operator families are represented above (minhash/exact/clusters
-        # for dedup; graph lookups ride the pymk/hydration paths). They
-        # rotate back into the window next round. dedup_minhash_lsh's
-        # exact oracle is checked in-window via streaming_dedup_minhash
-        # (identical SQL); the two warehouse queries' plans remain pinned
-        # by test_plans, the sampling pair by test_sampling's property
-        # tests, the salted distinct by test_skew; the five entries the
-        # round-5 additions displaced (streaming_dedup … corpus_curation)
-        # are r4-green and tested in-suite at sf0.001 (streaming_bizcards,
-        # archive_replay and album_replay join them to make room for the
-        # pagerank/unigram/cube additions; the streaming ingest path stays
-        # covered in-window by streaming_search_bizcards, streaming_status
-        # and streaming_status_machine; the PYMK variants beyond the
-        # in-window flagship pymk_user_3 are r4-green, benched every round,
-        # and pinned by test_pymk_properties/test_plans). --------------------
-        "events_sessionized": _q_events_sessionized,  # r4-green; the
-        # sessionize engine path keeps in-window evidence via
-        # session_stats, streaming_session_stats and events_transitions
-        "streaming_event_windows": _q_streaming_event_windows,  # r4-green;
-        # windows.py untouched in r5, and the event-time-window family is
-        # represented in-window by the stricter streaming_session_stats
-        # late-r5 additions past a full window: suite-verified against
-        # their oracles at sf0.001 AND sf0.01 every run; they rotate to
-        # the head of the window next round as never-driver-verified
-        "customer_running_totals": _q_customer_running_totals,  # new r5
-        "part_cheapest_supplier": _q_part_cheapest_supplier,  # new r5
-        "events_trailing_24h": _q_events_trailing_24h,  # new r5
-        "bizcard_pii_redacted": _q_bizcard_pii_redacted,  # new r5
-        "streaming_enriched_segments": _q_streaming_enriched_segments,  # new r5
-        "docs_chunks": _q_docs_chunks,  # new r5
-        "user_event_pivot": _q_user_event_pivot,  # new r5
-        "customer_spend_quartiles": _q_customer_spend_quartiles,  # new r5
-        "graph_kcore_72": _q_graph_kcore_72,  # new r5
-        "salted_enriched_segments": _q_salted_enriched_segments,  # new r5
-        "lineitem_revenue_forecast": _q_lineitem_revenue_forecast,  # new r5
-        "orders_with_returns_by_priority": _q_orders_with_returns_by_priority,  # new r5
-        "events_funnel": _q_events_funnel,  # new r5
-        "docs_collocations_top20": _q_docs_collocations_top20,  # new r5
-        "graph_degree_distribution": _q_graph_degree_distribution,  # new r5
-        "graph_landmark_distances": _q_graph_landmark_distances,  # new r5
-        "ann_lsh": _q_ann_lsh,  # new r5
+        "events_day_pruned": _q_events_day_pruned,
+        "dq_audit_core": _q_dq_audit_core,
+        "pymk_user_3": _q_pymk_user_3,
+        "events_sessionized": _q_events_sessionized,
+        "streaming_event_windows": _q_streaming_event_windows,
+        "customer_running_totals": _q_customer_running_totals,
+        "part_cheapest_supplier": _q_part_cheapest_supplier,
+        "events_trailing_24h": _q_events_trailing_24h,
+        "bizcard_pii_redacted": _q_bizcard_pii_redacted,
+        "streaming_enriched_segments": _q_streaming_enriched_segments,
+        "docs_chunks": _q_docs_chunks,
+        "user_event_pivot": _q_user_event_pivot,
+        "customer_spend_quartiles": _q_customer_spend_quartiles,
+        "graph_kcore_72": _q_graph_kcore_72,
+        "salted_enriched_segments": _q_salted_enriched_segments,
+        "lineitem_revenue_forecast": _q_lineitem_revenue_forecast,
+        "orders_with_returns_by_priority": _q_orders_with_returns_by_priority,
+        "events_funnel": _q_events_funnel,
+        "docs_collocations_top20": _q_docs_collocations_top20,
+        "graph_degree_distribution": _q_graph_degree_distribution,
+        "graph_landmark_distances": _q_graph_landmark_distances,
+        "ann_lsh": _q_ann_lsh,
         "graph_degrees": _q_graph_degrees,
         "one_hop_paths": _q_one_hop_paths,
         "search_documents_count": _q_search_documents_count,
@@ -1747,18 +1765,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_assign": _q_kmeans_assign,
         "vertex_lookup": _q_vertex_lookup,
         "edge_exists_first": _q_edge_exists_first,
-        # -- late r5 additions (suite-verified; head of the r6 window) ---
-        "dedup_editdistance": _q_dedup_editdistance,  # new r5
-        "docs_weighted_sample": _q_docs_weighted_sample,  # new r5
-        "events_wau": _q_events_wau,  # new r5
-        "events_user_range_pruned": _q_events_user_range_pruned,  # new r5
-        "graph_closeness_landmarks": _q_graph_closeness_landmarks,  # new r5
-        "events_value_winsorized": _q_events_value_winsorized,  # new r5
-        "events_zscores": _q_events_zscores,  # new r5
-        "orders_monthly_growth": _q_orders_monthly_growth,  # new r5
-        "streaming_error_click_left": _q_streaming_error_click_left,  # new r5
-        "events_monthly_users_hll": _q_events_monthly_users_hll,  # new r5, rows-only
+        "dedup_editdistance": _q_dedup_editdistance,
+        "docs_weighted_sample": _q_docs_weighted_sample,
+        "events_wau": _q_events_wau,
+        "events_user_range_pruned": _q_events_user_range_pruned,
+        "graph_closeness_landmarks": _q_graph_closeness_landmarks,
+        "events_value_winsorized": _q_events_value_winsorized,
+        "events_zscores": _q_events_zscores,
+        "orders_monthly_growth": _q_orders_monthly_growth,
+        "streaming_error_click_left": _q_streaming_error_click_left,
+        "events_monthly_users_hll": _q_events_monthly_users_hll,
     }
+    return _rotate(registry)
 
 
 def oracle_sql() -> dict[str, str]:
