@@ -371,20 +371,39 @@ def _ngram_pairs_build(
     rare = dfs.filter(F.col("df") <= shingle_df_cap).select("shingle")
     hot = dfs.filter(F.col("df") > shingle_df_cap).select("shingle")
 
-    sh_rare = sh.join(rare, "shingle")
-    sa = sh_rare.select(F.col("doc_id").alias("doc_a"), "shingle", F.col("sz").alias("sza"))
-    sb = sh_rare.select(F.col("doc_id").alias("doc_b"), "shingle", F.col("sz").alias("szb"))
-    t = float(threshold)
-    shared_rare = (
-        sa.join(
-            sb,
-            (sa["shingle"] == sb["shingle"])
-            & (sa["doc_a"] < sb["doc_b"])
-            & (sb["szb"] >= t * sa["sza"])  # size-ratio bound: J ≥ t
-            & (sa["sza"] >= t * sb["szb"]),  # implies sizes within 1/t
+    def _shared_rare_build():
+        sh_rare = sh.join(rare, "shingle")
+        sa = sh_rare.select(
+            F.col("doc_id").alias("doc_a"), "shingle", F.col("sz").alias("sza")
         )
-        .groupBy("doc_a", "doc_b", "sza", "szb")
-        .agg(F.count(F.lit(1)).alias("inter_rare"))
+        sb = sh_rare.select(
+            F.col("doc_id").alias("doc_b"), "shingle", F.col("sz").alias("szb")
+        )
+        t = float(threshold)
+        return (
+            sa.join(
+                sb,
+                (sa["shingle"] == sb["shingle"])
+                & (sa["doc_a"] < sb["doc_b"])
+                & (sb["szb"] >= t * sa["sza"])  # size-ratio bound: J ≥ t
+                & (sa["sza"] >= t * sb["szb"]),  # implies sizes within 1/t
+            )
+            .groupBy("doc_a", "doc_b", "sza", "szb")
+            .agg(F.count(F.lit(1)).alias("inter_rare")),
+        )
+
+    # The Σdf² candidate join + pair aggregation is the expensive subtree
+    # and feeds TWO consumers below (the inter assembly and the hot
+    # correction's pair probe) — without a pin the whole join would
+    # execute twice per cold build.
+    (shared_rare,) = pinned(
+        (
+            "ngram_shared_rare",
+            corpus.semanticHash(),
+            float(threshold),
+            shingle_df_cap,
+        ),
+        _shared_rare_build,
     )
 
     sh_hot = sh.join(hot, "shingle")
@@ -597,15 +616,28 @@ def dedup_editdistance_pairs(
 def _editdistance_pairs_build(
     corpus: DataFrame, max_dist: int, gram_df_cap: int
 ) -> DataFrame:
-    norm = _edit_norm(corpus)
-    grams = norm.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.expr("transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))")
-            )
-        ).alias("g"),
-    )
+    from ..pinned import pinned
+
+    def _index_build():
+        n = _edit_norm(corpus)
+        g = n.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))"
+                    )
+                )
+            ).alias("g"),
+        )
+        return n, g
+
+    # The normalized-prefix relation feeds THREE consumers (the gram
+    # explode and both sides of the verify join) and the gram relation
+    # TWO (df counts and both sides of the candidate join) — pin them or
+    # the corpus normalization re-executes per consumer in the cold
+    # build's single pass.
+    norm, grams = pinned(("edit_norm_grams", corpus.semanticHash()), _index_build)
     dfs = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     rare = dfs.filter(F.col("df") <= gram_df_cap).select("g")
     rg = grams.join(rare, "g")
