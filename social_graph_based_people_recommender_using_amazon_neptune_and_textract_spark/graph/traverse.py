@@ -146,15 +146,19 @@ def multi_source_shortest_paths(
             .withColumn("dist", F.lit(hop).cast("int"))
         )
         if hop == max_hops:
-            # Final hop: no further superstep reads this frontier, so the
-            # empty-check count and the checkpoint materialization are
-            # pure overhead — union the expansion (one shallow join over
-            # the last checkpoints) and finish. Saves one job + one
-            # checkpoint per traversal. The returned lineage READS the
-            # last frontier/dist checkpoints, so they must stay live
-            # (tracked; checkpoints.release_all frees them after the
-            # result is consumed) — do NOT free them here.
-            dist = dist.unionByName(expanded)
+            # Final hop: no further superstep reads this frontier, so
+            # the empty-check count is pure overhead — skip it. The
+            # union IS still checkpointed: returning the raw lineage
+            # would re-run the final frontier join (and recompute
+            # symmetrize(edges) once bi is unpersisted) on EVERY action
+            # a consumer triggers — closeness aggregates then reuses
+            # the result, paying the join twice. One eager checkpoint
+            # costs the same as that first re-run and makes the result
+            # self-contained, so the superseded scratch (and bi) can be
+            # freed NOW instead of lingering until release_all.
+            dist, _final_ids = checkpoint(dist.unionByName(expanded))
+            free(spark, frontier_ids, blocking=False)
+            free(spark, dist_ids, blocking=False)
             bi.unpersist()
             return dist
         nxt, nxt_ids = checkpoint(expanded)

@@ -539,7 +539,15 @@ def group_zscores(events: DataFrame) -> DataFrame:
     rounded at declared edges (6dp / 4dp); every downstream step —
     s²/n, the subtraction, /(n-1), ``sqrt``, (v-mean)/std — is a single
     correctly-rounded IEEE op on identical inputs, so both engines land
-    on the same double, and the final z is rounded at 6dp."""
+    on the same double, and the final z is rounded at 6dp.
+
+    The rounding can make a near-constant group's variance land a hair
+    BELOW zero — Spark's sqrt would yield NaN while DuckDB raises — so
+    both engines clamp the variance at 0 before the sqrt (mirrored with
+    ``greatest(var, 0)`` in the oracle). A true- or clamped-zero std
+    yields NULL z (``try_divide`` here — ANSI Spark raises on x/0 —
+    and x/0 → NULL in DuckDB): constant groups carry NULL z-scores by
+    declaration."""
     moments = events.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value"), 6).alias("s"),
@@ -549,8 +557,11 @@ def group_zscores(events: DataFrame) -> DataFrame:
         "event_type",
         (F.col("s") / F.col("n")).alias("mean"),
         F.sqrt(
-            (F.col("ssq") - F.col("s") * F.col("s") / F.col("n"))
-            / (F.col("n") - 1)
+            F.greatest(
+                (F.col("ssq") - F.col("s") * F.col("s") / F.col("n"))
+                / (F.col("n") - 1),
+                F.lit(0.0),
+            )
         ).alias("std"),
     )
     return (
@@ -558,7 +569,9 @@ def group_zscores(events: DataFrame) -> DataFrame:
         .select(
             "event_id",
             "event_type",
-            F.round((F.col("value") - F.col("mean")) / F.col("std"), 6).alias("z"),
+            F.round(
+                F.try_divide(F.col("value") - F.col("mean"), F.col("std")), 6
+            ).alias("z"),
         )
     )
 

@@ -1295,7 +1295,7 @@ WITH m AS (
 ),
 st AS (
   SELECT event_type, s / n AS mean,
-         sqrt((ssq - s * s / n) / (n - 1)) AS std
+         sqrt(greatest((ssq - s * s / n) / (n - 1), 0)) AS std
   FROM m
 )
 SELECT e.event_id, e.event_type,

@@ -141,7 +141,19 @@ class StreamingRangeJoiner:
     ) -> None:
         """Drain the landing data; for ``leftOuter``, then flush
         withheld unmatched errors with a watermark-advancing sentinel
-        on both sides and drain once more."""
+        on both sides and drain once more.
+
+        FINAL-DRAIN CONTRACT (leftOuter only, same device as
+        sessions.py): the sentinel rows are APPENDED INTO
+        ``landing_dir`` itself — any other consumer of that directory
+        sees two phantom user_id=``SENTINEL_USER`` events (filter them
+        as ``pairs()`` does) — and they advance this checkpoint's
+        watermark ~10 years past the observed max timestamp, so the
+        checkpoint is FINAL: data landed after a leftOuter ``drain()``
+        would be dropped as late on a re-drain against the same
+        ``checkpoint_dir``. Treat leftOuter drain as the one-shot
+        end-of-stream flush; to resume consumption instead, use a fresh
+        checkpoint dir (and drop the sentinel files)."""
         import datetime as dt
 
         self.run_available_now(

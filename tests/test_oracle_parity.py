@@ -41,9 +41,16 @@ def test_parity_sf0001(spark, name):
 
 @pytest.mark.parametrize("name", sorted(ROWS_ONLY))
 def test_rows_only_queries_run(spark, name):
-    """Rows-only queries must still execute and return rows at the
-    driver's scales (the driver's weaker check)."""
+    """Rows-only queries must still execute and return rows (the
+    driver's weaker check) — fast tier at sf0.001."""
     assert QUERIES[name](spark, SF_SMALL).count() > 0
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", sorted(ROWS_ONLY))
+def test_rows_only_queries_run_sf001(spark, name):
+    """Driver-scale (sf0.01) rows-only check, tiered slow to match the
+    parity tests' fast/slow split."""
     assert QUERIES[name](spark, SF_CORRECTNESS).count() > 0
 
 

@@ -1040,6 +1040,28 @@ def test_group_zscores_normalize_per_group(spark):
         assert abs(v - 1.0) < 1e-3, (g, v)
 
 
+def test_group_zscores_constant_group_yields_null_not_nan(spark):
+    """A (near-)constant group's rounded moments can put the variance a
+    hair below zero; the clamp must make std exactly 0 (never NaN via
+    sqrt(negative)) and the z-scores NULL — matching the oracle, where
+    an unclamped sqrt(negative) RAISES instead of returning NaN."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.warehouse import (
+        group_zscores,
+    )
+
+    # 50 × 0.12341: ssq rounds DOWN at 4dp, pushing the rounded-moment
+    # variance to -2.9e-8 — the exact latent-NaN case the clamp closes.
+    rows = [(i, "const", 0.12341) for i in range(50)]
+    rows += [(100 + i, "vary", float(i)) for i in range(10)]
+    ev = spark.createDataFrame(rows, ["event_id", "event_type", "value"])
+    out = group_zscores(ev).collect()
+    const_z = [r.z for r in out if r.event_type == "const"]
+    assert len(const_z) == 50
+    assert all(z is None for z in const_z), const_z[:3]
+    vary_z = [r.z for r in out if r.event_type == "vary"]
+    assert all(z is not None and z == z for z in vary_z)
+
+
 # --- monthly growth (warehouse.monthly_revenue_growth) ---------------------
 
 
