@@ -849,6 +849,39 @@ def test_kcore_frees_checkpoint_scratch(spark):
     CKPT.release_all(spark)
 
 
+def test_kcore_one_job_per_round(spark):
+    """The fixpoint probe rides the checkpoint materialization (an
+    Observation edge count), so each peeling round is exactly ONE Spark
+    job — no separate ``weak.limit(1).count()`` degree scan (r5 verdict
+    item 7). AQE is disabled for the measurement because it splits one
+    materialization into one job per shuffle stage, which would make the
+    count nondeterministic; the invariant under test is per-round job
+    count, not AQE's stage scheduling."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark import (
+        checkpoints as CKPT,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.graph.kcore import (
+        kcore,
+    )
+
+    sc = spark.sparkContext
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        # Path 1-2-…-8, k=2: peels two endpoints per round — edge counts
+        # 7→5→3→1→0, then one convergence round: 5 loop rounds + the
+        # entry canonicalization = 6 materializations = 6 jobs.
+        pairs = [(i, i + 1) for i in range(1, 8)]
+        sc.setJobGroup("kcore-jobcount", "one job per peeling round")
+        kcore(_edges(spark, pairs), 2)
+        jobs = sc.statusTracker().getJobIdsForGroup("kcore-jobcount")
+        assert len(jobs) == 6, f"expected 1 job/round (6 total), got {len(jobs)}"
+    finally:
+        sc.setJobGroup("kcore-jobcount-done", "")
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        CKPT.release_all(spark)
+
+
 def test_collocations_pmi_values_and_bound(spark):
     import math
 
