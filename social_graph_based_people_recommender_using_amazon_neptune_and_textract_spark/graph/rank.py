@@ -34,7 +34,7 @@ round on the normalized rank.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from ..checkpoints import checkpoint, free
@@ -115,6 +115,65 @@ def pagerank_topk(
         )
         .orderBy(F.col("rank_norm").desc(), F.col("id").asc())
         .limit(k)
+    )
+
+
+def pagerank_converged(
+    edges: DataFrame,
+    tol: float = 1e-9,
+    damping: float = DAMPING,
+    max_iterations: int = 200,
+) -> DataFrame:
+    """(id, rank) iterated until the L∞ round-over-round delta drops to
+    ``tol`` — the convergence-mode companion of the fixed-K ``pagerank``
+    (which stays the registered, oracle-unrollable path).
+
+    Same superstep plan as ``pagerank``; the only addition is that each
+    round's new state keeps the previous rank beside it long enough for
+    an ``Observation`` to measure max|r_new − r_old| DURING the eager
+    checkpoint — the stopping probe costs zero extra Spark jobs (the
+    kcore device). Damped PageRank is a contraction with factor
+    ``damping``, so the delta decreases geometrically and the loop
+    terminates for any tol > 0; ``max_iterations`` is a misuse guard
+    that RAISES rather than returning an unconverged answer (the
+    components.py convergence contract)."""
+    spark = edges.sparkSession
+    bi, deg = pinned_bi_deg(edges)
+    h = edges.semanticHash()
+    n = memo(("graph_n", h), deg.count, parent=("graph_bi_deg", h))
+    if n == 0:
+        return spark.createDataFrame([], "id long, rank double")
+
+    teleport = (1.0 - damping) / n
+    state = deg.withColumn("r", F.lit(1.0 / n))
+    state_ids: frozenset = frozenset()
+    for _ in range(max_iterations):
+        contribs = bi.join(state, bi["src"] == state["id"]).select(
+            F.col("dst").alias("id"), (F.col("r") / F.col("d")).alias("c")
+        )
+        agg = contribs.groupBy("id").agg(F.sum("c").alias("s"))
+        nxt = (
+            state.select("id", "d", F.col("r").alias("r_prev"))
+            .join(agg, "id")
+            .select(
+                "id",
+                "d",
+                (F.lit(teleport) + F.lit(damping) * F.col("s")).alias("r"),
+                "r_prev",
+            )
+        )
+        obs = Observation()
+        watched = nxt.observe(
+            obs, F.max(F.abs(F.col("r") - F.col("r_prev"))).alias("delta")
+        ).select("id", "d", "r")
+        state, ids = checkpoint(watched)
+        free(spark, state_ids, blocking=False)
+        state_ids = ids
+        if float(obs.get["delta"]) <= tol:
+            return state.select("id", F.col("r").alias("rank"))
+    raise RuntimeError(
+        f"pagerank_converged(tol={tol}) did not converge within "
+        f"{max_iterations} supersteps"
     )
 
 

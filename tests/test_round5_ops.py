@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from itertools import combinations
 
+import pytest
 from pyspark.sql import functions as F
 
 from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark import (
@@ -250,6 +251,42 @@ def test_pagerank_uniform_on_cycle(spark):
     ranks = [r.rank for r in pagerank(cyc, iterations=4).collect()]
     assert len(ranks) == 6
     assert max(ranks) - min(ranks) < 1e-12  # regular graph -> uniform
+
+
+def test_pagerank_converged_matches_large_fixed_k(spark):
+    """VERDICT r5 item 9: the tol-mode loop must land on the same ranks
+    as a large fixed-K run at the declared 6dp rounding edge, and must
+    stop well before the misuse guard (damped PageRank contracts
+    geometrically). The registered query keeps the fixed-K path."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark import (
+        checkpoints as CKPT,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.graph.rank import (
+        pagerank,
+        pagerank_converged,
+    )
+
+    # Irregular graph (star + tail + chord) so ranks are non-uniform.
+    pairs = [(0, i) for i in range(1, 6)] + [(5, 6), (6, 7), (2, 3)]
+    edges = _edges(spark, pairs)
+    conv = {r.id: round(r.rank, 6) for r in pagerank_converged(edges, tol=1e-9).collect()}
+    fixed = {r.id: round(r.rank, 6) for r in pagerank(edges, iterations=80).collect()}
+    assert conv == fixed
+    CKPT.release_all(spark)
+
+
+def test_pagerank_converged_raises_on_budget(spark):
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark import (
+        checkpoints as CKPT,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.graph.rank import (
+        pagerank_converged,
+    )
+
+    edges = _edges(spark, [(0, 1), (1, 2), (2, 0), (2, 3)])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        pagerank_converged(edges, tol=0.0, max_iterations=2)
+    CKPT.release_all(spark)
 
 
 def test_pagerank_empty_graph(spark):
@@ -518,6 +555,56 @@ def test_linkpred_excludes_source_and_friends(spark):
     for fn, col in ((jaccard_pymk, "jaccard"), (adamic_adar_pymk, "aa")):
         ids = {r.id for r in fn(edges, 1, 10).collect()}
         assert ids == {4}, f"{col}: {ids}"
+
+
+def test_linkpred_whale_routing_equivalence(spark, monkeypatch):
+    """VERDICT r5 item 8: the WHALE_BROADCAST_CAP shuffle path of both
+    link-prediction scores, exercised (same pattern as
+    test_pymk_all_whale_salting_is_physical_only). With the cap forced
+    to 0 every friend list is a 'whale': the broadcast hints are
+    withheld and the scoring joins run as plain shuffle joins — which
+    must be row-identical to the default broadcast routing, because the
+    gate is a physical rewrite only."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.graph import (
+        linkpred as LP,
+    )
+
+    # Hub-ish graph: 0 knows 1..9; sparse extra edges make distinct
+    # candidate scores so the top-k ordering is exercised, not just sets.
+    pairs = [(0, i) for i in range(1, 10)] + [
+        (1, 10), (2, 10), (3, 10), (1, 11), (4, 12), (5, 12), (6, 12),
+        (7, 12),
+    ]
+    edges = _edges(spark, pairs)
+
+    def run():
+        j = [(r.id, r.jaccard) for r in LP.jaccard_pymk(edges, 0, 10).collect()]
+        a = [(r.id, r.aa) for r in LP.adamic_adar_pymk(edges, 0, 10).collect()]
+        return j, a
+
+    j_bcast, a_bcast = run()
+    assert len(j_bcast) >= 3 and len(a_bcast) >= 3  # fixture is non-trivial
+
+    monkeypatch.setattr(LP, "WHALE_BROADCAST_CAP", 0)
+    # Routing proof, not just equivalence: under the forced-whale cap the
+    # broadcast hint must be absent from the optimized scoring plan.
+    plan_whale = (
+        LP.jaccard_pymk(edges, 0, 10)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    j_shuffle, a_shuffle = run()
+    assert j_shuffle == j_bcast
+    assert a_shuffle == a_bcast
+
+    monkeypatch.undo()
+    plan_bcast = (
+        LP.jaccard_pymk(edges, 0, 10)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    # The 1-row source-degree crossJoin keeps one hint in both plans;
+    # the friend-side hints (2 in jaccard) only exist under the default
+    # cap, so the broadcast-hint count must strictly drop when forced.
+    assert plan_bcast.count("broadcast") > plan_whale.count("broadcast")
 
 
 def test_linkpred_topk_is_take_ordered(spark):
