@@ -43,12 +43,18 @@ from ..search.index import tokenize
 NGRAM_N = 8  # token shingle width — the published contamination norm
 
 
-def _shingle_hashes(text: Column, n: int) -> Column:
-    """Distinct n-token shingles of ``text`` as 64-bit md5-prefix hex.
-    Short documents (< n tokens) shingle to the empty array — the guard
-    matters because ``F.sequence(1, stop)`` runs DESCENDING when stop < 1
-    (same pattern as dedup._shingles)."""
-    toks = tokenize(text)
+def _shingle_hashes(toks: Column, n: int) -> Column:
+    """Distinct n-token shingles of a MATERIALIZED token-array column as
+    64-bit md5-prefix hex. Short documents (< n tokens) shingle to the
+    empty array — the guard matters because ``F.sequence(1, stop)`` runs
+    DESCENDING when stop < 1 (same pattern as dedup._shingles).
+
+    ``toks`` must be a column REFERENCE, not an inline ``tokenize(...)``
+    expression: the transform lambda below re-evaluates its outer
+    expressions per element (no subexpression elimination across the
+    lambda boundary), so an inlined tokenize re-ran the regexp split per
+    shingle. Callers project the token array first (dedup.shingle_bag
+    has the same barrier)."""
     m = F.size(toks)
     grams = F.transform(
         F.sequence(F.lit(1), m - F.lit(n - 1)),
@@ -77,13 +83,16 @@ def contamination_report(
     Documents shorter than ``n`` tokens have no shingles and report 0.
     """
     sh = F.col("_sh")
-    test_docs = docs.filter(F.col(split_col) == test).select(
-        F.col(key), _shingle_hashes(F.col(text), n).alias("_shs")
+    test_docs = (
+        docs.filter(F.col(split_col) == test)
+        .select(F.col(key), tokenize(F.col(text)).alias("_toks"))
+        .select(F.col(key), _shingle_hashes(F.col("_toks"), n).alias("_shs"))
     )
     test_sh = test_docs.select(key, F.explode("_shs").alias("_sh"))
     train_sh = (
         docs.filter(F.col(split_col) == train)
-        .select(F.explode(_shingle_hashes(F.col(text), n)).alias("_sh"))
+        .select(tokenize(F.col(text)).alias("_toks"))
+        .select(F.explode(_shingle_hashes(F.col("_toks"), n)).alias("_sh"))
         .distinct()
     )
     hits = (

@@ -139,8 +139,17 @@ def shingle_bag(corpus: DataFrame) -> DataFrame:
     """(doc_id, shingle) — word 3-shingles per document WITH duplicates
     (narrow explode, no shuffle). MinHash is multiset-invariant, so
     signatures can consume this directly."""
-    return by_doc(corpus).select(
-        "doc_id", F.explode(_shingles(tokenize(F.col("text")))).alias("shingle")
+    # The token array is materialized behind its own projection before the
+    # higher-order transform: inside a lambda Spark evaluates the outer
+    # `tokens` expression PER ELEMENT (no subexpression elimination across
+    # the lambda boundary), so inlining tokenize() here re-ran the
+    # regexp split ~3x per shingle — 13s → 0.8s at sf0.1. Catalyst keeps
+    # the barrier because `_toks` is referenced many times (CollapseProject
+    # declines to duplicate non-trivial expressions).
+    return (
+        by_doc(corpus)
+        .select("doc_id", tokenize(F.col("text")).alias("_toks"))
+        .select("doc_id", F.explode(_shingles(F.col("_toks"))).alias("shingle"))
     )
 
 
@@ -620,8 +629,11 @@ def _editdistance_pairs_build(
 
     def _index_build():
         n = _edit_norm(corpus)
+        # The prefix length rides every gram row so the candidate join can
+        # apply the exact |len(a)-len(b)| <= max_dist prune in codegen.
         g = n.select(
             "doc_id",
+            F.length("t").alias("l"),
             F.explode(
                 F.array_distinct(
                     F.expr(
@@ -641,10 +653,20 @@ def _editdistance_pairs_build(
     dfs = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     rare = dfs.filter(F.col("df") <= gram_df_cap).select("g")
     rg = grams.join(rare, "g")
+    # Exact length prune (no result change, oracle unchanged): Levenshtein
+    # distance >= |len(a) - len(b)|, so pairs whose prefix lengths differ
+    # by more than max_dist are provably out — the bound evaluates inside
+    # the candidate join's codegen and drops them BEFORE the distinct
+    # shuffle and the verify joins.
+    ga = rg.select(F.col("doc_id").alias("doc_a"), "g", F.col("l").alias("la"))
+    gb = rg.select(F.col("doc_id").alias("doc_b"), "g", F.col("l").alias("lb"))
     cands = (
-        rg.select(F.col("doc_id").alias("doc_a"), "g")
-        .join(rg.select(F.col("doc_id").alias("doc_b"), "g"), "g")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        ga.join(
+            gb,
+            (ga["g"] == gb["g"])
+            & (ga["doc_a"] < gb["doc_b"])
+            & (F.abs(ga["la"] - gb["lb"]) <= max_dist),
+        )
         .select("doc_a", "doc_b")
         .distinct()
     )
