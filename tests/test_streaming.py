@@ -455,6 +455,76 @@ def test_streaming_neardup_candidate_compaction(spark, tmp_path):
     assert spark.read.parquet(d.cands_dir).count() == len(want)
 
 
+def test_streaming_neardup_index_bucket_files_stay_bounded(spark, tmp_path):
+    """VERDICT r5 item 6: the LSH index's per-bucket file count must stay
+    bounded across compaction cycles, not grow O(batches). Drive many
+    1-file micro-batches through a deliberately tiny bucket space
+    (n_sig_buckets=1, so every batch appends to the same 4 buckets) with
+    a 2-batch compaction cadence (≥3 cycles), then assert every (band,
+    sigb) leaf holds fewer files than the batches that wrote to it — and
+    that compaction changed no rows (the convergence contract)."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark import (
+        fsutil,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        dedup as D,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.sources import (
+        compact as C,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.sources import (
+        tables,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.streaming.neardup import (
+        StreamingNearDeduper,
+    )
+
+    corpus = D.aug_corpus(
+        tables.load_table(spark, "/root/testdata/sf0.001", "documents")
+    )
+    landing = str(tmp_path / "landing")
+    n_batches = 12
+    corpus.withColumn(
+        "ts", F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+    ).select("doc_id", "text", "ts").repartition(n_batches).write.mode(
+        "overwrite"
+    ).parquet(landing)
+    d = StreamingNearDeduper(
+        spark, str(tmp_path / "wh"), n_sig_buckets=1, compact_every=2
+    )
+    d.INDEX_COMPACT_MIN_FILES = 3  # bound « batch count so growth is visible
+    d.run_available_now(landing, str(tmp_path / "ckpt"), max_files_per_trigger=1)
+
+    leaves = []
+    for band in fsutil.list_names(spark, d.index_dir):
+        if "=" not in band:
+            continue
+        for leaf in fsutil.list_names(spark, f"{d.index_dir}/{band}"):
+            if "=" in leaf:
+                leaves.append(f"{d.index_dir}/{band}/{leaf}")
+    assert leaves, "fixture must have produced index buckets"
+    for leaf in leaves:
+        n = C.n_data_files(spark, leaf)
+        # 12 one-file batches all hit this bucket; without index
+        # compaction each leaf would hold ~12 files. The cadence bound is
+        # min_files + compact_every - 1 appends between rewrites.
+        assert n < 6, f"{leaf} holds {n} files — index compaction not bounding"
+
+    # Compaction must be purely physical: the index still reproduces the
+    # batch operator's verified pairs on the drained stream.
+    want = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.dedup_minhash_lsh(corpus, 0.5)
+        .select("doc_a", "doc_b")
+        .collect()
+    }
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in d.near_dup_pairs(0.5).select("doc_a", "doc_b").collect()
+    }
+    assert got == want
+
+
 def test_streaming_range_join_converges_to_batch(spark, tmp_path):
     """Stream-stream windowed join: a drained multi-batch stream must
     emit EXACTLY the batch bounded_range_join's pair set — the state
