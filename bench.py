@@ -19,6 +19,16 @@ flatter the warm numbers):
   so the cold number measures build work, not JVM warm-up. Queries
   sharing a pin (e.g. the bizcard index) each pay its build here —
   per-query cold latency, not a deduplicated build ledger.
+
+Cross-engine anchor (VERDICT r5 item 3): the reference publishes no
+benchmark numbers (BASELINE.md), so ``duckdb`` times each headline
+query's own ``oracle_sql()`` in DuckDB (all cores, same parquet, min of
+2 runs) — an independent single-node engine executing the IDENTICAL
+semantics. It is an external sanity anchor, not a like-for-like race:
+DuckDB pays no JVM/driver coordination and holds no reusable index, so
+compare it against Spark's cold ``builds`` numbers, and expect Spark's
+warm ``queries`` numbers (prebuilt pinned indexes, how ES/Neptune
+actually serve) to beat it on the index-backed queries.
 """
 
 from __future__ import annotations
@@ -152,6 +162,8 @@ def main() -> None:
         except Exception as exc:
             errors[name] = f"cold: {type(exc).__name__}: {exc}"[:200]
 
+    duckdb_secs = _duckdb_pass(errors)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_queries_total",
@@ -160,12 +172,68 @@ def main() -> None:
         "queries": timings,
         "builds": builds,
         "builds_total": round(sum(builds.values()), 3),
+        "duckdb": duckdb_secs,
+        "duckdb_total": round(
+            sum(v for v in duckdb_secs.values() if isinstance(v, float)), 3
+        ),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
     spark.stop()
+
+
+#: Per-query DuckDB wall budget. A runaway oracle plan (these SQL twins
+#: are written for CORRECTNESS at sf0.01, not tuned for speed) must not
+#: hang the bench — interrupted queries report "timeout".
+DUCKDB_TIMEOUT_S = 120.0
+
+
+def _duckdb_pass(errors: dict[str, str]) -> dict[str, object]:
+    """min-of-2 DuckDB wall time per headline query's oracle SQL on the
+    same parquet (views registered exactly as the driver does)."""
+    import threading
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.sources.tables import (
+        TABLES,
+    )
+
+    oracles = entrymod.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    secs: dict[str, object] = {}
+    for name in BENCH_QUERIES:
+        if name in errors or name not in oracles:
+            continue
+        best = float("inf")
+        for _ in range(2):
+            timer = threading.Timer(DUCKDB_TIMEOUT_S, con.interrupt)
+            timer.start()
+            t0 = time.perf_counter()
+            try:
+                con.sql(oracles[name]).fetchall()
+                best = min(best, time.perf_counter() - t0)
+            except duckdb.Error as exc:
+                secs[name] = (
+                    "timeout"
+                    if "INTERRUPT" in str(exc).upper()
+                    else f"{type(exc).__name__}: {exc}"[:120]
+                )
+                break
+            finally:
+                timer.cancel()
+        else:
+            secs[name] = round(best, 3)
+    con.close()
+    return secs
 
 
 if __name__ == "__main__":
