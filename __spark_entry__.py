@@ -1591,6 +1591,43 @@ def _q_graph_pagerank_top20(spark, sf_dir):
     return pagerank_topk(tables.user_graph_edges(spark, sf_dir), 20)
 
 
+def _q_dedup_containment(spark, sf_dir):
+    """Directed shingle-containment pairs >= 0.7 (operators/dedup.py
+    containment_pairs): the asymmetric dedup metric — a short doc quoted
+    wholesale inside a long one is invisible to Jaccard but containment
+    ~1.0. Shares the pinned ngram shingle index; rare-shingle candidates
+    with the rare+hot intersection decomposition (no pair re-expansion)."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        dedup as D,
+    )
+
+    return D.containment_pairs(_aug(spark, sf_dir), threshold=0.7)
+
+
+def _q_events_mad_outliers(spark, sf_dir):
+    """Median/MAD modified z-scores with the Iglewicz-Hoaglin 3.5 cutoff
+    (operators/warehouse.py mad_outliers): the robust companion of
+    events_zscores — two tiny percentile aggregates broadcast back onto
+    the scan, no window over raw rows."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        warehouse as W,
+    )
+
+    return W.mad_outliers(tables.load_table(spark, sf_dir, "events"))
+
+
+def _q_orders_retention_cohorts(spark, sf_dir):
+    """Cohort-retention matrix (operators/warehouse.py retention_cohorts):
+    customers by first-order month x whole-month offset, retention vs the
+    offset-0 cohort size — the classic warehouse cohort report, built
+    from one distinct-activity reduction of the fact."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        warehouse as W,
+    )
+
+    return W.retention_cohorts(tables.load_table(spark, sf_dir, "orders"))
+
+
 def _driver_evidence() -> dict[str, int]:
     """Last driver-green round per query, parsed from the committed
     CORRECTNESS_r*.json files that live next to this file.
@@ -1775,6 +1812,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_monthly_growth": _q_orders_monthly_growth,
         "streaming_error_click_left": _q_streaming_error_click_left,
         "events_monthly_users_hll": _q_events_monthly_users_hll,
+        "dedup_containment": _q_dedup_containment,
+        "events_mad_outliers": _q_events_mad_outliers,
+        "orders_retention_cohorts": _q_orders_retention_cohorts,
     }
     return _rotate(registry)
 

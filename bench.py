@@ -92,6 +92,9 @@ BENCH_QUERIES = [
     "ann_lsh",
     "media_decode",
     "media_features",
+    "dedup_containment",
+    "events_mad_outliers",
+    "orders_retention_cohorts",
 ]
 
 
@@ -162,7 +165,10 @@ def main() -> None:
         except Exception as exc:
             errors[name] = f"cold: {type(exc).__name__}: {exc}"[:200]
 
-    duckdb_secs = _duckdb_pass(errors)
+    try:
+        duckdb_secs = _duckdb_pass(errors)
+    except Exception as exc:  # the anchor must never kill the report
+        duckdb_secs = {"_error": f"{type(exc).__name__}: {exc}"[:200]}
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -205,10 +211,12 @@ def _duckdb_pass(errors: dict[str, str]) -> dict[str, object]:
     oracles = entrymod.oracle_sql()
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{SF_DIR}/{t}.parquet')"
-        )
+        # Driver testdata ships single parquet FILES; derived sets (e.g.
+        # the sf1 scale probe) are Spark-written DIRECTORIES — glob those.
+        src = f"{SF_DIR}/{t}.parquet"
+        if os.path.isdir(src):
+            src = f"{src}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     secs: dict[str, object] = {}
     for name in BENCH_QUERIES:
         if name in errors or name not in oracles:

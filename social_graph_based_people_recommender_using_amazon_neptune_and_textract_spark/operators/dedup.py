@@ -446,6 +446,106 @@ def _ngram_pairs_build(
     )
 
 
+def containment_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.7,
+    shingle_df_cap: int = SHINGLE_DF_CAP,
+) -> DataFrame:
+    """Directed shingle-set containment pairs: (doc_inner, doc_outer,
+    containment) with C(inner→outer) = |S(inner) ∩ S(outer)| / |S(inner)|
+    ≥ ``threshold``.
+
+    The asymmetric member of the dedup family: Jaccard (symmetric) is
+    blind to a short document quoted wholesale inside a long one — the
+    intersection is the whole small set but a sliver of the union.
+    Containment is the standard quote/subset-detection metric for
+    training corpora (a doc largely contained in another is redundant
+    even when Jaccard says 0.1). A mutual pair (exact dups) yields both
+    orientations by declaration.
+
+    Same bounded two-phase shape as ``dedup_ngram_pairs``, and the SAME
+    pinned shingle index (the ``ngram_shingles`` pin — one corpus scan
+    serves both audits): candidates share ≥1 rare shingle
+    (df ≤ ``shingle_df_cap``, declared boundary identical to the Jaccard
+    op's); the intersection is decomposed as shared-rare (straight from
+    the candidate join's pair aggregate) + shared-hot (pairs × the few
+    above-cap shingles), so no candidate re-expansion against full
+    shingle sets. Unlike the Jaccard op there is NO size-ratio prune —
+    containment imposes none on the small side (that asymmetry is the
+    point) — so the candidate space is the full rare-shared pair set,
+    bounded by cap² per shingle key."""
+    from pyspark.sql import Window
+
+    from ..pinned import pinned
+
+    def _shingle_index():
+        sh0 = shingle_table(corpus)
+        sized = sh0.withColumn(
+            "sz", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+        )
+        dfs0 = sized.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        return sized, dfs0
+
+    sh, dfs = pinned(("ngram_shingles", corpus.semanticHash()), _shingle_index)
+    rare = dfs.filter(F.col("df") <= shingle_df_cap).select("shingle")
+    hot = dfs.filter(F.col("df") > shingle_df_cap).select("shingle")
+
+    def _build():
+        sh_rare = sh.join(rare, "shingle")
+        sa = sh_rare.select(
+            F.col("doc_id").alias("doc_a"), "shingle", F.col("sz").alias("sza")
+        )
+        sb = sh_rare.select(
+            F.col("doc_id").alias("doc_b"), "shingle", F.col("sz").alias("szb")
+        )
+        shared_rare = (
+            sa.join(
+                sb,
+                (sa["shingle"] == sb["shingle"]) & (sa["doc_a"] < sb["doc_b"]),
+            )
+            .groupBy("doc_a", "doc_b", "sza", "szb")
+            .agg(F.count(F.lit(1)).alias("inter_rare"))
+        )
+        sh_hot = sh.join(hot, "shingle")
+        ha = sh_hot.select(F.col("doc_id").alias("doc_a"), "shingle")
+        hb = sh_hot.select(F.col("doc_id").alias("doc_b"), "shingle")
+        shared_hot = (
+            shared_rare.select("doc_a", "doc_b")
+            .join(ha, "doc_a")
+            .join(hb, ["doc_b", "shingle"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("inter_hot"))
+        )
+        inter = shared_rare.join(
+            shared_hot, ["doc_a", "doc_b"], "left"
+        ).withColumn(
+            "inter",
+            F.col("inter_rare") + F.coalesce(F.col("inter_hot"), F.lit(0)),
+        )
+        # Both orientations from one undirected pair row; each is one
+        # exact IEEE division on integer inputs, rounded at 6dp.
+        fwd = inter.select(
+            F.col("doc_a").alias("doc_inner"),
+            F.col("doc_b").alias("doc_outer"),
+            F.round(F.col("inter").cast("double") / F.col("sza"), 6).alias(
+                "containment"
+            ),
+        )
+        rev = inter.select(
+            F.col("doc_b").alias("doc_inner"),
+            F.col("doc_a").alias("doc_outer"),
+            F.round(F.col("inter").cast("double") / F.col("szb"), 6).alias(
+                "containment"
+            ),
+        )
+        return (fwd.unionByName(rev),)
+
+    (directed,) = pinned(
+        ("containment_pairs", corpus.semanticHash(), shingle_df_cap), _build
+    )
+    return directed.filter(F.col("containment") >= threshold)
+
+
 def dedup_clusters(corpus: DataFrame, threshold: float = 0.5) -> DataFrame:
     """Cluster assignment for near-duplicate documents: connected
     components (operators/components.py) over the MinHash-LSH verified

@@ -576,6 +576,108 @@ def group_zscores(events: DataFrame) -> DataFrame:
     )
 
 
+def mad_outliers(events: DataFrame, cutoff: float = 3.5) -> DataFrame:
+    """Per-row modified z-score within the event_type, via median/MAD —
+    the robust companion of ``group_zscores``: mean/std are themselves
+    dragged by the outliers they are supposed to expose, median and MAD
+    are not (Iglewicz–Hoaglin's 0.6745·(x−median)/MAD with the standard
+    3.5 cutoff; both public statistics-handbook material).
+
+    Plan: two tiny per-group percentile aggregates (exact sort-based
+    ``percentile(0.5)`` ≡ DuckDB ``quantile_cont(0.5)``, the
+    value_percentiles device) — one for the median, one over |x−median|
+    for the MAD after broadcasting the first back onto the scan — then a
+    narrow per-row expression. Three scans of the fact, two broadcasts,
+    no window over raw rows (no per-group sort at 100 TB).
+
+    Float edges: median and MAD are rounded at 6dp; the modified z is
+    (x − median)·0.6745 / MAD as single IEEE ops on identical inputs,
+    rounded at 6dp. A zero-MAD group (≥ half the rows at the median)
+    yields NULL z via ``try_divide`` and is_outlier=false by declaration
+    — mirrored x/0→NULL in the oracle."""
+    med = events.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("med")
+    )
+    mad = (
+        events.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(
+                F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)),
+                6,
+            ).alias("mad")
+        )
+    )
+    stats = med.join(mad, "event_type")
+    z = F.round(
+        F.try_divide(
+            (F.col("value") - F.col("med")) * F.lit(0.6745), F.col("mad")
+        ),
+        6,
+    )
+    return (
+        events.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            z.alias("robust_z"),
+            F.coalesce(F.abs(z) > cutoff, F.lit(False)).alias("is_outlier"),
+        )
+    )
+
+
+def retention_cohorts(orders: DataFrame) -> DataFrame:
+    """Classic cohort-retention matrix over the orders fact: customers
+    grouped by FIRST-order month; for each (cohort_month, month_offset),
+    how many of them ordered again ``month_offset`` months later, and
+    what fraction of the cohort that is.
+
+    Plan shape: the fact reduces to distinct (customer, month) activity
+    — one map-side-combined aggregate — from which the cohort relation
+    (customer → min month) is ONE more tiny aggregate; the matrix is the
+    activity ⋈ cohort equi-join on the customer key (fan-out exactly 1
+    per activity row) aggregated on (cohort, offset). Cohort sizes
+    re-derive from the offset-0 cell (every cohort member is active in
+    their own first month by construction) — no extra pass over the
+    fact. No windows, no driver state; every shuffle keys on customer or
+    the tiny (cohort, offset) pair.
+
+    ``month_offset`` is whole calendar months between first-of-month
+    dates (both engines: exact integer). ``retention`` divides two
+    counts, one IEEE division rounded at 6dp; offset 0 is always 1.0."""
+    activity = orders.groupBy(
+        F.col("o_custkey").alias("custkey"),
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month"),
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    cohort = activity.groupBy("custkey").agg(
+        F.min("month").alias("cohort_month")
+    )
+    cells = (
+        activity.join(cohort, "custkey")
+        .groupBy(
+            "cohort_month",
+            F.months_between(F.col("month"), F.col("cohort_month"))
+            .cast("int")
+            .alias("month_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    sizes = cells.filter(F.col("month_offset") == 0).select(
+        "cohort_month", F.col("n_customers").alias("_cohort_size")
+    )
+    return (
+        cells.join(F.broadcast(sizes), "cohort_month")
+        .select(
+            "cohort_month",
+            "month_offset",
+            "n_customers",
+            F.round(
+                F.col("n_customers").cast("double") / F.col("_cohort_size"), 6
+            ).alias("retention"),
+        )
+    )
+
+
 def monthly_revenue_growth(orders: DataFrame) -> DataFrame:
     """Monthly revenue with month-over-month and year-over-year growth —
     the trend report every revenue dashboard serves.

@@ -2018,3 +2018,92 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 10"""
+
+
+# Directed shingle containment (operators/dedup.py containment_pairs):
+# same rare-shingle candidate generation as the Jaccard op but with NO
+# size-ratio prune (containment imposes none on the small side); the
+# intersection is the naive exact verify here — DuckDB at sf0.01 affords
+# it, Spark decomposes rare+hot to avoid the pair re-expansion.
+ORACLES["dedup_containment"] = f"""\
+WITH {AUG_CORPUS_SQL}, {_SHINGLE_CTES},
+rare AS (
+  SELECT shingle FROM shing GROUP BY shingle
+  HAVING count(*) <= {SHINGLE_DF_CAP}
+),
+cands AS (
+  SELECT DISTINCT sa.doc_id AS doc_a, sb.doc_id AS doc_b
+  FROM shing sa
+  JOIN rare r ON sa.shingle = r.shingle
+  JOIN shing sb ON sa.shingle = sb.shingle
+  WHERE sa.doc_id < sb.doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+  FROM cands c
+  JOIN shing sa ON sa.doc_id = c.doc_a
+  JOIN shing sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+),
+directed AS (
+  SELECT i.doc_a AS doc_inner, i.doc_b AS doc_outer,
+         round(CAST(i.i AS DOUBLE) / za.sz, 6) AS containment
+  FROM inter i JOIN sizes za ON za.doc_id = i.doc_a
+  UNION ALL
+  SELECT i.doc_b AS doc_inner, i.doc_a AS doc_outer,
+         round(CAST(i.i AS DOUBLE) / zb.sz, 6) AS containment
+  FROM inter i JOIN sizes zb ON zb.doc_id = i.doc_b
+)
+SELECT doc_inner, doc_outer, containment
+FROM directed WHERE containment >= 0.7"""
+
+# MAD outliers (operators/warehouse.py mad_outliers): exact interpolated
+# medians (quantile_cont ≡ Spark percentile) rounded at 6dp; modified z
+# is single IEEE ops on identical inputs; x/0 → NULL in both engines and
+# NULL z ⇒ is_outlier false.
+ORACLES["events_mad_outliers"] = """\
+WITH med AS (
+  SELECT event_type, round(quantile_cont("value", 0.5), 6) AS med
+  FROM events GROUP BY event_type
+),
+mad AS (
+  SELECT e.event_type,
+         round(quantile_cont(abs(e."value" - m.med), 0.5), 6) AS mad
+  FROM events e JOIN med m USING (event_type)
+  GROUP BY e.event_type
+),
+st AS (
+  SELECT med.event_type, med.med, mad.mad
+  FROM med JOIN mad USING (event_type)
+)
+SELECT e.event_id, e.event_type,
+  round((e."value" - st.med) * 0.6745 / st.mad, 6) AS robust_z,
+  coalesce(abs(round((e."value" - st.med) * 0.6745 / st.mad, 6)) > 3.5,
+           false) AS is_outlier
+FROM events e JOIN st USING (event_type)"""
+
+# Cohort retention (operators/warehouse.py retention_cohorts): distinct
+# (customer, month) activity, cohort = min month per customer, matrix on
+# (cohort, whole-month offset); sizes re-derived from the offset-0 cell.
+ORACLES["orders_retention_cohorts"] = """\
+WITH activity AS (
+  SELECT o_custkey AS custkey,
+         CAST(date_trunc('month', o_orderdate) AS DATE) AS month
+  FROM orders GROUP BY 1, 2
+),
+cohort AS (
+  SELECT custkey, min(month) AS cohort_month FROM activity GROUP BY custkey
+),
+cells AS (
+  SELECT c.cohort_month,
+         CAST(date_diff('month', c.cohort_month, a.month) AS INT)
+           AS month_offset,
+         count(*) AS n_customers
+  FROM activity a JOIN cohort c USING (custkey)
+  GROUP BY 1, 2
+)
+SELECT s.cohort_month, s.month_offset, s.n_customers,
+       round(CAST(s.n_customers AS DOUBLE) / z.n_customers, 6) AS retention
+FROM cells s
+JOIN (SELECT cohort_month, n_customers FROM cells WHERE month_offset = 0) z
+  USING (cohort_month)"""

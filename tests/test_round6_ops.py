@@ -1,0 +1,207 @@
+"""Round-6 operators: containment dedup, MAD outliers, cohort retention,
+plus the convergence/probe devices added this round (their tests live in
+test_round5_ops.py beside the operators they extend)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------------------
+# containment pairs (operators/dedup.py containment_pairs)
+# --------------------------------------------------------------------------
+
+
+def _corpus(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_containment_known_values(spark):
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    # doc 1's token run is embedded verbatim in doc 2: every one of doc
+    # 1's 3 shingles occurs among doc 2's 5 → C(1→2)=1.0, C(2→1)=0.6.
+    # doc 3 shares nothing.
+    corpus = _corpus(
+        spark,
+        [
+            (1, "one two three four five"),
+            (2, "zero one two three four five six"),
+            (3, "alpha beta gamma delta epsilon"),
+        ],
+    )
+    rows = {
+        (r.doc_inner, r.doc_outer): r.containment
+        for r in containment_pairs(corpus, threshold=0.7).collect()
+    }
+    assert rows == {(1, 2): 1.0}
+    # lowering the threshold surfaces the reverse orientation too
+    rows2 = {
+        (r.doc_inner, r.doc_outer): r.containment
+        for r in containment_pairs(corpus, threshold=0.5).collect()
+    }
+    assert rows2 == {(1, 2): 1.0, (2, 1): 0.6}
+
+
+def test_containment_exact_dups_both_orientations(spark):
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    corpus = _corpus(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+        ],
+    )
+    rows = {
+        (r.doc_inner, r.doc_outer): r.containment
+        for r in containment_pairs(corpus, threshold=0.7).collect()
+    }
+    assert rows == {(1, 2): 1.0, (2, 1): 1.0}
+
+
+def test_containment_asymmetric_invisible_to_jaccard(spark):
+    """The motivating case: a snippet inside a much longer doc — high
+    containment, low Jaccard — must surface here and NOT in the
+    Jaccard-thresholded ngram pairs."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.dedup import (
+        containment_pairs,
+        dedup_ngram_pairs,
+    )
+
+    snippet = "alpha bravo charlie delta echo"
+    filler = " ".join(f"word{i} next{i} more{i}" for i in range(12))
+    corpus = _corpus(spark, [(1, snippet), (2, f"{filler} {snippet}")])
+    cont = {
+        (r.doc_inner, r.doc_outer)
+        for r in containment_pairs(corpus, threshold=0.9).collect()
+    }
+    assert (1, 2) in cont
+    jac = dedup_ngram_pairs(corpus, threshold=0.3).collect()
+    assert not jac  # jaccard ≈ 3/38 — the symmetric metric misses it
+
+
+# --------------------------------------------------------------------------
+# MAD outliers (operators/warehouse.py mad_outliers)
+# --------------------------------------------------------------------------
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, event_type string, value double"
+    )
+
+
+def test_mad_outliers_known_values(spark):
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.warehouse import (
+        mad_outliers,
+    )
+
+    # median 3, deviations [2,1,0,1,97] → MAD 1; rz(100)=0.6745*97=65.4265
+    ev = _events(
+        spark, [(i, "x", v) for i, v in enumerate([1.0, 2.0, 3.0, 4.0, 100.0])]
+    )
+    rows = {r.event_id: (r.robust_z, r.is_outlier) for r in mad_outliers(ev).collect()}
+    assert rows[4] == (65.4265, True)
+    assert rows[2] == (0.0, False)
+    assert rows[0] == (-1.349, False)
+    assert [r for r, o in rows.values() if o] == [65.4265]
+
+
+def test_mad_outliers_zero_mad_group_is_null_not_crash(spark):
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.warehouse import (
+        mad_outliers,
+    )
+
+    # ≥ half the rows at the median → MAD 0 → NULL z, never an outlier
+    ev = _events(spark, [(i, "z", v) for i, v in enumerate([5.0, 5.0, 5.0, 9.0])])
+    rows = mad_outliers(ev).collect()
+    assert all(r.robust_z is None for r in rows)
+    assert all(r.is_outlier is False for r in rows)
+
+
+def test_mad_outliers_robust_where_zscore_is_dragged(spark):
+    """The reason MAD exists: the outlier inflates the std ~50x and so
+    compresses its own classic z to ~4.4, while the modified z — whose
+    MAD the outlier cannot move — reads ~133. 20 unit-spaced points +
+    one at 1000."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.warehouse import (
+        group_zscores,
+        mad_outliers,
+    )
+
+    vals = [float(i) for i in range(20)] + [1000.0]
+    ev = _events(spark, [(i, "x", v) for i, v in enumerate(vals)])
+    z = {r.event_id: r.z for r in group_zscores(ev).collect()}
+    rz = {r.event_id: r.is_outlier for r in mad_outliers(ev).collect()}
+    assert abs(z[20]) < 4.5  # classic z dragged by its own outlier
+    assert rz[20] is True  # modified z is not
+    assert sum(rz.values()) == 1
+
+
+# --------------------------------------------------------------------------
+# retention cohorts (operators/warehouse.py retention_cohorts)
+# --------------------------------------------------------------------------
+
+
+def test_retention_cohorts_known_matrix(spark):
+    import datetime
+
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.warehouse import (
+        retention_cohorts,
+    )
+
+    def o(cust, day):
+        return (cust, datetime.datetime.fromisoformat(day))
+
+    orders = spark.createDataFrame(
+        [
+            o(1, "2024-01-05"),  # cohort Jan
+            o(1, "2024-01-20"),  # same month — distinct-activity collapses
+            o(1, "2024-02-11"),
+            o(2, "2024-01-09"),  # cohort Jan, never returns
+            o(3, "2024-02-02"),  # cohort Feb
+            o(3, "2024-04-27"),
+        ],
+        "o_custkey long, o_orderdate timestamp",
+    )
+    rows = {
+        (str(r.cohort_month), r.month_offset): (r.n_customers, r.retention)
+        for r in retention_cohorts(orders).collect()
+    }
+    assert rows == {
+        ("2024-01-01", 0): (2, 1.0),
+        ("2024-01-01", 1): (1, 0.5),
+        ("2024-02-01", 0): (1, 1.0),
+        ("2024-02-01", 2): (1, 1.0),
+    }
+
+
+def test_retention_cohorts_offset0_always_full(spark):
+    import datetime
+    import random
+
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.warehouse import (
+        retention_cohorts,
+    )
+
+    rng = random.Random(13)
+    rows = [
+        (
+            rng.randrange(40),
+            datetime.datetime(2024, rng.randrange(1, 13), rng.randrange(1, 28)),
+        )
+        for _ in range(300)
+    ]
+    orders = spark.createDataFrame(rows, "o_custkey long, o_orderdate timestamp")
+    out = retention_cohorts(orders).collect()
+    zero = [r for r in out if r.month_offset == 0]
+    assert zero and all(r.retention == 1.0 for r in zero)
+    assert all(0.0 < r.retention <= 1.0 for r in out)
+    # cohort sizes are monotone upper bounds for every later cell
+    size = {str(r.cohort_month): r.n_customers for r in zero}
+    assert all(r.n_customers <= size[str(r.cohort_month)] for r in out)
