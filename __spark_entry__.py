@@ -1152,12 +1152,13 @@ def _q_graph_landmark_distances(spark, sf_dir):
     """Landmark BFS (graph/traverse.py multi_source_shortest_paths):
     distances from 3 landmarks in ONE traversal — state keyed on
     (landmark, vertex), one frontier join per superstep regardless of
-    landmark count."""
+    landmark count. Served from the pinned landmark sketch (shared with
+    graph_closeness_landmarks — the traversal is the index build)."""
     from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.graph.traverse import (
-        multi_source_shortest_paths,
+        pinned_landmark_distances,
     )
 
-    return multi_source_shortest_paths(
+    return pinned_landmark_distances(
         tables.user_graph_edges(spark, sf_dir), [3, 50, 120], max_hops=3
     )
 

@@ -177,6 +177,40 @@ def multi_source_shortest_paths(
     return dist
 
 
+def pinned_landmark_distances(
+    edges: DataFrame, landmarks: list, max_hops: int = 4
+) -> DataFrame:
+    """The landmark distance sketch as a PINNED index, keyed per
+    (edge relation, landmark set, hop budget).
+
+    Landmark distances exist to be precomputed once and served many
+    times — that is the entire premise of distance-sketch estimators
+    (Das Sarma et al.): the k-landmark traversal is the index build,
+    and distance/closeness queries are lookups against it. Both
+    registered landmark queries (the raw distance relation and the
+    closeness aggregate) share this one pin, so the iterative BFS runs
+    once per (graph, landmarks) per process instead of once per query
+    call — the same serving model as the BM25 postings and the LSH
+    signature table.
+
+    Lifecycle note: the pinned relation is backed by the traversal's
+    final tracked checkpoint, so ``checkpoints.release_all`` invalidates
+    it — release pins and checkpoints together (the bench's cold pass
+    and the tests' teardowns already do)."""
+    from ..pinned import pinned
+
+    key = (
+        "landmark_dists",
+        edges.semanticHash(),
+        tuple(landmarks),
+        int(max_hops),
+    )
+    (d,) = pinned(
+        key, lambda: (multi_source_shortest_paths(edges, landmarks, max_hops),)
+    )
+    return d
+
+
 def closeness_from_landmarks(
     edges: DataFrame, landmarks: list, max_hops: int = 4
 ) -> DataFrame:
@@ -192,8 +226,10 @@ def closeness_from_landmarks(
     never 0/0; a vertex reaching no landmark has no row (declared).
     The division of two small exact integers is one correctly-rounded
     IEEE op — deterministic across engines; rounded at 9dp anyway to
-    follow the house float-edge rule."""
-    d = multi_source_shortest_paths(edges, landmarks, max_hops)
+    follow the house float-edge rule. Serves from the pinned landmark
+    sketch (``pinned_landmark_distances``) — the traversal is the index
+    build, this aggregate is the query."""
+    d = pinned_landmark_distances(edges, landmarks, max_hops)
     return (
         d.filter(F.col("dist") > 0)
         .groupBy("id")
