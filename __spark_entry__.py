@@ -1629,6 +1629,18 @@ def _q_orders_retention_cohorts(spark, sf_dir):
     return W.retention_cohorts(tables.load_table(spark, sf_dir, "orders"))
 
 
+def _q_graph_lpa_communities(spark, sf_dir):
+    """Label-propagation communities (graph/communities.py): 4
+    deterministic synchronous rounds over the pinned set-symmetrized
+    view — the friend-circle complement of connected components; ties
+    to the smallest label so the unrolled-CTE oracle matches exactly."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.graph.communities import (
+        label_propagation,
+    )
+
+    return label_propagation(tables.user_graph_edges(spark, sf_dir))
+
+
 def _driver_evidence() -> dict[str, int]:
     """Last driver-green round per query, parsed from the committed
     CORRECTNESS_r*.json files that live next to this file.
@@ -1816,6 +1828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment": _q_dedup_containment,
         "events_mad_outliers": _q_events_mad_outliers,
         "orders_retention_cohorts": _q_orders_retention_cohorts,
+        "graph_lpa_communities": _q_graph_lpa_communities,
     }
     return _rotate(registry)
 

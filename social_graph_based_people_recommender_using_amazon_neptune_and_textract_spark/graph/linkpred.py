@@ -49,11 +49,22 @@ WHALE_BROADCAST_CAP = 5_000_000
 
 def _bs_deg(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(bs, deg): the SET-symmetrized neighbor view (distinct (src, dst))
-    and the set-degree table (id, d), pinned together per edge relation."""
+    and the set-degree table (id, d), pinned together per edge relation.
+
+    bs is re-hashed on src after the distinct: every consumer joins or
+    aggregates it on the tail vertex (the scoring joins here, each LPA
+    round in communities.py, the degree aggregate below), so paying one
+    exchange at pin time gives hash(src) co-location to all of them —
+    per-round loops then shuffle only their vertex-sized state."""
     return pinned(
         ("graph_bs", edges.semanticHash()),
         lambda: (
-            (bs := symmetrize(edges).select("src", "dst").distinct()),
+            (
+                bs := symmetrize(edges)
+                .select("src", "dst")
+                .distinct()
+                .repartition(F.col("src"))
+            ),
             bs.groupBy(F.col("src").alias("id")).agg(
                 F.count(F.lit(1)).alias("d")
             ),

@@ -2107,3 +2107,41 @@ SELECT s.cohort_month, s.month_offset, s.n_customers,
 FROM cells s
 JOIN (SELECT cohort_month, n_customers FROM cells WHERE month_offset = 0) z
   USING (cohort_month)"""
+
+
+# Label-propagation communities (graph/communities.py): K synchronous
+# rounds unrolled as CTEs — per round, (vertex, label) counts over the
+# set-symmetrized view, winner = (count desc, label asc); the window
+# row_number pick here is semantically identical to Spark's
+# max(struct(c, -label)) aggregate.
+_LPA_ROUNDS = 4
+_lpa_ctes = ",\n".join(
+    f"""\
+r{k} AS (
+  SELECT id, label FROM (
+    SELECT t.id, t.label,
+      row_number() OVER (
+        PARTITION BY t.id ORDER BY t.c DESC, t.label ASC
+      ) AS rn
+    FROM (
+      SELECT b.dst AS id, l.label, count(*) AS c
+      FROM bs b JOIN r{k - 1} l ON b.src = l.id
+      GROUP BY b.dst, l.label
+    ) t
+  ) WHERE rn = 1
+)"""
+    for k in range(1, _LPA_ROUNDS + 1)
+)
+
+ORACLES["graph_lpa_communities"] = f"""\
+WITH {EDGES_SQL},
+bs AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM edges
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM edges
+  )
+),
+r0 AS (SELECT DISTINCT src AS id, src AS label FROM bs),
+{_lpa_ctes}
+SELECT id, label AS community FROM r{_LPA_ROUNDS}"""

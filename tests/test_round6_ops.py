@@ -86,6 +86,85 @@ def test_containment_asymmetric_invisible_to_jaccard(spark):
 
 
 # --------------------------------------------------------------------------
+# label propagation (graph/communities.py)
+# --------------------------------------------------------------------------
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(
+        [(int(a), int(b), 1.0) for a, b in pairs],
+        "src long, dst long, weight double",
+    )
+
+
+def _python_lpa(pairs, rounds=4):
+    """Reference implementation of the EXACT declared rule: synchronous,
+    most-frequent neighbor label, ties to smallest label."""
+    import collections
+
+    nbrs = collections.defaultdict(set)
+    for a, b in pairs:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    labels = {v: v for v in nbrs}
+    for _ in range(rounds):
+        new = {}
+        for v in nbrs:
+            cnt = collections.Counter(labels[u] for u in nbrs[v])
+            best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[v] = best[0]
+        labels = new
+    return labels
+
+
+def test_lpa_matches_reference_on_random_graphs(spark):
+    import random
+
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark import (
+        checkpoints as CKPT,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.graph.communities import (
+        label_propagation,
+    )
+
+    rng = random.Random(11)
+    pairs = {(rng.randrange(25), rng.randrange(25)) for _ in range(70)}
+    pairs = [(a, b) for a, b in pairs if a != b]
+    got = {
+        r.id: r.community
+        for r in label_propagation(_edges_df(spark, pairs)).collect()
+    }
+    assert got == _python_lpa(pairs)
+    CKPT.release_all(spark)
+
+
+def test_lpa_separates_bridged_cliques(spark):
+    from itertools import combinations
+
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark import (
+        checkpoints as CKPT,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.graph.communities import (
+        label_propagation,
+    )
+
+    # Two 5-cliques joined by a single bridge: components would merge
+    # them into one; LPA keeps the dense circles apart.
+    a = list(combinations(range(5), 2))
+    b = list(combinations(range(10, 15), 2))
+    pairs = a + b + [(4, 10)]
+    got = {
+        r.id: r.community
+        for r in label_propagation(_edges_df(spark, pairs)).collect()
+    }
+    left = {got[v] for v in range(5)}
+    right = {got[v] for v in range(10, 15)}
+    assert len(left) == 1 and len(right) == 1 and left != right
+    assert got == _python_lpa(pairs)
+    CKPT.release_all(spark)
+
+
+# --------------------------------------------------------------------------
 # MAD outliers (operators/warehouse.py mad_outliers)
 # --------------------------------------------------------------------------
 
