@@ -1629,6 +1629,20 @@ def _q_orders_retention_cohorts(spark, sf_dir):
     return W.retention_cohorts(tables.load_table(spark, sf_dir, "orders"))
 
 
+def _q_events_user_cms_top10(spark, sf_dir):
+    """Count-min heavy hitters (operators/sketches.py cms_heavy_hitters):
+    top-10 users by exact event count with the sketch's min-over-depths
+    estimate beside — fixed affine hashes over the md5 base make the
+    whole d=3×w=1024 counter table bit-identical across engines, so the
+    sketch pipeline is fully hash-checked (the deterministic
+    counterpoint to the rows-only HLL query)."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.sketches import (
+        cms_heavy_hitters,
+    )
+
+    return cms_heavy_hitters(tables.load_table(spark, sf_dir, "events"))
+
+
 def _q_graph_lpa_communities(spark, sf_dir):
     """Label-propagation communities (graph/communities.py): 4
     deterministic synchronous rounds over the pinned set-symmetrized
@@ -1829,6 +1843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_mad_outliers": _q_events_mad_outliers,
         "orders_retention_cohorts": _q_orders_retention_cohorts,
         "graph_lpa_communities": _q_graph_lpa_communities,
+        "events_user_cms_top10": _q_events_user_cms_top10,
     }
     return _rotate(registry)
 

@@ -95,6 +95,8 @@ BENCH_QUERIES = [
     "dedup_containment",
     "events_mad_outliers",
     "orders_retention_cohorts",
+    "graph_lpa_communities",
+    "events_user_cms_top10",
 ]
 
 

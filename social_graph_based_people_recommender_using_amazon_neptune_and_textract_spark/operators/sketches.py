@@ -58,3 +58,102 @@ def rollup_distinct_users(
 def monthly_distinct_users(events: DataFrame, lg_k: int = 12) -> DataFrame:
     """End-to-end composition: sketch per day, merge per month."""
     return rollup_distinct_users(daily_user_sketches(events, lg_k))
+
+
+# --- count-min sketch (deterministic, oracle-checkable) --------------------
+
+#: Count-min geometry: depth d=3 pairwise-independent-ish hash rows of
+#: width w=1024. Overestimate bound: est ≤ true + 2N/w with probability
+#: ≥ 1 − (1/2)^d over the hash draw (Cormode & Muthukrishnan, public);
+#: the hashes here are FIXED affine maps over the engine's md5 base
+#: hash, so — unlike the HLL binaries — the whole sketch is a plain
+#: (depth, bucket, cnt) relation both engines compute bit-identically.
+CMS_DEPTH = 3
+CMS_WIDTH = 1024
+CMS_P = 2147483647  # 2^31 − 1, the engine's minhash modulus
+CMS_A = [974711, 2356097, 3811949]
+CMS_B = [15485863, 32452843, 49979687]
+
+
+def _cms_base(col):
+    from .dedup import md5_long
+
+    return md5_long(col.cast("string")) % CMS_P
+
+
+def cms_sketch(df: DataFrame, col: str) -> DataFrame:
+    """(depth, bucket, cnt): the d×w counter table for the values of
+    ``col`` — the mergeable frequency summary (counters ADD across
+    partitions/days, the same algebra as the HLL register-max).
+
+    One scan: each row explodes to its d (depth, bucket) coordinates
+    (declared constant fan-out), then one map-side-combined aggregate.
+    The materialized sketch is ≤ d·w rows regardless of input size."""
+    base = _cms_base(F.col(col))
+    coords = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("depth"),
+                (
+                    (F.lit(CMS_A[i]) * base + F.lit(CMS_B[i]))
+                    % CMS_P
+                    % CMS_WIDTH
+                ).alias("bucket"),
+            )
+            for i in range(CMS_DEPTH)
+        ]
+    )
+    return (
+        df.select(F.explode(coords).alias("c"))
+        .groupBy(F.col("c.depth").alias("depth"), F.col("c.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimates(sketch: DataFrame, items: DataFrame, col: str) -> DataFrame:
+    """min-over-depths point estimates for ``items[col]`` against a
+    ``cms_sketch`` table: one equi-join on (depth, bucket) with constant
+    per-item fan-out d, then a min aggregate. Never scans the fact."""
+    base = _cms_base(F.col(col))
+    probes = items.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("depth"),
+                        (
+                            (F.lit(CMS_A[i]) * base + F.lit(CMS_B[i]))
+                            % CMS_P
+                            % CMS_WIDTH
+                        ).alias("bucket"),
+                    )
+                    for i in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("c"),
+    ).select("*", F.col("c.depth").alias("depth"), F.col("c.bucket").alias("bucket"))
+    group_cols = [c for c in items.columns]
+    return (
+        probes.join(F.broadcast(sketch), ["depth", "bucket"])
+        .groupBy(*group_cols)
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+
+
+def cms_heavy_hitters(events: DataFrame, k: int = 10) -> DataFrame:
+    """Top-``k`` users by exact event count with their count-min
+    estimate beside: (user_id, exact_cnt, cms_est) — the sketch-audit
+    relation (est ≥ exact always; est − exact is collision mass, the
+    quantity the 2N/w bound governs).
+
+    At 100 TB the exact side is the expensive auditable baseline and
+    the sketch is the serving path; both are produced here so the
+    registered query hash-checks the ENTIRE sketch pipeline against the
+    oracle — the deterministic counterpoint to the rows-only HLL."""
+    exact = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    top = exact.orderBy(F.col("exact_cnt").desc(), F.col("user_id").asc()).limit(k)
+    sk = cms_sketch(events, "user_id")
+    return cms_estimates(sk, top, "user_id").select(
+        "user_id", "exact_cnt", "cms_est"
+    )

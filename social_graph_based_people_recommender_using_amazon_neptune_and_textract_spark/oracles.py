@@ -2145,3 +2145,48 @@ bs AS (
 r0 AS (SELECT DISTINCT src AS id, src AS label FROM bs),
 {_lpa_ctes}
 SELECT id, label AS community FROM r{_LPA_ROUNDS}"""
+
+
+# Count-min heavy hitters (operators/sketches.py cms_heavy_hitters):
+# identical fixed affine hashes over the md5 base hash, so the full
+# d×w counter table and the min-over-depths estimates are bit-identical
+# relations in both engines — the deterministic counterpoint to the
+# rows-only HLL query.
+from .operators.sketches import CMS_A, CMS_B, CMS_DEPTH, CMS_P, CMS_WIDTH
+
+_cms_h = (
+    "CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) "
+    f"AS BIGINT) % {CMS_P}"
+)
+_cms_rows = "\n  UNION ALL\n  ".join(
+    f"SELECT user_id, {i} AS depth, "
+    f"(({CMS_A[i]} * h + {CMS_B[i]}) % {CMS_P}) % {CMS_WIDTH} AS bucket FROM hashed"
+    for i in range(CMS_DEPTH)
+)
+
+ORACLES["events_user_cms_top10"] = f"""\
+WITH hashed AS (
+  SELECT user_id, {_cms_h} AS h FROM events
+),
+coords AS (
+  {_cms_rows}
+),
+cms AS (
+  SELECT depth, bucket, count(*) AS cnt FROM coords GROUP BY depth, bucket
+),
+exact AS (
+  SELECT user_id, count(*) AS exact_cnt FROM events GROUP BY user_id
+),
+top AS (
+  SELECT user_id, exact_cnt FROM exact
+  ORDER BY exact_cnt DESC, user_id ASC LIMIT 10
+),
+th AS (
+  SELECT t.user_id, t.exact_cnt, {_cms_h} AS h FROM top t
+),
+probes AS (
+  {_cms_rows.replace("FROM hashed", "FROM th").replace("SELECT user_id,", "SELECT user_id, exact_cnt,")}
+)
+SELECT p.user_id, p.exact_cnt, min(c.cnt) AS cms_est
+FROM probes p JOIN cms c ON c.depth = p.depth AND c.bucket = p.bucket
+GROUP BY p.user_id, p.exact_cnt"""

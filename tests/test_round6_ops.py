@@ -223,6 +223,57 @@ def test_mad_outliers_robust_where_zscore_is_dragged(spark):
 
 
 # --------------------------------------------------------------------------
+# count-min sketch (operators/sketches.py)
+# --------------------------------------------------------------------------
+
+
+def test_cms_estimate_dominates_exact_and_is_bounded(spark):
+    """CMS never underestimates, and the overestimate is collision mass
+    bounded by the sketch row sums (≤ N per depth). Skewed fixture: one
+    heavy user among many light ones."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.sketches import (
+        cms_heavy_hitters,
+    )
+
+    rows = [(i, 7) for i in range(500)] + [
+        (500 + i, i % 97 + 100) for i in range(400)
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long")
+    out = {r.user_id: (r.exact_cnt, r.cms_est) for r in cms_heavy_hitters(ev, 5).collect()}
+    assert out[7][0] == 500  # the heavy hitter leads with its exact count
+    n = len(rows)
+    for exact, est in out.values():
+        assert est >= exact  # CMS property: only overestimates
+        assert est <= n  # a counter can never exceed the stream length
+    assert len(out) == 5
+
+
+def test_cms_sketch_is_mergeable(spark):
+    """Counters ADD: sketch(A ∪ B) == sketch(A) + sketch(B) bucket-wise
+    — the partial-aggregation algebra that makes per-day sketches roll
+    up without fact re-scans."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.sketches import (
+        cms_sketch,
+    )
+
+    a = spark.createDataFrame(
+        [(i, i % 13) for i in range(200)], "event_id long, user_id long"
+    )
+    b = spark.createDataFrame(
+        [(i, i % 7) for i in range(150)], "event_id long, user_id long"
+    )
+    whole = {
+        (r.depth, r.bucket): r.cnt
+        for r in cms_sketch(a.unionAll(b), "user_id").collect()
+    }
+    merged: dict = {}
+    for part in (a, b):
+        for r in cms_sketch(part, "user_id").collect():
+            merged[(r.depth, r.bucket)] = merged.get((r.depth, r.bucket), 0) + r.cnt
+    assert whole == merged
+
+
+# --------------------------------------------------------------------------
 # retention cohorts (operators/warehouse.py retention_cohorts)
 # --------------------------------------------------------------------------
 
