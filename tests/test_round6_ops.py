@@ -311,6 +311,42 @@ def test_retention_cohorts_known_matrix(spark):
     }
 
 
+def test_round6_plan_shapes(spark):
+    """The scale-relevant plan properties of the round-6 operators:
+    mad_outliers broadcasts its two tiny stats relations instead of
+    windowing raw rows; retention_cohorts likewise never sorts raw rows
+    per group; cms_sketch is one Exchange (explode is narrow, the
+    aggregate map-side-combines)."""
+    import datetime
+
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.sketches import (
+        cms_sketch,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.warehouse import (
+        mad_outliers,
+        retention_cohorts,
+    )
+
+    ev = _events(spark, [(i, "x", float(i)) for i in range(50)])
+    plan = mad_outliers(ev)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan  # per-row z via join, never a raw-row window
+
+    orders = spark.createDataFrame(
+        [(i % 7, datetime.datetime(2024, 1 + i % 3, 1 + i % 25)) for i in range(60)],
+        "o_custkey long, o_orderdate timestamp",
+    )
+    rplan = retention_cohorts(orders)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in rplan
+
+    ev2 = spark.createDataFrame(
+        [(i, i % 9) for i in range(100)], "event_id long, user_id long"
+    )
+    splan = cms_sketch(ev2, "user_id")._jdf.queryExecution().executedPlan().toString()
+    assert splan.count("Exchange") == 1  # one shuffle builds the sketch
+    assert "partial_count" in splan  # map-side combine before it
+
+
 def test_retention_cohorts_offset0_always_full(spark):
     import datetime
     import random
