@@ -223,6 +223,49 @@ def test_mad_outliers_robust_where_zscore_is_dragged(spark):
 
 
 # --------------------------------------------------------------------------
+# pinned landmark sketch (graph/traverse.py pinned_landmark_distances)
+# --------------------------------------------------------------------------
+
+
+def test_landmark_sketch_built_once_and_shared(spark):
+    """The landmark distance sketch is an index: the iterative BFS runs
+    once per (graph, landmarks) pin, and both the raw-distance relation
+    and the closeness aggregate serve from it. A second consumer must
+    launch only its own aggregate jobs — the multi-superstep traversal
+    (one job per hop via the tracked checkpoints) must not re-run."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark import (
+        checkpoints as CKPT,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark import (
+        pinned as PIN,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.graph.traverse import (
+        closeness_from_landmarks,
+        pinned_landmark_distances,
+    )
+
+    sc = spark.sparkContext
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        pairs = [(i, i + 1) for i in range(1, 10)] + [(2, 7), (4, 9)]
+        edges = _edges_df(spark, pairs)
+        pinned_landmark_distances(edges, [1, 5], max_hops=3).count()  # build
+
+        sc.setJobGroup("landmark-reuse", "serve from the pinned sketch")
+        closeness_from_landmarks(edges, [1, 5], max_hops=3).count()
+        jobs = sc.statusTracker().getJobIdsForGroup("landmark-reuse")
+        # one aggregate job over the pinned relation — a re-run of the
+        # 3-hop traversal would need >= 3 checkpoint jobs on top
+        assert len(jobs) == 1, f"sketch not reused: {len(jobs)} jobs"
+    finally:
+        sc.setJobGroup("landmark-reuse-done", "")
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        PIN.release_all()
+        CKPT.release_all(spark)
+
+
+# --------------------------------------------------------------------------
 # count-min sketch (operators/sketches.py)
 # --------------------------------------------------------------------------
 
