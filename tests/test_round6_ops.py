@@ -222,6 +222,106 @@ def test_mad_outliers_robust_where_zscore_is_dragged(spark):
     assert sum(rz.values()) == 1
 
 
+def test_containment_matches_reference_on_random_corpora(spark):
+    """Brute-force reference: with the df cap far above the corpus size
+    every co-shingling pair is a candidate, so containment_pairs must
+    equal exact shingle-set containment for all pairs sharing ≥1
+    shingle. Random corpora over a tiny vocabulary force heavy shingle
+    sharing."""
+    import random
+
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    rng = random.Random(5)
+    vocab = [f"w{i}" for i in range(8)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(3, 12))))
+        for i in range(14)
+    ]
+
+    def shingles(text):
+        t = text.split()
+        return {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+
+    want = {}
+    for i, (ida, ta) in enumerate(docs):
+        for idb, tb in docs[i + 1 :]:
+            sa, sb = shingles(ta), shingles(tb)
+            inter = len(sa & sb)
+            if not inter:
+                continue
+            ca, cb = round(inter / len(sa), 6), round(inter / len(sb), 6)
+            if ca >= 0.5:
+                want[(ida, idb)] = ca
+            if cb >= 0.5:
+                want[(idb, ida)] = cb
+
+    got = {
+        (r.doc_inner, r.doc_outer): r.containment
+        for r in containment_pairs(_corpus(spark, docs), threshold=0.5).collect()
+    }
+    assert got == want
+
+
+def test_mad_outliers_matches_statistics_reference(spark):
+    """Reference: statistics.median on raw values and absolute
+    deviations, with the operator's declared 6dp rounding edges."""
+    import random
+    import statistics
+
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.warehouse import (
+        mad_outliers,
+    )
+
+    rng = random.Random(3)
+    groups = {
+        "a": [round(rng.uniform(-50, 50), 3) for _ in range(37)],
+        "b": [round(rng.expovariate(0.1), 3) for _ in range(24)],
+    }
+    rows, want = [], {}
+    eid = 0
+    for g, vals in groups.items():
+        med = round(statistics.median(vals), 6)
+        mad = round(statistics.median(abs(v - med) for v in vals), 6)
+        for v in vals:
+            rz = round((v - med) * 0.6745 / mad, 6) if mad else None
+            want[eid] = (rz, bool(rz is not None and abs(rz) > 3.5))
+            rows.append((eid, g, float(v)))
+            eid += 1
+    got = {
+        r.event_id: (r.robust_z, r.is_outlier)
+        for r in mad_outliers(_events(spark, rows)).collect()
+    }
+    assert got == want
+
+
+def test_kcore_and_lpa_degenerate_inputs(spark):
+    """Empty and single-edge graphs must degrade, not crash, through
+    the new fixpoint/round machinery."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark import (
+        checkpoints as CKPT,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.graph.communities import (
+        label_propagation,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.graph.kcore import (
+        kcore,
+    )
+
+    empty = spark.createDataFrame([], "src long, dst long, weight double")
+    assert kcore(empty, 2).count() == 0
+    one = _edges_df(spark, [(1, 2)])
+    assert kcore(one, 1).count() == 2
+    assert kcore(one, 2).count() == 0
+    got = {r.id: r.community for r in label_propagation(one).collect()}
+    # a lone edge OSCILLATES under sync LPA (declared fixed-K semantics);
+    # the reference implementation is the ground truth either way
+    assert got == _python_lpa([(1, 2)])
+    CKPT.release_all(spark)
+
+
 # --------------------------------------------------------------------------
 # pinned landmark sketch (graph/traverse.py pinned_landmark_distances)
 # --------------------------------------------------------------------------
