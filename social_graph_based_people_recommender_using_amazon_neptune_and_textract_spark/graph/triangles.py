@@ -76,6 +76,24 @@ def oriented_edges(e: DataFrame, deg: DataFrame) -> DataFrame:
     )
 
 
+def pinned_tri_layout(
+    edges: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(canonical e, undirected deg, degree-oriented o) pinned per edge
+    relation — the wedge-analytics layout, a graph index in the same
+    family as model.pinned_bi (bag view, PYMK/PageRank) and linkpred's
+    set view: the canonicalize + degree + orient work happens once per
+    process and every wedge-shaped consumer serves from it."""
+    from ..pinned import pinned
+
+    def _build():
+        e = canonical_edges(edges)
+        deg = _undirected_degrees(e)
+        return e, deg, oriented_edges(e, deg)
+
+    return pinned(("graph_tri_layout", edges.semanticHash()), _build)
+
+
 def triangle_stats(edges: DataFrame) -> DataFrame:
     """One-row relation: (triangle_count, wedge_count, clustering_coeff).
 
@@ -84,11 +102,11 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     graph); the count columns are exact BIGINTs. Orientation is a
     *physical* choice — the counts are orientation-independent, which is
     what lets the DuckDB oracle use the simpler id-ordered join while
-    this plan uses the skew-proof degree ordering.
+    this plan uses the skew-proof degree ordering. The layout triple is
+    pinned (``pinned_tri_layout``); the wedge join + closing semi-join
+    run per call.
     """
-    e = canonical_edges(edges)
-    deg = _undirected_degrees(e)
-    o = oriented_edges(e, deg)
+    e, deg, o = pinned_tri_layout(edges)
 
     # Wedges at each tail vertex: pairs of out-neighbors, each pair once.
     o1 = o.select(F.col("lo").alias("u"), F.col("hi").alias("x"))
