@@ -69,6 +69,11 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 200) -> DataFrame:
     count did not change this round", which the per-round checkpoint
     measures for free via :func:`_checkpoint_counted`."""
     spark = edges.sparkSession
+    # Deliberately NOT the pinned tri layout: a persisted entry carries
+    # its size statistics through every round's checkpoint, flipping the
+    # weak-vertex anti-joins to broadcast plans (2 extra broadcast-build
+    # jobs per round) — and this loop makes no broadcast assumptions
+    # because the weak set can be huge in early rounds.
     e, e_ids, m_prev = _checkpoint_counted(canonical_edges(edges))
     for _ in range(max_rounds):
         deg = _degrees(e)
