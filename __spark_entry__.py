@@ -1487,6 +1487,41 @@ def _q_events_user_range_pruned(spark, sf_dir):
     )
 
 
+def _q_events_zorder_pruned(spark, sf_dir):
+    """Z-order-clustered layout round-trip (sources/zorder.py): rewrite
+    events Morton-clustered on (user_id, epoch(ts)) — each file covers
+    ~a square cell of the value grid, so footer min/max is tight on
+    BOTH columns and a conjunctive range predicate skips on both —
+    then aggregate one narrow (user range × time range) box.
+    Layout-independent: the oracle is a plain filter over events."""
+    import hashlib
+    import tempfile
+
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.sources.zorder import (
+        read_zordered,
+        write_zordered,
+    )
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"{tempfile.gettempdir()}/sgr-zorder-{key}/events_user_ts"
+    ev = tables.load_table(spark, sf_dir, "events").withColumn(
+        "_ts_epoch", F.unix_timestamp("ts")
+    )
+    write_zordered(ev, path, "user_id", "_ts_epoch", n_files=16)
+    t = read_zordered(spark, path)
+    return (
+        t.filter(
+            F.col("user_id").between(10, 40)
+            & F.col("ts").between("2024-01-08", "2024-01-15")
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("value_sum"),
+        )
+    )
+
+
 def _q_events_value_winsorized(spark, sf_dir):
     """Per-type winsorization report (operators/warehouse.py
     winsorized_stats): exact [p01, p99] bounds, clip counts, winsorized
@@ -1844,6 +1879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_retention_cohorts": _q_orders_retention_cohorts,
         "graph_lpa_communities": _q_graph_lpa_communities,
         "events_user_cms_top10": _q_events_user_cms_top10,
+        "events_zorder_pruned": _q_events_zorder_pruned,
     }
     return _rotate(registry)
 

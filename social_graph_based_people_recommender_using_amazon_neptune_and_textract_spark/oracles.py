@@ -2190,3 +2190,14 @@ probes AS (
 SELECT p.user_id, p.exact_cnt, min(c.cnt) AS cms_est
 FROM probes p JOIN cms c ON c.depth = p.depth AND c.bucket = p.bucket
 GROUP BY p.user_id, p.exact_cnt"""
+
+
+# Z-order layout round-trip (sources/zorder.py): layout-independent —
+# the clustered rewrite must not change ANY row, so the oracle is the
+# plain conjunctive-range filter over events.
+ORACLES["events_zorder_pruned"] = """\
+SELECT user_id, count(*) AS n, round(sum("value"), 6) AS value_sum
+FROM events
+WHERE user_id BETWEEN 10 AND 40
+  AND ts BETWEEN TIMESTAMP '2024-01-08' AND TIMESTAMP '2024-01-15'
+GROUP BY user_id"""

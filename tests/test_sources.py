@@ -178,3 +178,66 @@ def test_range_clustered_files_have_disjoint_minmax(spark, tmp_path):
 
     # and the layout round-trips content
     assert read_range_clustered(spark, path).count() == ev.count()
+
+
+def _file_col_ranges(path, col):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        los, his = [], []
+        for i in range(md.num_row_groups):
+            for c in range(md.num_columns):
+                if md.row_group(i).column(c).path_in_schema == col:
+                    st = md.row_group(i).column(c).statistics
+                    los.append(st.min)
+                    his.append(st.max)
+        out.append((min(los), max(his)))
+    return out
+
+
+def test_zorder_skips_on_both_columns(spark, tmp_path):
+    """The Z-order contract: per-file footer min/max is TIGHT on both
+    cluster columns (each file covers ~a grid cell, not a full-width
+    stripe), so a conjunctive range predicate skips files on either
+    column. Quantified against the single-column alternative: range
+    clustering on user_id alone leaves every file's ts range spanning
+    ~the whole month; the Morton layout's mean per-file ts span must be
+    a small fraction of that. Round-trip content identity is covered by
+    the events_zorder_pruned oracle parity."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.sources.clustered import (
+        write_range_clustered,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.sources.zorder import (
+        read_zordered,
+        write_zordered,
+    )
+
+    ev = tables.load_table(spark, SF, "events").withColumn(
+        "_ts_epoch", F.unix_timestamp("ts")
+    )
+    zpath = str(tmp_path / "ev_zorder")
+    write_zordered(ev, zpath, "user_id", "_ts_epoch", n_files=16)
+    rpath = str(tmp_path / "ev_range")
+    write_range_clustered(ev, rpath, "user_id", n_files=16)
+
+    def mean_span(path, col):
+        ranges = _file_col_ranges(path, col)
+        assert len(ranges) >= 8
+        return sum(hi - lo for lo, hi in ranges) / len(ranges)
+
+    # the single-column layout's ts spans ~the full domain per file
+    full_ts = mean_span(rpath, "_ts_epoch")
+    z_ts = mean_span(zpath, "_ts_epoch")
+    z_user = mean_span(zpath, "user_id")
+    full_user_domain = ev.agg(
+        (F.max("user_id") - F.min("user_id")).alias("d")
+    ).collect()[0]["d"]
+    assert z_ts < 0.6 * full_ts, f"ts not clustered: {z_ts} vs {full_ts}"
+    assert z_user < 0.6 * full_user_domain
+
+    # layout must be content-preserving
+    assert read_zordered(spark, zpath).count() == ev.count()
