@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "orders_retention_cohorts",
     "graph_lpa_communities",
     "events_user_cms_top10",
+    "events_zorder_pruned",
 ]
 
 

@@ -1,0 +1,51 @@
+"""Invariants of the automated least-evidence-first registry rotation
+(__spark_entry__._rotate): the driver hash-verifies only the FIRST 50
+queries() entries per round, so the ordering IS the evidence policy."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+
+WINDOW = 50
+
+
+def test_rotation_window_invariants():
+    ordered = list(entrymod.queries())
+    evidence = entrymod._driver_evidence()
+    window = ordered[:WINDOW]
+
+    # 1. Every never-driver-verified query outranks every verified one
+    #    (or the window is all-never, impossible here), so no new query
+    #    can silently ship without a driver row while verified ones
+    #    occupy its slot.
+    never = [q for q in ordered if q not in evidence and q != entrymod._FLAGSHIP]
+    if len(never) <= WINDOW:
+        missing = [q for q in never if q not in window]
+        assert not missing, f"never-verified outside window: {missing}"
+
+    # 2. The flagship is pinned into the window every round.
+    assert entrymod._FLAGSHIP in window
+
+    # 3. Verified queries are ordered by ascending last-green round
+    #    after the never-verified block (ties keep registration order).
+    rounds = [evidence[q] for q in ordered if q in evidence and q != entrymod._FLAGSHIP]
+    assert rounds == sorted(rounds)
+
+    # 4. Rotation is a permutation of the canonical registry — nothing
+    #    dropped, nothing duplicated.
+    assert len(ordered) == len(set(ordered))
+    assert set(ordered) == set(entrymod.oracle_sql()) | {
+        q for q in ordered if q not in entrymod.oracle_sql()
+    }
+
+
+def test_rows_only_set_is_minimal():
+    """Every registered query has an oracle except the declared
+    rows-only set — which must stay exactly the HLL sketch query (r5
+    verdict item: any future non-oracle query clears the same bar)."""
+    qs = set(entrymod.queries())
+    oracles = set(entrymod.oracle_sql())
+    assert qs - oracles == {"events_monthly_users_hll"}
