@@ -157,3 +157,72 @@ def cms_heavy_hitters(events: DataFrame, k: int = 10) -> DataFrame:
     return cms_estimates(sk, top, "user_id").select(
         "user_id", "exact_cnt", "cms_est"
     )
+
+
+class StreamingCmsAccumulator:
+    """Incremental count-min maintenance — the frequency-sketch member
+    of the engine's incrementally-maintained index family (inverted
+    search index: search/incremental.py; LSH signature index:
+    streaming/neardup.py; this: CMS counters).
+
+    Per micro-batch: sketch the BATCH (d·w-bounded relation) and fold
+    it into the stored counter table by bucket-wise addition — the CMS
+    merge algebra, so a drained stream's counters are IDENTICAL to the
+    batch sketch of the full corpus (the convergence contract the test
+    pins). State on disk is ≤ d·w rows forever; each batch's write is a
+    materialize-then-swap of that tiny table (the neardup compaction
+    device), so a crash leaves the old or the new counters, never a
+    partial sum."""
+
+    def __init__(self, spark, out_dir: str, col: str) -> None:
+        self.spark = spark
+        self.col = col
+        self.table_dir = f"{out_dir}/cms"
+
+    def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from .. import fsutil
+
+        delta = cms_sketch(batch_df, self.col)
+        if fsutil.exists(self.spark, self.table_dir):
+            merged = (
+                self.spark.read.parquet(self.table_dir)
+                .unionByName(delta)
+                .groupBy("depth", "bucket")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+        else:
+            merged = delta
+        tmp = f"{self.table_dir}__swap"
+        merged.write.mode("overwrite").parquet(tmp)
+        fsutil.delete(self.spark, self.table_dir)
+        fsutil.rename(self.spark, tmp, self.table_dir)
+
+    def run_available_now(
+        self, landing_dir: str, checkpoint_dir: str, schema: str,
+        max_files_per_trigger: int | None = None, timeout_s: int = 300,
+    ) -> None:
+        reader = self.spark.readStream.schema(schema)
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        q = (
+            reader.parquet(landing_dir)
+            .writeStream.foreachBatch(self._process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_s)
+        if q.isActive:
+            q.stop()
+            raise TimeoutError("streaming CMS did not drain in time")
+        if q.exception() is not None:
+            raise q.exception()
+
+    def counters(self) -> DataFrame:
+        from .. import fsutil
+
+        if not fsutil.exists(self.spark, self.table_dir):
+            return self.spark.createDataFrame(
+                [], "depth int, bucket long, cnt long"
+            )
+        return self.spark.read.parquet(self.table_dir)

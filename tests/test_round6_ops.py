@@ -416,6 +416,38 @@ def test_cms_sketch_is_mergeable(spark):
     assert whole == merged
 
 
+def test_streaming_cms_converges_to_batch(spark, tmp_path):
+    """Drained incremental CMS counters must be IDENTICAL to the batch
+    sketch of the full corpus (bucket-wise merge algebra), and a
+    checkpointed re-drain over the same landing data must add nothing."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.sketches import (
+        StreamingCmsAccumulator,
+        cms_sketch,
+    )
+
+    ev = spark.createDataFrame(
+        [(i, i % 23) for i in range(600)], "event_id long, user_id long"
+    )
+    landing = str(tmp_path / "landing")
+    ev.repartition(6).write.mode("overwrite").parquet(landing)
+
+    acc = StreamingCmsAccumulator(spark, str(tmp_path / "wh"), "user_id")
+    acc.run_available_now(
+        landing, str(tmp_path / "ckpt"),
+        "event_id long, user_id long", max_files_per_trigger=1,
+    )
+    want = {(r.depth, r.bucket): r.cnt for r in cms_sketch(ev, "user_id").collect()}
+    got = {(r.depth, r.bucket): r.cnt for r in acc.counters().collect()}
+    assert got == want
+
+    acc.run_available_now(  # replay: checkpoint makes it a no-op
+        landing, str(tmp_path / "ckpt"),
+        "event_id long, user_id long", max_files_per_trigger=1,
+    )
+    again = {(r.depth, r.bucket): r.cnt for r in acc.counters().collect()}
+    assert again == want
+
+
 # --------------------------------------------------------------------------
 # retention cohorts (operators/warehouse.py retention_cohorts)
 # --------------------------------------------------------------------------
