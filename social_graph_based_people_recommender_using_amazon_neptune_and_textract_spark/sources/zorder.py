@@ -77,6 +77,13 @@ def write_zordered(
     """Rewrite ``df`` Z-order-clustered on (col_x, col_y): one bounds
     aggregate (1-row broadcast), one range shuffle on the Morton code,
     one sorted file per curve segment."""
+    reserved = {"_xmin", "_xmax", "_ymin", "_ymax", "_z"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"write_zordered reserves column names {sorted(reserved)}; "
+            f"input already has {sorted(clash)}"
+        )
     bounds = df.agg(
         F.min(col_x).alias("_xmin"),
         F.max(col_x).alias("_xmax"),
