@@ -522,6 +522,47 @@ def test_round6_plan_shapes(spark):
     assert "partial_count" in splan  # map-side combine before it
 
 
+def test_retention_cohorts_matches_reference(spark):
+    """Full pure-Python reference on random order logs: distinct
+    (customer, month) activity, cohort = min month, counts per
+    (cohort, whole-month offset), retention vs the offset-0 cell."""
+    import collections
+    import datetime
+    import random
+
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.warehouse import (
+        retention_cohorts,
+    )
+
+    rng = random.Random(29)
+    rows = [
+        (
+            rng.randrange(30),
+            datetime.datetime(2023 + rng.randrange(2), rng.randrange(1, 13), rng.randrange(1, 28)),
+        )
+        for _ in range(400)
+    ]
+    activity = {(c, (d.year, d.month)) for c, d in rows}
+    cohort = {}
+    for c, m in activity:
+        cohort[c] = min(cohort.get(c, m), m)
+    cells = collections.Counter()
+    for c, m in activity:
+        cm = cohort[c]
+        off = (m[0] - cm[0]) * 12 + (m[1] - cm[1])
+        cells[(cm, off)] += 1
+    want = {}
+    for (cm, off), n in cells.items():
+        want[(f"{cm[0]}-{cm[1]:02d}-01", off)] = (n, round(n / cells[(cm, 0)], 6))
+
+    orders = spark.createDataFrame(rows, "o_custkey long, o_orderdate timestamp")
+    got = {
+        (str(r.cohort_month), r.month_offset): (r.n_customers, r.retention)
+        for r in retention_cohorts(orders).collect()
+    }
+    assert got == want
+
+
 def test_retention_cohorts_offset0_always_full(spark):
     import datetime
     import random
