@@ -1276,8 +1276,10 @@ WITH b AS (
   FROM events GROUP BY event_type
 )
 SELECT e.event_type, min(b.lo) AS lo, min(b.hi) AS hi,
-  sum(CASE WHEN e."value" < b.lo THEN 1 ELSE 0 END) AS n_clipped_low,
-  sum(CASE WHEN e."value" > b.hi THEN 1 ELSE 0 END) AS n_clipped_high,
+  CAST(sum(CASE WHEN e."value" < b.lo THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_clipped_low,
+  CAST(sum(CASE WHEN e."value" > b.hi THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_clipped_high,
   round(sum(least(greatest(e."value", b.lo), b.hi)), 6) / count(*)
     AS winsorized_mean
 FROM events e JOIN b USING (event_type)
@@ -1533,7 +1535,7 @@ LIMIT 10"""
 # declared [0,500) x 10; underflow -> -1, overflow -> 10.
 ORACLES["events_value_histogram"] = """\
 SELECT event_type, bucket,
-       round(0.0 + bucket * 50.0, 6) AS bucket_lo,
+       round(CAST(bucket * 50.0 AS DOUBLE), 6) AS bucket_lo,
        count(*) AS n
 FROM (
   SELECT event_type,
@@ -1773,11 +1775,16 @@ FROM st"""
 # event-type domain, conditional counts.
 ORACLES["user_event_pivot"] = """\
 SELECT user_id,
-  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
-  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
-  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view
+  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_click,
+  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_error,
+  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_purchase,
+  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_signup,
+  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_view
 FROM events GROUP BY user_id"""
 
 # NTILE quartiles (operators/warehouse.py customer_spend_quartiles):
@@ -1956,7 +1963,7 @@ walk(src_id, id, dist) AS (
 mind AS (
   SELECT src_id, id, min(dist) AS dist FROM walk GROUP BY src_id, id
 )
-SELECT id, count(*) AS n_reached, sum(dist) AS dist_sum,
+SELECT id, count(*) AS n_reached, CAST(sum(dist) AS BIGINT) AS dist_sum,
        round(CAST(count(*) AS DOUBLE) / sum(dist), 9) AS closeness
 FROM mind WHERE dist > 0 GROUP BY id"""
 

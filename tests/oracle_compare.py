@@ -5,6 +5,7 @@ driver's value-hash check."""
 
 from __future__ import annotations
 
+import decimal
 import math
 
 import duckdb
@@ -32,6 +33,13 @@ def _norm(v):
         return repr(v)
     if isinstance(v, int):
         return repr(v)
+    if isinstance(v, decimal.Decimal):
+        # Deliberately NOT normalized to int/float: the driver's fetch
+        # path hashes DuckDB HUGEINT/DECIMAL differently from Spark's
+        # bigint/double, so a Decimal reaching here must FAIL parity —
+        # the oracle SQL needs an explicit CAST (see
+        # test_oracle_output_types_driver_safe).
+        return f"Decimal({v})"
     return str(v)
 
 

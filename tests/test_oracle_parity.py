@@ -61,6 +61,51 @@ def test_parity_sf001(spark, name):
     assert_matches_oracle(df, ORACLES[name], SF_CORRECTNESS, name)
 
 
+#: DuckDB types that round-trip identically to Spark's through ANY
+#: fetch path (fetchall / pandas / arrow). HUGEINT and DECIMAL do NOT:
+#: the driver's value-hash fetches them as Decimal/float and mismatches
+#: a Spark bigint/double even when values are equal (the r06
+#: user_event_pivot / graph_closeness_landmarks / events_value_winsorized
+#: hash failures). Oracles must CAST sums to BIGINT / DOUBLE.
+_SAFE_DUCK_TYPES = {
+    "BIGINT",
+    "INTEGER",
+    "SMALLINT",
+    "TINYINT",
+    "DOUBLE",
+    "FLOAT",
+    "VARCHAR",
+    "BOOLEAN",
+    "DATE",
+    "TIMESTAMP",
+    "BLOB",
+    # JSON fetches as a plain Python str (driver-green in r05:
+    # search_bizcards_envelope).
+    "JSON",
+}
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_output_types_driver_safe(name):
+    from oracle_compare import duckdb_conn
+
+    con = duckdb_conn(SF_SMALL)
+    try:
+        rel = con.sql(ORACLES[name])
+        bad = [
+            (c, str(t))
+            for c, t in zip(rel.columns, rel.types)
+            if str(t).split("(")[0] not in _SAFE_DUCK_TYPES
+            and not str(t).endswith("[]")
+        ]
+        assert not bad, (
+            f"{name}: oracle emits driver-unsafe output types {bad}; "
+            "CAST sums to BIGINT and decimals to DOUBLE"
+        )
+    finally:
+        con.close()
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() >= 0
