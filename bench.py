@@ -233,15 +233,19 @@ def _duckdb_pass(errors: dict[str, str]) -> dict[str, object]:
                 con.sql(oracles[name]).fetchall()
                 best = min(best, time.perf_counter() - t0)
             except duckdb.Error as exc:
-                secs[name] = (
-                    "timeout"
-                    if "INTERRUPT" in str(exc).upper()
-                    else f"{type(exc).__name__}: {exc}"[:120]
-                )
+                # A second-run failure must not erase a valid first-run
+                # time (r6 ADVICE): keep the best successful measurement
+                # and only record the error when NO run succeeded.
+                if best == float("inf"):
+                    secs[name] = (
+                        "timeout"
+                        if "INTERRUPT" in str(exc).upper()
+                        else f"{type(exc).__name__}: {exc}"[:120]
+                    )
                 break
             finally:
                 timer.cancel()
-        else:
+        if best != float("inf"):
             secs[name] = round(best, 3)
     con.close()
     return secs

@@ -72,7 +72,15 @@ def free(spark: SparkSession, ids, blocking: bool = True) -> None:
 def release_all(spark: SparkSession, blocking: bool = True) -> int:
     """Free every tracked checkpoint still live (end-of-job hygiene hook;
     see module docstring for when this is safe). Returns how many ids
-    were tracked."""
+    were tracked.
+
+    Pins built on tracked checkpoints (see ``pinned._CKPT_BACKED``) are
+    evicted FIRST: a freed local checkpoint is unrecomputable, so a pin
+    reading one would otherwise survive as a poisoned registry entry
+    that crashes the next query (r6 ADVICE, pinned_landmark_distances)."""
+    from . import pinned as _pinned
+
+    _pinned.evict_checkpoint_backed()
     ids = list(_LIVE)
     free(spark, ids, blocking=blocking)
     return len(ids)

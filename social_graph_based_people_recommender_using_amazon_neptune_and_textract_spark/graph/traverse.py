@@ -194,9 +194,11 @@ def pinned_landmark_distances(
     signature table.
 
     Lifecycle note: the pinned relation is backed by the traversal's
-    final tracked checkpoint, so ``checkpoints.release_all`` invalidates
-    it — release pins and checkpoints together (the bench's cold pass
-    and the tests' teardowns already do)."""
+    final tracked checkpoint. The registries enforce the coupling:
+    ``pinned()`` records the backing checkpoint ids, releasing this pin
+    frees them, and ``checkpoints.release_all`` evicts the pin first —
+    a caller invoking either hook alone can no longer strand a poisoned
+    pin (r6 ADVICE)."""
     from ..pinned import pinned
 
     key = (

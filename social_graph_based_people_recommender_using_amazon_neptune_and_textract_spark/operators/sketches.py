@@ -172,16 +172,37 @@ class StreamingCmsAccumulator:
     pins). State on disk is ≤ d·w rows forever; each batch's write is a
     materialize-then-swap of that tiny table (the neardup compaction
     device), so a crash leaves the old or the new counters, never a
-    partial sum."""
+    partial sum.
+
+    Replay-safe under foreachBatch's at-least-once contract: the
+    last-applied ``batch_id`` is written as an underscore-prefixed
+    marker INSIDE the swap directory before the rename, so the counters
+    and the marker become visible in the same atomic swap (underscore
+    files are invisible to Spark's parquet reader). A batch re-delivered
+    after a driver crash between swap and checkpoint commit is detected
+    (``batch_id <= marker``) and skipped instead of double-summed."""
+
+    _MARKER = "_applied_batch_id"
 
     def __init__(self, spark, out_dir: str, col: str) -> None:
         self.spark = spark
         self.col = col
         self.table_dir = f"{out_dir}/cms"
 
+    def _applied_batch_id(self) -> int | None:
+        from .. import fsutil
+
+        raw = fsutil.read_utf8(
+            self.spark, f"{self.table_dir}/{self._MARKER}"
+        )
+        return int(raw) if raw is not None else None
+
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         from .. import fsutil
 
+        applied = self._applied_batch_id()
+        if applied is not None and batch_id <= applied:
+            return
         delta = cms_sketch(batch_df, self.col)
         if fsutil.exists(self.spark, self.table_dir):
             merged = (
@@ -194,6 +215,7 @@ class StreamingCmsAccumulator:
             merged = delta
         tmp = f"{self.table_dir}__swap"
         merged.write.mode("overwrite").parquet(tmp)
+        fsutil.write_utf8(self.spark, f"{tmp}/{self._MARKER}", str(batch_id))
         fsutil.delete(self.spark, self.table_dir)
         fsutil.rename(self.spark, tmp, self.table_dir)
 

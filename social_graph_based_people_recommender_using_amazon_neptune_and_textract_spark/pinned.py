@@ -59,6 +59,15 @@ from collections.abc import Callable, Hashable
 from pyspark.sql import DataFrame
 
 _REGISTRY: dict[Hashable, tuple[DataFrame, ...]] = {}
+#: effective pinned key -> tracked-checkpoint RDD ids its build created
+#: (see :mod:`.checkpoints`). A pin backed by a tracked checkpoint is
+#: unrecomputable once that checkpoint is freed, so the two registries
+#: release together: ``release``/``release_all`` here free the backing
+#: ids, and ``checkpoints.release_all`` evicts these pins FIRST instead
+#: of leaving poisoned entries behind (r6 ADVICE on
+#: pinned_landmark_distances — enforced for every pin, not documented
+#: per-call-site).
+_CKPT_BACKED: dict[Hashable, frozenset[int]] = {}
 _MEMOS: dict[Hashable, object] = {}
 #: pinned key -> the memo keys derived from it (precise eviction set).
 _MEMO_DEPS: dict[Hashable, set[Hashable]] = {}
@@ -87,7 +96,13 @@ def pinned(
     hit = _REGISTRY.get(k)
     if hit is not None:
         return hit
+    from . import checkpoints
+
+    before = checkpoints.live_ids()
     dfs = tuple(df.persist() for df in build())
+    backing = checkpoints.live_ids() - before
+    if backing:
+        _CKPT_BACKED[k] = frozenset(backing)
     _REGISTRY[k] = dfs
     return dfs
 
@@ -132,6 +147,11 @@ def release(key: Hashable, token: Hashable | None = None) -> bool:
         return False
     for df in dfs:
         df.unpersist(blocking=True)
+    backing = _CKPT_BACKED.pop(k, None)
+    if backing:
+        from . import checkpoints
+
+        checkpoints.free(dfs[0].sparkSession, backing, blocking=True)
     for mk in _MEMO_DEPS.pop(k, set()):
         _MEMOS.pop(mk, None)
     tracked = set().union(set(), *_MEMO_DEPS.values())
@@ -153,9 +173,33 @@ def release_all() -> int:
         dfs = _REGISTRY.pop(k)
         for df in dfs:
             df.unpersist(blocking=True)
+        backing = _CKPT_BACKED.pop(k, None)
+        if backing:
+            from . import checkpoints
+
+            checkpoints.free(dfs[0].sparkSession, backing, blocking=True)
         n += 1
     _MEMOS.clear()
     _MEMO_DEPS.clear()
+    return n
+
+
+def evict_checkpoint_backed() -> int:
+    """Release every pin whose build created tracked checkpoints —
+    called by ``checkpoints.release_all`` so a blanket checkpoint sweep
+    can never leave an unrecomputable (poisoned) pin behind. Returns
+    the number of pins evicted."""
+    n = 0
+    for k in list(_CKPT_BACKED):
+        dfs = _REGISTRY.pop(k, None)
+        _CKPT_BACKED.pop(k, None)  # ids are about to be swept anyway
+        if dfs is None:
+            continue
+        for df in dfs:
+            df.unpersist(blocking=True)
+        for mk in _MEMO_DEPS.pop(k, set()):
+            _MEMOS.pop(mk, None)
+        n += 1
     return n
 
 

@@ -14,11 +14,21 @@ Protocol per (sub)directory:
 1. read → coalesce to ``ceil(bytes / target_bytes)`` output files —
    coalesce, not repartition: compaction must not pay a shuffle, it only
    narrows the write parallelism;
-2. write to a sibling ``__compact`` temp;
-3. delete-then-rename via the Hadoop FS (fsutil) so a crash leaves the
-   old or the new table, never a half state. (HDFS renames are atomic;
-   on S3 the rename is copy+delete and a committer-based swap or a
-   catalog pointer — sources/table.py's device — replaces step 3.)
+2. write to a DOT-PREFIXED sibling temp (``.{name}__compact``) —
+   hidden names are invisible to Spark's partition discovery, so a
+   crash mid-write can never surface a phantom partition when the
+   directory is a Hive leaf (r6 ADVICE against the LSH index
+   compaction, where a bare ``sigb=Y__compact`` sibling WAS
+   discoverable);
+3. swap via two atomic renames (live → hidden ``__old`` trash, then
+   temp → live) and delete the trash last. Each rename is atomic on
+   HDFS/posix; the only non-atomic window is between the two renames,
+   and ``recover_dir`` closes it — if a crash left the live path
+   missing, it renames the fully-written temp (or, failing that, the
+   trash) back into place. Readers therefore see the old or the new
+   table, never a half one. (On S3, rename is copy+delete; a
+   committer-based swap or a catalog pointer — sources/table.py's
+   device — replaces step 3.)
 
 For Hive-partitioned tables pass ``partitions`` to compact only chosen
 partition directories (e.g. yesterday's) — the steady-state cadence
@@ -58,17 +68,46 @@ def n_data_files(spark: SparkSession, path: str) -> int:
     return n
 
 
+def _swap_paths(path: str) -> tuple[str, str]:
+    """Hidden (partition-discovery-invisible) temp and trash siblings
+    for ``path``'s atomic-ish swap."""
+    parent, _, name = path.rstrip("/").rpartition("/")
+    return f"{parent}/.{name}__compact", f"{parent}/.{name}__old"
+
+
+def recover_dir(spark: SparkSession, path: str) -> bool:
+    """Close compact_dir's crash window: if ``path`` is missing but its
+    hidden temp (fully written — the temp is only ever renamed from,
+    never half-present, because the write lands under a distinct
+    ``_temporary`` dir first) or trash sibling exists, rename it back
+    into place. Returns True if a recovery happened. Idempotent; safe
+    to call before every compaction or read."""
+    if fsutil.exists(spark, path):
+        return False
+    tmp, trash = _swap_paths(path)
+    for candidate in (tmp, trash):  # temp is newer — prefer it
+        if fsutil.exists(spark, candidate):
+            fsutil.rename(spark, candidate, path)
+            return True
+    return False
+
+
 def compact_dir(
     spark: SparkSession, path: str, target_bytes: int = TARGET_BYTES
 ) -> int:
     """Rewrite the parquet directory at ``path`` into
     ``ceil(bytes/target_bytes)`` files (≥1). Returns the output file
-    count. No shuffle — coalesce only narrows parallelism."""
+    count. No shuffle — coalesce only narrows parallelism. Swap
+    protocol per the module docstring: hidden temp, two atomic renames,
+    trash deleted last."""
+    recover_dir(spark, path)
+    tmp, trash = _swap_paths(path)
+    fsutil.delete(spark, trash)  # stale trash from a crashed prior run
     n_out = max(1, math.ceil(dir_bytes(spark, path) / target_bytes))
-    tmp = f"{path}__compact"
     spark.read.parquet(path).coalesce(n_out).write.mode("overwrite").parquet(tmp)
-    fsutil.delete(spark, path)
+    fsutil.rename(spark, path, trash)
     fsutil.rename(spark, tmp, path)
+    fsutil.delete(spark, trash)
     return n_out
 
 

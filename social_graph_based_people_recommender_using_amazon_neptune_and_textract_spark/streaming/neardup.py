@@ -171,7 +171,8 @@ class StreamingNearDeduper:
         from ..sources import compact as C
 
         if self._exists(self.cands_dir):
-            tmp = f"{self.cands_dir}__compact"
+            parent, _, name = self.cands_dir.rstrip("/").rpartition("/")
+            tmp = f"{parent}/.{name}__compact"
             self.spark.read.parquet(self.cands_dir).distinct().write.mode(
                 "overwrite"
             ).parquet(tmp)

@@ -233,3 +233,48 @@ def test_release_prunes_empty_dep_sets(spark):
     assert PIN.release("corpX") is True
     assert "corpX" not in PIN._MEMO_DEPS
     PIN.release_all()
+
+
+def test_checkpoint_release_all_evicts_checkpoint_backed_pins(spark):
+    """checkpoints.release_all alone (the documented end-of-job hook)
+    must evict pins whose build created tracked checkpoints — otherwise
+    the pin survives as a poisoned entry reading a freed, unrecomputable
+    localCheckpoint and the next landmark query crashes (r6 ADVICE)."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.graph.traverse import (
+        pinned_landmark_distances,
+    )
+
+    _reset_storage(spark)
+    edges = tables.user_graph_edges(spark, SF)
+    first = pinned_landmark_distances(edges, [3, 50], max_hops=2)
+    want = sorted(map(tuple, first.collect()))
+    assert len(PIN._CKPT_BACKED) >= 1  # the pin recorded its backing ids
+
+    CKPT.release_all(spark)  # blanket sweep, pins NOT released by caller
+    assert not PIN._CKPT_BACKED
+
+    # pin was evicted with its checkpoints: the next call REBUILDS and
+    # serves correct rows instead of crashing on freed scratch
+    again = pinned_landmark_distances(edges, [3, 50], max_hops=2)
+    assert sorted(map(tuple, again.collect())) == want
+    _reset_storage(spark)
+
+
+def test_pin_release_frees_backing_checkpoints(spark):
+    """Releasing a checkpoint-backed pin frees its backing tracked
+    checkpoint ids too — neither registry strands the other's state."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.graph.traverse import (
+        pinned_landmark_distances,
+    )
+
+    _reset_storage(spark)
+    edges = tables.user_graph_edges(spark, SF)
+    pinned_landmark_distances(edges, [3], max_hops=2).count()
+    backing = set().union(*PIN._CKPT_BACKED.values())
+    assert backing and backing <= CKPT.live_ids()
+
+    for k in list(PIN._CKPT_BACKED):
+        # release via the public API using the recorded effective key
+        assert PIN.release(k) is True
+    assert not (backing & CKPT.live_ids())
+    _reset_storage(spark)

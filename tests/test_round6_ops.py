@@ -448,6 +448,33 @@ def test_streaming_cms_converges_to_batch(spark, tmp_path):
     assert again == want
 
 
+def test_streaming_cms_batch_retry_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a batch re-delivered after a crash
+    between table swap and checkpoint commit must be skipped via the
+    _applied_batch_id marker, not double-summed (r6 ADVICE, medium)."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.sketches import (
+        StreamingCmsAccumulator,
+    )
+
+    ev = spark.createDataFrame(
+        [(i, i % 5) for i in range(100)], "event_id long, user_id long"
+    )
+    acc = StreamingCmsAccumulator(spark, str(tmp_path / "wh"), "user_id")
+    acc._process_batch(ev, 0)
+    once = {(r.depth, r.bucket): r.cnt for r in acc.counters().collect()}
+    assert acc._applied_batch_id() == 0
+
+    acc._process_batch(ev, 0)  # retry of an already-applied batch
+    assert {
+        (r.depth, r.bucket): r.cnt for r in acc.counters().collect()
+    } == once
+
+    acc._process_batch(ev, 1)  # a genuinely new batch still lands
+    doubled = {(r.depth, r.bucket): r.cnt for r in acc.counters().collect()}
+    assert doubled == {k: 2 * v for k, v in once.items()}
+    assert acc._applied_batch_id() == 1
+
+
 # --------------------------------------------------------------------------
 # retention cohorts (operators/warehouse.py retention_cohorts)
 # --------------------------------------------------------------------------

@@ -74,6 +74,65 @@ def test_compact_dir_preserves_rows_and_reduces_files(spark, tmp_path):
     assert got == expected
 
 
+def test_compact_tmp_is_invisible_to_partition_discovery(spark, tmp_path):
+    """A crash after the temp write must not surface a phantom
+    partition: the temp lives under a dot-prefixed sibling that Spark's
+    partition discovery skips (r6 ADVICE against the LSH index)."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.sources.compact import (
+        _swap_paths,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(100)], "id long, k string"
+    )
+    df.write.partitionBy("k").parquet(path)
+    # simulate a crash that left a fully-written temp beside a leaf
+    tmp, _ = _swap_paths(f"{path}/k=a")
+    spark.read.parquet(f"{path}/k=a").write.parquet(tmp)
+
+    whole = spark.read.parquet(path)
+    assert set(r.k for r in whole.select("k").distinct().collect()) == {
+        "a",
+        "b",
+    }
+    assert whole.count() == 100  # temp rows not double-read
+
+
+def test_compact_recover_dir_restores_lost_bucket(spark, tmp_path):
+    """Crash between the two swap renames leaves the live path missing;
+    recover_dir (called by the next compact_dir too) must restore the
+    fully-written temp."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.sources.compact import (
+        _swap_paths,
+        compact_dir,
+        recover_dir,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark import (
+        fsutil,
+    )
+
+    path = str(tmp_path / "bucket")
+    spark.range(0, 500).write.parquet(path)
+    expected = sorted(r.id for r in spark.read.parquet(path).collect())
+
+    # crash window: live renamed to trash, temp not yet renamed in
+    tmp, trash = _swap_paths(path)
+    spark.read.parquet(path).coalesce(1).write.parquet(tmp)
+    fsutil.rename(spark, path, trash)
+    assert not fsutil.exists(spark, path)
+
+    assert recover_dir(spark, path) is True
+    got = sorted(r.id for r in spark.read.parquet(path).collect())
+    assert got == expected
+    # stale trash is swept by the next compaction, which still works
+    compact_dir(spark, path)
+    assert not fsutil.exists(spark, trash)
+    assert sorted(r.id for r in spark.read.parquet(path).collect()) == expected
+    # no-op when the live path is healthy
+    assert recover_dir(spark, path) is False
+
+
 def test_compact_partitioned_touches_only_named_partition(spark, tmp_path):
     from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.sources.compact import (
         compact_partitioned,
