@@ -1690,6 +1690,74 @@ def _q_graph_lpa_communities(spark, sf_dir):
     return label_propagation(tables.user_graph_edges(spark, sf_dir))
 
 
+def _q_docs_repetition_metrics(spark, sf_dir):
+    """Gopher-style n-gram repetition quality metrics (functions/text.py
+    repetition_metrics): top-bigram coverage + duplicate-trigram mass
+    per document, one corpus scan, one (doc, width, gram) shuffle."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.functions.text import (
+        repetition_metrics,
+    )
+
+    return repetition_metrics(tables.load_table(spark, sf_dir, "documents"))
+
+
+def _q_docs_domain_quota(spark, sf_dir):
+    """Per-domain document cap (operators/quota.py domain_quota):
+    C4/RefinedWeb-style domain balancing; salted two-phase top-k so a
+    billion-row domain never sorts in one task."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.quota import (
+        domain_quota,
+    )
+
+    return domain_quota(tables.load_table(spark, sf_dir, "documents"), cap=10)
+
+
+def _q_events_stratified_sample(spark, sf_dir):
+    """Exact proportional stratified sample (operators/quota.py
+    stratified_sample): floor(0.1·n_s) rows per event_type, md5
+    preference order, allocation via broadcast."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.quota import (
+        stratified_sample,
+    )
+
+    return stratified_sample(tables.load_table(spark, sf_dir, "events"), 0.1)
+
+
+def _q_lineitem_bloom_pruned(spark, sf_dir):
+    """Bloom-pruned semi-join (operators/bloomjoin.py): fact scan
+    pre-filtered by a 2^18-bit key bloom built from the selective order
+    side, then the exact semi-join — result identical to the plain
+    join (the oracle), shuffle sized by selectivity instead of |fact|."""
+    from pyspark.sql import functions as F
+
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.bloomjoin import (
+        bloom_pruned_semi_join,
+    )
+
+    li = tables.load_table(spark, sf_dir, "lineitem")
+    orders = tables.load_table(spark, sf_dir, "orders")
+    dim = orders.filter(F.col("o_totalprice") > 480000.0).select("o_orderkey")
+    return (
+        bloom_pruned_semi_join(li, "l_orderkey", dim, "o_orderkey")
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+        )
+    )
+
+
+def _q_docs_lm_buckets(spark, sf_dir):
+    """CCNet-style LM-fluency terciles (functions/text.py lm_buckets):
+    NTILE(3) over the unigram-LM score, computed from the two-phase
+    distributed global rank — no single-partition window."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.functions.text import (
+        lm_buckets,
+    )
+
+    return lm_buckets(tables.load_table(spark, sf_dir, "documents"), k=3)
+
+
 def _driver_evidence() -> dict[str, int]:
     """Last driver-green round per query, parsed from the committed
     CORRECTNESS_r*.json files that live next to this file.
@@ -1880,6 +1948,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_lpa_communities": _q_graph_lpa_communities,
         "events_user_cms_top10": _q_events_user_cms_top10,
         "events_zorder_pruned": _q_events_zorder_pruned,
+        "docs_repetition_metrics": _q_docs_repetition_metrics,
+        "docs_domain_quota": _q_docs_domain_quota,
+        "events_stratified_sample": _q_events_stratified_sample,
+        "lineitem_bloom_pruned": _q_lineitem_bloom_pruned,
+        "docs_lm_buckets": _q_docs_lm_buckets,
     }
     return _rotate(registry)
 

@@ -98,6 +98,10 @@ BENCH_QUERIES = [
     "graph_lpa_communities",
     "events_user_cms_top10",
     "events_zorder_pruned",
+    "docs_repetition_metrics",
+    "docs_domain_quota",
+    "lineitem_bloom_pruned",
+    "docs_lm_buckets",
 ]
 
 

@@ -360,3 +360,154 @@ def collocations_topk(
         .orderBy(F.col("pmi").desc(), F.col("x").asc(), F.col("y").asc())
         .limit(k)
     )
+
+
+#: Declared repetition gates (Gopher-style, Rae et al. 2021 table A1
+#: uses 0.18 for the top-2-gram fraction; the duplicate-3-gram gate is
+#: this engine's declared analog of the duplicate-n-gram family).
+TOP_BIGRAM_MAX_FRAC = 0.18
+DUP_TRIGRAM_MAX_FRAC = 0.30
+
+
+def repetition_metrics(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition quality metrics per document — the
+    n-gram repetition family of the public pretraining-curation rules
+    (Rae et al. 2021 §A1.1): templated/boilerplate text shows a fat
+    most-common-2-gram and a high duplicate-3-gram mass.
+
+    Returns (doc_id, n_tokens, top_bigram_frac, dup_trigram_frac,
+    repetitive):
+    - ``top_bigram_frac`` — tokens covered by occurrences of the single
+      most frequent bigram: 2·max_count / n_tokens (6dp; NULL when
+      n_tokens < 2);
+    - ``dup_trigram_frac`` — fraction of trigram occurrences beyond
+      their first: (n_tri − n_distinct_tri) / n_tri (6dp; NULL when
+      n_tokens < 3);
+    - ``repetitive`` — either fraction over its declared gate (NULL
+      metrics gate nothing).
+
+    Scale: ONE corpus scan builds both gram widths as array columns
+    (JVM ``transform`` over the token array — no Python), one explode
+    unions them under a width tag, and one (doc, width, gram) shuffle
+    with map-side combine feeds a per-doc conditional aggregate. Gram
+    state per task is bounded by document length; nothing is quadratic
+    in corpus size.
+    """
+    toks = df.select(
+        F.col(id_col), tokenize(F.col(text_col)).alias("t")
+    ).select(
+        F.col(id_col),
+        F.size("t").cast("long").alias("n_tokens"),
+        F.concat(
+            F.when(
+                F.size("t") >= 2,
+                F.transform(
+                    F.slice("t", 1, F.size("t") - 1),
+                    lambda x, i: F.struct(
+                        F.lit(2).alias("w"),
+                        F.concat_ws(
+                            " ", x, F.element_at("t", i + 2)
+                        ).alias("g"),
+                    ),
+                ),
+            ).otherwise(
+                F.array().cast("array<struct<w:int,g:string>>")
+            ),
+            F.when(
+                F.size("t") >= 3,
+                F.transform(
+                    F.slice("t", 1, F.size("t") - 2),
+                    lambda x, i: F.struct(
+                        F.lit(3).alias("w"),
+                        F.concat_ws(
+                            " ", x, F.element_at("t", i + 2), F.element_at("t", i + 3)
+                        ).alias("g"),
+                    ),
+                ),
+            ).otherwise(
+                F.array().cast("array<struct<w:int,g:string>>")
+            ),
+        ).alias("grams"),
+    )
+    counted = (
+        toks.select(id_col, "n_tokens", F.explode("grams").alias("gr"))
+        .groupBy(id_col, "n_tokens", F.col("gr.w").alias("w"), F.col("gr.g").alias("g"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    stats = counted.groupBy(id_col, "n_tokens").agg(
+        F.max(F.when(F.col("w") == 2, F.col("c"))).alias("top_bi"),
+        F.sum(F.when(F.col("w") == 3, F.col("c"))).alias("n_tri"),
+        F.count(F.when(F.col("w") == 3, F.lit(1))).alias("n_tri_distinct"),
+    )
+    top_frac = F.round(
+        F.lit(2.0) * F.col("top_bi") / F.col("n_tokens"), 6
+    )
+    dup_frac = F.round(
+        (F.col("n_tri") - F.col("n_tri_distinct"))
+        / F.col("n_tri").cast("double"),
+        6,
+    )
+    scored = stats.select(
+        id_col,
+        "n_tokens",
+        top_frac.alias("top_bigram_frac"),
+        dup_frac.alias("dup_trigram_frac"),
+        (
+            F.coalesce(top_frac > TOP_BIGRAM_MAX_FRAC, F.lit(False))
+            | F.coalesce(dup_frac > DUP_TRIGRAM_MAX_FRAC, F.lit(False))
+        ).alias("repetitive"),
+    )
+    # docs with < 2 tokens never produce a gram row — rejoin them with
+    # NULL metrics so the relation stays total over the corpus
+    base = df.select(F.col(id_col), F.size(tokenize(F.col(text_col))).cast("long").alias("n_tokens"))
+    return (
+        base.join(scored.drop("n_tokens"), id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            "top_bigram_frac",
+            "dup_trigram_frac",
+            F.coalesce("repetitive", F.lit(False)).alias("repetitive"),
+        )
+    )
+
+
+def lm_buckets(
+    df: DataFrame, k: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """CCNet-style LM-quality tiling (Wenzek et al. 2020): rank the
+    corpus by unigram-LM fluency and cut it into ``k`` NTILE buckets —
+    bucket 1 = most fluent head, bucket k = gibberish tail (CCNet keeps
+    head/middle and drops tail).
+
+    Returns (doc_id, unigram_logprob, bucket). Deterministic order:
+    (logprob desc, doc_id asc) with NULL (zero-token) docs coalesced to
+    -1e18 so they sink to the tail identically in both engines (Spark
+    and DuckDB disagree on default NULL placement under DESC).
+
+    Scale: the rank comes from operators/ranking.py's two-phase
+    range-partitioned row_number — no global-order window, no
+    single-partition exchange; the NTILE is closed-form arithmetic on
+    (rank, count).
+    """
+    from ..operators.ranking import global_row_number, ntile_from_rank
+
+    scored = unigram_logprob_scores(df, id_col, text_col).select(
+        id_col,
+        "unigram_logprob",
+        F.coalesce(F.col("unigram_logprob"), F.lit(-1e18)).alias("__lm_key"),
+    )
+    ranked = global_row_number(
+        scored, [F.col("__lm_key").desc(), F.col(id_col).asc()]
+    )
+    total = ranked.agg(F.count(F.lit(1)).alias("n_rows"))
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            "unigram_logprob",
+            ntile_from_rank(F.col("rn"), F.col("n_rows"), k).alias("bucket"),
+        )
+    )

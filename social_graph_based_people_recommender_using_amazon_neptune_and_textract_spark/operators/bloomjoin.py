@@ -1,0 +1,102 @@
+"""Bloom-filter semi-join pruning — cut the fact-side shuffle before an
+exact join.
+
+The canonical 100 TB device (Spark's own runtime row-level filtering,
+Iceberg/Delta dynamic file pruning are this operation): when a join's
+build side is selective, ship a compact bit-set of its keys to every
+fact-side task and drop non-matching rows AT THE SCAN, so the shuffle
+moves ~selectivity·|fact| rows instead of all of them. False positives
+only cost shuffle bytes — the exact semi-join downstream removes them —
+so the result is IDENTICAL to the plain join (the oracle twin is the
+plain SQL semi-join; parity is exactness evidence).
+
+Construction is fully declarative and deterministic:
+- k probe positions per key: ``pmod(xxhash64(key, seed_i), m)`` —
+  JVM-side, whole-stage-codegen;
+- the bit-set is built as a RELATION — explode positions, map to
+  (word, bit), ``groupBy(word).agg(bit_or)`` with map-side combine —
+  then collected to the driver: ≤ m/64 longs by construction, a design
+  constant (128 KiB at m=2²⁰), NOT data-sized. This is the same
+  driver-collect contract Spark's InSubqueryExec/bloom pushdown uses;
+- fact rows test membership against the bit-set shipped as ONE array
+  literal (broadcast with the task binary): all k probed bits set.
+
+Sizing: false-positive rate ≈ (1 − e^(−k·n/m))^k; the defaults
+(m = 2¹⁸, k = 3) hold ~0.2% at n = 6 000 keys and degrade gracefully —
+degrade meaning "prune less", never "answer wrong".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Bit-set size (bits) and the independent hash seeds. m must be a
+#: multiple of 64.
+M_BITS = 1 << 18
+SEEDS = (0x5EED1, 0x5EED2, 0x5EED3)
+
+
+def _positions(key: Column, m_bits: int) -> list[Column]:
+    return [
+        F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(m_bits)) for seed in SEEDS
+    ]
+
+
+def bloom_words(
+    keys: DataFrame, key_col: str, m_bits: int = M_BITS
+) -> list[int]:
+    """The filter's bit-set as m/64 longs (python ints, word 0 first).
+    One distributed pass: positions → (word, bit) → bit_or per word;
+    the driver materializes only the m/64-word dense vector."""
+    pos = keys.select(
+        F.explode(F.array(*_positions(F.col(key_col), m_bits))).alias("p")
+    )
+    words = (
+        pos.select(
+            (F.col("p") / 64).cast("int").alias("w"),
+            # pyspark's F.shiftleft only takes a literal shift; the SQL
+            # form accepts a column
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias(
+                "b"
+            ),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("bits"))
+        .collect()
+    )
+    dense = [0] * (m_bits // 64)
+    for row in words:
+        dense[row["w"]] = row["bits"]
+    return dense
+
+
+def bloom_pruned_semi_join(
+    fact: DataFrame,
+    fact_key: str,
+    dim: DataFrame,
+    dim_key: str,
+    m_bits: int = M_BITS,
+) -> DataFrame:
+    """``fact`` semi-joined to ``dim`` keys, with the fact scan
+    bloom-pruned first. Result rows are exactly the plain semi-join's;
+    the bloom only shrinks what reaches the shuffle."""
+    words = bloom_words(dim.select(dim_key), dim_key, m_bits)
+    probes = _positions(F.col(fact_key), m_bits)
+    tested = fact.withColumn("__bf", F.lit(words))
+    for i, p in enumerate(probes):
+        tested = tested.withColumn(
+            f"__bf_w{i}", F.element_at("__bf", (p / 64).cast("int") + 1)
+        ).withColumn(f"__bf_b{i}", (p % 64).cast("int"))
+    member = " AND ".join(
+        f"((shiftright(__bf_w{i}, __bf_b{i}) & 1) = 1)"
+        for i in range(len(probes))
+    )
+    pruned = tested.filter(F.expr(member)).drop(
+        "__bf", *[c for i in range(len(probes)) for c in (f"__bf_w{i}", f"__bf_b{i}")]
+    )
+    return pruned.join(
+        dim.select(F.col(dim_key).alias(fact_key)).distinct(),
+        fact_key,
+        "left_semi",
+    )

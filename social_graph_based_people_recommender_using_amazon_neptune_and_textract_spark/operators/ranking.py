@@ -1,0 +1,93 @@
+"""Distributed global ranking — ``row_number() OVER (ORDER BY …)``
+without the single-partition trap.
+
+A window with a global ORDER BY and no PARTITION BY collapses the whole
+relation into ONE task — the same 100 TB trap ``operators/packing.py``
+documents for the global prefix sum, and the same two-phase device fixes
+it:
+
+1. ``repartitionByRange`` on the sort keys — range partition r holds a
+   contiguous key span and ranges ascend with partition id;
+2. one small job counts rows per partition (≤ #partitions rows) and the
+   driver prefix-sums the counts into per-partition rank offsets;
+3. per-row global rank = the partition's offset (a literal CASE over
+   ``spark_partition_id()``) + ``row_number`` windowed BY PARTITION ID —
+   every task ranks only its own range.
+
+The ranged relation is localCheckpoint-ed (tracked, see
+:mod:`..checkpoints`) so phases 2 and 3 see the same partition ids.
+
+Sort keys must be NON-NULL: Spark orders NULLS FIRST on asc / LAST on
+desc while most SQL engines (DuckDB included) default the opposite on
+desc, so a nullable key would silently rank differently against an
+oracle twin. Callers coalesce to a sentinel instead (docs_lm_buckets
+pins -1e18).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..checkpoints import checkpoint
+
+#: Default range-partition count — matches packing.py's rationale.
+N_RANGE_PARTITIONS = 32
+
+
+def global_row_number(
+    df: DataFrame,
+    order_by: list[Column],
+    rn_col: str = "rn",
+    n_partitions: int = N_RANGE_PARTITIONS,
+) -> DataFrame:
+    """``df`` plus a 1-based global ``rn_col`` following ``order_by``
+    (pass fully-deterministic, non-null sort expressions — include a
+    unique tie-break key). No global-order window is ever created."""
+    ranged, _ = checkpoint(
+        df.repartitionByRange(n_partitions, *order_by).withColumn(
+            "__rank_pid", F.spark_partition_id()
+        )
+    )
+    totals = ranged.groupBy("__rank_pid").agg(
+        F.count(F.lit(1)).alias("c")
+    ).collect()
+    offsets: dict[int, int] = {}
+    acc = 0
+    for row in sorted(totals, key=lambda r: r["__rank_pid"]):
+        offsets[row["__rank_pid"]] = acc
+        acc += int(row["c"])
+
+    off_col = None
+    for pid, off in sorted(offsets.items()):
+        cond = F.col("__rank_pid") == pid
+        off_col = (
+            F.when(cond, F.lit(off))
+            if off_col is None
+            else off_col.when(cond, F.lit(off))
+        )
+    off_col = F.lit(0) if off_col is None else off_col.otherwise(F.lit(0))
+
+    w = Window.partitionBy("__rank_pid").orderBy(*order_by)
+    return ranged.withColumn(
+        rn_col, (off_col + F.row_number().over(w)).cast("long")
+    ).drop("__rank_pid")
+
+
+def ntile_from_rank(rn: Column, n_rows: Column, k: int) -> Column:
+    """SQL ``NTILE(k)`` from a global rank and the total row count —
+    the exact piecewise form (q = n div k rows per bucket, the first
+    n mod k buckets take one extra): NOT the tempting closed form
+    ``floor((rn-1)k/n)+1``, which distributes the extras evenly and
+    disagrees with NTILE (first seen at n=15, k=10, rn=10 → 7 vs
+    NTILE's 5). Lets a tiling ride the distributed rank instead of a
+    second global-order window; parity tests pin it against DuckDB's
+    ntile."""
+    q = F.floor(n_rows / k)
+    rem = n_rows % k
+    head = rem * (q + 1)  # rows covered by the (q+1)-sized buckets
+    return (
+        F.when(rn <= head, F.floor((rn - 1) / (q + 1)) + 1)
+        .otherwise(rem + F.floor((rn - 1 - head) / q) + 1)
+        .cast("int")
+    )

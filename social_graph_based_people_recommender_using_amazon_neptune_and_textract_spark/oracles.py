@@ -2208,3 +2208,111 @@ FROM events
 WHERE user_id BETWEEN 10 AND 40
   AND ts BETWEEN TIMESTAMP '2024-01-08' AND TIMESTAMP '2024-01-15'
 GROUP BY user_id"""
+
+
+# Gopher-style repetition metrics (functions/text.py
+# repetition_metrics): same analyzer, same gram widths; list_transform
+# over 1-indexed DuckDB lists mirrors the JVM transform-over-slice.
+# Sums over counts CAST to BIGINT (driver hash safety).
+ORACLES["docs_repetition_metrics"] = f"""\
+WITH toksrc AS (
+  SELECT doc_id, {TOKENIZE.format(col='text')} AS t FROM documents
+),
+base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens, t FROM toksrc),
+bi AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+                                        i -> t[i] || ' ' || t[i + 1])) AS g
+  FROM base WHERE len(t) >= 2
+),
+bic AS (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY doc_id, g),
+bia AS (SELECT doc_id, max(c) AS top_bi FROM bic GROUP BY doc_id),
+tri AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 2),
+                   i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS g
+  FROM base WHERE len(t) >= 3
+),
+tric AS (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY doc_id, g),
+tria AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tri,
+         count(*) AS n_tri_distinct
+  FROM tric GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_tokens,
+  round(2.0 * bia.top_bi / b.n_tokens, 6) AS top_bigram_frac,
+  round((tria.n_tri - tria.n_tri_distinct) / CAST(tria.n_tri AS DOUBLE), 6)
+    AS dup_trigram_frac,
+  coalesce(round(2.0 * bia.top_bi / b.n_tokens, 6) > 0.18, FALSE)
+    OR coalesce(
+         round((tria.n_tri - tria.n_tri_distinct)
+               / CAST(tria.n_tri AS DOUBLE), 6) > 0.30, FALSE)
+    AS repetitive
+FROM base b
+LEFT JOIN bia USING (doc_id)
+LEFT JOIN tria USING (doc_id)"""
+
+# Domain quota (operators/quota.py domain_quota): plain per-domain
+# row_number twin — the Spark side's salted two-phase top-k must land
+# on identical ranks (the equivalence the parity hash certifies).
+ORACLES["docs_domain_quota"] = """\
+WITH r AS (
+  SELECT source, doc_id,
+         CAST(row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+  FROM documents
+)
+SELECT source, doc_id, rk FROM r WHERE rk <= 10"""
+
+# Exact stratified sample (operators/quota.py stratified_sample):
+# floor(frac·n_s) per stratum, md5-preference order.
+ORACLES["events_stratified_sample"] = """\
+WITH n AS (SELECT event_type, count(*) AS n_s FROM events GROUP BY event_type),
+r AS (
+  SELECT event_type, event_id,
+         CAST(row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS BIGINT) AS rk
+  FROM events
+)
+SELECT r.event_type, r.event_id, r.rk
+FROM r JOIN n USING (event_type)
+WHERE r.rk <= floor(n.n_s * 0.1)"""
+
+# Bloom-pruned semi-join (operators/bloomjoin.py): the oracle is the
+# PLAIN semi-join — parity is the exactness proof that the bloom stage
+# only prunes, never changes the answer. l_quantity is integral-valued,
+# so the double sum is exact and order-independent; CAST for the hash.
+ORACLES["lineitem_bloom_pruned"] = """\
+SELECT l_orderkey, count(*) AS n_items,
+       CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+FROM lineitem
+WHERE l_orderkey IN (
+  SELECT o_orderkey FROM orders WHERE o_totalprice > 480000.0)
+GROUP BY l_orderkey"""
+
+# CCNet-style LM tiling (functions/text.py lm_buckets): DuckDB uses the
+# real NTILE window; the Spark side reproduces it from the two-phase
+# distributed rank — the equivalence ntile_from_rank's docstring pins.
+# NULL scores coalesce to -1e18 BEFORE ordering (engines disagree on
+# default NULL placement under DESC).
+ORACLES["docs_lm_buckets"] = f"""\
+WITH toksrc AS (
+  SELECT doc_id, {TOKENIZE.format(col='text')} AS tokens FROM documents
+),
+tok AS (SELECT doc_id, unnest(tokens) AS token FROM toksrc),
+tf AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+tot AS (SELECT count(*) AS t FROM tok),
+scored AS (
+  SELECT doc_id,
+         round(avg(ln(cnt / (SELECT t FROM tot))), 6) AS unigram_logprob
+  FROM tok JOIN tf USING (token) GROUP BY doc_id
+),
+rep AS (
+  SELECT d.doc_id, s.unigram_logprob,
+         coalesce(s.unigram_logprob, -1e18) AS key
+  FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+)
+SELECT doc_id, unigram_logprob,
+       CAST(ntile(3) OVER (ORDER BY key DESC, doc_id ASC) AS INTEGER)
+         AS bucket
+FROM rep"""

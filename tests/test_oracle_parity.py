@@ -123,6 +123,9 @@ FLOAT_SENSITIVE = [
     "docs_weighted_sample",
     "events_user_range_pruned",
     "graph_closeness_landmarks",
+    # r7: NTILE over the 6dp-rounded LM score from the two-phase
+    # distributed rank — ordering must not depend on partition count
+    "docs_lm_buckets",
 ]
 
 

@@ -1,0 +1,234 @@
+"""Round-7 operators: Gopher repetition metrics, domain quota /
+stratified sample, bloom-pruned semi-join, distributed global rank +
+NTILE tiling. Oracle parity runs via the registry (test_oracle_parity);
+these tests pin the properties parity alone can't see — degenerate
+inputs, routing equivalence, no-false-negative guarantees, plan shape.
+"""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.functions.text import (
+    lm_buckets,
+    repetition_metrics,
+)
+from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+    bloomjoin as BJ,
+)
+from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+    quota as Q,
+)
+from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.ranking import (
+    global_row_number,
+    ntile_from_rank,
+)
+from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.plans.audit import (
+    physical_plan,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+# --------------------------------------------------------------------------
+# repetition metrics
+# --------------------------------------------------------------------------
+
+
+def test_repetition_metrics_degenerate_inputs(spark):
+    """Empty / sub-gram-width docs get NULL metrics and never gate;
+    known repetitive strings produce the hand-computed fractions."""
+    docs = spark.createDataFrame(
+        [
+            (1, ""),
+            (2, "one"),
+            (3, "a b"),
+            (4, "x y x y x y x y"),
+            (5, "u v w"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r for r in repetition_metrics(docs).collect()
+    }
+    assert rows[1].n_tokens == 0 and rows[1].top_bigram_frac is None
+    assert rows[2].dup_trigram_frac is None and not rows[2].repetitive
+    # "a b": one bigram covering both tokens
+    assert rows[3].top_bigram_frac == 1.0 and rows[3].dup_trigram_frac is None
+    # "x y"×4 of 7 bigrams covers 8/8 tokens; 6 trigrams, 2 distinct
+    assert rows[4].top_bigram_frac == 1.0
+    assert rows[4].dup_trigram_frac == pytest.approx(4 / 6, abs=1e-6)
+    assert rows[4].repetitive
+    # all-distinct trigram doc: zero duplicate mass
+    assert rows[5].dup_trigram_frac == 0.0
+
+
+def test_repetition_metrics_total_over_corpus(spark):
+    """The report stays total: one row per document regardless of
+    token count."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assert repetition_metrics(docs).count() == docs.count()
+
+
+# --------------------------------------------------------------------------
+# quota / stratified sample
+# --------------------------------------------------------------------------
+
+
+def test_domain_quota_salting_is_invisible(spark, monkeypatch):
+    """The salted two-phase top-k must equal the plain per-domain rank
+    for ANY salt fan-out — same device as the PYMK whale-route
+    equivalence tests."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    outs = []
+    for n_salts in (1, 4, 16):
+        monkeypatch.setattr(Q, "N_SALTS", n_salts)
+        outs.append(
+            sorted(map(tuple, Q.domain_quota(docs, 7).collect()))
+        )
+    assert outs[0] == outs[1] == outs[2]
+    # and the cap binds
+    assert max(r[2] for r in outs[0]) == 7
+
+
+def test_stratified_sample_hits_exact_allocation(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    want = {
+        r.event_type: int(r.n * 0.2)  # floor for these row counts
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    got = {
+        r.event_type: r.n
+        for r in Q.stratified_sample(ev, 0.2)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+# --------------------------------------------------------------------------
+# bloom-pruned semi-join
+# --------------------------------------------------------------------------
+
+
+def test_bloom_has_no_false_negatives(spark):
+    """Every true-matching fact row survives the bloom pre-filter —
+    the property that makes the downstream exact join sufficient."""
+    fact = spark.range(0, 5000).select(F.col("id").alias("k"))
+    dim = spark.range(0, 5000, 7).select(F.col("id").alias("dk"))
+    got = sorted(
+        r.k for r in BJ.bloom_pruned_semi_join(fact, "k", dim, "dk").collect()
+    )
+    assert got == list(range(0, 5000, 7))
+
+
+def test_bloom_actually_prunes(spark):
+    """With a selective dim side, the pre-filter drops the bulk of the
+    fact rows BEFORE the join (false-positive rate stays near the
+    sizing formula, not near 1)."""
+    fact = spark.range(0, 20000).select(F.col("id").alias("k"))
+    dim = spark.range(0, 200).select(F.col("id").alias("dk"))
+    words = BJ.bloom_words(dim, "dk")
+    probes = BJ._positions(F.col("k"), BJ.M_BITS)
+    tested = fact.withColumn("__bf", F.lit(words))
+    for i, p in enumerate(probes):
+        tested = tested.withColumn(
+            f"__bf_w{i}", F.element_at("__bf", (p / 64).cast("int") + 1)
+        ).withColumn(f"__bf_b{i}", (p % 64).cast("int"))
+    member = " AND ".join(
+        f"((shiftright(__bf_w{i}, __bf_b{i}) & 1) = 1)" for i in range(3)
+    )
+    survivors = tested.filter(F.expr(member)).count()
+    # 200 true keys; fp rate at n=200, m=2^18, k=3 is ~1e-8 — allow
+    # slack up to 1% of the non-matching rows
+    assert survivors < 200 + 0.01 * 19800
+
+
+def test_bloom_words_deterministic_and_dense(spark):
+    dim = spark.range(0, 300).select(F.col("id").alias("dk"))
+    w1 = BJ.bloom_words(dim, "dk")
+    w2 = BJ.bloom_words(dim.repartition(7), "dk")
+    assert w1 == w2
+    assert len(w1) == BJ.M_BITS // 64
+
+
+# --------------------------------------------------------------------------
+# global rank / ntile
+# --------------------------------------------------------------------------
+
+
+def test_global_row_number_matches_window_any_partitioning(spark):
+    df = spark.range(0, 997).select(
+        F.col("id"), F.pmod(F.xxhash64("id"), F.lit(1000)).alias("score")
+    )
+    want = {
+        (r.id, r.score): r.rn
+        for r in duck_rank(df)
+    }
+    for n_parts in (1, 3, 32):
+        got = {
+            (r.id, r.score): r.rn
+            for r in global_row_number(
+                df, [F.col("score").desc(), F.col("id").asc()], n_partitions=n_parts
+            ).collect()
+        }
+        assert got == want
+
+
+def duck_rank(df):
+    pdf = df.toPandas()
+    con = duckdb.connect()
+    con.register("t", pdf)
+    return [
+        r
+        for r in con.sql(
+            "SELECT id, score, CAST(row_number() OVER "
+            "(ORDER BY score DESC, id ASC) AS BIGINT) AS rn FROM t"
+        ).fetchall()
+        for r in [type("R", (), {"id": r[0], "score": r[1], "rn": r[2]})()]
+    ]
+
+
+@pytest.mark.parametrize(
+    "n,k",
+    [(15, 10), (10, 3), (4, 3), (7, 3), (2, 5), (100, 7), (1, 1)],
+)
+def test_ntile_from_rank_matches_sql_ntile(spark, n, k):
+    """Exact NTILE — including (15, 10), the case where the tempting
+    closed form floor((r-1)k/n)+1 diverges from the window function."""
+    con = duckdb.connect()
+    want = [
+        r[0]
+        for r in con.sql(
+            f"SELECT ntile({k}) OVER (ORDER BY i) FROM range({n}) t(i)"
+        ).fetchall()
+    ]
+    df = spark.range(1, n + 1).select(
+        ntile_from_rank(F.col("id"), F.lit(n), k).alias("b")
+    )
+    got = [r.b for r in df.orderBy("b").collect()]
+    assert sorted(got) == sorted(want)
+    # position-wise too (rank r -> bucket)
+    df2 = spark.range(1, n + 1).select(
+        F.col("id"), ntile_from_rank(F.col("id"), F.lit(n), k).alias("b")
+    )
+    got2 = [r.b for r in df2.orderBy("id").collect()]
+    assert got2 == want
+
+
+def test_lm_buckets_plan_has_no_global_window(spark):
+    """The tiling must ride the range-partitioned rank: every Window
+    node in the plan is PARTITIONED (by the range-partition id) —
+    a global-order window would carry an empty partition spec over a
+    SinglePartition exchange. (The one SinglePartition in the plan is
+    the 1-row total-count aggregate feeding the broadcast — that's the
+    scalar-combine device, not a sort.)"""
+    import re
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = physical_plan(lm_buckets(docs))
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    for spec in specs:
+        assert "__rank_pid" in spec, plan
