@@ -1758,6 +1758,74 @@ def _q_docs_lm_buckets(spark, sf_dir):
     return lm_buckets(tables.load_table(spark, sf_dir, "documents"), k=3)
 
 
+def _q_events_scd2_join(spark, sf_dir):
+    """Temporal dimension join (operators/asof.py over operators/scd.py):
+    every purchase event joined to the SCD2 status run (runs of
+    signup/error per user) in effect at its timestamp — the classic
+    fact-to-SCD2 validity lookup, executed as a ONE-shuffle as-of join
+    instead of an inequality range join. Dim rows deduped to one run
+    per (user, valid_from) (latest event wins) so the match is unique
+    in both engines."""
+    from pyspark.sql import Window
+
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.asof import (
+        asof_join,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.scd import (
+        scd2_history,
+    )
+
+    ev = tables.load_table(spark, sf_dir, "events")
+    dim_src = ev.filter(F.col("event_type").isin("signup", "error"))
+    runs = scd2_history(dim_src, ["user_id"], "ts", ["event_id"], "event_type")
+    w = Window.partitionBy("user_id", "valid_from").orderBy(
+        F.col("event_id").desc()
+    )
+    dim = (
+        runs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            "valid_from",
+            F.col("event_type").alias("status_type"),
+            F.col("event_id").alias("status_event_id"),
+        )
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(
+        facts,
+        dim,
+        ["user_id"],
+        "ts",
+        "valid_from",
+        value_cols=["status_type", "status_event_id"],
+        tie_break="status_event_id",
+    )
+    return out.filter(F.col("asof_status_type").isNotNull()).select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("asof_status_type").alias("status_type"),
+        F.col("asof_status_event_id").alias("status_event_id"),
+    )
+
+
+def _q_events_value_deciles(spark, sf_dir):
+    """Exact distributed deciles (operators/ranking.py exact_quantiles):
+    the value at sorted position ceil(q·n/10) for q = 1..9 — exact
+    where approxQuantile is approximate, with no global-order window
+    and no driver-side data (two-phase range-partitioned rank)."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.ranking import (
+        exact_quantiles,
+    )
+
+    return exact_quantiles(
+        tables.load_table(spark, sf_dir, "events"), "value", k=10
+    )
+
+
 def _driver_evidence() -> dict[str, int]:
     """Last driver-green round per query, parsed from the committed
     CORRECTNESS_r*.json files that live next to this file.
@@ -1953,6 +2021,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stratified_sample": _q_events_stratified_sample,
         "lineitem_bloom_pruned": _q_lineitem_bloom_pruned,
         "docs_lm_buckets": _q_docs_lm_buckets,
+        "events_scd2_join": _q_events_scd2_join,
+        "events_value_deciles": _q_events_value_deciles,
     }
     return _rotate(registry)
 

@@ -102,6 +102,8 @@ BENCH_QUERIES = [
     "docs_domain_quota",
     "lineitem_bloom_pruned",
     "docs_lm_buckets",
+    "events_scd2_join",
+    "events_value_deciles",
 ]
 
 

@@ -91,3 +91,46 @@ def ntile_from_rank(rn: Column, n_rows: Column, k: int) -> Column:
         .otherwise(rem + F.floor((rn - 1 - head) / q) + 1)
         .cast("int")
     )
+
+
+def exact_quantiles(
+    df: DataFrame,
+    value_col: str,
+    k: int = 10,
+    n_partitions: int = N_RANGE_PARTITIONS,
+) -> DataFrame:
+    """EXACT k-quantile boundaries of ``value_col`` — boundary q
+    (q = 1..k−1) is the value at sorted position ceil(q·n/k), the
+    lower-quantile (``quantile_disc``-style) convention. Returns
+    (q, boundary).
+
+    ``approxQuantile`` trades error for speed and a driver round-trip;
+    a naive exact version sorts the column to one node. This one rides
+    ``global_row_number``: range-partition, per-partition rank +
+    offset, then each row self-tests membership in the boundary-rank
+    set (a ≤ k-element array built from the broadcast total) — no
+    global-order window, no driver-side data.
+
+    The selected VALUE at a rank is invariant to how ties are broken,
+    so ordering by the value alone is deterministic for the output even
+    when duplicates exist."""
+    ranked = global_row_number(
+        df.select(F.col(value_col).alias("__qv")),
+        [F.col("__qv").asc()],
+        n_partitions=n_partitions,
+    )
+    total = ranked.agg(F.count(F.lit(1)).alias("__qn"))
+    qs = F.array(*[F.lit(q) for q in range(1, k)])
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .select(
+            F.explode(
+                F.filter(
+                    qs,
+                    lambda q: F.col("rn")
+                    == F.ceil(q * F.col("__qn") / F.lit(float(k))),
+                )
+            ).alias("q"),
+            F.col("__qv").alias("boundary"),
+        )
+    )

@@ -2316,3 +2316,55 @@ SELECT doc_id, unigram_logprob,
        CAST(ntile(3) OVER (ORDER BY key DESC, doc_id ASC) AS INTEGER)
          AS bucket
 FROM rep"""
+
+
+# Fact-to-SCD2 temporal join (__spark_entry__ events_scd2_join): DuckDB
+# executes the semantics with its native ASOF JOIN; the Spark side is
+# the one-shuffle union+window as-of composition. Dim runs deduped to
+# one per (user, valid_from), latest event id wins — the same rule the
+# Spark tie_break implements.
+ORACLES["events_scd2_join"] = """\
+WITH dim_src AS (
+  SELECT event_id, user_id, ts, event_type
+  FROM events WHERE event_type IN ('signup', 'error')
+),
+runs AS (
+  SELECT event_id, user_id, ts, event_type FROM (
+    SELECT event_id, user_id, ts, event_type,
+           lag(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+           ) AS prev_type
+    FROM dim_src
+  ) WHERE prev_type IS NULL OR prev_type <> event_type
+),
+dim AS (
+  SELECT user_id, valid_from, status_type, status_event_id FROM (
+    SELECT user_id, ts AS valid_from, event_type AS status_type,
+           event_id AS status_event_id,
+           row_number() OVER (
+             PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+    FROM runs
+  ) WHERE rn = 1
+),
+facts AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT f.event_id, f.user_id, epoch_us(f.ts) AS ts_us,
+       d.status_type, d.status_event_id
+FROM facts f ASOF JOIN dim d
+  ON f.user_id = d.user_id AND f.ts >= d.valid_from"""
+
+# Exact deciles (operators/ranking.py exact_quantiles): boundary q is
+# the raw value at sorted position ceil(q·n/10) — no arithmetic on the
+# value, so the doubles are bit-identical across engines.
+ORACLES["events_value_deciles"] = """\
+WITH r AS (
+  SELECT "value" AS v,
+         row_number() OVER (ORDER BY "value") AS rn,
+         count(*) OVER () AS n
+  FROM events
+)
+SELECT q.q, r.v AS boundary
+FROM r
+JOIN (SELECT unnest(generate_series(1, 9)) AS q) q
+  ON r.rn = CAST(ceil(q.q * r.n / 10.0) AS BIGINT)"""

@@ -232,3 +232,116 @@ def test_lm_buckets_plan_has_no_global_window(spark):
     assert specs, plan
     for spec in specs:
         assert "__rank_pid" in spec, plan
+
+
+# --------------------------------------------------------------------------
+# SCD2 temporal join / exact quantiles
+# --------------------------------------------------------------------------
+
+
+def test_scd2_asof_join_known_log(spark):
+    """Hand-built log: purchases land in the correct status run,
+    equal-ts dim changes apply to same-ts facts (inclusive as-of), and
+    facts before the first run are dropped (inner semantics)."""
+    import datetime
+
+    def e(eid, uid, ts, typ):
+        return (eid, uid, datetime.datetime.fromisoformat(ts), typ)
+
+    ev = spark.createDataFrame(
+        [
+            e(1, 1, "2024-01-01 00:00:00", "purchase"),  # before any dim
+            e(2, 1, "2024-01-02 00:00:00", "signup"),
+            e(3, 1, "2024-01-03 00:00:00", "purchase"),  # in signup run
+            e(4, 1, "2024-01-04 00:00:00", "error"),
+            e(5, 1, "2024-01-04 00:00:00", "purchase"),  # same-ts: error wins
+            e(6, 1, "2024-01-05 00:00:00", "purchase"),  # still error run
+            e(7, 2, "2024-01-01 00:00:00", "purchase"),  # user 2: no dim ever
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    # registry wrapper logic, inlined against this log
+    from pyspark.sql import Window
+
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.asof import (
+        asof_join,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.scd import (
+        scd2_history,
+    )
+
+    dim_src = ev.filter(F.col("event_type").isin("signup", "error"))
+    runs = scd2_history(dim_src, ["user_id"], "ts", ["event_id"], "event_type")
+    w = Window.partitionBy("user_id", "valid_from").orderBy(
+        F.col("event_id").desc()
+    )
+    dim = (
+        runs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            "valid_from",
+            F.col("event_type").alias("status_type"),
+            F.col("event_id").alias("status_event_id"),
+        )
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join(
+        facts, dim, ["user_id"], "ts", "valid_from",
+        value_cols=["status_type", "status_event_id"],
+        tie_break="status_event_id",
+    ).filter(F.col("asof_status_type").isNotNull())
+    out = {
+        r.event_id: (r.asof_status_type, r.asof_status_event_id)
+        for r in joined.collect()
+    }
+    assert out == {
+        3: ("signup", 2),
+        5: ("error", 4),
+        6: ("error", 4),
+    }
+
+
+def test_exact_quantiles_match_rank_definition(spark):
+    """Boundary q = value at sorted position ceil(q·n/k), verified
+    against a sorted driver-side list, under several partition counts
+    and with heavy duplicates."""
+    import math
+
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.ranking import (
+        exact_quantiles,
+    )
+
+    vals = [float(v % 17) for v in range(997)]  # heavy ties
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    s = sorted(vals)
+    want = {
+        q: s[math.ceil(q * len(s) / 10) - 1] for q in range(1, 10)
+    }
+    for n_parts in (1, 5, 32):
+        got = {
+            r.q: r.boundary
+            for r in exact_quantiles(df, "value", 10, n_partitions=n_parts).collect()
+        }
+        assert got == want
+
+
+def test_exact_quantiles_small_n(spark):
+    """n < k: several boundary ranks collapse to the same row — each q
+    still reports (one row per q), and n=0 yields the empty relation."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.ranking import (
+        exact_quantiles,
+    )
+
+    df = spark.createDataFrame([(1.0,), (2.0,), (3.0,)], "value double")
+    got = {r.q: r.boundary for r in exact_quantiles(df, "value", 10).collect()}
+    assert set(got) == set(range(1, 10))
+    import math
+
+    s = [1.0, 2.0, 3.0]
+    assert got == {q: s[math.ceil(q * 3 / 10) - 1] for q in range(1, 10)}
+
+    empty = spark.createDataFrame([], "value double")
+    assert exact_quantiles(empty, "value", 10).count() == 0
