@@ -1812,6 +1812,18 @@ def _q_events_scd2_join(spark, sf_dir):
     )
 
 
+def _q_docs_token_entropy(spark, sf_dir):
+    """Token-distribution entropy (functions/text.py token_entropy):
+    H = ln(n) − Σ c·ln c / n in ONE per-doc aggregate — the
+    information-density quality gate beside the positional
+    repetition_metrics view."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.functions.text import (
+        token_entropy,
+    )
+
+    return token_entropy(tables.load_table(spark, sf_dir, "documents"))
+
+
 def _q_events_value_deciles(spark, sf_dir):
     """Exact distributed deciles (operators/ranking.py exact_quantiles):
     the value at sorted position ceil(q·n/10) for q = 1..9 — exact
@@ -2023,6 +2035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_lm_buckets": _q_docs_lm_buckets,
         "events_scd2_join": _q_events_scd2_join,
         "events_value_deciles": _q_events_value_deciles,
+        "docs_token_entropy": _q_docs_token_entropy,
     }
     return _rotate(registry)
 

@@ -511,3 +511,49 @@ def lm_buckets(
             ntile_from_rank(F.col("rn"), F.col("n_rows"), k).alias("bucket"),
         )
     )
+
+
+def token_entropy(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Shannon entropy of each document's token distribution — the
+    information-density quality gate (low entropy = templated /
+    repetitive text; the distributional complement of
+    ``repetition_metrics``' positional n-gram view).
+
+    H = ln(n) − Σ c·ln(c) / n over per-token counts c — the algebraic
+    form that needs only ONE per-doc aggregate (Σ c·ln c and n ride the
+    same groupBy), instead of a counts-then-rejoin two-pass to form
+    c/n. Returns (id, n_tokens, n_distinct, entropy); zero-token docs
+    keep a row with NULL entropy, single-token docs score exactly 0.
+    6dp round absorbs summation-order/libm ulps (the unigram-logprob
+    convention).
+
+    Scale: one (doc, token) shuffle with map-side combine, one per-doc
+    aggregate — both keyed, nothing corpus-global."""
+    tf = (
+        df.select(
+            F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("token")
+        )
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    scored = tf.groupBy(id_col).agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.round(
+            F.log(F.sum("c").cast("double"))
+            - F.sum(F.col("c") * F.log(F.col("c"))) / F.sum("c"),
+            6,
+        ).alias("entropy"),
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            F.coalesce(F.col("n_distinct"), F.lit(0)).alias("n_distinct"),
+            "entropy",
+        )
+    )

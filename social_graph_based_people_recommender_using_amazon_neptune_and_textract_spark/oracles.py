@@ -2368,3 +2368,24 @@ SELECT q.q, r.v AS boundary
 FROM r
 JOIN (SELECT unnest(generate_series(1, 9)) AS q) q
   ON r.rn = CAST(ceil(q.q * r.n / 10.0) AS BIGINT)"""
+
+
+# Token-distribution entropy (functions/text.py token_entropy): the
+# same one-aggregate algebraic form H = ln(n) − Σ c·ln c / n, 6dp.
+ORACLES["docs_token_entropy"] = f"""\
+WITH toksrc AS (
+  SELECT doc_id, {TOKENIZE.format(col='text')} AS tokens FROM documents
+),
+tok AS (SELECT doc_id, unnest(tokens) AS token FROM toksrc),
+tf AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY doc_id, token),
+scored AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         count(*) AS n_distinct,
+         round(ln(CAST(sum(c) AS DOUBLE)) - sum(c * ln(c)) / sum(c), 6)
+           AS entropy
+  FROM tf GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(s.n_tokens, 0) AS n_tokens,
+       coalesce(s.n_distinct, 0) AS n_distinct, s.entropy
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id"""

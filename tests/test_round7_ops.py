@@ -345,3 +345,33 @@ def test_exact_quantiles_small_n(spark):
 
     empty = spark.createDataFrame([], "value double")
     assert exact_quantiles(empty, "value", 10).count() == 0
+
+
+# --------------------------------------------------------------------------
+# token entropy
+# --------------------------------------------------------------------------
+
+
+def test_token_entropy_known_values(spark):
+    import math
+
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.functions.text import (
+        token_entropy,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, ""),               # zero tokens: NULL entropy
+            (2, "same same same"), # one distinct token: H = 0
+            (3, "a b c d"),        # uniform: H = ln(4)
+            (4, "a a b"),          # H = ln(3) - (2 ln 2)/3
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in token_entropy(docs).collect()}
+    assert rows[1].n_tokens == 0 and rows[1].entropy is None
+    assert rows[2].entropy == 0.0 and rows[2].n_distinct == 1
+    assert rows[3].entropy == pytest.approx(math.log(4), abs=1e-6)
+    assert rows[4].entropy == pytest.approx(
+        math.log(3) - (2 * math.log(2)) / 3, abs=1e-6
+    )
