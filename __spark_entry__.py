@@ -1812,6 +1812,33 @@ def _q_events_scd2_join(spark, sf_dir):
     )
 
 
+def _q_ann_pq(spark, sf_dir):
+    """Product-quantization ANN by asymmetric distance
+    (operators/similarity.py ann_pq): 4×16-dim deterministic
+    sub-codebooks, vectors as 4 codes, query scoring = broadcast
+    distance-table lookups + exact integer micro-unit sums — the
+    compressed-index scale path beside IVF and sign-LSH."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        similarity as SIM,
+    )
+
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    return SIM.ann_pq(emb, oracles.ANN_QUERY_IDS, k=10)
+
+
+def _q_ann_pq_rerank(spark, sf_dir):
+    """The PQ serving path (operators/similarity.py ann_pq_rerank):
+    ADC shortlist of 100 by codes alone, exact cosine only over the
+    shortlist — output-sized query work, recall measured and pinned in
+    test_round7_ops."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        similarity as SIM,
+    )
+
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    return SIM.ann_pq_rerank(emb, oracles.ANN_QUERY_IDS, k=10)
+
+
 def _q_docs_token_entropy(spark, sf_dir):
     """Token-distribution entropy (functions/text.py token_entropy):
     H = ln(n) − Σ c·ln c / n in ONE per-doc aggregate — the
@@ -2036,6 +2063,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_scd2_join": _q_events_scd2_join,
         "events_value_deciles": _q_events_value_deciles,
         "docs_token_entropy": _q_docs_token_entropy,
+        "ann_pq": _q_ann_pq,
+        "ann_pq_rerank": _q_ann_pq_rerank,
     }
     return _rotate(registry)
 

@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "docs_lm_buckets",
     "events_scd2_join",
     "events_value_deciles",
+    "ann_pq_rerank",
 ]
 
 

@@ -74,16 +74,11 @@ def _update(assigned: DataFrame, cents: DataFrame) -> DataFrame:
     return kept.withColumn("cn2", norm2(F.col("centroid")))
 
 
-def kmeans_assign(
-    embeddings: DataFrame, k: int = 4, iters: int = 2
-) -> DataFrame:
-    """Cluster assignment under the centroids produced by ``iters - 1``
-    Lloyd update rounds from the deterministic seed (i.e. ``iters``
-    assignment passes total). Returns (vec_id, cluster)."""
-    base = embeddings.select(
-        "vec_id", _to_double(F.col("embedding")).alias("v")
-    ).withColumn("n2", norm2(F.col("v")))
-
+def kmeans_fit(base: DataFrame, k: int = 4, iters: int = 2) -> DataFrame:
+    """Fitted centroids after ``iters - 1`` Lloyd update rounds from the
+    deterministic seed. ``base`` must carry (vec_id, v, n2). Returns
+    (cluster, centroid, cn2) — the train half of the train/search split
+    (ann_pq fits one of these per subspace)."""
     # TakeOrdered k seeds (distributed top-k, NOT a global window — a
     # single-partition window over N rows would serialize the scan);
     # the k-row result then gets its 0..k-1 ids from a tiny local sort.
@@ -102,6 +97,19 @@ def kmeans_assign(
     cents = seeds
     for _ in range(iters - 1):
         cents = _update(_assign(base, cents), cents)
+    return cents
+
+
+def kmeans_assign(
+    embeddings: DataFrame, k: int = 4, iters: int = 2
+) -> DataFrame:
+    """Cluster assignment under the centroids produced by ``iters - 1``
+    Lloyd update rounds from the deterministic seed (i.e. ``iters``
+    assignment passes total). Returns (vec_id, cluster)."""
+    base = embeddings.select(
+        "vec_id", _to_double(F.col("embedding")).alias("v")
+    ).withColumn("n2", norm2(F.col("v")))
+    cents = kmeans_fit(base, k, iters)
     return _assign(base, cents).select(
         "vec_id", F.col("cluster").cast("int").alias("cluster")
     )

@@ -2389,3 +2389,143 @@ scored AS (
 SELECT d.doc_id, coalesce(s.n_tokens, 0) AS n_tokens,
        coalesce(s.n_distinct, 0) AS n_distinct, s.entropy
 FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id"""
+
+
+# --- product quantization (operators/similarity.py ann_pq / _rerank) ------
+# Per-subspace deterministic k-means (same seed/round discipline as
+# kmeans_assign), codes = nearest sub-centroid, ADC partials rounded to
+# integer micro-units so the Σ is exact integer arithmetic in both
+# engines. Geometry mirrors the Spark constants: M=4 × 16 dims, KSUB=8,
+# ITERS=2 (one update round).
+_PQ_M, _PQ_KSUB, _PQ_W = 4, 8, 16
+
+
+def _pq_dot(a: str, b: str) -> str:
+    return f"list_sum(list_transform(range(1, {_PQ_W + 1}), i -> {a}[i] * {b}[i]))"
+
+
+def _pq_assign_cte(out: str, base: str, cents: str) -> str:
+    d = _pq_dot("b.v", "c.centroid")
+    return f"""{out} AS (
+  SELECT vec_id, v, n2, cluster FROM (
+    SELECT b.vec_id, b.v, b.n2, c.cluster,
+      row_number() OVER (
+        PARTITION BY b.vec_id
+        ORDER BY round(b.n2 + c.cn2 - 2 * {d}, 6) ASC, c.cluster ASC
+      ) AS r
+    FROM {base} b CROSS JOIN {cents} c
+  ) WHERE r = 1
+)"""
+
+
+def _pq_subspace_ctes(m: int) -> str:
+    lo, hi = m * _PQ_W + 1, (m + 1) * _PQ_W
+    return f"""\
+sub{m} AS (
+  SELECT vec_id, list_slice(v, {lo}, {hi}) AS v FROM vecs
+),
+n{m} AS (
+  SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS n2 FROM sub{m}
+),
+seed{m} AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id ASC) - 1 AS INT) AS cluster,
+         v AS centroid, n2 AS cn2
+  FROM (SELECT vec_id, v, n2 FROM n{m} ORDER BY vec_id ASC LIMIT {_PQ_KSUB})
+),
+{_pq_assign_cte(f"a1_{m}", f"n{m}", f"seed{m}")},
+m1_{m} AS (
+  SELECT cluster, pos, round(avg(x), 6) AS m FROM (
+    SELECT cluster, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM a1_{m}
+  ) GROUP BY cluster, pos
+),
+c1n_{m} AS (
+  SELECT cluster, list(m ORDER BY pos) AS centroid FROM m1_{m} GROUP BY cluster
+),
+c1_{m} AS (
+  SELECT s.cluster,
+         coalesce(n.centroid, s.centroid) AS centroid,
+         list_sum(list_transform(coalesce(n.centroid, s.centroid),
+                                 x -> x * x)) AS cn2
+  FROM seed{m} s LEFT JOIN c1n_{m} n USING (cluster)
+),
+{_pq_assign_cte(f"code{m}", f"n{m}", f"c1_{m}")},
+q{m} AS (
+  SELECT vec_id AS query_id, v AS qv, n2 AS qn2
+  FROM n{m} WHERE vec_id IN ({_qid_list})
+),
+d{m} AS (
+  SELECT q.query_id, {m} AS sp, c.cluster AS code,
+    CAST(round((q.qn2 + c.cn2 - 2 * {_pq_dot("q.qv", "c.centroid")}) * 1e6, 0)
+         AS BIGINT) AS pi6
+  FROM q{m} q CROSS JOIN c1_{m} c
+)"""
+
+
+_PQ_ADC = f"""\
+codes AS (
+  {" UNION ALL ".join(f"SELECT vec_id, {m} AS sp, cluster AS code FROM code{m}" for m in range(_PQ_M))}
+),
+dtab AS (
+  {" UNION ALL ".join(f"SELECT * FROM d{m}" for m in range(_PQ_M))}
+),
+adc AS (
+  SELECT d.query_id, c.vec_id AS neighbor_id,
+         CAST(sum(d.pi6) AS BIGINT) AS adc_i6
+  FROM codes c JOIN dtab d ON d.sp = c.sp AND d.code = c.code
+  WHERE c.vec_id <> d.query_id
+  GROUP BY d.query_id, c.vec_id
+)"""
+
+_PQ_PREFIX = (
+    "WITH "
+    + _VEC.format(src="embeddings")
+    + ",\n"
+    + ",\n".join(_pq_subspace_ctes(m) for m in range(_PQ_M))
+    + ",\n"
+    + _PQ_ADC
+)
+
+ORACLES["ann_pq"] = (
+    _PQ_PREFIX
+    + """
+SELECT query_id, neighbor_id, adc_i6 / 1000000.0 AS adc, rank FROM (
+  SELECT query_id, neighbor_id, adc_i6,
+    CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY adc_i6 ASC, neighbor_id ASC
+    ) AS INT) AS rank
+  FROM adc
+) WHERE rank <= 10"""
+)
+
+ORACLES["ann_pq_rerank"] = (
+    _PQ_PREFIX
+    + """,
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      row_number() OVER (
+        PARTITION BY query_id ORDER BY adc_i6 ASC, neighbor_id ASC
+      ) AS r
+    FROM adc
+  ) WHERE r <= 100
+),
+qfull AS (
+  SELECT vec_id AS query_id, v AS qv, n2 AS qn2
+  FROM norms WHERE vec_id IN (""" + _qid_list + """)
+),
+rer AS (
+  SELECT s.query_id, s.neighbor_id,
+    round(""" + _DOT.format(a="q.qv", b="n.v") + """
+          / (sqrt(q.qn2) * sqrt(n.n2)), 6) AS cos
+  FROM short s
+  JOIN norms n ON n.vec_id = s.neighbor_id
+  JOIN qfull q ON q.query_id = s.query_id
+)
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT query_id, neighbor_id, cos,
+    CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC
+    ) AS INT) AS rank
+  FROM rer
+) WHERE rank <= 10"""
+)

@@ -375,3 +375,68 @@ def test_token_entropy_known_values(spark):
     assert rows[4].entropy == pytest.approx(
         math.log(3) - (2 * math.log(2)) / 3, abs=1e-6
     )
+
+
+# --------------------------------------------------------------------------
+# product quantization
+# --------------------------------------------------------------------------
+
+
+def test_pq_rerank_recall_floor(spark):
+    """Declared recall: ADC-shortlist-100 + exact rerank recovers most
+    of the brute-force top-10 even on uniform random vectors (PQ's
+    worst case — no cluster structure). Pinned ≥ 0.7 at sf0.001."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        similarity as S,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ann_bruteforce(emb, [0, 1, 2], 10).collect()
+    }
+    pq = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ann_pq_rerank(emb, [0, 1, 2], 10).collect()
+    }
+    assert len(bf & pq) / len(bf) >= 0.7
+
+
+def test_pq_codes_are_compressed_and_total(spark):
+    """Every vector gets exactly M codes, each in [0, KSUB) — the
+    8-bytes-per-vector compression contract."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark import (
+        pinned as P,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        similarity as S,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    S.ann_pq(emb, [0], k=1).collect()  # builds + pins the index
+    hit = [k for k in P.pinned_keys() if isinstance(k, tuple) and k and k[0] == "pq_index"]
+    assert hit, "pq index not pinned"
+    cents_all, codes_all = P._REGISTRY[hit[0]]
+    n = emb.count()
+    per_vec = codes_all.groupBy("vec_id").count().collect()
+    assert len(per_vec) == n and all(r["count"] == S.PQ_M for r in per_vec)
+    rng = codes_all.agg(F.min("code"), F.max("code")).first()
+    assert rng[0] >= 0 and rng[1] < S.PQ_KSUB
+    assert cents_all.count() == S.PQ_M * S.PQ_KSUB
+
+
+def test_pq_adc_never_scans_raw_vectors_at_query_time(spark):
+    """The scoring join reads the pinned code table and the broadcast
+    distance table only — the query-side plan contains no per-neighbor
+    64-dim fold (the aggregate over zip_with appears only in the tiny
+    |Q|-row distance-table branch, which is broadcast)."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        similarity as S,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    df = S.ann_pq(emb, [0, 1, 2], 10)
+    plan = physical_plan(df)
+    # the N-sized side enters through InMemoryTableScan (the pinned code
+    # table), and every aggregate-fold sits under a BroadcastExchange
+    assert "InMemoryTableScan" in plan
