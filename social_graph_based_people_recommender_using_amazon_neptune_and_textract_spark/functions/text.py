@@ -388,68 +388,70 @@ def repetition_metrics(
     - ``repetitive`` — either fraction over its declared gate (NULL
       metrics gate nothing).
 
-    Scale: ONE corpus scan builds both gram widths as array columns
-    (JVM ``transform`` over the token array — no Python), one explode
-    unions them under a width tag, and one (doc, width, gram) shuffle
-    with map-side combine feeds a per-doc conditional aggregate. Gram
-    state per task is bounded by document length; nothing is quadratic
-    in corpus size.
+    Scale: ZERO shuffles — every metric is a per-row expression. The
+    most-frequent-bigram count is the longest run of equal adjacent
+    elements in the SORTED bigram array (an O(n log n) ``array_sort`` +
+    an O(n) left fold), and duplicate-trigram mass is
+    ``size − size(array_distinct)``; all whole-stage-codegen. The first
+    version of this operator shuffled (doc, width, gram) rows — ~2
+    string rows per token corpus-wide — and benched 12 s at sf0.1; the
+    row-local form is the plan a 100 TB corpus needs (document-sized
+    work, embarrassingly parallel, nothing keyed on gram strings).
     """
-    toks = df.select(
-        F.col(id_col), tokenize(F.col(text_col)).alias("t")
-    ).select(
+
+    def grams(t, width: int):
+        return F.when(
+            F.size(t) >= width,
+            F.transform(
+                F.slice(t, 1, F.size(t) - (width - 1)),
+                lambda x, i: F.concat_ws(
+                    " ",
+                    x,
+                    *[F.element_at(t, i + j + 1) for j in range(1, width)],
+                ),
+            ),
+        )
+
+    def max_run(sorted_arr):
+        """Longest run of equal adjacent elements in a sorted array —
+        i.e. the count of the most frequent element."""
+        acc0 = F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        )
+        step = lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+                    F.lit(1).cast("long")
+                ),
+            ).alias("best"),
+        )
+        return F.aggregate(sorted_arr, acc0, step, lambda acc: acc["best"])
+
+    t = tokenize(F.col(text_col))
+    base = df.select(
         F.col(id_col),
-        F.size("t").cast("long").alias("n_tokens"),
-        F.concat(
-            F.when(
-                F.size("t") >= 2,
-                F.transform(
-                    F.slice("t", 1, F.size("t") - 1),
-                    lambda x, i: F.struct(
-                        F.lit(2).alias("w"),
-                        F.concat_ws(
-                            " ", x, F.element_at("t", i + 2)
-                        ).alias("g"),
-                    ),
-                ),
-            ).otherwise(
-                F.array().cast("array<struct<w:int,g:string>>")
-            ),
-            F.when(
-                F.size("t") >= 3,
-                F.transform(
-                    F.slice("t", 1, F.size("t") - 2),
-                    lambda x, i: F.struct(
-                        F.lit(3).alias("w"),
-                        F.concat_ws(
-                            " ", x, F.element_at("t", i + 2), F.element_at("t", i + 3)
-                        ).alias("g"),
-                    ),
-                ),
-            ).otherwise(
-                F.array().cast("array<struct<w:int,g:string>>")
-            ),
-        ).alias("grams"),
-    )
-    counted = (
-        toks.select(id_col, "n_tokens", F.explode("grams").alias("gr"))
-        .groupBy(id_col, "n_tokens", F.col("gr.w").alias("w"), F.col("gr.g").alias("g"))
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    stats = counted.groupBy(id_col, "n_tokens").agg(
-        F.max(F.when(F.col("w") == 2, F.col("c"))).alias("top_bi"),
-        F.sum(F.when(F.col("w") == 3, F.col("c"))).alias("n_tri"),
-        F.count(F.when(F.col("w") == 3, F.lit(1))).alias("n_tri_distinct"),
+        F.size(t).cast("long").alias("n_tokens"),
+        grams(t, 2).alias("bi"),
+        grams(t, 3).alias("tri"),
     )
     top_frac = F.round(
-        F.lit(2.0) * F.col("top_bi") / F.col("n_tokens"), 6
-    )
-    dup_frac = F.round(
-        (F.col("n_tri") - F.col("n_tri_distinct"))
-        / F.col("n_tri").cast("double"),
+        F.lit(2.0) * max_run(F.array_sort(F.col("bi"))) / F.col("n_tokens"),
         6,
     )
-    scored = stats.select(
+    n_tri = F.size("tri").cast("long")
+    dup_frac = F.round(
+        (n_tri - F.size(F.array_distinct(F.col("tri"))))
+        / n_tri.cast("double"),
+        6,
+    )
+    return base.select(
         id_col,
         "n_tokens",
         top_frac.alias("top_bigram_frac"),
@@ -458,19 +460,6 @@ def repetition_metrics(
             F.coalesce(top_frac > TOP_BIGRAM_MAX_FRAC, F.lit(False))
             | F.coalesce(dup_frac > DUP_TRIGRAM_MAX_FRAC, F.lit(False))
         ).alias("repetitive"),
-    )
-    # docs with < 2 tokens never produce a gram row — rejoin them with
-    # NULL metrics so the relation stays total over the corpus
-    base = df.select(F.col(id_col), F.size(tokenize(F.col(text_col))).cast("long").alias("n_tokens"))
-    return (
-        base.join(scored.drop("n_tokens"), id_col, "left")
-        .select(
-            id_col,
-            "n_tokens",
-            "top_bigram_frac",
-            "dup_trigram_frac",
-            F.coalesce("repetitive", F.lit(False)).alias("repetitive"),
-        )
     )
 
 
