@@ -71,6 +71,53 @@ def bloom_words(
     return dense
 
 
+def bits_bytes(words: list[int], m_bits: int = M_BITS) -> bytes:
+    """The bit-set as m/8 raw bytes (bit p = byte p//8, bit p%8,
+    little-endian). The POINT of the encoding: a Python ``bytes``
+    becomes ONE BinaryType Literal node in the plan. Two rejected
+    encodings, both measured: ``F.lit(list_of_longs)`` explodes into a
+    CreateArray with m/64 child literals (2.8 s of py4j + analysis +
+    codegen per query build at m=2¹⁸ before any row was read), and a
+    '0'/'1' CHAR string probes via UTF-8 ``substring``, which scans for
+    char boundaries — O(position) per probe, ~175 µs/row. Binary
+    substring is a true O(1) byte slice."""
+    out = bytearray(m_bits // 8)
+    for i, w in enumerate(words):
+        out[i * 8 : (i + 1) * 8] = int(w & 0xFFFFFFFFFFFFFFFF).to_bytes(
+            8, "little"
+        )
+    return bytes(out)
+
+
+def membership(key: Column, bits: bytes, m_bits: int = M_BITS) -> Column:
+    """All-k-bits-set membership test against the byte bit-set, as ONE
+    filter expression: per probe an O(1) binary substring, hex-decode
+    of the single byte, shift and mask — all JVM built-ins.
+    call_function reaches the SQL substring/shiftright forms whose
+    position/shift may be columns (the pyspark wrappers only take
+    literals)."""
+    lit = F.lit(bits)
+    checks = None
+    for p in _positions(key, m_bits):
+        byte = F.conv(
+            F.hex(
+                F.call_function(
+                    "substring", lit, (p / 8).cast("int") + 1, F.lit(1)
+                )
+            ),
+            16,
+            10,
+        ).cast("int")
+        ok = (
+            F.call_function(
+                "shiftright", byte, (p % 8).cast("int")
+            ).bitwiseAND(F.lit(1))
+            == 1
+        )
+        checks = ok if checks is None else checks & ok
+    return checks
+
+
 def bloom_pruned_semi_join(
     fact: DataFrame,
     fact_key: str,
@@ -80,21 +127,21 @@ def bloom_pruned_semi_join(
 ) -> DataFrame:
     """``fact`` semi-joined to ``dim`` keys, with the fact scan
     bloom-pruned first. Result rows are exactly the plain semi-join's;
-    the bloom only shrinks what reaches the shuffle."""
-    words = bloom_words(dim.select(dim_key), dim_key, m_bits)
-    probes = _positions(F.col(fact_key), m_bits)
-    tested = fact.withColumn("__bf", F.lit(words))
-    for i, p in enumerate(probes):
-        tested = tested.withColumn(
-            f"__bf_w{i}", F.element_at("__bf", (p / 64).cast("int") + 1)
-        ).withColumn(f"__bf_b{i}", (p % 64).cast("int"))
-    member = " AND ".join(
-        f"((shiftright(__bf_w{i}, __bf_b{i}) & 1) = 1)"
-        for i in range(len(probes))
+    the bloom only shrinks what reaches the shuffle.
+
+    The bit-set is memoized per (dim relation, m) through the pinned
+    registry's scalar-memo lifecycle — build once, serve many, evicted
+    with ``pinned.release_all`` — so repeated queries don't re-collect
+    the filter (a full dim-side job) every call."""
+    from ..pinned import memo
+
+    bits = memo(
+        ("bloom_bits", dim.semanticHash(), dim_key, m_bits),
+        lambda: bits_bytes(
+            bloom_words(dim.select(dim_key), dim_key, m_bits), m_bits
+        ),
     )
-    pruned = tested.filter(F.expr(member)).drop(
-        "__bf", *[c for i in range(len(probes)) for c in (f"__bf_w{i}", f"__bf_b{i}")]
-    )
+    pruned = fact.filter(membership(F.col(fact_key), bits, m_bits))
     return pruned.join(
         dim.select(F.col(dim_key).alias(fact_key)).distinct(),
         fact_key,

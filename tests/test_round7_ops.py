@@ -129,17 +129,8 @@ def test_bloom_actually_prunes(spark):
     sizing formula, not near 1)."""
     fact = spark.range(0, 20000).select(F.col("id").alias("k"))
     dim = spark.range(0, 200).select(F.col("id").alias("dk"))
-    words = BJ.bloom_words(dim, "dk")
-    probes = BJ._positions(F.col("k"), BJ.M_BITS)
-    tested = fact.withColumn("__bf", F.lit(words))
-    for i, p in enumerate(probes):
-        tested = tested.withColumn(
-            f"__bf_w{i}", F.element_at("__bf", (p / 64).cast("int") + 1)
-        ).withColumn(f"__bf_b{i}", (p % 64).cast("int"))
-    member = " AND ".join(
-        f"((shiftright(__bf_w{i}, __bf_b{i}) & 1) = 1)" for i in range(3)
-    )
-    survivors = tested.filter(F.expr(member)).count()
+    bits = BJ.bits_bytes(BJ.bloom_words(dim, "dk"))
+    survivors = fact.filter(BJ.membership(F.col("k"), bits)).count()
     # 200 true keys; fp rate at n=200, m=2^18, k=3 is ~1e-8 — allow
     # slack up to 1% of the non-matching rows
     assert survivors < 200 + 0.01 * 19800
