@@ -1812,6 +1812,32 @@ def _q_events_scd2_join(spark, sf_dir):
     )
 
 
+def _q_streaming_domain_quota(spark, sf_dir):
+    """Incremental domain quota (streaming/quota.py): the per-domain
+    kept-set maintained across micro-batches with state bounded by
+    |domains|·cap forever; drained ≡ batch domain_quota (shared
+    oracle). Replay-safe via the swapped _applied_batch_id marker."""
+    import tempfile
+
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.streaming.quota import (
+        StreamingQuotaAccumulator,
+    )
+
+    docs = tables.load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    )
+    base = tempfile.mkdtemp(prefix="sgr-squota-")
+    docs.repartition(3).write.mode("overwrite").parquet(f"{base}/landing")
+    acc = StreamingQuotaAccumulator(spark, f"{base}/wh", cap=10)
+    acc.run_available_now(
+        f"{base}/landing",
+        f"{base}/ckpt",
+        "doc_id long, source string",
+        max_files_per_trigger=1,
+    )
+    return acc.kept()
+
+
 def _q_ann_pq(spark, sf_dir):
     """Product-quantization ANN by asymmetric distance
     (operators/similarity.py ann_pq): 4×16-dim deterministic
@@ -2065,6 +2091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_token_entropy": _q_docs_token_entropy,
         "ann_pq": _q_ann_pq,
         "ann_pq_rerank": _q_ann_pq_rerank,
+        "streaming_domain_quota": _q_streaming_domain_quota,
     }
     return _rotate(registry)
 

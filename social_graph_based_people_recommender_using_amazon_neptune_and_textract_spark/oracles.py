@@ -2529,3 +2529,9 @@ SELECT query_id, neighbor_id, cos, rank FROM (
   FROM rer
 ) WHERE rank <= 10"""
 )
+
+
+# Incremental domain quota (streaming/quota.py): drained kept-set is
+# row-identical to the batch operator — shared oracle, same device as
+# streaming_dedup_minhash.
+ORACLES["streaming_domain_quota"] = ORACLES["docs_domain_quota"]

@@ -443,3 +443,58 @@ def test_repetition_metrics_is_shuffle_free(spark):
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     assert exchange_count(repetition_metrics(docs)) == 0
+
+
+# --------------------------------------------------------------------------
+# streaming domain quota
+# --------------------------------------------------------------------------
+
+
+def test_streaming_quota_converges_and_stays_bounded(spark, tmp_path):
+    """Multi-batch drain ≡ batch domain_quota (the greedy-prune
+    invariant: a dropped doc can never re-enter), state stays ≤
+    |domains|·cap after EVERY batch, and a checkpointed re-drain adds
+    nothing."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.streaming.quota import (
+        StreamingQuotaAccumulator,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    landing = str(tmp_path / "landing")
+    docs.repartition(5).write.mode("overwrite").parquet(landing)
+
+    acc = StreamingQuotaAccumulator(spark, str(tmp_path / "wh"), cap=6)
+    acc.run_available_now(
+        landing, str(tmp_path / "ckpt"),
+        "doc_id long, source string", max_files_per_trigger=1,
+    )
+    got = sorted(map(tuple, acc.kept().select("source", "doc_id", "rk").collect()))
+    want = sorted(map(tuple, Q.domain_quota(docs, 6).select("source", "doc_id", "rk").collect()))
+    assert got == want
+
+    n_domains = docs.select("source").distinct().count()
+    assert acc.kept().count() <= n_domains * 6
+
+    acc.run_available_now(  # replay: checkpoint makes it a no-op
+        landing, str(tmp_path / "ckpt"),
+        "doc_id long, source string", max_files_per_trigger=1,
+    )
+    assert sorted(map(tuple, acc.kept().select("source", "doc_id", "rk").collect())) == want
+
+
+def test_streaming_quota_batch_retry_skipped(spark, tmp_path):
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.streaming.quota import (
+        StreamingQuotaAccumulator,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(30)], "doc_id long, source string"
+    )
+    acc = StreamingQuotaAccumulator(spark, str(tmp_path / "wh"), cap=4)
+    acc._process_batch(docs, 0)
+    once = sorted(map(tuple, acc.kept().collect()))
+    assert acc._applied_batch_id() == 0
+    acc._process_batch(docs, 0)  # replayed batch: skipped
+    assert sorted(map(tuple, acc.kept().collect())) == once
