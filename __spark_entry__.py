@@ -1177,6 +1177,20 @@ def _q_graph_closeness_landmarks(spark, sf_dir):
     )
 
 
+def _q_graph_harmonic_landmarks(spark, sf_dir):
+    """Landmark harmonic centrality (graph/traverse.py
+    harmonic_from_landmarks): Σ 1/d over reached landmarks, computed
+    exactly as Σ (lcm/d) integers; served from the same pinned
+    landmark sketch as closeness — one traversal, two centralities."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.graph.traverse import (
+        harmonic_from_landmarks,
+    )
+
+    return harmonic_from_landmarks(
+        tables.user_graph_edges(spark, sf_dir), [3, 50, 120], max_hops=3
+    )
+
+
 def _q_graph_degree_distribution(spark, sf_dir):
     """Degree distribution of the social graph (graph/model.py degrees →
     re-aggregation): the power-law probe that sizes every downstream
@@ -2092,6 +2106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq": _q_ann_pq,
         "ann_pq_rerank": _q_ann_pq_rerank,
         "streaming_domain_quota": _q_streaming_domain_quota,
+        "graph_harmonic_landmarks": _q_graph_harmonic_landmarks,
     }
     return _rotate(registry)
 

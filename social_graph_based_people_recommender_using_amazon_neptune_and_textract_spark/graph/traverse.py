@@ -248,3 +248,40 @@ def closeness_from_landmarks(
             ).alias("closeness"),
         )
     )
+
+
+def harmonic_from_landmarks(
+    edges: DataFrame, landmarks: list, max_hops: int = 4
+) -> DataFrame:
+    """Landmark-estimated HARMONIC centrality: ĥ(v) = Σ 1/d(l, v) over
+    reached landmarks — closeness' robust sibling (Boldi & Vigna 2014):
+    unreachable landmarks contribute 0 instead of poisoning a sum, so
+    no reachability filter is needed to keep scores comparable.
+
+    Float discipline: Σ 1/d is summation-order-sensitive in IEEE, so
+    the sum is computed EXACTLY as integers — Σ (L/d) with
+    L = lcm(1..max_hops) (every d divides L), divided by L once at the
+    end. Deterministic across engines and partitionings by
+    construction, 9dp display round per the house rule.
+
+    Serves from the same pinned landmark sketch as closeness — one
+    traversal, two centrality queries."""
+    import math
+
+    lcm = math.lcm(*range(1, max_hops + 1))
+    d = pinned_landmark_distances(edges, landmarks, max_hops)
+    return (
+        d.filter(F.col("dist") > 0)
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_reached"),
+            F.sum((F.lit(lcm) / F.col("dist")).cast("long"))
+            .cast("long")
+            .alias("hsum"),
+        )
+        .select(
+            "id",
+            "n_reached",
+            F.round(F.col("hsum") / F.lit(float(lcm)), 9).alias("harmonic"),
+        )
+    )

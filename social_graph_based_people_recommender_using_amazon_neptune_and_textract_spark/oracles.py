@@ -2535,3 +2535,27 @@ SELECT query_id, neighbor_id, cos, rank FROM (
 # row-identical to the batch operator — shared oracle, same device as
 # streaming_dedup_minhash.
 ORACLES["streaming_domain_quota"] = ORACLES["docs_domain_quota"]
+
+
+# Landmark harmonic centrality (graph/traverse.py
+# harmonic_from_landmarks): same recursive walk as closeness; Σ 1/d
+# computed exactly as Σ (lcm/d) integers, one terminal division.
+# lcm(1..3) = 6 for the registered max_hops=3.
+ORACLES["graph_harmonic_landmarks"] = f"""\
+WITH RECURSIVE {EDGES_SQL}, {BI_SQL},
+walk(src_id, id, dist) AS (
+  SELECT s.src_id, s.src_id AS id, 0 AS dist
+  FROM (VALUES (CAST(3 AS BIGINT)), (CAST(50 AS BIGINT)),
+               (CAST(120 AS BIGINT))) s(src_id)
+  UNION ALL
+  SELECT walk.src_id, bi.dst, walk.dist + 1
+  FROM walk JOIN bi ON bi.src = walk.id
+  WHERE walk.dist < 3
+),
+mind AS (
+  SELECT src_id, id, min(dist) AS dist FROM walk GROUP BY src_id, id
+)
+SELECT id, count(*) AS n_reached,
+       round(CAST(sum(CAST(6 / dist AS BIGINT)) AS BIGINT) / 6.0, 9)
+         AS harmonic
+FROM mind WHERE dist > 0 GROUP BY id"""

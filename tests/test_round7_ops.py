@@ -498,3 +498,27 @@ def test_streaming_quota_batch_retry_skipped(spark, tmp_path):
     assert acc._applied_batch_id() == 0
     acc._process_batch(docs, 0)  # replayed batch: skipped
     assert sorted(map(tuple, acc.kept().collect())) == once
+
+
+# --------------------------------------------------------------------------
+# harmonic centrality
+# --------------------------------------------------------------------------
+
+
+def test_harmonic_landmarks_known_graph(spark):
+    """Path graph 1-2-3-4 with landmarks {1, 4}, max_hops=3:
+    h(2) = 1/1 + 1/2, h(3) = 1/2 + 1/1, h(1) = h(4) = 1/3 (the other
+    landmark only) — exact integer-sum form, no float-order edge."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.graph.traverse import (
+        harmonic_from_landmarks,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    got = {r.id: (r.n_reached, r.harmonic) for r in
+           harmonic_from_landmarks(edges, [1, 4], max_hops=3).collect()}
+    assert got[2] == (2, 1.5)
+    assert got[3] == (2, 1.5)
+    assert got[1] == (1, pytest.approx(1 / 3, abs=1e-9))
+    assert got[4] == (1, pytest.approx(1 / 3, abs=1e-9))
