@@ -1177,6 +1177,21 @@ def _q_graph_closeness_landmarks(spark, sf_dir):
     )
 
 
+def _q_orders_revenue_ses(spark, sf_dir):
+    """Exponential smoothing over monthly revenue
+    (operators/timeseries.py ses_levels): distributed exact-decimal
+    month aggregate, then the SES recurrence folded over the bounded
+    series inside one row — the Spark shape for ANY sequential
+    recurrence (heavy part distributed, sequential part series-sized)."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.timeseries import (
+        ses_levels,
+    )
+
+    return ses_levels(
+        tables.load_table(spark, sf_dir, "orders"), "o_orderdate", "o_totalprice"
+    )
+
+
 def _q_graph_harmonic_landmarks(spark, sf_dir):
     """Landmark harmonic centrality (graph/traverse.py
     harmonic_from_landmarks): Σ 1/d over reached landmarks, computed
@@ -2107,6 +2122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_rerank": _q_ann_pq_rerank,
         "streaming_domain_quota": _q_streaming_domain_quota,
         "graph_harmonic_landmarks": _q_graph_harmonic_landmarks,
+        "orders_revenue_ses": _q_orders_revenue_ses,
     }
     return _rotate(registry)
 

@@ -2559,3 +2559,28 @@ SELECT id, count(*) AS n_reached,
        round(CAST(sum(CAST(6 / dist AS BIGINT)) AS BIGINT) / 6.0, 9)
          AS harmonic
 FROM mind WHERE dist > 0 GROUP BY id"""
+
+
+# Simple exponential smoothing over monthly revenue
+# (operators/timeseries.py ses_levels): the recursive CTE executes the
+# IDENTICAL sequential IEEE op chain as the Spark fold — α and 1−α are
+# the same literals on both sides, series values are exact-decimal sums
+# rounded at 4dp, levels rounded at 6dp for display only.
+ORACLES["orders_revenue_ses"] = """\
+WITH RECURSIVE m AS (
+  SELECT date_trunc('month', o_orderdate) AS mon,
+         round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4)
+           AS y
+  FROM orders GROUP BY 1
+),
+idx AS (
+  SELECT mon, y, row_number() OVER (ORDER BY mon) AS i FROM m
+),
+ses(i, mon, y, level) AS (
+  SELECT i, mon, y, y AS level FROM idx WHERE i = 1
+  UNION ALL
+  SELECT idx.i, idx.mon, idx.y, 0.3 * idx.y + 0.7 * ses.level
+  FROM ses JOIN idx ON idx.i = ses.i + 1
+)
+SELECT epoch_us(mon) AS month_us, y AS revenue, round(level, 6) AS level
+FROM ses"""

@@ -522,3 +522,37 @@ def test_harmonic_landmarks_known_graph(spark):
     assert got[3] == (2, 1.5)
     assert got[1] == (1, pytest.approx(1 / 3, abs=1e-9))
     assert got[4] == (1, pytest.approx(1 / 3, abs=1e-9))
+
+
+# --------------------------------------------------------------------------
+# exponential smoothing
+# --------------------------------------------------------------------------
+
+
+def test_ses_levels_known_series(spark):
+    """Hand-computed recurrence over three months (α=0.3), and the
+    partition-layout invariance the sequential-fold design guarantees."""
+    import datetime
+
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.timeseries import (
+        ses_levels,
+    )
+
+    rows = [
+        (datetime.datetime(2024, 1, 15), 100.0),
+        (datetime.datetime(2024, 1, 20), 100.0),  # same month: sums to 200
+        (datetime.datetime(2024, 2, 10), 300.0),
+        (datetime.datetime(2024, 3, 5), 100.0),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, v double")
+    for n_parts in (1, 4):
+        got = {
+            r.month_us: (r.revenue, r.level)
+            for r in ses_levels(df.repartition(n_parts), "ts", "v").collect()
+        }
+        # level1 = 200; level2 = .3*300 + .7*200 = 230; level3 = .3*100 + .7*230 = 191
+        assert [v for _, v in sorted(got.items())] == [
+            (200.0, 200.0),
+            (300.0, 230.0),
+            (100.0, 191.0),
+        ]
