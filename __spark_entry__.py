@@ -1177,6 +1177,36 @@ def _q_graph_closeness_landmarks(spark, sf_dir):
     )
 
 
+def _q_streaming_monthly_revenue(spark, sf_dir):
+    """Incrementally-maintained monthly revenue rollup
+    (streaming/rollup.py): exact-decimal partial sums merged
+    additively per micro-batch, state bounded by |months| forever;
+    drained ≡ the batch GROUP BY (shared-shape oracle)."""
+    import tempfile
+
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.streaming.rollup import (
+        StreamingSumRollup,
+    )
+
+    orders = tables.load_table(spark, sf_dir, "orders").select(
+        F.date_trunc("month", "o_orderdate").alias("mon"), "o_totalprice"
+    )
+    base = tempfile.mkdtemp(prefix="sgr-srollup-")
+    orders.repartition(3).write.mode("overwrite").parquet(f"{base}/landing")
+    acc = StreamingSumRollup(
+        spark, f"{base}/wh", key_cols=["mon"], value_col="o_totalprice"
+    )
+    acc.run_available_now(
+        f"{base}/landing",
+        f"{base}/ckpt",
+        "mon timestamp, o_totalprice double",
+        max_files_per_trigger=1,
+    )
+    return acc.table().select(
+        F.unix_micros("mon").alias("month_us"), "n", "value_sum"
+    )
+
+
 def _q_orders_revenue_ses(spark, sf_dir):
     """Exponential smoothing over monthly revenue
     (operators/timeseries.py ses_levels): distributed exact-decimal
@@ -2123,6 +2153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_domain_quota": _q_streaming_domain_quota,
         "graph_harmonic_landmarks": _q_graph_harmonic_landmarks,
         "orders_revenue_ses": _q_orders_revenue_ses,
+        "streaming_monthly_revenue": _q_streaming_monthly_revenue,
     }
     return _rotate(registry)
 

@@ -2584,3 +2584,15 @@ ses(i, mon, y, level) AS (
 )
 SELECT epoch_us(mon) AS month_us, y AS revenue, round(level, 6) AS level
 FROM ses"""
+
+
+# Incrementally-maintained monthly revenue (streaming/rollup.py):
+# drained state ≡ the batch GROUP BY — decimal addition is associative,
+# so the oracle is the plain aggregate.
+ORACLES["streaming_monthly_revenue"] = """\
+SELECT epoch_us(date_trunc('month', o_orderdate)) AS month_us,
+       count(*) AS n,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 4)
+         AS value_sum
+FROM orders
+GROUP BY date_trunc('month', o_orderdate)"""

@@ -1,0 +1,123 @@
+"""Incremental aggregate-table maintenance (IVM) — the additive-merge
+member of the engine's incrementally-maintained index family (LSH
+index: neardup.py; CMS counters: operators/sketches.py; domain quota:
+quota.py).
+
+A SUM/COUNT rollup is the textbook self-maintainable view: the stored
+table holds one row per group with EXACT-DECIMAL partial sums, and each
+micro-batch folds in additively — state is group-cardinality-bounded,
+every batch costs O(batch + |groups|), and a drained stream's table is
+IDENTICAL to the batch GROUP BY of the full corpus (decimal addition is
+associative/commutative — no float-order caveat, which is exactly why
+the state column is decimal and the display round happens at read
+time, never in state).
+
+Replay-safe via the family's swap protocol: the last-applied batch id
+rides an underscore marker inside the swapped table directory, so an
+at-least-once re-delivery is detected and skipped instead of
+double-added.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import fsutil
+
+
+class StreamingSumRollup:
+    """Maintains SELECT key_cols, count(*), sum(value) GROUP BY key_cols
+    across micro-batches. ``value_col`` accumulates as DECIMAL(28,6)."""
+
+    _MARKER = "_applied_batch_id"
+
+    def __init__(
+        self,
+        spark,
+        out_dir: str,
+        key_cols: Sequence[str],
+        value_col: str,
+    ) -> None:
+        self.spark = spark
+        self.key_cols = list(key_cols)
+        self.value_col = value_col
+        self.table_dir = f"{out_dir}/rollup"
+
+    def _applied_batch_id(self) -> int | None:
+        raw = fsutil.read_utf8(self.spark, f"{self.table_dir}/{self._MARKER}")
+        return int(raw) if raw is not None else None
+
+    def _batch_partial(self, batch_df: DataFrame) -> DataFrame:
+        return batch_df.groupBy(*self.key_cols).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(self.value_col).cast("decimal(28,6)")).alias("s"),
+        )
+
+    def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        applied = self._applied_batch_id()
+        if applied is not None and batch_id <= applied:
+            return
+        merged = self._batch_partial(batch_df)
+        if fsutil.exists(self.spark, self.table_dir):
+            merged = (
+                self.spark.read.parquet(self.table_dir)
+                .unionByName(merged)
+                .groupBy(*self.key_cols)
+                .agg(
+                    F.sum("n").cast("long").alias("n"),
+                    F.sum("s").cast("decimal(28,6)").alias("s"),
+                )
+            )
+        else:
+            merged = merged.select(
+                *self.key_cols,
+                F.col("n").cast("long").alias("n"),
+                F.col("s").cast("decimal(28,6)").alias("s"),
+            )
+        tmp = f"{self.table_dir}__swap"
+        merged.write.mode("overwrite").parquet(tmp)
+        fsutil.write_utf8(self.spark, f"{tmp}/{self._MARKER}", str(batch_id))
+        fsutil.delete(self.spark, self.table_dir)
+        fsutil.rename(self.spark, tmp, self.table_dir)
+
+    def run_available_now(
+        self,
+        landing_dir: str,
+        checkpoint_dir: str,
+        schema: str,
+        max_files_per_trigger: int | None = None,
+        timeout_s: int = 300,
+    ) -> None:
+        reader = self.spark.readStream.schema(schema)
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        q = (
+            reader.parquet(landing_dir)
+            .writeStream.foreachBatch(self._process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_s)
+        if q.isActive:
+            q.stop()
+            raise TimeoutError("streaming rollup did not drain in time")
+        if q.exception() is not None:
+            raise q.exception()
+
+    def table(self) -> DataFrame:
+        """(key_cols..., n, value_sum) — the display projection: exact
+        decimal state rounded to a 4dp double at READ time only."""
+        if not fsutil.exists(self.spark, self.table_dir):
+            schema = ", ".join(
+                [f"{c} string" for c in self.key_cols] + ["n long", "value_sum double"]
+            )
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(self.table_dir).select(
+            *self.key_cols,
+            "n",
+            F.round(F.col("s").cast("double"), 4).alias("value_sum"),
+        )

@@ -556,3 +556,51 @@ def test_ses_levels_known_series(spark):
             (300.0, 230.0),
             (100.0, 191.0),
         ]
+
+
+# --------------------------------------------------------------------------
+# streaming sum rollup (IVM)
+# --------------------------------------------------------------------------
+
+
+def test_streaming_rollup_converges_and_replays_safely(spark, tmp_path):
+    """Multi-batch drain ≡ batch GROUP BY (decimal addition is
+    associative), checkpointed re-drain adds nothing, and a direct
+    batch retry is skipped via the marker."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.streaming.rollup import (
+        StreamingSumRollup,
+    )
+
+    ev = spark.createDataFrame(
+        [(f"k{i % 4}", float(i) + 0.25) for i in range(200)],
+        "k string, v double",
+    )
+    landing = str(tmp_path / "landing")
+    ev.repartition(5).write.mode("overwrite").parquet(landing)
+
+    acc = StreamingSumRollup(spark, str(tmp_path / "wh"), ["k"], "v")
+    acc.run_available_now(
+        landing, str(tmp_path / "ckpt"),
+        "k string, v double", max_files_per_trigger=1,
+    )
+    want = sorted(
+        (r.k, r.n, r.s)
+        for r in ev.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("v").cast("decimal(28,6)")).cast("double"), 4).alias("s"),
+        )
+        .collect()
+    )
+    got = sorted((r.k, r.n, r.value_sum) for r in acc.table().collect())
+    assert got == want
+
+    acc.run_available_now(  # replay: checkpoint no-op
+        landing, str(tmp_path / "ckpt"),
+        "k string, v double", max_files_per_trigger=1,
+    )
+    assert sorted((r.k, r.n, r.value_sum) for r in acc.table().collect()) == want
+
+    before = acc._applied_batch_id()
+    acc._process_batch(ev, before)  # re-delivered batch: skipped
+    assert sorted((r.k, r.n, r.value_sum) for r in acc.table().collect()) == want
