@@ -1177,6 +1177,23 @@ def _q_graph_closeness_landmarks(spark, sf_dir):
     )
 
 
+def _q_orders_priority_revenue_ses(spark, sf_dir):
+    """Multi-series SES (operators/timeseries.py ses_levels_by): one
+    recurrence per order priority — the grouped form where the fold
+    shape earns its keep (a million series = a million parallel small
+    folds, never a driver loop)."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.timeseries import (
+        ses_levels_by,
+    )
+
+    return ses_levels_by(
+        tables.load_table(spark, sf_dir, "orders"),
+        "o_orderpriority",
+        "o_orderdate",
+        "o_totalprice",
+    )
+
+
 def _q_streaming_monthly_revenue(spark, sf_dir):
     """Incrementally-maintained monthly revenue rollup
     (streaming/rollup.py): exact-decimal partial sums merged
@@ -2154,6 +2171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_harmonic_landmarks": _q_graph_harmonic_landmarks,
         "orders_revenue_ses": _q_orders_revenue_ses,
         "streaming_monthly_revenue": _q_streaming_monthly_revenue,
+        "orders_priority_revenue_ses": _q_orders_priority_revenue_ses,
     }
     return _rotate(registry)
 

@@ -73,3 +73,60 @@ def ses_levels(
         F.col("row.y").alias("revenue"),
         F.round(F.element_at("levels", F.col("i") + 1), 6).alias("level"),
     )
+
+
+def ses_levels_by(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float = ALPHA,
+    one_minus_alpha: float = ONE_MINUS_ALPHA,
+) -> DataFrame:
+    """Multi-series SES: one independent recurrence per ``key_col``
+    group. Returns (key, month_us, revenue, level).
+
+    The grouped form is where the shape earns its keep at scale: the
+    month aggregate shuffles once on (key, month), the per-series fold
+    runs inside each group's single row, and series process in
+    parallel across the cluster — a million SKUs cost a million small
+    folds, not a million driver loops."""
+    monthly = (
+        df.groupBy(
+            F.col(key_col).alias("k"),
+            F.date_trunc("month", F.col(ts_col)).alias("mon"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col(value_col).cast("decimal(18,6)")).cast("double"),
+                4,
+            ).alias("y")
+        )
+    )
+    series = monthly.groupBy("k").agg(
+        F.sort_array(F.collect_list(F.struct("mon", "y"))).alias("s")
+    )
+    step = lambda acc, x: F.concat(
+        acc,
+        F.array(
+            F.when(F.size(acc) == 0, x["y"]).otherwise(
+                F.lit(alpha) * x["y"]
+                + F.lit(one_minus_alpha) * F.element_at(acc, -1)
+            )
+        ),
+    )
+    leveled = series.select(
+        "k",
+        "s",
+        F.aggregate("s", F.array().cast("array<double>"), step).alias(
+            "levels"
+        ),
+    )
+    return leveled.select(
+        "k", F.posexplode("s").alias("i", "row"), F.col("levels")
+    ).select(
+        F.col("k").alias(key_col),
+        F.unix_micros(F.col("row.mon")).alias("month_us"),
+        F.col("row.y").alias("revenue"),
+        F.round(F.element_at("levels", F.col("i") + 1), 6).alias("level"),
+    )

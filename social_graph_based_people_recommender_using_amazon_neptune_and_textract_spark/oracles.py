@@ -2596,3 +2596,29 @@ SELECT epoch_us(date_trunc('month', o_orderdate)) AS month_us,
          AS value_sum
 FROM orders
 GROUP BY date_trunc('month', o_orderdate)"""
+
+
+# Multi-series SES (operators/timeseries.py ses_levels_by): one
+# recurrence per order priority; the recursive CTE steps every series
+# in the same recursion (join on key AND i).
+ORACLES["orders_priority_revenue_ses"] = """\
+WITH RECURSIVE m AS (
+  SELECT o_orderpriority AS k, date_trunc('month', o_orderdate) AS mon,
+         round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4)
+           AS y
+  FROM orders GROUP BY 1, 2
+),
+idx AS (
+  SELECT k, mon, y,
+         row_number() OVER (PARTITION BY k ORDER BY mon) AS i
+  FROM m
+),
+ses(k, i, mon, y, level) AS (
+  SELECT k, i, mon, y, y AS level FROM idx WHERE i = 1
+  UNION ALL
+  SELECT idx.k, idx.i, idx.mon, idx.y, 0.3 * idx.y + 0.7 * ses.level
+  FROM ses JOIN idx ON idx.k = ses.k AND idx.i = ses.i + 1
+)
+SELECT k AS o_orderpriority, epoch_us(mon) AS month_us, y AS revenue,
+       round(level, 6) AS level
+FROM ses"""
