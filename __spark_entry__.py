@@ -1177,6 +1177,19 @@ def _q_graph_closeness_landmarks(spark, sf_dir):
     )
 
 
+def _q_events_value_p95_bucketed(spark, sf_dir):
+    """Mergeable bucketed quantiles (operators/warehouse.py
+    bucketed_quantiles): p50/p95/p99 estimates from the fixed-bound
+    histogram — bucket counts merge by ADDITION across partitions/days
+    (the rollup-friendly quantile; exact deciles are the two-phase-rank
+    sibling), error bounded by the declared bucket width."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.warehouse import (
+        bucketed_quantiles,
+    )
+
+    return bucketed_quantiles(tables.load_table(spark, sf_dir, "events"))
+
+
 def _q_orders_priority_revenue_ses(spark, sf_dir):
     """Multi-series SES (operators/timeseries.py ses_levels_by): one
     recurrence per order priority — the grouped form where the fold
@@ -2172,6 +2185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_revenue_ses": _q_orders_revenue_ses,
         "streaming_monthly_revenue": _q_streaming_monthly_revenue,
         "orders_priority_revenue_ses": _q_orders_priority_revenue_ses,
+        "events_value_p95_bucketed": _q_events_value_p95_bucketed,
     }
     return _rotate(registry)
 

@@ -722,3 +722,55 @@ def monthly_revenue_growth(orders: DataFrame) -> DataFrame:
             ).alias("yoy_pct"),
         )
     )
+
+
+def bucketed_quantiles(
+    events: DataFrame,
+    qs: tuple = (0.5, 0.95, 0.99),
+    lo: float = 0.0,
+    hi: float = 500.0,
+    nbuckets: int = 100,
+) -> DataFrame:
+    """MERGEABLE approximate quantiles from the fixed-bound histogram —
+    the rollup-friendly quantile idiom: per-partition/per-day bucket
+    counts merge by addition (unlike exact quantiles, which need the
+    two-phase rank, and unlike t-digest, whose merge is
+    order-sensitive), and the q-quantile estimate is the lower bound of
+    the FIRST bucket where the cumulative count reaches ceil(q·n)
+    (cum − n_bucket < target ≤ cum). Error is bounded by the declared
+    bucket width — a knob, not a surprise.
+
+    Returns (event_type, q, est_lo, cum). The window runs over
+    ≤ nbuckets+2 rows per type — aggregate-then-window, never a
+    raw-row sort."""
+    from pyspark.sql import Window
+
+    hist = value_histogram(events, lo, hi, nbuckets)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("event_type").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        "event_type",
+        "bucket_lo",
+        F.col("n"),
+        F.sum("n").over(w).cast("long").alias("cum"),
+        F.sum("n").over(wt).cast("long").alias("total"),
+    )
+    qarr = F.array(*[F.lit(float(q)) for q in qs])
+    return cum.select(
+        "event_type",
+        F.col("bucket_lo").alias("est_lo"),
+        "cum",
+        F.explode(
+            F.filter(
+                qarr,
+                lambda q: (F.col("cum") >= F.ceil(q * F.col("total")))
+                & (F.col("cum") - F.col("n") < F.ceil(q * F.col("total"))),
+            )
+        ).alias("q"),
+    ).select("event_type", "q", "est_lo", "cum")

@@ -2622,3 +2622,32 @@ ses(k, i, mon, y, level) AS (
 SELECT k AS o_orderpriority, epoch_us(mon) AS month_us, y AS revenue,
        round(level, 6) AS level
 FROM ses"""
+
+
+# Mergeable bucketed quantiles (operators/warehouse.py
+# bucketed_quantiles): same declared [0,500)×100 histogram, cumulative
+# crossing rule cum − n < ceil(q·total) ≤ cum, q literals cast DOUBLE.
+ORACLES["events_value_p95_bucketed"] = """\
+WITH hist AS (
+  SELECT event_type, bucket,
+         round(CAST(bucket * 5.0 AS DOUBLE), 6) AS bucket_lo,
+         count(*) AS n
+  FROM (
+    SELECT event_type,
+           CASE WHEN "value" < 0.0 THEN CAST(-1 AS BIGINT)
+                WHEN "value" >= 500.0 THEN CAST(100 AS BIGINT)
+                ELSE CAST(floor(("value" - 0.0) / 5.0) AS BIGINT) END AS bucket
+    FROM events
+  ) GROUP BY event_type, bucket
+),
+cum AS (
+  SELECT event_type, bucket_lo, n,
+         CAST(sum(n) OVER (
+           PARTITION BY event_type ORDER BY bucket_lo) AS BIGINT) AS cum,
+         CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS total
+  FROM hist
+),
+qv AS (SELECT unnest(CAST([0.5, 0.95, 0.99] AS DOUBLE[])) AS q)
+SELECT event_type, qv.q AS q, bucket_lo AS est_lo, cum
+FROM cum CROSS JOIN qv
+WHERE cum >= ceil(qv.q * total) AND cum - n < ceil(qv.q * total)"""

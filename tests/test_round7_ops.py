@@ -604,3 +604,49 @@ def test_streaming_rollup_converges_and_replays_safely(spark, tmp_path):
     before = acc._applied_batch_id()
     acc._process_batch(ev, before)  # re-delivered batch: skipped
     assert sorted((r.k, r.n, r.value_sum) for r in acc.table().collect()) == want
+
+
+# --------------------------------------------------------------------------
+# bucketed quantiles
+# --------------------------------------------------------------------------
+
+
+def test_bucketed_quantiles_error_bound_vs_exact(spark):
+    """The histogram estimate must sit within one bucket width of the
+    exact rank-based quantile — the declared error contract — and the
+    bucket counts must merge additively (half+half ≡ whole)."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.warehouse import (
+        bucketed_quantiles,
+        value_histogram,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    est = {
+        (r.event_type, r.q): r.est_lo
+        for r in bucketed_quantiles(ev, nbuckets=100).collect()
+    }
+    import math
+
+    vals_by_type = {}
+    for r in ev.select("event_type", "value").collect():
+        vals_by_type.setdefault(r.event_type, []).append(r.value)
+    width = 500.0 / 100
+    for (t, q), lo in est.items():
+        s = sorted(vals_by_type[t])
+        exact = s[math.ceil(q * len(s)) - 1]
+        assert lo <= exact < lo + width, (t, q, lo, exact)
+
+    # additive merge: histograms of two halves sum to the whole
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("event_id") % 2 == 1)
+    whole = {
+        (r.event_type, r.bucket): r.n
+        for r in value_histogram(ev, 0.0, 500.0, 100).collect()
+    }
+    merged: dict = {}
+    for part in (a, b):
+        for r in value_histogram(part, 0.0, 500.0, 100).collect():
+            merged[(r.event_type, r.bucket)] = (
+                merged.get((r.event_type, r.bucket), 0) + r.n
+            )
+    assert merged == whole
