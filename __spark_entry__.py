@@ -1177,6 +1177,20 @@ def _q_graph_closeness_landmarks(spark, sf_dir):
     )
 
 
+def _q_graph_weighted_paths(spark, sf_dir):
+    """Hop-bounded weighted shortest paths (graph/traverse.py
+    weighted_shortest_paths): 3 distributed Bellman–Ford min-plus
+    rounds from user 3 — the weighted sibling of the BFS family, exact
+    integer distances."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.graph.traverse import (
+        weighted_shortest_paths,
+    )
+
+    return weighted_shortest_paths(
+        tables.user_graph_edges(spark, sf_dir), 3, max_hops=3
+    )
+
+
 def _q_events_value_p95_bucketed(spark, sf_dir):
     """Mergeable bucketed quantiles (operators/warehouse.py
     bucketed_quantiles): p50/p95/p99 estimates from the fixed-bound
@@ -2186,6 +2200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_monthly_revenue": _q_streaming_monthly_revenue,
         "orders_priority_revenue_ses": _q_orders_priority_revenue_ses,
         "events_value_p95_bucketed": _q_events_value_p95_bucketed,
+        "graph_weighted_paths": _q_graph_weighted_paths,
     }
     return _rotate(registry)
 

@@ -285,3 +285,57 @@ def harmonic_from_landmarks(
             F.round(F.col("hsum") / F.lit(float(lcm)), 9).alias("harmonic"),
         )
     )
+
+
+def weighted_shortest_paths(
+    edges: DataFrame,
+    source_id,
+    max_hops: int = 4,
+    weight: F.Column | None = None,
+) -> DataFrame:
+    """Hop-bounded WEIGHTED shortest paths from ``source_id`` —
+    distributed Bellman–Ford: ``max_hops`` min-plus relaxation rounds,
+    each one join dist⋈edges + a per-vertex min (both key-partitioned,
+    map-side combined). The weighted sibling of ``shortest_paths``'
+    BFS; hop-bounding makes the round count a declared constant instead
+    of a negative-cycle hazard, and integer weights keep every distance
+    exact. Returns (id, dist) = min path weight over walks of ≤
+    ``max_hops`` edges (source included at 0).
+
+    ``weight`` is a Column over (src, dst); defaults to the declared
+    deterministic demo weight (src+dst) % 5 + 1 — symmetric, so the
+    symmetrized view keeps w(u,v) = w(v,u).
+
+    Scale: state is one (id, dist) relation; each round shuffles
+    candidate relaxations keyed on dst with map-side min — never a
+    frontier broadcast assumption; tracked checkpoints keep lineage
+    O(1) per round (the house iterative discipline)."""
+    spark = edges.sparkSession
+    w = (
+        weight
+        if weight is not None
+        else ((F.col("src") + F.col("dst")) % 5 + 1).cast("long")
+    )
+    bi = symmetrize(edges).select("src", "dst", w.alias("w")).persist()
+
+    schema = edges.schema["src"].dataType
+    dist = spark.createDataFrame([(source_id, 0)], ["id", "dist"]).select(
+        F.col("id").cast(schema).alias("id"),
+        F.col("dist").cast("long").alias("dist"),
+    )
+    dist_ids = frozenset()
+    for _ in range(max_hops):
+        cand = (
+            bi.join(dist, bi["src"] == dist["id"])
+            .select(F.col("dst").alias("id"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        relaxed = (
+            dist.unionByName(cand)
+            .groupBy("id")
+            .agg(F.min("dist").cast("long").alias("dist"))
+        )
+        dist, new_ids = checkpoint(relaxed)
+        free(spark, dist_ids, blocking=False)
+        dist_ids = new_ids
+    bi.unpersist()
+    return dist

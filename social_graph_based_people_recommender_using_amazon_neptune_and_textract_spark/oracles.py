@@ -2651,3 +2651,20 @@ qv AS (SELECT unnest(CAST([0.5, 0.95, 0.99] AS DOUBLE[])) AS q)
 SELECT event_type, qv.q AS q, bucket_lo AS est_lo, cum
 FROM cum CROSS JOIN qv
 WHERE cum >= ceil(qv.q * total) AND cum - n < ceil(qv.q * total)"""
+
+
+# Hop-bounded weighted shortest paths (graph/traverse.py
+# weighted_shortest_paths): min over enumerated walks of ≤ 3 weighted
+# edges from source 3 — the declarative twin of 3 Bellman–Ford rounds.
+# Weight (src+dst) % 5 + 1 is symmetric, matching the symmetrized view.
+ORACLES["graph_weighted_paths"] = f"""\
+WITH RECURSIVE {EDGES_SQL}, {BI_SQL},
+wbi AS (SELECT src, dst, (src + dst) % 5 + 1 AS w FROM bi),
+walk(id, d, hops) AS (
+  SELECT CAST(3 AS BIGINT) AS id, CAST(0 AS BIGINT) AS d, 0 AS hops
+  UNION ALL
+  SELECT wbi.dst, walk.d + wbi.w, walk.hops + 1
+  FROM walk JOIN wbi ON wbi.src = walk.id
+  WHERE walk.hops < 3
+)
+SELECT id, CAST(min(d) AS BIGINT) AS dist FROM walk GROUP BY id"""

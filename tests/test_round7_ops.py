@@ -650,3 +650,44 @@ def test_bucketed_quantiles_error_bound_vs_exact(spark):
                 merged.get((r.event_type, r.bucket), 0) + r.n
             )
     assert merged == whole
+
+
+# --------------------------------------------------------------------------
+# weighted shortest paths
+# --------------------------------------------------------------------------
+
+
+def test_weighted_paths_prefers_cheap_detour(spark):
+    """Triangle where the 2-hop detour is cheaper than the direct edge:
+    Bellman-Ford must pick the detour; hop bound must cut paths longer
+    than the budget."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.graph.traverse import (
+        weighted_shortest_paths,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 4), (1, 2), (2, 4), (4, 5)], "src long, dst long"
+    )
+    # weights: direct 1-4 costs 10; detour 1-2 (3) + 2-4 (1) costs 4
+    w = (
+        F.when((F.col("src") + F.col("dst")) == 5, F.lit(10))
+        .when((F.col("src") + F.col("dst")) == 3, F.lit(3))
+        .when((F.col("src") + F.col("dst")) == 6, F.lit(1))
+        .otherwise(F.lit(2))
+        .cast("long")
+    )
+    got = {
+        r.id: r.dist
+        for r in weighted_shortest_paths(edges, 1, max_hops=3, weight=w).collect()
+    }
+    assert got[1] == 0
+    assert got[2] == 3
+    assert got[4] == 4   # detour beats the weight-10 direct edge
+    assert got[5] == 6   # 1-2-4-5 within the 3-hop budget
+
+    # hop bound: with max_hops=1 only direct edges resolve
+    got1 = {
+        r.id: r.dist
+        for r in weighted_shortest_paths(edges, 1, max_hops=1, weight=w).collect()
+    }
+    assert got1[4] == 10 and 5 not in got1
