@@ -1177,16 +1177,28 @@ def _q_graph_closeness_landmarks(spark, sf_dir):
     )
 
 
+def _q_docs_bpe_merge_candidates(spark, sf_dir):
+    """One BPE training iteration's merge-candidate list
+    (functions/text.py bpe_merge_candidates): top-20 adjacent token
+    pairs corpus-wide — explode + map-side-combined pair count +
+    TakeOrderedAndProject."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.functions.text import (
+        bpe_merge_candidates,
+    )
+
+    return bpe_merge_candidates(tables.load_table(spark, sf_dir, "documents"))
+
+
 def _q_graph_weighted_paths(spark, sf_dir):
     """Hop-bounded weighted shortest paths (graph/traverse.py
     weighted_shortest_paths): 3 distributed Bellman–Ford min-plus
     rounds from user 3 — the weighted sibling of the BFS family, exact
     integer distances."""
     from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.graph.traverse import (
-        weighted_shortest_paths,
+        pinned_weighted_distances,
     )
 
-    return weighted_shortest_paths(
+    return pinned_weighted_distances(
         tables.user_graph_edges(spark, sf_dir), 3, max_hops=3
     )
 
@@ -2201,6 +2213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_priority_revenue_ses": _q_orders_priority_revenue_ses,
         "events_value_p95_bucketed": _q_events_value_p95_bucketed,
         "graph_weighted_paths": _q_graph_weighted_paths,
+        "docs_bpe_merge_candidates": _q_docs_bpe_merge_candidates,
     }
     return _rotate(registry)
 

@@ -105,6 +105,12 @@ BENCH_QUERIES = [
     "events_scd2_join",
     "events_value_deciles",
     "ann_pq_rerank",
+    "docs_token_entropy",
+    "events_stratified_sample",
+    "graph_harmonic_landmarks",
+    "orders_revenue_ses",
+    "events_value_p95_bucketed",
+    "graph_weighted_paths",
 ]
 
 

@@ -546,3 +546,40 @@ def token_entropy(
             "entropy",
         )
     )
+
+
+def bpe_merge_candidates(
+    df: DataFrame, k: int = 20, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One BPE training iteration's candidate list: the k most frequent
+    ADJACENT token pairs corpus-wide (Sennrich et al. 2016 — the merge
+    rule each iteration greedily picks is exactly this argmax). The
+    adjacency-count complement of ``collocations_topk``'s doc-presence
+    PMI and ``repetition_metrics``' per-doc view. Returns (x, y, cnt),
+    ties by (x, y) ascending.
+
+    Scale: one corpus scan building the bigram array JVM-side, one
+    explode + (x, y)-keyed count with map-side combine (hot pairs like
+    'of the' partial-aggregate in every task), TakeOrderedAndProject
+    for the k-row result — no global sort."""
+    t = tokenize(F.col(text_col))
+    pairs = df.select(
+        F.explode(
+            F.when(
+                F.size(t) >= 2,
+                F.transform(
+                    F.slice(t, 1, F.size(t) - 1),
+                    lambda x, i: F.struct(
+                        x.alias("x"),
+                        F.element_at(t, i + 2).alias("y"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<x:string,y:string>>"))
+        ).alias("p")
+    )
+    return (
+        pairs.groupBy(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("x").asc(), F.col("y").asc())
+        .limit(k)
+    )

@@ -339,3 +339,26 @@ def weighted_shortest_paths(
         dist_ids = new_ids
     bi.unpersist()
     return dist
+
+
+def pinned_weighted_distances(
+    edges: DataFrame, source_id, max_hops: int = 4
+) -> DataFrame:
+    """The weighted distance relation as a PINNED index, keyed per
+    (edge relation, source, hop budget) — the same serving model as
+    ``pinned_landmark_distances``: the Bellman–Ford rounds are the
+    index build, repeated queries are lookups. The pin records its
+    backing tracked checkpoints (see pinned.py), so either release
+    hook frees both."""
+    from ..pinned import pinned
+
+    key = (
+        "weighted_dists",
+        edges.semanticHash(),
+        source_id,
+        int(max_hops),
+    )
+    (d,) = pinned(
+        key, lambda: (weighted_shortest_paths(edges, source_id, max_hops),)
+    )
+    return d

@@ -2668,3 +2668,21 @@ walk(id, d, hops) AS (
   WHERE walk.hops < 3
 )
 SELECT id, CAST(min(d) AS BIGINT) AS dist FROM walk GROUP BY id"""
+
+
+# BPE merge candidates (functions/text.py bpe_merge_candidates): top-20
+# adjacent-pair counts, ties (x, y) asc.
+ORACLES["docs_bpe_merge_candidates"] = f"""\
+WITH toksrc AS (
+  SELECT doc_id, {TOKENIZE.format(col='text')} AS t FROM documents
+),
+bi AS (
+  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                               i -> struct_pack(x := t[i], y := t[i + 1])))
+           AS p
+  FROM toksrc WHERE len(t) >= 2
+)
+SELECT p.x AS x, p.y AS y, count(*) AS cnt
+FROM bi GROUP BY p.x, p.y
+ORDER BY cnt DESC, x ASC, y ASC
+LIMIT 20"""

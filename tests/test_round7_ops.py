@@ -691,3 +691,52 @@ def test_weighted_paths_prefers_cheap_detour(spark):
         for r in weighted_shortest_paths(edges, 1, max_hops=1, weight=w).collect()
     }
     assert got1[4] == 10 and 5 not in got1
+
+
+# --------------------------------------------------------------------------
+# BPE merge candidates / pinned weighted distances
+# --------------------------------------------------------------------------
+
+
+def test_bpe_merge_candidates_known_corpus(spark):
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.functions.text import (
+        bpe_merge_candidates,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b x"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    rows = [(r.x, r.y, r.cnt) for r in bpe_merge_candidates(docs, 3).collect()]
+    # "a b" appears 3 times (twice in doc1, once in doc2); ties by pair asc
+    assert rows[0] == ("a", "b", 3)
+    assert set(rows[1:]) <= {("b", "a", 1), ("b", "c", 1), ("b", "x", 1)}
+
+
+def test_weighted_distances_pin_serves_and_survives_release(spark):
+    """Second call must hit the pin (no rebuild), and a blanket
+    checkpoints.release_all must evict it cleanly (coupled lifecycles)."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark import (
+        checkpoints as CKPT,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.graph.traverse import (
+        pinned_weighted_distances,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.sources import (
+        tables,
+    )
+
+    edges = tables.user_graph_edges(spark, SF)
+    first = sorted(
+        map(tuple, pinned_weighted_distances(edges, 3, max_hops=2).collect())
+    )
+    again = sorted(
+        map(tuple, pinned_weighted_distances(edges, 3, max_hops=2).collect())
+    )
+    assert first == again
+    CKPT.release_all(spark)
+    rebuilt = sorted(
+        map(tuple, pinned_weighted_distances(edges, 3, max_hops=2).collect())
+    )
+    assert rebuilt == first
+    CKPT.release_all(spark)
