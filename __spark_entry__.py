@@ -1177,6 +1177,44 @@ def _q_graph_closeness_landmarks(spark, sf_dir):
     )
 
 
+def _q_docs_hashed_features(spark, sf_dir):
+    """Feature hashing (functions/text.py hashed_features): fixed-width
+    sparse features with no vocabulary table — bucket from the md5
+    hash, ±1 sign from the next bit, signed counts; exploded
+    (doc, bucket, weight) relation."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.functions.text import (
+        hashed_features,
+    )
+
+    return hashed_features(tables.load_table(spark, sf_dir, "documents"))
+
+
+def _q_orders_snapshot_changes(spark, sf_dir):
+    """Change-data feed between two table snapshots (streaming/table.py
+    table_changes — Delta's CDC shape): old = orders, new = orders with
+    %7 keys deleted, %11 prices doubled, %13 keys re-inserted shifted —
+    the diff classifies insert/delete/update_pre/update_post by bag
+    difference + key presence, never materializing unchanged rows."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.streaming.table import (
+        table_changes,
+    )
+
+    old = tables.load_table(spark, sf_dir, "orders")
+    kept = old.filter(F.col("o_orderkey") % 7 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 11 == 0, F.col("o_totalprice") * 2
+        ).otherwise(F.col("o_totalprice")),
+    )
+    inserted = old.filter(F.col("o_orderkey") % 13 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(1000000)
+    )
+    new = kept.unionByName(inserted)
+    return table_changes(old, new, ["o_orderkey"]).select(
+        "o_orderkey", F.col("_change").alias("change")
+    )
+
+
 def _q_docs_bpe_merge_candidates(spark, sf_dir):
     """One BPE training iteration's merge-candidate list
     (functions/text.py bpe_merge_candidates): top-20 adjacent token
@@ -2214,6 +2252,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_p95_bucketed": _q_events_value_p95_bucketed,
         "graph_weighted_paths": _q_graph_weighted_paths,
         "docs_bpe_merge_candidates": _q_docs_bpe_merge_candidates,
+        "docs_hashed_features": _q_docs_hashed_features,
+        "orders_snapshot_changes": _q_orders_snapshot_changes,
     }
     return _rotate(registry)
 

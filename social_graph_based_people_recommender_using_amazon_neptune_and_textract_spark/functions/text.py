@@ -583,3 +583,41 @@ def bpe_merge_candidates(
         .orderBy(F.col("cnt").desc(), F.col("x").asc(), F.col("y").asc())
         .limit(k)
     )
+
+
+def hashed_features(
+    df: DataFrame,
+    n_buckets: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Feature hashing (the hashing trick, Weinberger et al. 2009):
+    token → bucket = h mod n, sign = ±1 from the next hash bit, signed
+    counts summed per (doc, bucket) — the fixed-width sparse features a
+    distributed linear model trains on, with NO vocabulary table to
+    build, broadcast, or keep consistent (the trick's entire point at
+    100 TB).
+
+    Emitted in EXPLODED form (doc_id, bucket, weight) — the sparse
+    relation a trainer's aggregations consume directly; also array-free
+    on purpose, so the cross-engine value comparison is exact-integer.
+    Rows whose signs cancel to 0 are kept (deterministic relation).
+
+    Scale: one scan, one (doc, bucket)-keyed map-side-combined sum;
+    state per group is one long."""
+    from ..operators.dedup import md5_long
+
+    tok = df.select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("token")
+    )
+    h = md5_long(F.col("token"), 15)
+    sign = (F.shiftright(h, 8).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
+    return (
+        tok.select(
+            id_col,
+            (h % n_buckets).cast("long").alias("bucket"),
+            sign.alias("s"),
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.sum("s").cast("long").alias("weight"))
+    )

@@ -2686,3 +2686,51 @@ SELECT p.x AS x, p.y AS y, count(*) AS cnt
 FROM bi GROUP BY p.x, p.y
 ORDER BY cnt DESC, x ASC, y ASC
 LIMIT 20"""
+
+
+# Feature hashing (functions/text.py hashed_features): same md5-prefix
+# hash, bucket = h % 256, sign from bit 8, signed-count sum.
+ORACLES["docs_hashed_features"] = f"""\
+WITH toksrc AS (
+  SELECT doc_id, {TOKENIZE.format(col='text')} AS tokens FROM documents
+),
+tok AS (SELECT doc_id, unnest(tokens) AS token FROM toksrc),
+h AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(token), 1, 15)) AS BIGINT) AS h
+  FROM tok
+)
+SELECT doc_id, CAST(h % 256 AS BIGINT) AS bucket,
+       CAST(sum(((h >> 8) & 1) * 2 - 1) AS BIGINT) AS weight
+FROM h GROUP BY doc_id, h % 256"""
+
+
+# Snapshot change feed (streaming/table.py table_changes): the same
+# old/new pair diffed with EXCEPT ALL (bag semantics) + key-presence
+# classification — the SQL statement of the operator's contract.
+ORACLES["orders_snapshot_changes"] = """\
+WITH old AS (SELECT * FROM orders),
+nw AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice * 2
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 7 <> 0
+  UNION ALL
+  SELECT o_orderkey + 1000000, o_custkey, o_orderstatus, o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 13 = 0
+),
+ins AS (SELECT * FROM nw EXCEPT ALL SELECT * FROM old),
+rem AS (SELECT * FROM old EXCEPT ALL SELECT * FROM nw)
+SELECT o_orderkey, 'insert' AS change FROM ins
+WHERE o_orderkey NOT IN (SELECT o_orderkey FROM old)
+UNION ALL
+SELECT o_orderkey, 'update_post' AS change FROM ins
+WHERE o_orderkey IN (SELECT o_orderkey FROM old)
+UNION ALL
+SELECT o_orderkey, 'update_pre' AS change FROM rem
+WHERE o_orderkey IN (SELECT o_orderkey FROM nw)
+UNION ALL
+SELECT o_orderkey, 'delete' AS change FROM rem
+WHERE o_orderkey NOT IN (SELECT o_orderkey FROM nw)"""

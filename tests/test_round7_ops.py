@@ -740,3 +740,54 @@ def test_weighted_distances_pin_serves_and_survives_release(spark):
     )
     assert rebuilt == first
     CKPT.release_all(spark)
+
+
+# --------------------------------------------------------------------------
+# hashed features / snapshot change feed
+# --------------------------------------------------------------------------
+
+
+def test_hashed_features_sparse_and_bounded(spark):
+    """Buckets stay in [0, n); a doc's total |weight| never exceeds its
+    token count; identical docs hash identically (no vocabulary
+    state)."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.functions.text import (
+        hashed_features,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta beta gamma"), (2, "alpha beta beta gamma"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = hashed_features(docs, n_buckets=16).collect()
+    by_doc: dict = {}
+    for r in rows:
+        assert 0 <= r.bucket < 16
+        by_doc.setdefault(r.doc_id, []).append((r.bucket, r.weight))
+    assert sorted(by_doc[1]) == sorted(by_doc[2])  # stateless determinism
+    assert 3 not in by_doc  # empty doc: no feature rows
+    assert sum(abs(w) for _, w in by_doc[1]) <= 4
+
+
+def test_snapshot_changes_classification(spark):
+    """Hand-built snapshots: one insert, one delete, one update (pre +
+    post rows), unchanged rows never appear."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.streaming.table import (
+        table_changes,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d")], "k long, v string"
+    )
+    got = sorted(
+        (r.k, r._change) for r in table_changes(old, new, ["k"]).collect()
+    )
+    assert got == [
+        (2, "update_post"),
+        (2, "update_pre"),
+        (3, "delete"),
+        (4, "insert"),
+    ]
