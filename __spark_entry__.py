@@ -1177,6 +1177,18 @@ def _q_graph_closeness_landmarks(spark, sf_dir):
     )
 
 
+def _q_graph_negative_samples(spark, sf_dir):
+    """Deterministic negative sampling for link-prediction training
+    (graph/linkpred.py negative_edge_samples): one md5-rank-proposed
+    non-edge per positive, collisions dropped — two-phase vertex rank,
+    one rank equi-join, one anti-join on the symmetrized view."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.graph.linkpred import (
+        negative_edge_samples,
+    )
+
+    return negative_edge_samples(tables.user_graph_edges(spark, sf_dir))
+
+
 def _q_docs_hashed_features(spark, sf_dir):
     """Feature hashing (functions/text.py hashed_features): fixed-width
     sparse features with no vocabulary table — bucket from the md5
@@ -2254,6 +2266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_bpe_merge_candidates": _q_docs_bpe_merge_candidates,
         "docs_hashed_features": _q_docs_hashed_features,
         "orders_snapshot_changes": _q_orders_snapshot_changes,
+        "graph_negative_samples": _q_graph_negative_samples,
     }
     return _rotate(registry)
 

@@ -146,3 +146,52 @@ def adamic_adar_pymk(edges: DataFrame, user_id, k: int = 10) -> DataFrame:
         .orderBy(F.col("aa").desc(), F.col("id").asc())
         .limit(k)
     )
+
+
+def negative_edge_samples(edges: DataFrame) -> DataFrame:
+    """Deterministic negative sampling for link-prediction training
+    (the standard 1:1 negatives-per-positive recipe, e.g. node2vec's
+    training-pair generation — public): for every positive edge (u, v),
+    propose the partner at rank ``md5(u:v) mod |V|`` in the vertex-id
+    total order — a fixed pseudo-random pick both engines compute
+    identically — then drop proposals that collide with a REAL edge
+    (either direction) or a self-loop. Returns (u, v_neg);
+    |output| ≤ |edges| (proposals lost to collisions are dropped, not
+    re-drawn — declared, keeps the operator one-pass).
+
+    Scale: the vertex ranking is the two-phase range-partitioned
+    row_number (no single-partition window); |V| enters as a broadcast
+    1-row aggregate; the proposal→vertex resolution is ONE equi-join on
+    the rank; the edge-collision filter is a key-partitioned anti-join
+    on the symmetrized view. Nothing driver-side, nothing quadratic."""
+    from ..operators.dedup import md5_long
+    from ..operators.ranking import global_row_number
+
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    ranked = global_row_number(verts, [F.col("id").asc()], rn_col="rn")
+    total = ranked.agg(F.count(F.lit(1)).alias("n_verts"))
+    prop = (
+        edges.select(
+            F.col("src").alias("u"),
+            md5_long(F.concat_ws(":", F.col("src"), F.col("dst")), 15).alias(
+                "h"
+            ),
+        )
+        .crossJoin(F.broadcast(total))
+        .select("u", ((F.col("h") % F.col("n_verts")) + 1).alias("rn"))
+    )
+    cand = prop.join(ranked, "rn").select(
+        "u", F.col("id").alias("v_neg")
+    )
+    from .model import symmetrize
+
+    bi = symmetrize(edges).select(
+        F.col("src").alias("u"), F.col("dst").alias("v_neg")
+    )
+    return cand.filter(F.col("u") != F.col("v_neg")).join(
+        bi, ["u", "v_neg"], "left_anti"
+    )

@@ -2734,3 +2734,26 @@ WHERE o_orderkey IN (SELECT o_orderkey FROM nw)
 UNION ALL
 SELECT o_orderkey, 'delete' AS change FROM rem
 WHERE o_orderkey NOT IN (SELECT o_orderkey FROM nw)"""
+
+
+# Negative edge sampling (graph/linkpred.py negative_edge_samples):
+# same md5-rank proposal, same collision drops.
+ORACLES["graph_negative_samples"] = f"""\
+WITH {EDGES_SQL}, {BI_SQL},
+verts AS (SELECT DISTINCT src AS id FROM bi),
+ranked AS (SELECT id, row_number() OVER (ORDER BY id) AS rn FROM verts),
+nv AS (SELECT count(*) AS n_verts FROM verts),
+prop AS (
+  SELECT e.src AS u,
+         CAST(concat('0x', substr(md5(
+           CAST(e.src AS VARCHAR) || ':' || CAST(e.dst AS VARCHAR)
+         ), 1, 15)) AS BIGINT) % (SELECT n_verts FROM nv) + 1 AS rn
+  FROM edges e
+),
+cand AS (
+  SELECT p.u, rk.id AS v_neg FROM prop p JOIN ranked rk ON rk.rn = p.rn
+)
+SELECT u, v_neg FROM cand c
+WHERE u <> v_neg
+  AND NOT EXISTS (
+    SELECT 1 FROM bi WHERE bi.src = c.u AND bi.dst = c.v_neg)"""

@@ -791,3 +791,46 @@ def test_snapshot_changes_classification(spark):
         (3, "delete"),
         (4, "insert"),
     ]
+
+
+# --------------------------------------------------------------------------
+# negative edge sampling
+# --------------------------------------------------------------------------
+
+
+def test_negative_samples_are_true_non_edges(spark):
+    """Every emitted pair must be a NON-edge (either direction) and
+    never a self-loop; output is bounded by the positive count; the
+    sampling is deterministic across partition layouts; and a
+    (near-)complete graph degenerates to the empty relation — there is
+    nothing to sample (the sf0.001 user graph is that case; the driver
+    scale sf0.01 yields ~3.3k negatives)."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.graph.linkpred import (
+        negative_edge_samples,
+    )
+
+    # sparse ring over 50 vertices: plenty of non-edges
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 50) for i in range(50)], "src long, dst long"
+    )
+    neg = negative_edge_samples(edges)
+    rows = [(r.u, r.v_neg) for r in neg.collect()]
+    assert 0 < len(rows) <= 50
+    real = {(i, (i + 1) % 50) for i in range(50)} | {
+        ((i + 1) % 50, i) for i in range(50)
+    }
+    for u, v in rows:
+        assert u != v and (u, v) not in real
+
+    again = [
+        (r.u, r.v_neg)
+        for r in negative_edge_samples(edges.repartition(7)).collect()
+    ]
+    assert sorted(again) == sorted(rows)
+
+    # complete graph: zero non-edges, empty output (not an error)
+    complete = spark.createDataFrame(
+        [(a, b) for a in range(6) for b in range(a + 1, 6)],
+        "src long, dst long",
+    )
+    assert negative_edge_samples(complete).count() == 0
