@@ -1177,6 +1177,18 @@ def _q_graph_closeness_landmarks(spark, sf_dir):
     )
 
 
+def _q_graph_walks(spark, sf_dir):
+    """Random-walk corpus generation (graph/walks.py
+    deterministic_walks): one 3-step walk per vertex, neighbor choice
+    by per-step md5 argmin — one equi-join + one map-side-combinable
+    struct-min per step, whale-neighbor-safe."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.graph.walks import (
+        deterministic_walks,
+    )
+
+    return deterministic_walks(tables.user_graph_edges(spark, sf_dir), steps=3)
+
+
 def _q_graph_negative_samples(spark, sf_dir):
     """Deterministic negative sampling for link-prediction training
     (graph/linkpred.py negative_edge_samples): one md5-rank-proposed
@@ -2267,6 +2279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_hashed_features": _q_docs_hashed_features,
         "orders_snapshot_changes": _q_orders_snapshot_changes,
         "graph_negative_samples": _q_graph_negative_samples,
+        "graph_walks": _q_graph_walks,
     }
     return _rotate(registry)
 

@@ -2757,3 +2757,35 @@ SELECT u, v_neg FROM cand c
 WHERE u <> v_neg
   AND NOT EXISTS (
     SELECT 1 FROM bi WHERE bi.src = c.u AND bi.dst = c.v_neg)"""
+
+
+# Deterministic random walks (graph/walks.py deterministic_walks):
+# per-step argmin of md5(step:walker:candidate) over the distinct
+# neighbor set, T=3 unrolled.
+def _walk_step(t: int) -> str:
+    h = (
+        f"md5(CAST({t} AS VARCHAR) || ':' || CAST(c.walk_id AS VARCHAR)"
+        " || ':' || CAST(n.dst AS VARCHAR))"
+    )
+    prev = "w0" if t == 1 else f"s{t - 1}"
+    return f"""s{t} AS (
+  SELECT walk_id, v AS cur FROM (
+    SELECT c.walk_id, n.dst AS v,
+      row_number() OVER (
+        PARTITION BY c.walk_id ORDER BY {h}, n.dst) AS r
+    FROM {prev} c JOIN nbr n ON n.src = c.cur
+  ) WHERE r = 1
+)"""
+
+
+ORACLES["graph_walks"] = f"""\
+WITH {EDGES_SQL}, {BI_SQL},
+nbr AS (SELECT DISTINCT src, dst FROM bi),
+w0 AS (SELECT DISTINCT src AS walk_id, src AS cur FROM nbr),
+{_walk_step(1)},
+{_walk_step(2)},
+{_walk_step(3)}
+SELECT walk_id, 0 AS step, walk_id AS vertex FROM w0
+UNION ALL SELECT walk_id, 1 AS step, cur AS vertex FROM s1
+UNION ALL SELECT walk_id, 2 AS step, cur AS vertex FROM s2
+UNION ALL SELECT walk_id, 3 AS step, cur AS vertex FROM s3"""

@@ -834,3 +834,46 @@ def test_negative_samples_are_true_non_edges(spark):
         "src long, dst long",
     )
     assert negative_edge_samples(complete).count() == 0
+
+
+# --------------------------------------------------------------------------
+# random walks
+# --------------------------------------------------------------------------
+
+
+def test_walks_follow_edges_and_are_deterministic(spark):
+    """Every consecutive (step t → t+1) pair must be a real edge; every
+    vertex walks exactly T+1 positions; repartitioning changes
+    nothing."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.graph.walks import (
+        deterministic_walks,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.sources import (
+        tables,
+    )
+
+    edges = tables.user_graph_edges(spark, SF)
+    walks = deterministic_walks(edges, steps=3)
+    rows = [(r.walk_id, r.step, r.vertex) for r in walks.collect()]
+    n_verts = (
+        edges.select("src").union(edges.select("dst")).distinct().count()
+    )
+    assert len(rows) == n_verts * 4
+
+    real = set()
+    for r in edges.collect():
+        real.add((r.src, r.dst))
+        real.add((r.dst, r.src))
+    path: dict = {}
+    for wid, step, v in rows:
+        path.setdefault(wid, {})[step] = v
+    for wid, seq in path.items():
+        assert seq[0] == wid
+        for t in range(3):
+            assert (seq[t], seq[t + 1]) in real
+
+    again = sorted(
+        (r.walk_id, r.step, r.vertex)
+        for r in deterministic_walks(edges.repartition(7), steps=3).collect()
+    )
+    assert again == sorted(rows)
