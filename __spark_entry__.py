@@ -1189,6 +1189,18 @@ def _q_graph_walks(spark, sf_dir):
     return deterministic_walks(tables.user_graph_edges(spark, sf_dir), steps=3)
 
 
+def _q_graph_skipgram_pairs(spark, sf_dir):
+    """Skip-gram training pairs over the walk corpus (graph/walks.py
+    skipgram_pairs): window-2 ordered co-occurrence counts — walks are
+    sentences, vertices are words; per-walk join fan-out is a design
+    constant."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.graph.walks import (
+        skipgram_pairs,
+    )
+
+    return skipgram_pairs(tables.user_graph_edges(spark, sf_dir))
+
+
 def _q_graph_negative_samples(spark, sf_dir):
     """Deterministic negative sampling for link-prediction training
     (graph/linkpred.py negative_edge_samples): one md5-rank-proposed
@@ -2280,6 +2292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_snapshot_changes": _q_orders_snapshot_changes,
         "graph_negative_samples": _q_graph_negative_samples,
         "graph_walks": _q_graph_walks,
+        "graph_skipgram_pairs": _q_graph_skipgram_pairs,
     }
     return _rotate(registry)
 

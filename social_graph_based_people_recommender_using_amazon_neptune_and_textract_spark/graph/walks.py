@@ -59,3 +59,30 @@ def deterministic_walks(edges: DataFrame, steps: int = 3) -> DataFrame:
         )
         cur = nxt
     return out
+
+
+def skipgram_pairs(
+    edges: DataFrame, steps: int = 3, window: int = 2
+) -> DataFrame:
+    """(center, context) co-occurrence counts over the walk corpus —
+    the skip-gram training pairs a word2vec-style embedding trainer
+    consumes (walks are sentences, vertices are words). Directed: every
+    ordered pair within ``window`` positions, counted corpus-wide.
+    Returns (u, v, cnt).
+
+    Scale: the self-join is keyed on walk_id and its fan-out is a
+    CONSTANT (≤ (T+1)·2·window pairs per walk — walk length is a design
+    parameter, not data-sized), then one (u, v) map-side-combined
+    count."""
+    w = deterministic_walks(edges, steps)
+    a = w.select("walk_id", F.col("step").alias("sa"), F.col("vertex").alias("u"))
+    b = w.select("walk_id", F.col("step").alias("sb"), F.col("vertex").alias("v"))
+    return (
+        a.join(b, "walk_id")
+        .filter(
+            (F.col("sa") != F.col("sb"))
+            & (F.abs(F.col("sa") - F.col("sb")) <= window)
+        )
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

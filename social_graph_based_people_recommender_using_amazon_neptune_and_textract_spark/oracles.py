@@ -2789,3 +2789,26 @@ SELECT walk_id, 0 AS step, walk_id AS vertex FROM w0
 UNION ALL SELECT walk_id, 1 AS step, cur AS vertex FROM s1
 UNION ALL SELECT walk_id, 2 AS step, cur AS vertex FROM s2
 UNION ALL SELECT walk_id, 3 AS step, cur AS vertex FROM s3"""
+
+
+# Skip-gram pairs over the walk corpus (graph/walks.py skipgram_pairs):
+# the same walks CTE chain, windowed ordered self-join, (u, v) counts.
+ORACLES["graph_skipgram_pairs"] = f"""\
+WITH {EDGES_SQL}, {BI_SQL},
+nbr AS (SELECT DISTINCT src, dst FROM bi),
+w0 AS (SELECT DISTINCT src AS walk_id, src AS cur FROM nbr),
+{_walk_step(1)},
+{_walk_step(2)},
+{_walk_step(3)},
+walks AS (
+  SELECT walk_id, 0 AS step, walk_id AS vertex FROM w0
+  UNION ALL SELECT walk_id, 1 AS step, cur AS vertex FROM s1
+  UNION ALL SELECT walk_id, 2 AS step, cur AS vertex FROM s2
+  UNION ALL SELECT walk_id, 3 AS step, cur AS vertex FROM s3
+)
+SELECT a.vertex AS u, b.vertex AS v, count(*) AS cnt
+FROM walks a JOIN walks b
+  ON a.walk_id = b.walk_id
+ AND a.step <> b.step
+ AND abs(a.step - b.step) <= 2
+GROUP BY a.vertex, b.vertex"""
