@@ -1189,6 +1189,18 @@ def _q_graph_walks(spark, sf_dir):
     return deterministic_walks(tables.user_graph_edges(spark, sf_dir), steps=3)
 
 
+def _q_sessions_status_overlap(spark, sf_dir):
+    """Interval-overlap join (operators/intervals.py): sessions ×
+    concurrent SCD2 status runs via day-cell bucketization — equi-join
+    on (user, cell) + exact overlap verify, never the per-key
+    BroadcastNestedLoop cross product a raw range join plans to."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.intervals import (
+        sessions_status_overlap,
+    )
+
+    return sessions_status_overlap(tables.load_table(spark, sf_dir, "events"))
+
+
 def _q_graph_skipgram_pairs(spark, sf_dir):
     """Skip-gram training pairs over the walk corpus (graph/walks.py
     skipgram_pairs): window-2 ordered co-occurrence counts — walks are
@@ -2293,6 +2305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_negative_samples": _q_graph_negative_samples,
         "graph_walks": _q_graph_walks,
         "graph_skipgram_pairs": _q_graph_skipgram_pairs,
+        "sessions_status_overlap": _q_sessions_status_overlap,
     }
     return _rotate(registry)
 

@@ -2812,3 +2812,50 @@ FROM walks a JOIN walks b
  AND a.step <> b.step
  AND abs(a.step - b.step) <= 2
 GROUP BY a.vertex, b.vertex"""
+
+
+# Interval-overlap join (operators/intervals.py sessions_status_overlap):
+# DuckDB states the raw range predicate directly — the bucketized Spark
+# plan must land on identical pairs and exact integer overlaps. Open
+# run ends use the declared 2100-01-01 sentinel (4102444800000000 us).
+ORACLES["sessions_status_overlap"] = f"""\
+WITH {_SESSIONIZE},
+sstats AS (
+  SELECT user_id, session_seq,
+         min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us
+  FROM sess GROUP BY user_id, session_seq
+),
+dim_src AS (
+  SELECT event_id, user_id, ts, event_type
+  FROM events WHERE event_type IN ('signup', 'error')
+),
+runs0 AS (
+  SELECT event_id, user_id, ts, event_type FROM (
+    SELECT event_id, user_id, ts, event_type,
+           lag(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+           ) AS prev_type
+    FROM dim_src
+  ) WHERE prev_type IS NULL OR prev_type <> event_type
+),
+runs AS (
+  SELECT user_id, status_event_id, status_type, r_start,
+         coalesce(r_end, 4102444800000000) AS r_end
+  FROM (
+    SELECT user_id, event_id AS status_event_id,
+           event_type AS status_type,
+           epoch_us(ts) AS r_start,
+           epoch_us(lead(ts) OVER (
+             PARTITION BY user_id ORDER BY ts ASC, event_id ASC)) AS r_end,
+           row_number() OVER (
+             PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+    FROM runs0
+  ) WHERE rn = 1
+)
+SELECT s.user_id, s.session_seq, r.status_event_id, r.status_type,
+       CAST(least(s.end_us, r.r_end) - greatest(s.start_us, r.r_start)
+            AS BIGINT) AS overlap_us
+FROM sstats s JOIN runs r
+  ON s.user_id = r.user_id
+ AND s.start_us < r.r_end
+ AND r.r_start <= s.end_us"""

@@ -877,3 +877,47 @@ def test_walks_follow_edges_and_are_deterministic(spark):
         for r in deterministic_walks(edges.repartition(7), steps=3).collect()
     )
     assert again == sorted(rows)
+
+
+# --------------------------------------------------------------------------
+# interval overlap join
+# --------------------------------------------------------------------------
+
+
+def test_interval_overlap_matches_naive_range_join(spark):
+    """The bucketized plan must land on EXACTLY the pairs the raw range
+    predicate selects — including a multi-day session (pair counted
+    once despite sharing many cells) and an open (current) status run."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.intervals import (
+        sessions_status_overlap,
+    )
+
+    import datetime
+
+    def e(eid, uid, ts, typ):
+        return (eid, uid, datetime.datetime.fromisoformat(ts), typ, 1.0, "")
+
+    ev = spark.createDataFrame(
+        [
+            # user 1: signup run open-ended from Jan 2; clicks spanning days
+            e(1, 1, "2024-01-02 00:00:00", "signup"),
+            e(2, 1, "2024-01-03 10:00:00", "click"),
+            e(3, 1, "2024-01-03 10:10:00", "click"),
+            # session before any run: no overlap row
+            e(4, 2, "2024-01-01 09:00:00", "click"),
+            e(5, 2, "2024-01-05 00:00:00", "error"),
+            e(6, 2, "2024-01-06 00:00:00", "click"),
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string, value double, props string",
+    )
+    rows = sorted(
+        (r.user_id, r.session_seq, r.status_event_id, r.status_type)
+        for r in sessions_status_overlap(ev).collect()
+    )
+    # user 1: every session overlaps the open signup run (sessions: the
+    # signup event itself is session 1, clicks are session 2)
+    # user 2: the Jan-1 click session precedes the error run entirely;
+    # the error event + Jan-6 click sessions overlap the open error run
+    assert (1, 2, 1, "signup") in rows
+    assert all(not (u == 2 and s == 1) for u, s, _, _ in rows)
+    assert (2, 3, 5, "error") in rows
