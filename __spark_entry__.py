@@ -1189,6 +1189,24 @@ def _q_graph_walks(spark, sf_dir):
     return deterministic_walks(tables.user_graph_edges(spark, sf_dir), steps=3)
 
 
+def _q_nation_trade_volume(spark, sf_dir):
+    """TPC-H Q7-flavored cross-nation trade (operators/warehouse.py
+    nation_trade_volume): the double-nation-role six-table join — one
+    fact-fact shuffle, every dimension broadcast, exact-decimal
+    revenue."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.warehouse import (
+        nation_trade_volume,
+    )
+
+    return nation_trade_volume(
+        tables.load_table(spark, sf_dir, "lineitem"),
+        tables.load_table(spark, sf_dir, "orders"),
+        tables.load_table(spark, sf_dir, "customer"),
+        tables.load_table(spark, sf_dir, "supplier"),
+        tables.load_table(spark, sf_dir, "nation"),
+    )
+
+
 def _q_sessions_status_overlap(spark, sf_dir):
     """Interval-overlap join (operators/intervals.py): sessions ×
     concurrent SCD2 status runs via day-cell bucketization — equi-join
@@ -2306,6 +2324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_walks": _q_graph_walks,
         "graph_skipgram_pairs": _q_graph_skipgram_pairs,
         "sessions_status_overlap": _q_sessions_status_overlap,
+        "nation_trade_volume": _q_nation_trade_volume,
     }
     return _rotate(registry)
 

@@ -774,3 +774,49 @@ def bucketed_quantiles(
             )
         ).alias("q"),
     ).select("event_type", "q", "est_lo", "cum")
+
+
+def nation_trade_volume(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """TPC-H Q7-flavored cross-nation trade: discounted revenue per
+    (customer nation, supplier nation, ship year), cross-border pairs
+    only — the double-dimension-role join (nation enters TWICE, once
+    per side) that exercises join reordering hardest.
+
+    Join shape at 100 TB: lineitem ⋈ orders shuffles on orderkey (the
+    two facts), customer/supplier arrive reduced to (key, nationkey),
+    and BOTH nation roles broadcast — the six-table plan moves exactly
+    one fact-fact shuffle plus kilobytes of dimensions. Revenue sums in
+    exact decimal (order-independent), one display round."""
+    price = F.col("l_extendedprice").cast(DEC)
+    disc = F.col("l_discount").cast(DEC)
+    o = orders.select("o_orderkey", "o_custkey")
+    c = customer.select("c_custkey", "c_nationkey")
+    s = supplier.select("s_suppkey", "s_nationkey")
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    return (
+        lineitem.select(
+            "l_orderkey",
+            "l_suppkey",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+            (price * (F.lit(1).cast(DEC) - disc)).alias("_rev"),
+        )
+        .join(o, F.col("l_orderkey") == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .join(F.broadcast(cn), c["c_nationkey"] == F.col("cn_key"))
+        .join(F.broadcast(sn), s["s_nationkey"] == F.col("sn_key"))
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy("cust_nation", "supp_nation", "l_year")
+        .agg(F.round(F.sum("_rev").cast("double"), 4).alias("revenue"))
+    )

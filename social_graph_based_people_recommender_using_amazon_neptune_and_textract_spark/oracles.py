@@ -2859,3 +2859,20 @@ FROM sstats s JOIN runs r
   ON s.user_id = r.user_id
  AND s.start_us < r.r_end
  AND r.r_start <= s.end_us"""
+
+
+# TPC-H Q7-flavored cross-nation trade (operators/warehouse.py
+# nation_trade_volume): nation joined in two roles, cross-border only,
+# exact-decimal revenue.
+ORACLES["nation_trade_volume"] = f"""\
+SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       round(CAST(SUM({_DPRICE} * (1 - {_DDISC})) AS DOUBLE), 4) AS revenue
+FROM lineitem
+JOIN orders    ON l_orderkey = o_orderkey
+JOIN customer  ON o_custkey = c_custkey
+JOIN supplier  ON l_suppkey = s_suppkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE cn.n_name <> sn.n_name
+GROUP BY cn.n_name, sn.n_name, year(l_shipdate)"""

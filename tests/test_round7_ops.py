@@ -921,3 +921,33 @@ def test_interval_overlap_matches_naive_range_join(spark):
     assert (1, 2, 1, "signup") in rows
     assert all(not (u == 2 and s == 1) for u, s, _, _ in rows)
     assert (2, 3, 5, "error") in rows
+
+
+# --------------------------------------------------------------------------
+# nation trade volume (Q7 shape)
+# --------------------------------------------------------------------------
+
+
+def test_nation_trade_plan_broadcasts_all_dims(spark):
+    """The six-table plan must move ONE fact-fact shuffle join; both
+    nation roles, supplier, and the reduced customer path must not add
+    fact-sized exchanges (dims broadcast). Cross-border filter excludes
+    same-nation pairs."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.warehouse import (
+        nation_trade_volume,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.plans.audit import (
+        physical_plan,
+    )
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    c = spark.read.parquet(f"{SF}/customer.parquet")
+    s = spark.read.parquet(f"{SF}/supplier.parquet")
+    n = spark.read.parquet(f"{SF}/nation.parquet")
+    df = nation_trade_volume(li, o, c, s, n)
+    plan = physical_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3
+    rows = df.collect()
+    assert all(r.cust_nation != r.supp_nation for r in rows)
+    assert len(rows) > 0
