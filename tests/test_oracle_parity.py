@@ -126,6 +126,10 @@ FLOAT_SENSITIVE = [
     # r7: NTILE over the 6dp-rounded LM score from the two-phase
     # distributed rank — ordering must not depend on partition count
     "docs_lm_buckets",
+    # r7: sequential SES folds — the per-series array is sorted before
+    # folding, so partitioning must be invisible
+    "orders_revenue_ses",
+    "orders_priority_revenue_ses",
 ]
 
 
