@@ -766,6 +766,21 @@ def _q_events_monthly_users_hll(spark, sf_dir):
     return monthly_distinct_users(tables.load_table(spark, sf_dir, "events"))
 
 
+def _q_events_monthly_users_exact(spark, sf_dir):
+    """The HLL rollup's hash-checkable exact twin (operators/sketches.py
+    monthly_distinct_users_exact): COUNT(DISTINCT user_id) through the
+    SAME monthly scaffold, so the sketch query's grouping pipeline is
+    oracle-verified and only the DataSketches registers stay rows-only
+    (r7 verdict item 2)."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.sketches import (
+        monthly_distinct_users_exact,
+    )
+
+    return monthly_distinct_users_exact(
+        tables.load_table(spark, sf_dir, "events")
+    )
+
+
 def _q_lineitem_pricing_rollup(spark, sf_dir):
     from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
         warehouse as W,
@@ -1354,7 +1369,11 @@ def _q_streaming_monthly_revenue(spark, sf_dir):
     base = tempfile.mkdtemp(prefix="sgr-srollup-")
     orders.repartition(3).write.mode("overwrite").parquet(f"{base}/landing")
     acc = StreamingSumRollup(
-        spark, f"{base}/wh", key_cols=["mon"], value_col="o_totalprice"
+        spark,
+        f"{base}/wh",
+        key_cols=["mon"],
+        value_col="o_totalprice",
+        key_schema="mon timestamp",
     )
     acc.run_available_now(
         f"{base}/landing",
@@ -2294,6 +2313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_monthly_growth": _q_orders_monthly_growth,
         "streaming_error_click_left": _q_streaming_error_click_left,
         "events_monthly_users_hll": _q_events_monthly_users_hll,
+        "events_monthly_users_exact": _q_events_monthly_users_exact,
         "dedup_containment": _q_dedup_containment,
         "events_mad_outliers": _q_events_mad_outliers,
         "orders_retention_cohorts": _q_orders_retention_cohorts,

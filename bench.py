@@ -202,8 +202,35 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
+    # Full per-query detail goes to a LOCAL file; stdout ends with ONE
+    # compact line. The driver records only a bounded tail of stdout
+    # (BENCH_r05..r07 all landed "parsed": null because this report
+    # outgrew it — r7 verdict item 1), so the machine-readable summary
+    # must fit the tail with margin, and nothing may print after it.
+    detail_path = os.path.join(REPO, "BENCH_local_latest.json")
+    with open(detail_path, "w") as fh:
+        json.dump(out, fh, indent=1)
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "sf": out["sf"],
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "builds_total": out["builds_total"],
+        "duckdb_total": out["duckdb_total"],
+        "detail": "BENCH_local_latest.json",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+    }
+    if len(json.dumps(compact, separators=(",", ":"))) > _TAIL_BUDGET:
+        del compact["queries"]  # totals still parse; detail has the rest
     spark.stop()
+    print(json.dumps(compact, separators=(",", ":")), flush=True)
+
+
+#: Max bytes for the final stdout line — safely inside the driver's
+#: 2000-char stdout tail even with a stray trailing log line.
+_TAIL_BUDGET = 1900
 
 
 #: Per-query DuckDB wall budget. A runaway oracle plan (these SQL twins

@@ -72,6 +72,66 @@ def read_utf8(spark: SparkSession, path: str) -> str | None:
         stream.close()
 
 
+def swap_siblings(path: str) -> tuple[str, str]:
+    """Hidden (dot-prefixed, partition-discovery-invisible) temp and
+    trash siblings for ``path``'s atomic-ish directory swap. Dot names
+    are invisible to Spark's partition discovery AND its parquet file
+    listing, so a crash mid-write can never surface a phantom partition
+    or a half-written sibling table (r6 ADVICE against the LSH index
+    compaction, where a bare ``sigb=Y__compact`` sibling WAS
+    discoverable)."""
+    parent, _, name = path.rstrip("/").rpartition("/")
+    return f"{parent}/.{name}__swap", f"{parent}/.{name}__old"
+
+
+def recover_swap(spark: SparkSession, path: str) -> bool:
+    """Close the swap's crash window: if ``path`` is missing but its
+    hidden temp (fully written — the temp is only ever renamed FROM,
+    never half-present, because Spark's write lands under a distinct
+    ``_temporary`` dir before its own commit rename) or trash sibling
+    exists, rename it back into place. Prefers the temp (newer).
+    Returns True if a recovery happened. Idempotent; every reader and
+    every writer of a swapped table calls this first."""
+    if exists(spark, path):
+        return False
+    tmp, trash = swap_siblings(path)
+    for candidate in (tmp, trash):  # temp is newer — prefer it
+        if exists(spark, candidate):
+            rename(spark, candidate, path)
+            return True
+    return False
+
+
+def prepare_swap(spark: SparkSession, path: str) -> str:
+    """Begin a swap of the directory at ``path``: recover any crashed
+    prior swap, clear stale temp/trash, and return the hidden temp path
+    the caller should write the NEW table to before ``commit_swap``."""
+    recover_swap(spark, path)
+    tmp, trash = swap_siblings(path)
+    delete(spark, tmp)
+    delete(spark, trash)
+    return tmp
+
+
+def commit_swap(spark: SparkSession, path: str) -> None:
+    """Publish the fully-written hidden temp over ``path`` via two
+    atomic renames — live → hidden trash, temp → live — deleting the
+    trash last. Each rename is atomic on HDFS/posix; the only
+    non-atomic window is between the two renames, and ``recover_swap``
+    closes it (the r7 ADVICE against the family's former
+    delete-then-rename, whose crash window left NO live table and no
+    marker, so a replayed batch would silently rebuild state from one
+    batch). Readers therefore see the old or the new table, never a
+    half one, and never nothing. (On S3, rename is copy+delete; a
+    committer-based swap or a catalog pointer — streaming/table.py's
+    device — replaces this.)"""
+    tmp, trash = swap_siblings(path)
+    if exists(spark, path):
+        rename(spark, path, trash)
+    rename(spark, tmp, path)
+    delete(spark, trash)
+
+
 def write_utf8(spark: SparkSession, path: str, content: str) -> None:
     """Small-file write via tmp + delete + rename. The rename itself is
     atomic on HDFS/posix; the delete-then-rename pair is not one atomic

@@ -60,6 +60,22 @@ def monthly_distinct_users(events: DataFrame, lg_k: int = 12) -> DataFrame:
     return rollup_distinct_users(daily_user_sketches(events, lg_k))
 
 
+def monthly_distinct_users_exact(events: DataFrame) -> DataFrame:
+    """The sketch rollup's exact twin through the SAME monthly scaffold
+    — (month, users) by COUNT(DISTINCT user_id). This is the
+    hash-checkable half of the pair (r7 verdict item 2): the grouping
+    pipeline the HLL query rides is verified against the DuckDB oracle
+    here, and the suite pins |HLL estimate − exact| within the declared
+    rsd bound per month, so the only unverified bytes left in the
+    sketch path are the DataSketches registers themselves."""
+    return (
+        events.groupBy(
+            F.date_trunc("month", F.to_date("ts")).cast("date").alias("month")
+        )
+        .agg(F.count_distinct("user_id").alias("users"))
+    )
+
+
 # --- count-min sketch (deterministic, oracle-checkable) --------------------
 
 #: Count-min geometry: depth d=3 pairwise-independent-ish hash rows of
@@ -192,6 +208,7 @@ class StreamingCmsAccumulator:
     def _applied_batch_id(self) -> int | None:
         from .. import fsutil
 
+        fsutil.recover_swap(self.spark, self.table_dir)
         raw = fsutil.read_utf8(
             self.spark, f"{self.table_dir}/{self._MARKER}"
         )
@@ -213,11 +230,10 @@ class StreamingCmsAccumulator:
             )
         else:
             merged = delta
-        tmp = f"{self.table_dir}__swap"
+        tmp = fsutil.prepare_swap(self.spark, self.table_dir)
         merged.write.mode("overwrite").parquet(tmp)
         fsutil.write_utf8(self.spark, f"{tmp}/{self._MARKER}", str(batch_id))
-        fsutil.delete(self.spark, self.table_dir)
-        fsutil.rename(self.spark, tmp, self.table_dir)
+        fsutil.commit_swap(self.spark, self.table_dir)
 
     def run_available_now(
         self, landing_dir: str, checkpoint_dir: str, schema: str,
@@ -243,6 +259,7 @@ class StreamingCmsAccumulator:
     def counters(self) -> DataFrame:
         from .. import fsutil
 
+        fsutil.recover_swap(self.spark, self.table_dir)
         if not fsutil.exists(self.spark, self.table_dir):
             return self.spark.createDataFrame(
                 [], "depth int, bucket long, cnt long"

@@ -717,6 +717,14 @@ sp AS (
 SELECT day, count(DISTINCT user_id) AS active_users
 FROM sp GROUP BY day"""
 
+# The HLL monthly rollup's exact twin (operators/sketches.py
+# monthly_distinct_users_exact): same monthly scaffold, exact
+# COUNT(DISTINCT) — the hash-checkable half of the sketch pair.
+ORACLES["events_monthly_users_exact"] = """\
+SELECT CAST(date_trunc('month', CAST(ts AS DATE)) AS DATE) AS month,
+       count(DISTINCT user_id) AS users
+FROM events GROUP BY 1"""
+
 # Range-clustered layout round-trip (sources/clustered.py): the result
 # is layout-independent — a plain user_id range filter over events.
 ORACLES["events_user_range_pruned"] = """\

@@ -14,7 +14,7 @@ Protocol per (sub)directory:
 1. read → coalesce to ``ceil(bytes / target_bytes)`` output files —
    coalesce, not repartition: compaction must not pay a shuffle, it only
    narrows the write parallelism;
-2. write to a DOT-PREFIXED sibling temp (``.{name}__compact``) —
+2. write to a DOT-PREFIXED sibling temp (``.{name}__swap``) —
    hidden names are invisible to Spark's partition discovery, so a
    crash mid-write can never surface a phantom partition when the
    directory is a Hive leaf (r6 ADVICE against the LSH index
@@ -68,28 +68,22 @@ def n_data_files(spark: SparkSession, path: str) -> int:
     return n
 
 
-def _swap_paths(path: str) -> tuple[str, str]:
-    """Hidden (partition-discovery-invisible) temp and trash siblings
-    for ``path``'s atomic-ish swap."""
-    parent, _, name = path.rstrip("/").rpartition("/")
-    return f"{parent}/.{name}__compact", f"{parent}/.{name}__old"
+#: Kept as the module's public names — the protocol itself now lives in
+#: fsutil (prepare_swap / commit_swap / recover_swap) so every swapped
+#: table in the engine (this compactor, the streaming rollup/quota/CMS
+#: accumulators, the LSH candidate table) shares ONE crash-safety
+#: implementation instead of per-module near-duplicates (r7 verdict
+#: item 5).
+_swap_paths = fsutil.swap_siblings
 
 
 def recover_dir(spark: SparkSession, path: str) -> bool:
-    """Close compact_dir's crash window: if ``path`` is missing but its
-    hidden temp (fully written — the temp is only ever renamed from,
-    never half-present, because the write lands under a distinct
-    ``_temporary`` dir first) or trash sibling exists, rename it back
-    into place. Returns True if a recovery happened. Idempotent; safe
-    to call before every compaction or read."""
-    if fsutil.exists(spark, path):
-        return False
-    tmp, trash = _swap_paths(path)
-    for candidate in (tmp, trash):  # temp is newer — prefer it
-        if fsutil.exists(spark, candidate):
-            fsutil.rename(spark, candidate, path)
-            return True
-    return False
+    """Close compact_dir's crash window (delegates to
+    fsutil.recover_swap): if ``path`` is missing but its hidden temp or
+    trash sibling exists, rename it back into place. Returns True if a
+    recovery happened. Idempotent; safe to call before every compaction
+    or read."""
+    return fsutil.recover_swap(spark, path)
 
 
 def compact_dir(
@@ -100,14 +94,10 @@ def compact_dir(
     count. No shuffle — coalesce only narrows parallelism. Swap
     protocol per the module docstring: hidden temp, two atomic renames,
     trash deleted last."""
-    recover_dir(spark, path)
-    tmp, trash = _swap_paths(path)
-    fsutil.delete(spark, trash)  # stale trash from a crashed prior run
+    tmp = fsutil.prepare_swap(spark, path)
     n_out = max(1, math.ceil(dir_bytes(spark, path) / target_bytes))
     spark.read.parquet(path).coalesce(n_out).write.mode("overwrite").parquet(tmp)
-    fsutil.rename(spark, path, trash)
-    fsutil.rename(spark, tmp, path)
-    fsutil.delete(spark, trash)
+    fsutil.commit_swap(spark, path)
     return n_out
 
 

@@ -101,6 +101,10 @@ class StreamingNearDeduper:
     # -- per-batch increment ------------------------------------------------
 
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        # A crash mid-compaction must not let this batch's append
+        # re-CREATE the candidate table fresh while the accumulated
+        # state sits in the swap's temp/trash sibling.
+        fsutil.recover_swap(self.spark, self.cands_dir)
         docs = batch_df.select("doc_id", "text")
         banded_b = (
             D.banded_signatures(D.minhash_signatures(docs))
@@ -171,13 +175,11 @@ class StreamingNearDeduper:
         from ..sources import compact as C
 
         if self._exists(self.cands_dir):
-            parent, _, name = self.cands_dir.rstrip("/").rpartition("/")
-            tmp = f"{parent}/.{name}__compact"
+            tmp = fsutil.prepare_swap(self.spark, self.cands_dir)
             self.spark.read.parquet(self.cands_dir).distinct().write.mode(
                 "overwrite"
             ).parquet(tmp)
-            fsutil.delete(self.spark, self.cands_dir)
-            fsutil.rename(self.spark, tmp, self.cands_dir)
+            fsutil.commit_swap(self.spark, self.cands_dir)
         if self._exists(self.index_dir):
             for band in fsutil.list_names(self.spark, self.index_dir):
                 if "=" not in band:
@@ -227,6 +229,7 @@ class StreamingNearDeduper:
         batch (empty landing) has no tables on disk and serves the empty
         relation — degrade like every other degenerate input, don't
         crash on a missing path."""
+        fsutil.recover_swap(self.spark, self.cands_dir)
         if not self._exists(self.cands_dir):
             return self.spark.createDataFrame([], "doc_a long, doc_b long")
         return self.spark.read.parquet(self.cands_dir).distinct()

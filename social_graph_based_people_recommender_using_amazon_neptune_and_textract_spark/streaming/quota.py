@@ -43,14 +43,20 @@ class StreamingQuotaAccumulator:
         cap: int,
         domain_col: str = "source",
         id_col: str = "doc_id",
+        id_type: str = "long",
     ) -> None:
+        """``id_type``: DDL type of ``id_col`` for the never-ran empty
+        relation (r7 ADVICE: hardcoding it diverges the empty-state
+        schema from the oracle's when the id is not a long)."""
         self.spark = spark
         self.cap = cap
         self.domain_col = domain_col
         self.id_col = id_col
+        self.id_type = id_type
         self.table_dir = f"{out_dir}/quota"
 
     def _applied_batch_id(self) -> int | None:
+        fsutil.recover_swap(self.spark, self.table_dir)
         raw = fsutil.read_utf8(self.spark, f"{self.table_dir}/{self._MARKER}")
         return int(raw) if raw is not None else None
 
@@ -70,11 +76,10 @@ class StreamingQuotaAccumulator:
             cand.withColumn("rk", F.row_number().over(w).cast("long"))
             .filter(F.col("rk") <= self.cap)
         )
-        tmp = f"{self.table_dir}__swap"
+        tmp = fsutil.prepare_swap(self.spark, self.table_dir)
         kept.write.mode("overwrite").parquet(tmp)
         fsutil.write_utf8(self.spark, f"{tmp}/{self._MARKER}", str(batch_id))
-        fsutil.delete(self.spark, self.table_dir)
-        fsutil.rename(self.spark, tmp, self.table_dir)
+        fsutil.commit_swap(self.spark, self.table_dir)
 
     def run_available_now(
         self,
@@ -104,9 +109,11 @@ class StreamingQuotaAccumulator:
     def kept(self) -> DataFrame:
         """The accumulated kept-set (domain, id, rk); empty relation if
         no batch ever ran (degrade, don't crash on a missing path)."""
+        fsutil.recover_swap(self.spark, self.table_dir)
         if not fsutil.exists(self.spark, self.table_dir):
             return self.spark.createDataFrame(
                 [],
-                f"{self.domain_col} string, {self.id_col} long, rk long",
+                f"{self.domain_col} string, "
+                f"{self.id_col} {self.id_type}, rk long",
             )
         return self.spark.read.parquet(self.table_dir)

@@ -12,10 +12,13 @@ associative/commutative — no float-order caveat, which is exactly why
 the state column is decimal and the display round happens at read
 time, never in state).
 
-Replay-safe via the family's swap protocol: the last-applied batch id
-rides an underscore marker inside the swapped table directory, so an
-at-least-once re-delivery is detected and skipped instead of
-double-added.
+Replay-safe via the family's swap protocol (fsutil.prepare_swap /
+commit_swap — two atomic renames with recover-on-read, r7 ADVICE): the
+last-applied batch id rides an underscore marker inside the swapped
+table directory, so an at-least-once re-delivery is detected and
+skipped instead of double-added, and a crash at ANY point leaves the
+old or the new table recoverable — never an empty dir that would make
+a replayed batch silently rebuild state from one batch.
 """
 
 from __future__ import annotations
@@ -40,13 +43,23 @@ class StreamingSumRollup:
         out_dir: str,
         key_cols: Sequence[str],
         value_col: str,
+        key_schema: str | None = None,
     ) -> None:
+        """``key_schema``: DDL for the key columns (e.g. ``"mon
+        timestamp"``) used to build the never-ran empty relation — the
+        registered query's key is a timestamp, so hardcoding string
+        keys would diverge the empty-state schema from the oracle's
+        (r7 ADVICE). Defaults to every key as string."""
         self.spark = spark
         self.key_cols = list(key_cols)
         self.value_col = value_col
+        self.key_schema = key_schema or ", ".join(
+            f"{c} string" for c in key_cols
+        )
         self.table_dir = f"{out_dir}/rollup"
 
     def _applied_batch_id(self) -> int | None:
+        fsutil.recover_swap(self.spark, self.table_dir)
         raw = fsutil.read_utf8(self.spark, f"{self.table_dir}/{self._MARKER}")
         return int(raw) if raw is not None else None
 
@@ -77,11 +90,10 @@ class StreamingSumRollup:
                 F.col("n").cast("long").alias("n"),
                 F.col("s").cast("decimal(28,6)").alias("s"),
             )
-        tmp = f"{self.table_dir}__swap"
+        tmp = fsutil.prepare_swap(self.spark, self.table_dir)
         merged.write.mode("overwrite").parquet(tmp)
         fsutil.write_utf8(self.spark, f"{tmp}/{self._MARKER}", str(batch_id))
-        fsutil.delete(self.spark, self.table_dir)
-        fsutil.rename(self.spark, tmp, self.table_dir)
+        fsutil.commit_swap(self.spark, self.table_dir)
 
     def run_available_now(
         self,
@@ -111,10 +123,9 @@ class StreamingSumRollup:
     def table(self) -> DataFrame:
         """(key_cols..., n, value_sum) — the display projection: exact
         decimal state rounded to a 4dp double at READ time only."""
+        fsutil.recover_swap(self.spark, self.table_dir)
         if not fsutil.exists(self.spark, self.table_dir):
-            schema = ", ".join(
-                [f"{c} string" for c in self.key_cols] + ["n long", "value_sum double"]
-            )
+            schema = f"{self.key_schema}, n long, value_sum double"
             return self.spark.createDataFrame([], schema)
         return self.spark.read.parquet(self.table_dir).select(
             *self.key_cols,

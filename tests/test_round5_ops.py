@@ -1227,6 +1227,7 @@ def test_hll_rollup_within_error_bound(spark):
     assert 5% with a floor for small counts)."""
     from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.sketches import (
         monthly_distinct_users,
+        monthly_distinct_users_exact,
     )
     from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.sources.tables import (
         load_table,
@@ -1234,13 +1235,12 @@ def test_hll_rollup_within_error_bound(spark):
 
     ev = load_table(spark, "/root/testdata/sf0.01", "events")
     est = {str(r.month): r.users_est for r in monthly_distinct_users(ev).collect()}
+    # the exact side IS the registered oracle-checked twin
+    # (events_monthly_users_exact), so this bound chains the sketch to
+    # a driver-hash-verified relation through the same scaffold
     exact = {
-        str(r.month): r.n
-        for r in ev.groupBy(
-            F.date_trunc("month", "ts").cast("date").alias("month")
-        )
-        .agg(F.countDistinct("user_id").alias("n"))
-        .collect()
+        str(r.month): r.users
+        for r in monthly_distinct_users_exact(ev).collect()
     }
     assert est.keys() == exact.keys() and est
     for m, n in exact.items():
