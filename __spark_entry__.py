@@ -1878,6 +1878,31 @@ def _q_dedup_containment(spark, sf_dir):
     return D.containment_pairs(_aug(spark, sf_dir), threshold=0.7)
 
 
+def _q_dedup_substring(spark, sf_dir):
+    """Exact-substring dedup, Lee et al. 2022 style (operators/dedup.py
+    duplicated_spans): maximal ≥30-char byte spans occurring at ≥2
+    positions corpus-wide — the substring-level duplication mode
+    (boilerplate/templates) that document-level dedup can't see. One
+    window-table aggregate + one prefix-block equi-join + a per-doc
+    sorted fold; no nested-loop joins (plan-pinned)."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        dedup as D,
+    )
+
+    return D.duplicated_spans(tables.load_table(spark, sf_dir, "documents"))
+
+
+def _q_docs_substring_dup_stats(spark, sf_dir):
+    """Per-document duplicated-substring exposure (operators/dedup.py
+    substring_dup_stats): n_spans, dup_chars, dup_frac — the corpus
+    boilerplate-health metric over the same span relation."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        dedup as D,
+    )
+
+    return D.substring_dup_stats(tables.load_table(spark, sf_dir, "documents"))
+
+
 def _q_events_mad_outliers(spark, sf_dir):
     """Median/MAD modified z-scores with the Iglewicz-Hoaglin 3.5 cutoff
     (operators/warehouse.py mad_outliers): the robust companion of
@@ -2315,6 +2340,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_monthly_users_hll": _q_events_monthly_users_hll,
         "events_monthly_users_exact": _q_events_monthly_users_exact,
         "dedup_containment": _q_dedup_containment,
+        "dedup_substring": _q_dedup_substring,
+        "docs_substring_dup_stats": _q_docs_substring_dup_stats,
         "events_mad_outliers": _q_events_mad_outliers,
         "orders_retention_cohorts": _q_orders_retention_cohorts,
         "graph_lpa_communities": _q_graph_lpa_communities,

@@ -782,3 +782,123 @@ def _editdistance_pairs_build(
         )
         .filter(F.col("dist") <= max_dist)
     )
+
+
+# --- exact-substring dedup (suffix-window, Lee et al. 2022) ----------------
+
+#: Minimum duplicated-span length in characters. Lee et al. 2022
+#: ("Deduplicating Training Data Makes Language Models Better", public)
+#: use 50 BPE tokens over a suffix array; 30 chars is the equivalent
+#: knob for this corpus's ~300-char documents.
+SUBSTRING_MIN_LEN = 30
+
+
+def _gram_positions(corpus: DataFrame, min_len: int) -> DataFrame:
+    """(doc_id, pos, gram): every ``min_len``-char sliding window of
+    every document, 1-based. The CASE guards the short-document edge:
+    ``sequence(1, 0)`` would silently DESCEND (the intervals.py ADVICE
+    bug class), so documents shorter than the window emit no rows."""
+    win = F.expr(
+        f"CASE WHEN length(text) >= {min_len} THEN "
+        f"  transform(sequence(1, length(text) - {min_len} + 1), "
+        f"            p -> struct(CAST(p AS BIGINT) AS pos, "
+        f"                        substring(text, p, {min_len}) AS gram)) "
+        f"ELSE CAST(array() AS ARRAY<STRUCT<pos: BIGINT, gram: STRING>>) END"
+    )
+    return corpus.select("doc_id", F.explode(win).alias("w")).select(
+        "doc_id", F.col("w.pos").alias("pos"), F.col("w.gram").alias("gram")
+    )
+
+
+def duplicated_spans(
+    corpus: DataFrame, min_len: int = SUBSTRING_MIN_LEN
+) -> DataFrame:
+    """Maximal duplicated byte-spans of length ≥ ``min_len`` per
+    document — the exact-substring dedup mode (Lee et al. 2022): a
+    char interval is duplicated iff every ``min_len`` window it extends
+    occurs at ≥ 2 positions corpus-wide (within- or cross-document).
+
+    Returns (doc_id, span_start, span_end, span_len), 1-based char
+    positions, spans maximal (overlapping/touching window hits merged).
+
+    Spark shape — suffix blocks, never all-pairs:
+    1. window table: one row per (doc, pos) — ×min_len data fan-out,
+       the declared cost of substring-exactness (a suffix array pays
+       ×8 pointers; at 100 TB group on an 8-byte rolling hash of the
+       window instead of the raw chars to shrink the shuffle — same
+       plan, hash column swapped in);
+    2. duplicated windows: ONE hash-aggregate on the window text
+       (map-side combined, AQE-skew-safe — the "sorted suffix block"
+       is the shuffle partition);
+    3. duplicated positions: equi-join windows against the ≥2 set —
+       the prefix-bucket block join, no nested loop anywhere;
+    4. span merge: per-doc sorted-position fold (shuffle-free within
+       the one groupBy): window hits p, p' merge iff p' ≤ p + min_len
+       (their char intervals overlap or touch) — positions per doc are
+       document-length-bounded, same boundedness as the repetition
+       fold (functions/text.py).
+    """
+    grams = _gram_positions(corpus, min_len)
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .select("gram")
+    )
+    dpos = grams.join(dup, "gram").select("doc_id", "pos")
+    merged = F.expr(
+        f"""
+        aggregate(
+          ps,
+          CAST(array() AS ARRAY<STRUCT<s: BIGINT, e: BIGINT>>),
+          (acc, p) -> CASE
+            WHEN size(acc) > 0 AND p <= element_at(acc, -1).e + 1
+              THEN concat(
+                     slice(acc, 1, size(acc) - 1),
+                     array(named_struct(
+                       's', element_at(acc, -1).s,
+                       'e', p + {min_len} - 1)))
+            ELSE concat(acc, array(named_struct(
+                   's', p, 'e', p + {min_len} - 1)))
+          END)
+        """
+    )
+    return (
+        dpos.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("ps"))
+        .select("doc_id", F.explode(merged).alias("sp"))
+        .select(
+            "doc_id",
+            F.col("sp.s").alias("span_start"),
+            F.col("sp.e").alias("span_end"),
+            (F.col("sp.e") - F.col("sp.s") + 1).alias("span_len"),
+        )
+    )
+
+
+def substring_dup_stats(
+    corpus: DataFrame, min_len: int = SUBSTRING_MIN_LEN
+) -> DataFrame:
+    """Per-document duplicated-substring exposure: (doc_id, n_spans,
+    dup_chars, dup_frac) — the Lee-et-al corpus health metric (what
+    fraction of each document is boilerplate shared verbatim with the
+    rest of the corpus). Documents with no duplicated span report 0s
+    (left join keeps them)."""
+    spans = duplicated_spans(corpus, min_len).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("span_len").alias("dup_chars"),
+    )
+    return (
+        corpus.select("doc_id", F.length("text").cast("long").alias("n_chars"))
+        .join(spans, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("dup_chars", F.lit(0)).cast("long").alias("dup_chars"),
+            F.round(
+                F.coalesce("dup_chars", F.lit(0))
+                / F.greatest("n_chars", F.lit(1)),
+                6,
+            ).alias("dup_frac"),
+        )
+    )

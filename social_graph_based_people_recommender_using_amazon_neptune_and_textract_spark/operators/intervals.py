@@ -77,17 +77,29 @@ def sessions_status_overlap(events: DataFrame) -> DataFrame:
             )
         ),
     )
-    r_cells = runs.crossJoin(F.broadcast(max_cell)).withColumn(
-        "cell",
-        F.explode(
-            F.sequence(
-                (F.col("r_start") / DAY_US).cast("long"),
-                F.least(
-                    (F.col("r_end") / DAY_US).cast("long"), F.col("__mx")
-                ),
-            )
-        ),
-    ).drop("__mx")
+    # An overlapping run must START no later than the last session
+    # cell — filtering on that BEFORE the explode both prunes the
+    # fan-out and guarantees start ≤ stop in the sequence (with
+    # start > stop, F.sequence silently DESCENDS, exploding cells
+    # before the run even begins). Empty sessions → NULL __mx → the
+    # predicate is NULL → no run cells, explicitly: no sessions can
+    # mean no overlaps.
+    r_cells = (
+        runs.crossJoin(F.broadcast(max_cell))
+        .filter((F.col("r_start") / DAY_US).cast("long") <= F.col("__mx"))
+        .withColumn(
+            "cell",
+            F.explode(
+                F.sequence(
+                    (F.col("r_start") / DAY_US).cast("long"),
+                    F.least(
+                        (F.col("r_end") / DAY_US).cast("long"), F.col("__mx")
+                    ),
+                )
+            ),
+        )
+        .drop("__mx")
+    )
 
     pairs = (
         s_cells.join(r_cells, ["user_id", "cell"])

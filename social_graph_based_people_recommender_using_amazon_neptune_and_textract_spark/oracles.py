@@ -2040,6 +2040,54 @@ SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 10"""
 # size-ratio prune (containment imposes none on the small side); the
 # intersection is the naive exact verify here — DuckDB at sf0.01 affords
 # it, Spark decomposes rare+hot to avoid the pair re-expansion.
+
+# Exact-substring dedup (operators/dedup.py duplicated_spans), Lee et
+# al. 2022 style: a char interval is duplicated iff every 30-char
+# window it extends occurs >= 2 times corpus-wide. Gaps-and-islands
+# span merge: equal-length windows make lag() sufficient (positions
+# sorted, interval end monotone), islands break where pos - lag > L.
+_SUBSTR_L = 30
+_SUBSTR_SPAN_CTES = f"""\
+WITH grams AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         substr(text, CAST(i AS INT), {_SUBSTR_L}) AS gram
+  FROM documents, unnest(range(1, length(text) - {_SUBSTR_L} + 2)) AS t(i)
+),
+dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+dpos AS (SELECT doc_id, pos FROM grams JOIN dup USING (gram)),
+brk AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   <= {_SUBSTR_L} THEN 0 ELSE 1 END AS b
+  FROM dpos),
+isl AS (
+  SELECT doc_id, pos,
+         sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+  FROM brk),
+spans AS (
+  SELECT doc_id,
+         min(pos) AS span_start,
+         max(pos) + {_SUBSTR_L} - 1 AS span_end,
+         max(pos) + {_SUBSTR_L} - min(pos) AS span_len
+  FROM isl GROUP BY doc_id, g)"""
+
+ORACLES["dedup_substring"] = f"""\
+{_SUBSTR_SPAN_CTES}
+SELECT doc_id, span_start, span_end, span_len FROM spans"""
+
+ORACLES["docs_substring_dup_stats"] = f"""\
+{_SUBSTR_SPAN_CTES},
+per_doc AS (
+  SELECT doc_id, count(*) AS n_spans, sum(span_len) AS dup_chars
+  FROM spans GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(p.n_spans, 0) AS n_spans,
+       coalesce(p.dup_chars, 0) AS dup_chars,
+       round(coalesce(p.dup_chars, 0) * 1.0
+             / greatest(length(d.text), 1), 6) AS dup_frac
+FROM documents d LEFT JOIN per_doc p USING (doc_id)"""
+
+
 ORACLES["dedup_containment"] = f"""\
 WITH {AUG_CORPUS_SQL}, {_SHINGLE_CTES},
 rare AS (

@@ -100,7 +100,14 @@ def pinned(
 
     before = checkpoints.live_ids()
     dfs = tuple(df.persist() for df in build())
-    backing = checkpoints.live_ids() - before
+    # Before/after diffing over-attributes when build() itself pins an
+    # inner entry (the inner pin's checkpoints would land in the OUTER
+    # backing set, and releasing the outer pin would free checkpoints
+    # the still-registered inner pin needs — the poisoned-pin failure
+    # this registry exists to prevent). Subtract ids already owned by
+    # any other registered pin.
+    owned = set().union(set(), *_CKPT_BACKED.values())
+    backing = checkpoints.live_ids() - before - owned
     if backing:
         _CKPT_BACKED[k] = frozenset(backing)
     _REGISTRY[k] = dfs

@@ -278,3 +278,34 @@ def test_pin_release_frees_backing_checkpoints(spark):
         assert PIN.release(k) is True
     assert not (backing & CKPT.live_ids())
     _reset_storage(spark)
+
+def test_nested_pin_backing_attribution(spark):
+    """A build() that itself pins an inner checkpoint-backed entry must
+    NOT have the inner pin's checkpoint ids recorded under the OUTER
+    key — else releasing the outer pin frees checkpoints the
+    still-registered inner pin reads (r7 ADVICE: the poisoned-pin
+    failure this registry exists to prevent)."""
+    _reset_storage(spark)
+
+    def inner_build():
+        df, ids = CKPT.checkpoint(
+            spark.range(10).withColumn("v", F.col("id") * 2)
+        )
+        return (df,)
+
+    def outer_build():
+        (inner,) = PIN.pinned("nested_inner", inner_build)
+        return (inner.filter(F.col("v") > 4),)
+
+    PIN.pinned("nested_outer", outer_build)
+    inner_ids = PIN._CKPT_BACKED.get(PIN.effective_key("nested_inner"))
+    assert inner_ids  # inner pin owns its checkpoint
+    outer_ids = PIN._CKPT_BACKED.get(PIN.effective_key("nested_outer"))
+    assert not (outer_ids and (set(outer_ids) & set(inner_ids)))
+
+    # releasing the OUTER pin must leave the inner pin's checkpoint live
+    PIN.release("nested_outer")
+    assert set(inner_ids) <= CKPT.live_ids()
+    (inner,) = PIN.pinned("nested_inner", inner_build)  # cache hit
+    assert inner.count() == 10  # still readable, not freed
+    _reset_storage(spark)

@@ -387,3 +387,21 @@ def test_orders_returns_semi_join(spark):
     plan = PL.physical_plan(df)
     assert "LeftSemi" in plan, plan
     assert any("l_returnflag" in p for p in PL.pushed_filters(df))
+
+
+def test_substring_dedup_no_nested_loop(spark):
+    """Exact-substring dedup (operators/dedup.py duplicated_spans) must
+    plan its candidate step as a shuffled/broadcast EQUI-join on the
+    window text — a nested-loop anywhere means the prefix blocking
+    regressed to all-pairs, which is quadratic at corpus scale."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        dedup as D,
+    )
+
+    df = D.duplicated_spans(tables.load_table(spark, SF, "documents"))
+    plan = PL.physical_plan(df)
+    assert "NestedLoop" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # only the two needed columns reach any scan
+    for cols in PL.read_schema_columns(df):
+        assert cols <= {"doc_id", "text"}, cols

@@ -1,0 +1,118 @@
+"""Round-8 operators: exact-substring dedup (Lee et al. 2022 style,
+operators/dedup.py duplicated_spans / substring_dup_stats)."""
+
+from pyspark.sql import functions as F
+
+from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+    dedup as D,
+)
+
+
+def _corpus(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _spans(spark, rows, min_len):
+    out = D.duplicated_spans(_corpus(spark, rows), min_len=min_len)
+    return sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_len"])
+        for r in out.collect()
+    )
+
+
+def test_shared_sentence_detected_in_both_docs(spark):
+    shared = "the quick brown fox jumps over the lazy dog"  # 43 chars
+    rows = [
+        (1, "AAAA " + shared + " BBBB"),
+        (2, "CCCCCC " + shared + " DD"),
+        (3, "totally unrelated content here with no duplication at all x"),
+    ]
+    got = _spans(spark, rows, min_len=20)
+    # the duplicated region includes the shared FLANKING spaces —
+    # " <shared> " (45 chars): doc 1 at 5..49, doc 2 at 7..51; doc 3
+    # contributes nothing
+    assert got == [(1, 5, 49, 45), (2, 7, 51, 45)]
+
+
+def test_overlapping_windows_merge_to_one_maximal_span(spark):
+    # one long shared block must come back as ONE span, not one row
+    # per duplicated window position
+    block = "x" * 10 + "shared block of text repeated verbatim" + "y" * 10
+    rows = [(1, "p" * 7 + block), (2, block + "q" * 9)]
+    got = _spans(spark, rows, min_len=10)
+    assert [g[0] for g in got] == [1, 2]
+    assert got[0][1:] == (8, 7 + len(block), len(block))
+    assert got[1][1:] == (1, len(block), len(block))
+
+
+def test_within_doc_repeat_counts_as_duplication(spark):
+    chunk = "abcdefghijklmnopqrst"  # 20 chars, repeated inside ONE doc
+    rows = [(1, chunk + "-----" + chunk)]
+    got = _spans(spark, rows, min_len=20)
+    assert got == [(1, 1, 20, 20), (1, 26, 45, 20)]
+
+
+def test_docs_shorter_than_window_emit_nothing(spark):
+    rows = [(1, "short"), (2, "short"), (3, "")]
+    assert _spans(spark, rows, min_len=30) == []
+
+
+def test_disjoint_spans_stay_separate(spark):
+    a = "first duplicated sentence block!"  # 32
+    b = "second duplicated sentence block"  # 32
+    # gaps must not self-repeat: a run like "-"*50 contains its own
+    # 30-char window 21 times, is itself duplicated, and (correctly)
+    # bridges the two spans — use distinct non-repetitive filler
+    # (and must share no prefix/suffix with each other, else the
+    # shared flanking chars correctly extend the a/b spans)
+    gap1 = "1st middle filler, unique text, zero repeats, yes"
+    gap2 = "2nd divider text that differs from one entirely!?"
+    rows = [(1, a + gap1 + b), (2, a + gap2 + b)]
+    got = _spans(spark, rows, min_len=30)
+    assert [g[0] for g in got] == [1, 1, 2, 2]
+    assert all(g[3] == 32 for g in got)
+
+
+def test_unicode_positions_are_character_based(spark):
+    shared = "ünïcødé-sävvy düplicate blöck"  # 29 chars
+    rows = [(1, "aa" + shared), (2, shared + "zz")]
+    got = _spans(spark, rows, min_len=29)
+    assert got == [(1, 3, 31, 29), (2, 1, 29, 29)]
+
+
+def test_substring_dup_stats_covers_all_docs(spark):
+    shared = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (1, "AAAA " + shared),
+        (2, shared + " BBBB"),
+        (3, "unique text with no duplicated windows whatsoever okay"),
+    ]
+    out = {
+        r["doc_id"]: (r["n_spans"], r["dup_chars"], r["dup_frac"])
+        for r in D.substring_dup_stats(
+            _corpus(spark, rows), min_len=20
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1] == (1, 43, round(43 / len(rows[0][1]), 6))
+    assert out[2] == (1, 43, round(43 / len(rows[1][1]), 6))
+    assert out[3] == (0, 0, 0.0)
+
+
+def test_spans_partition_invariant(spark):
+    docs = (
+        _corpus(
+            spark,
+            [
+                (i, ("common boilerplate header attached here " * 2) + f"tail{i}")
+                for i in range(40)
+            ],
+        )
+    )
+    one = sorted(
+        map(tuple, D.duplicated_spans(docs.coalesce(1), 30).collect())
+    )
+    many = sorted(
+        map(tuple, D.duplicated_spans(docs.repartition(13), 30).collect())
+    )
+    assert one == many and one
