@@ -405,3 +405,49 @@ def test_substring_dedup_no_nested_loop(spark):
     # only the two needed columns reach any scan
     for cols in PL.read_schema_columns(df):
         assert cols <= {"doc_id", "text"}, cols
+
+
+def test_ses_levels_no_window_over_facts(spark):
+    """SES (operators/timeseries.py ses_levels) must keep the sequential
+    recurrence OUT of the distributed plan: one grouped month aggregate
+    + one single-row collect_list fold — zero Window operators (a
+    window over raw facts would sort the whole fact table per series at
+    100 TB) and zero joins. Exchanges: month groupBy + the global
+    1-row aggregate only."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.timeseries import (
+        ses_levels,
+    )
+
+    df = ses_levels(
+        tables.load_table(spark, SF, "orders"), "o_orderdate", "o_totalprice"
+    )
+    plan = PL.physical_plan(df)
+    assert "Window" not in plan, plan
+    assert "Join" not in plan, plan
+    assert PL.exchange_count(df) <= 2, plan
+    # column pruning: only the two needed columns reach the scan
+    for cols in PL.read_schema_columns(df):
+        assert cols <= {"o_orderdate", "o_totalprice"}, cols
+
+
+def test_weighted_paths_bounds_checkpoints(spark):
+    """Bellman–Ford (graph/traverse.py weighted_shortest_paths) must
+    free each superstep's tracked checkpoint as the next lands —
+    live-checkpoint state is O(1) in the round count, or a 30-round run
+    on a real cluster pins 30 copies of the distance relation."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark import (
+        checkpoints as CKPT,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.graph.traverse import (
+        weighted_shortest_paths,
+    )
+
+    e = tables.user_graph_edges(spark, SF)
+    before = CKPT.live_ids()
+    d = weighted_shortest_paths(e, 3, max_hops=4)
+    assert d.count() > 0
+    added = CKPT.live_ids() - before
+    # one localCheckpoint survives (the final round's); each round freed
+    # its predecessor. localCheckpoint may persist 1-2 RDD ids per call.
+    assert len(added) <= 2, added
+    CKPT.free(spark, added)
