@@ -1308,6 +1308,19 @@ def _q_docs_bpe_merge_candidates(spark, sf_dir):
     return bpe_merge_candidates(tables.load_table(spark, sf_dir, "documents"))
 
 
+def _q_docs_bpe_vocab_k8(spark, sf_dir):
+    """FULL iterative BPE training, 8 merge rounds (functions/text.py
+    bpe_train — Sennrich et al. 2016): word-frequency aggregate once,
+    then per round one vocabulary-sized pair-count aggregate + a 1-row
+    argmax sync + a JVM fold applying the greedy merge. Returns the
+    learned merge table (step, x, y, merged, cnt)."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.functions.text import (
+        bpe_train,
+    )
+
+    return bpe_train(tables.load_table(spark, sf_dir, "documents"), 8)
+
+
 def _q_graph_weighted_paths(spark, sf_dir):
     """Hop-bounded weighted shortest paths (graph/traverse.py
     weighted_shortest_paths): 3 distributed Bellman–Ford min-plus
@@ -2365,6 +2378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_p95_bucketed": _q_events_value_p95_bucketed,
         "graph_weighted_paths": _q_graph_weighted_paths,
         "docs_bpe_merge_candidates": _q_docs_bpe_merge_candidates,
+        "docs_bpe_vocab_k8": _q_docs_bpe_vocab_k8,
         "docs_hashed_features": _q_docs_hashed_features,
         "orders_snapshot_changes": _q_orders_snapshot_changes,
         "graph_negative_samples": _q_graph_negative_samples,

@@ -585,6 +585,105 @@ def bpe_merge_candidates(
     )
 
 
+def bpe_train(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """FULL iterative BPE training (Sennrich et al. 2016), k merge
+    rounds — the tokenizer-training primitive ``bpe_merge_candidates``
+    is one step of. Word-level pre-tokenization (the frozen analyzer),
+    then the classic loop: count adjacent symbol pairs weighted by word
+    frequency, merge the argmax pair greedily left-to-right inside
+    every word, repeat. Returns the learned merge table
+    (step, x, y, merged, cnt) with cnt = the pair's corpus count AT the
+    step it was chosen (ties by (x, y) ascending — a total order, so
+    training is deterministic across engines and partitionings).
+
+    Spark shape — the distributed-BPE decomposition every public
+    implementation at corpus scale uses: the CORPUS-sized work is one
+    word-frequency aggregate (massive reduction: 100 TB of text becomes
+    a vocabulary-sized (word, freq, syms) table); each merge round then
+    runs on that vocabulary table — one pair-count aggregate
+    (map-side-combined) + a 1-row driver sync for the argmax + one
+    JVM ``aggregate`` fold per word applying the merge. The per-round
+    driver traffic is ONE row; state between rounds is localCheckpointed
+    so lineage stays O(1) in k (the house iterative discipline).
+
+    The in-word merge is a left fold: append each symbol, except when
+    the accumulator's last symbol is x and the incoming is y — then
+    replace the last with the merged symbol. Because ``merged`` is
+    strictly longer than ``x``, a just-merged symbol can never equal x,
+    so the fold IS the greedy leftmost non-overlapping pass ('a a a'
+    with (a,a) → ('aa','a'), never ('a','aa') or ('aa','aa'))."""
+    from .. import checkpoints as CKPT
+
+    spark = df.sparkSession
+    words = (
+        df.select(F.explode(tokenize(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .select(
+            "freq",
+            F.transform(
+                F.sequence(F.lit(1), F.length("word")),
+                lambda i: F.col("word").substr(i, F.lit(1)),
+            ).alias("syms"),
+        )
+    )
+    words, ids = CKPT.checkpoint(words)
+    merges: list[tuple[int, str, str, str, int]] = []
+    for step_no in range(1, k + 1):
+        pairs = words.select(
+            "freq",
+            F.explode(
+                F.when(
+                    F.size("syms") >= 2,
+                    F.transform(
+                        F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                        lambda s, i: F.struct(
+                            s.alias("x"),
+                            F.element_at(F.col("syms"), i + 2).alias("y"),
+                        ),
+                    ),
+                ).otherwise(
+                    F.array().cast("array<struct<x:string,y:string>>")
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+            .agg(F.sum("freq").cast("long").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("x").asc(), F.col("y").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:  # every word fully merged — vocabulary converged
+            break
+        x, y, cnt = top[0]["x"], top[0]["y"], int(top[0]["cnt"])
+        merged = x + y
+        merges.append((step_no, x, y, merged, cnt))
+        xl, yl, ml = F.lit(x), F.lit(y), F.lit(merged)
+        fold = lambda acc, e: F.when(  # noqa: E731 — see docstring
+            (F.size(acc) > 0) & (F.element_at(acc, -1) == xl) & (e == yl),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(ml)),
+        ).otherwise(F.concat(acc, F.array(e)))
+        nxt = words.select(
+            "freq",
+            F.aggregate(
+                "syms", F.array().cast("array<string>"), fold
+            ).alias("syms"),
+        )
+        words, new_ids = CKPT.checkpoint(nxt)
+        CKPT.free(spark, ids, blocking=False)
+        ids = new_ids
+    CKPT.free(spark, ids, blocking=False)
+    return spark.createDataFrame(
+        merges, "step int, x string, y string, merged string, cnt long"
+    )
+
+
 def hashed_features(
     df: DataFrame,
     n_buckets: int = 256,

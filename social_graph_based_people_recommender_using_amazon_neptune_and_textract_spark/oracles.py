@@ -2744,6 +2744,98 @@ ORDER BY cnt DESC, x ASC, y ASC
 LIMIT 20"""
 
 
+def _bpe_train_sql(k: int) -> str:
+    """Generated k-round BPE training twin (functions/text.py
+    bpe_train). Each round: weighted adjacent-pair count over the word
+    table (p{{n}}), deterministic argmax (t{{n}}: cnt desc, (x, y)
+    asc), then the greedy leftmost non-overlapping in-word merge.
+
+    Spark applies the merge as a left fold; SQL has no list fold, so
+    the twin uses the equivalent gaps-and-islands form: explode
+    positions, mark pair matches m(i) = (s_i, s_{{i+1}}) = (x, y), and
+    take the ODD-ranked matches within each consecutive-match island —
+    exactly the positions a left-to-right greedy scan merges (within a
+    run of overlapping matches, every other one fires, starting with
+    the first). Rows following a taken position are consumed.
+
+    CTEs that feed scalar subqueries are MATERIALIZED — inlined, the
+    t{{n}} references re-expand the whole upstream chain exponentially
+    (the un-hinted form exhausted file handles re-scanning parquet)."""
+    parts = [
+        f"""w0 AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq,
+         list_transform(generate_series(1, length(word)),
+                        i -> substr(word, i, 1)) AS syms
+  FROM (SELECT unnest({TOKENIZE.format(col='text')}) AS word
+        FROM documents)
+  GROUP BY word
+)"""
+    ]
+    for n in range(1, k + 1):
+        p = n - 1
+        parts.append(
+            f"""p{n} AS MATERIALIZED (
+  SELECT q.x AS x, q.y AS y, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+    SELECT freq, unnest(list_transform(generate_series(1, len(syms) - 1),
+           i -> struct_pack(x := syms[i], y := syms[i + 1]))) AS q
+    FROM w{p} WHERE len(syms) >= 2
+  ) GROUP BY q.x, q.y
+)"""
+        )
+        parts.append(
+            f"""t{n} AS MATERIALIZED (
+  SELECT {n} AS step, x, y, x || y AS merged, cnt FROM p{n}
+  ORDER BY cnt DESC, x ASC, y ASC LIMIT 1
+)"""
+        )
+        if n < k:
+            parts.append(
+                f"""x{n} AS (
+  SELECT word, freq, unnest(generate_series(1, len(syms))) AS i, syms
+  FROM w{p}
+)"""
+            )
+            parts.append(
+                f"""m{n} AS (
+  SELECT word, freq, i, syms[i] AS s,
+         (i < len(syms) AND syms[i] = (SELECT x FROM t{n})
+          AND syms[i + 1] = (SELECT y FROM t{n})) AS m
+  FROM x{n}
+)"""
+            )
+            parts.append(
+                f"""g{n} AS (
+  SELECT *, i - row_number() OVER (PARTITION BY word, m ORDER BY i) AS grp
+  FROM m{n}
+)"""
+            )
+            parts.append(
+                f"""k{n} AS (
+  SELECT *, m AND (row_number()
+        OVER (PARTITION BY word, m, grp ORDER BY i) % 2 = 1) AS taken
+  FROM g{n}
+)"""
+            )
+            parts.append(
+                f"""w{n} AS MATERIALIZED (
+  SELECT word, freq,
+         list(CASE WHEN taken THEN s || (SELECT y FROM t{n}) ELSE s END
+              ORDER BY i) AS syms
+  FROM (SELECT *, coalesce(lag(taken)
+              OVER (PARTITION BY word ORDER BY i), false) AS prev_taken
+        FROM k{n})
+  WHERE NOT prev_taken
+  GROUP BY word, freq
+)"""
+            )
+    union = "\nUNION ALL\n".join(f"SELECT * FROM t{n}" for n in range(1, k + 1))
+    return "WITH " + ",\n".join(parts) + "\n" + union + "\nORDER BY step"
+
+
+# Iterative BPE training (functions/text.py bpe_train, k=8).
+ORACLES["docs_bpe_vocab_k8"] = _bpe_train_sql(8)
+
+
 # Feature hashing (functions/text.py hashed_features): same md5-prefix
 # hash, bucket = h % 256, sign from bit 8, signed-count sum.
 ORACLES["docs_hashed_features"] = f"""\

@@ -116,3 +116,103 @@ def test_spans_partition_invariant(spark):
         map(tuple, D.duplicated_spans(docs.repartition(13), 30).collect())
     )
     assert one == many and one
+
+
+# ---------------------------------------------------------------- BPE
+
+
+def _ref_bpe(texts, k):
+    """Pure-Python Sennrich-style reference (same frozen analyzer)."""
+    import collections
+    import re
+
+    freq = collections.Counter()
+    for t in texts:
+        for w in [x for x in re.split("[^a-z0-9]+", t.lower()) if x]:
+            freq[w] += 1
+    words = {w: list(w) for w in freq}
+    out = []
+    for step in range(1, k + 1):
+        cnt = collections.Counter()
+        for w, syms in words.items():
+            for a, b in zip(syms, syms[1:]):
+                cnt[(a, b)] += freq[w]
+        if not cnt:
+            break
+        (x, y), c = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        out.append((step, x, y, x + y, c))
+        for w, syms in words.items():
+            ns = []
+            for e in syms:
+                if ns and ns[-1] == x and e == y:
+                    ns[-1] = x + y
+                else:
+                    ns.append(e)
+            words[w] = ns
+    return out
+
+
+def _bpe(spark, texts, k):
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.functions.text import (
+        bpe_train,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    return [tuple(r) for r in bpe_train(df, k).orderBy("step").collect()]
+
+
+def test_bpe_greedy_overlap_is_leftmost_nonoverlapping(spark):
+    # 'aaaa' merging (a,a): greedy left scan gives (aa)(aa), so round 2
+    # sees pair (aa,aa) — NOT (a,aa) or (aa,a)
+    texts = ["aaaa aaaa aaaa"]
+    got = _bpe(spark, texts, 2)
+    assert got == _ref_bpe(texts, 2)
+    assert got[0][1:4] == ("a", "a", "aa")
+    assert got[1][1:4] == ("aa", "aa", "aaaa")
+
+
+def test_bpe_merged_symbol_chains_across_rounds(spark):
+    # classic: (e,r) then (er,t) — a merge output participating as the
+    # LEFT side of a later pair
+    texts = ["water water water alert alert overt"] * 3
+    got = _bpe(spark, texts, 4)
+    assert got == _ref_bpe(texts, 4)
+
+
+def test_bpe_tie_break_is_lexicographic(spark):
+    # two pairs with identical counts: (b,c) and (x,y) both appear
+    # exactly 5 times; (b,c) must win round 1
+    texts = ["bc " * 5 + "xy " * 5]
+    got = _bpe(spark, texts, 1)
+    assert got == _ref_bpe(texts, 1)
+    assert got[0][1:3] == ("b", "c")
+
+
+def test_bpe_converges_and_stops_early(spark):
+    # single repeated 2-char word: round 1 merges it fully; round 2 has
+    # no pairs left — the loop must stop, returning 1 row not 8
+    texts = ["ab ab ab"]
+    got = _bpe(spark, texts, 8)
+    assert got == [(1, "a", "b", "ab", 3)]
+
+
+def test_bpe_weighted_by_word_frequency(spark):
+    # 'zz' appears in ONE doc 10 times, 'qr' in 5 docs once each:
+    # pair (z,z) count 10 beats (q,r) count 5
+    texts = ["zz " * 10] + ["qr"] * 5
+    got = _bpe(spark, texts, 1)
+    assert got == _ref_bpe(texts, 1)
+    assert got[0][1:3] == ("z", "z") and got[0][4] == 10
+
+
+def test_bpe_matches_reference_on_sf0001_corpus(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    texts = [r.text for r in docs.select("text").collect()]
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.functions.text import (
+        bpe_train,
+    )
+
+    got = [tuple(r) for r in bpe_train(docs, 8).orderBy("step").collect()]
+    assert got == _ref_bpe(texts, 8)
