@@ -1321,6 +1321,18 @@ def _q_docs_bpe_vocab_k8(spark, sf_dir):
     return bpe_train(tables.load_table(spark, sf_dir, "documents"), 8)
 
 
+def _q_docs_bpe_subword_counts(spark, sf_dir):
+    """BPE encode side (functions/text.py bpe_subword_counts): top-20
+    corpus subword frequencies after the same 8 learned merges —
+    computed from the vocabulary relation alone (explode + sum(freq)),
+    with NO second corpus pass."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.functions.text import (
+        bpe_subword_counts,
+    )
+
+    return bpe_subword_counts(tables.load_table(spark, sf_dir, "documents"), 8)
+
+
 def _q_graph_weighted_paths(spark, sf_dir):
     """Hop-bounded weighted shortest paths (graph/traverse.py
     weighted_shortest_paths): 3 distributed Bellman–Ford min-plus
@@ -2379,6 +2391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_weighted_paths": _q_graph_weighted_paths,
         "docs_bpe_merge_candidates": _q_docs_bpe_merge_candidates,
         "docs_bpe_vocab_k8": _q_docs_bpe_vocab_k8,
+        "docs_bpe_subword_counts": _q_docs_bpe_subword_counts,
         "docs_hashed_features": _q_docs_hashed_features,
         "orders_snapshot_changes": _q_orders_snapshot_changes,
         "graph_negative_samples": _q_graph_negative_samples,

@@ -111,6 +111,9 @@ BENCH_QUERIES = [
     "orders_revenue_ses",
     "events_value_p95_bucketed",
     "graph_weighted_paths",
+    "dedup_substring",
+    "events_monthly_users_exact",
+    "docs_bpe_vocab_k8",
 ]
 
 

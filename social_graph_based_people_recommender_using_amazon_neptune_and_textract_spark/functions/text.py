@@ -617,6 +617,20 @@ def bpe_train(
     strictly longer than ``x``, a just-merged symbol can never equal x,
     so the fold IS the greedy leftmost non-overlapping pass ('a a a'
     with (a,a) → ('aa','a'), never ('a','aa') or ('aa','aa'))."""
+    merges, _words, _ids, spark = _bpe_fit(df, k, text_col)
+    from .. import checkpoints as CKPT
+
+    CKPT.free(spark, _ids, blocking=False)
+    return spark.createDataFrame(
+        merges, "step int, x string, y string, merged string, cnt long"
+    )
+
+
+def _bpe_fit(df: DataFrame, k: int, text_col: str):
+    """Shared BPE training loop. Returns (merges, words, ids, spark):
+    the merge list, the final (word, freq, syms) vocabulary relation
+    AFTER the k-th merge (checkpointed — caller frees ``ids`` when the
+    relation is consumed), and the session."""
     from .. import checkpoints as CKPT
 
     spark = df.sparkSession
@@ -625,6 +639,7 @@ def bpe_train(
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("long").alias("freq"))
         .select(
+            "word",
             "freq",
             F.transform(
                 F.sequence(F.lit(1), F.length("word")),
@@ -670,6 +685,7 @@ def bpe_train(
             F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(ml)),
         ).otherwise(F.concat(acc, F.array(e)))
         nxt = words.select(
+            "word",
             "freq",
             F.aggregate(
                 "syms", F.array().cast("array<string>"), fold
@@ -678,10 +694,41 @@ def bpe_train(
         words, new_ids = CKPT.checkpoint(nxt)
         CKPT.free(spark, ids, blocking=False)
         ids = new_ids
-    CKPT.free(spark, ids, blocking=False)
-    return spark.createDataFrame(
-        merges, "step int, x string, y string, merged string, cnt long"
+    return merges, words, ids, spark
+
+
+def bpe_subword_counts(
+    df: DataFrame,
+    k: int = 8,
+    top: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """ENCODE side of BPE: train k merges (``bpe_train``), segment
+    every vocabulary word with them, and return the ``top`` most
+    frequent subwords corpus-wide — (subword, cnt), ties by subword
+    ascending. The distribution a tokenizer designer reads to judge a
+    merge budget (how much of the corpus the learned units cover).
+
+    Scale: the clincher for the word-table decomposition — encoding
+    needs NO second corpus pass at all. The vocabulary relation already
+    carries each word's corpus frequency, so subword counts are one
+    explode + sum(freq) over the vocabulary-sized table; 100 TB of
+    text never gets re-read or re-joined."""
+    from .. import checkpoints as CKPT
+
+    _merges, words, ids, spark = _bpe_fit(df, k, text_col)
+    out = (
+        words.select(F.explode("syms").alias("subword"), "freq")
+        .groupBy("subword")
+        .agg(F.sum("freq").cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("subword").asc())
+        .limit(top)
     )
+    # the result is ``top`` rows built from a checkpointed input whose
+    # handle the caller never sees — materialize, then free.
+    rows = out.collect()
+    CKPT.free(spark, ids, blocking=False)
+    return spark.createDataFrame(rows, "subword string, cnt long")
 
 
 def hashed_features(

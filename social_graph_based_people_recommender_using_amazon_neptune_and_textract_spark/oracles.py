@@ -2744,7 +2744,7 @@ ORDER BY cnt DESC, x ASC, y ASC
 LIMIT 20"""
 
 
-def _bpe_train_sql(k: int) -> str:
+def _bpe_train_sql(k: int, final_words: bool = False) -> str:
     """Generated k-round BPE training twin (functions/text.py
     bpe_train). Each round: weighted adjacent-pair count over the word
     table (p{{n}}), deterministic argmax (t{{n}}: cnt desc, (x, y)
@@ -2788,7 +2788,7 @@ def _bpe_train_sql(k: int) -> str:
   ORDER BY cnt DESC, x ASC, y ASC LIMIT 1
 )"""
         )
-        if n < k:
+        if n < k or final_words:
             parts.append(
                 f"""x{n} AS (
   SELECT word, freq, unnest(generate_series(1, len(syms))) AS i, syms
@@ -2828,12 +2828,24 @@ def _bpe_train_sql(k: int) -> str:
   GROUP BY word, freq
 )"""
             )
+    if final_words:
+        final = f"""SELECT subword, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+  SELECT unnest(syms) AS subword, freq FROM w{k}
+) GROUP BY subword
+ORDER BY cnt DESC, subword ASC
+LIMIT 20"""
+        return "WITH " + ",\n".join(parts) + "\n" + final
     union = "\nUNION ALL\n".join(f"SELECT * FROM t{n}" for n in range(1, k + 1))
     return "WITH " + ",\n".join(parts) + "\n" + union + "\nORDER BY step"
 
 
 # Iterative BPE training (functions/text.py bpe_train, k=8).
 ORACLES["docs_bpe_vocab_k8"] = _bpe_train_sql(8)
+
+# BPE encode/apply (functions/text.py bpe_subword_counts): top-20
+# subword corpus frequencies after the same 8 merges — the vocabulary
+# relation explodes; the corpus is never re-read.
+ORACLES["docs_bpe_subword_counts"] = _bpe_train_sql(8, final_words=True)
 
 
 # Feature hashing (functions/text.py hashed_features): same md5-prefix
