@@ -1333,6 +1333,18 @@ def _q_docs_bpe_subword_counts(spark, sf_dir):
     return bpe_subword_counts(tables.load_table(spark, sf_dir, "documents"), 8)
 
 
+def _q_docs_bpe_tokens_per_doc(spark, sf_dir):
+    """Corpus-side BPE encode (functions/text.py bpe_tokens_per_doc):
+    per-document subword counts via a BROADCAST join of the exploded
+    corpus against the vocabulary's word → segment-length mapping — the
+    100 TB side never shuffles."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.functions.text import (
+        bpe_tokens_per_doc,
+    )
+
+    return bpe_tokens_per_doc(tables.load_table(spark, sf_dir, "documents"), 8)
+
+
 def _q_graph_weighted_paths(spark, sf_dir):
     """Hop-bounded weighted shortest paths (graph/traverse.py
     weighted_shortest_paths): 3 distributed Bellman–Ford min-plus
@@ -2392,6 +2404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_bpe_merge_candidates": _q_docs_bpe_merge_candidates,
         "docs_bpe_vocab_k8": _q_docs_bpe_vocab_k8,
         "docs_bpe_subword_counts": _q_docs_bpe_subword_counts,
+        "docs_bpe_tokens_per_doc": _q_docs_bpe_tokens_per_doc,
         "docs_hashed_features": _q_docs_hashed_features,
         "orders_snapshot_changes": _q_orders_snapshot_changes,
         "graph_negative_samples": _q_graph_negative_samples,

@@ -731,6 +731,44 @@ def bpe_subword_counts(
     return spark.createDataFrame(rows, "subword string, cnt long")
 
 
+def bpe_tokens_per_doc(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-side BPE encode: subword count per document after k
+    learned merges — (id_col, n_subwords). The number a token-budget
+    planner (sequence packing, context-length stats) actually needs,
+    and the canonical encode JOIN shape: the corpus explodes to words
+    and equi-joins the vocabulary's word → segment-count mapping.
+
+    Scale: the vocabulary relation is ≪ corpus (Heaps' law), so the
+    join is a BROADCAST against the exploded corpus scan — no shuffle
+    of the 100 TB side; the per-doc sum then shuffles once on doc id
+    with map-side combine. When a vocabulary ever outgrows the
+    broadcast threshold, bucketing both sides on ``word`` is the
+    fallback — never a sort-merge of the raw corpus."""
+    from .. import checkpoints as CKPT
+
+    _merges, words, ids, spark = _bpe_fit(df, k, text_col)
+    seg_len = words.select("word", F.size("syms").cast("long").alias("n"))
+    out = (
+        df.select(
+            F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("word")
+        )
+        .join(F.broadcast(seg_len), "word")
+        .groupBy(id_col)
+        .agg(F.sum("n").cast("long").alias("n_subwords"))
+    )
+    # materialize before freeing the vocabulary checkpoint the plan
+    # reads; the result checkpoint stays TRACKED (released by
+    # checkpoints.release_all, the house end-of-job hook).
+    out, _out_ids = CKPT.checkpoint(out)
+    CKPT.free(spark, ids, blocking=False)
+    return out
+
+
 def hashed_features(
     df: DataFrame,
     n_buckets: int = 256,

