@@ -2012,6 +2012,18 @@ def _q_docs_domain_quota(spark, sf_dir):
     return domain_quota(tables.load_table(spark, sf_dir, "documents"), cap=10)
 
 
+def _q_docs_source_mixture(spark, sf_dir):
+    """Temperature-scaled source mixing weights (operators/sampling.py
+    source_mixture_weights, mT5/XLM-R α-sampling with α = 1/2): one
+    corpus scan to a |sources|-row relation, totals broadcast back —
+    the repetition factors a corpus sampler applies per source."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.sampling import (
+        source_mixture_weights,
+    )
+
+    return source_mixture_weights(tables.load_table(spark, sf_dir, "documents"))
+
+
 def _q_events_stratified_sample(spark, sf_dir):
     """Exact proportional stratified sample (operators/quota.py
     stratified_sample): floor(0.1·n_s) rows per event_type, md5
@@ -2386,6 +2398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_zorder_pruned": _q_events_zorder_pruned,
         "docs_repetition_metrics": _q_docs_repetition_metrics,
         "docs_domain_quota": _q_docs_domain_quota,
+        "docs_source_mixture": _q_docs_source_mixture,
         "events_stratified_sample": _q_events_stratified_sample,
         "lineitem_bloom_pruned": _q_lineitem_bloom_pruned,
         "docs_lm_buckets": _q_docs_lm_buckets,

@@ -117,3 +117,56 @@ def weighted_sample(df: DataFrame, key: str, weight: str, k: int) -> DataFrame:
         "priority", weighted_priority(F.col(key), F.col(weight))
     )
     return out.orderBy(F.col("priority").asc(), F.col(key).asc()).limit(k)
+
+
+def source_mixture_weights(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-scaled corpus mixing weights (the multilingual /
+    multi-source sampling rule of mT5 and XLM-R, α = 0.5 here):
+    w_i = f_i^α / Σ_j f_j^α over per-source token counts f_i — the
+    exponent flattens the natural distribution so low-resource sources
+    are up-sampled without drowning high-resource ones. Returns
+    (source, n_docs, n_tokens, p_natural, p_alpha, boost) where boost =
+    p_alpha / p_natural is the per-source repetition factor a sampler
+    applies.
+
+    α is FIXED at 1/2 so the power is ``sqrt`` — correctly rounded per
+    IEEE 754 in every engine, unlike ``pow(x, 0.3)`` whose libm is only
+    1-ulp-accurate and engine-dependent; the remaining sums of square
+    roots are order-sensitive only below the 9dp display rounding.
+
+    Scale: one corpus scan aggregating to a |sources|-row relation, a
+    1-row total combined back by broadcast — nothing here grows with
+    corpus size."""
+    from ..search.index import tokenize
+
+    per_src = (
+        df.groupBy(F.col(source_col).alias("source"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.size(tokenize(F.col(text_col))))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    )
+    totals = per_src.agg(
+        F.sum("n_tokens").cast("double").alias("tot"),
+        F.sum(F.sqrt(F.col("n_tokens").cast("double"))).alias("tot_a"),
+    )
+    return per_src.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.col("tot"), 9).alias("p_natural"),
+        F.round(
+            F.sqrt(F.col("n_tokens").cast("double")) / F.col("tot_a"), 9
+        ).alias("p_alpha"),
+        F.round(
+            (F.sqrt(F.col("n_tokens").cast("double")) / F.col("tot_a"))
+            / (F.col("n_tokens") / F.col("tot")),
+            9,
+        ).alias("boost"),
+    )

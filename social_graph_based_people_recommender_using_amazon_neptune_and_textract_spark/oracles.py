@@ -2321,6 +2321,28 @@ SELECT source, doc_id, rk FROM r WHERE rk <= 10"""
 
 # Exact stratified sample (operators/quota.py stratified_sample):
 # floor(frac·n_s) per stratum, md5-preference order.
+# Temperature-scaled mixing weights (operators/sampling.py
+# source_mixture_weights): α = 1/2 so the power is IEEE-exact sqrt.
+ORACLES["docs_source_mixture"] = f"""\
+WITH per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(toks)) AS BIGINT) AS n_tokens
+  FROM (SELECT source, {TOKENIZE.format(col='text')} AS toks FROM documents)
+  GROUP BY source
+),
+tot AS (
+  SELECT CAST(sum(n_tokens) AS DOUBLE) AS tot,
+         sum(sqrt(CAST(n_tokens AS DOUBLE))) AS tot_a
+  FROM per
+)
+SELECT source, n_docs, n_tokens,
+       round(n_tokens / tot, 9) AS p_natural,
+       round(sqrt(CAST(n_tokens AS DOUBLE)) / tot_a, 9) AS p_alpha,
+       round((sqrt(CAST(n_tokens AS DOUBLE)) / tot_a)
+             / (n_tokens / tot), 9) AS boost
+FROM per, tot"""
+
+
 ORACLES["events_stratified_sample"] = """\
 WITH n AS (SELECT event_type, count(*) AS n_s FROM events GROUP BY event_type),
 r AS (
