@@ -2012,6 +2012,25 @@ def _q_docs_domain_quota(spark, sf_dir):
     return domain_quota(tables.load_table(spark, sf_dir, "documents"), cap=10)
 
 
+def _q_graph_components(spark, sf_dir):
+    """Connected components of the user graph
+    (operators/components.py connected_components — min-label
+    propagation + pointer jumping, Kiveris et al.): (id, component_id)
+    for every user appearing in a knows-edge. The full-graph membership
+    query every graph engine ships next to degree/counts (O34's
+    family); the engine is the SAME one dedup_clusters uses, applied to
+    the social graph instead of the near-dup pair graph."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.components import (
+        connected_components,
+    )
+
+    e = tables.user_graph_edges(spark, sf_dir)
+    return connected_components(e, a_col="src", b_col="dst").select(
+        F.col("node").alias("id"),
+        F.col("label").cast("long").alias("component_id"),
+    )
+
+
 def _q_docs_source_mixture(spark, sf_dir):
     """Temperature-scaled source mixing weights (operators/sampling.py
     source_mixture_weights, mT5/XLM-R α-sampling with α = 1/2): one
@@ -2398,6 +2417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_zorder_pruned": _q_events_zorder_pruned,
         "docs_repetition_metrics": _q_docs_repetition_metrics,
         "docs_domain_quota": _q_docs_domain_quota,
+        "graph_components": _q_graph_components,
         "docs_source_mixture": _q_docs_source_mixture,
         "events_stratified_sample": _q_events_stratified_sample,
         "lineitem_bloom_pruned": _q_lineitem_bloom_pruned,

@@ -202,6 +202,23 @@ WITH {EDGES_SQL}, {VERTICES_SQL}
 SELECT (SELECT count(*) FROM vertices) AS vertex_count,
        (SELECT count(*) FROM edges) AS edge_count"""
 
+# Connected components of the user graph (operators/components.py via
+# _q_graph_components): min node id per component, nodes = edge endpoints.
+ORACLES["graph_components"] = f"""\
+WITH RECURSIVE {EDGES_SQL},
+e AS (
+  SELECT src AS a, dst AS b FROM edges
+  UNION ALL
+  SELECT dst AS a, src AS b FROM edges
+),
+reach(node, label) AS (
+  SELECT DISTINCT a, a FROM e
+  UNION
+  SELECT e.a, r.label FROM e JOIN reach r ON r.node = e.b
+)
+SELECT node AS id, CAST(min(label) AS BIGINT) AS component_id
+FROM reach GROUP BY node"""
+
 ORACLES["one_hop_paths"] = f"""\
 WITH {EDGES_SQL}, {VERTICES_SQL}
 SELECT vs.name AS src_name, vd.name AS dst_name
