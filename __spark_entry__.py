@@ -2031,6 +2031,22 @@ def _q_graph_components(spark, sf_dir):
     )
 
 
+def _q_docs_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (functions/text.py dsir_weights, Xie et
+    al. 2023): hashed-unigram log-likelihood ratio of each document
+    under the target LM (lang 'en' subset) vs the raw-corpus LM — the
+    score importance resampling selects training data by. Two constant-
+    width model aggregates broadcast into one scoring join."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.functions.text import (
+        dsir_weights,
+    )
+
+    return dsir_weights(
+        tables.load_table(spark, sf_dir, "documents"),
+        F.col("lang") == "en",
+    )
+
+
 def _q_docs_source_mixture(spark, sf_dir):
     """Temperature-scaled source mixing weights (operators/sampling.py
     source_mixture_weights, mT5/XLM-R α-sampling with α = 1/2): one
@@ -2418,6 +2434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_repetition_metrics": _q_docs_repetition_metrics,
         "docs_domain_quota": _q_docs_domain_quota,
         "graph_components": _q_graph_components,
+        "docs_dsir_weights": _q_docs_dsir_weights,
         "docs_source_mixture": _q_docs_source_mixture,
         "events_stratified_sample": _q_events_stratified_sample,
         "lineitem_bloom_pruned": _q_lineitem_bloom_pruned,

@@ -769,6 +769,72 @@ def bpe_tokens_per_doc(
     return out
 
 
+def dsir_weights(
+    df: DataFrame,
+    target_pred,
+    n_buckets: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document
+    by how much more likely its hashed-unigram features are under a
+    TARGET distribution (the docs matching ``target_pred``, e.g. a
+    high-quality reference subset) than under the raw corpus —
+    logratio(doc) = Σ_b c_b(doc)·(ln p_target(b) − ln p_raw(b)), with
+    add-one smoothing over the ``n_buckets`` hashed vocabulary. A
+    sampler then resamples the corpus ∝ exp(logratio); the returned
+    relation (id_col, n_tokens, logratio) is exactly its input.
+
+    Uses the engine's md5-prefix hash (operators/dedup.md5_long) so the
+    bucket assignment — like every hash here — replays bit-for-bit in
+    the oracle. Per-doc log-ratio sums are rounded at 6dp (the
+    docs_lm_buckets precedent for cross-engine ln).
+
+    Scale: two vocabulary-free aggregates build the 2×n_buckets model
+    (map-side combined; n_buckets is a constant), broadcast back into
+    one (doc, bucket)-keyed join — the corpus is scanned once for
+    features and once for scoring, nothing grows with corpus size
+    except those scans."""
+    from ..operators.dedup import md5_long
+
+    tok = df.select(
+        F.col(id_col),
+        target_pred.alias("is_target"),
+        F.explode(tokenize(F.col(text_col))).alias("token"),
+    ).select(
+        id_col,
+        "is_target",
+        (md5_long(F.col("token"), 15) % n_buckets).cast("long").alias("b"),
+    )
+    model = tok.groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("c_raw"),
+        F.sum(F.col("is_target").cast("long")).cast("long").alias("c_tgt"),
+    )
+    totals = model.agg(
+        F.sum("c_raw").cast("double").alias("tot_raw"),
+        F.sum("c_tgt").cast("double").alias("tot_tgt"),
+    )
+    lr = model.crossJoin(F.broadcast(totals)).select(
+        "b",
+        (
+            F.log((F.col("c_tgt") + 1) / (F.col("tot_tgt") + F.lit(n_buckets)))
+            - F.log((F.col("c_raw") + 1) / (F.col("tot_raw") + F.lit(n_buckets)))
+        ).alias("lr"),
+    )
+    per_doc = tok.groupBy(F.col(id_col), "b").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    return (
+        per_doc.join(F.broadcast(lr), "b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.round(F.sum(F.col("c") * F.col("lr")), 6).alias("logratio"),
+        )
+    )
+
+
 def hashed_features(
     df: DataFrame,
     n_buckets: int = 256,

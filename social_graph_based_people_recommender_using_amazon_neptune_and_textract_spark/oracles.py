@@ -2916,6 +2916,43 @@ SELECT doc_id, CAST(h % 256 AS BIGINT) AS bucket,
 FROM h GROUP BY doc_id, h % 256"""
 
 
+# DSIR importance weights (functions/text.py dsir_weights): hashed
+# unigram LM log-ratio, target = lang 'en', add-one over 256 buckets.
+ORACLES["docs_dsir_weights"] = f"""\
+WITH toksrc AS (
+  SELECT doc_id, lang, {TOKENIZE.format(col='text')} AS tokens
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, (lang = 'en') AS is_target,
+         CAST(CAST(concat('0x', substr(md5(token), 1, 15)) AS BIGINT)
+              % 256 AS BIGINT) AS b
+  FROM (SELECT doc_id, lang, unnest(tokens) AS token FROM toksrc)
+),
+model AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS c_raw,
+         CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS c_tgt
+  FROM tok GROUP BY b
+),
+tot AS (
+  SELECT CAST(sum(c_raw) AS DOUBLE) AS tot_raw,
+         CAST(sum(c_tgt) AS DOUBLE) AS tot_tgt
+  FROM model
+),
+lr AS (
+  SELECT b, ln((c_tgt + 1) / (tot_tgt + 256))
+           - ln((c_raw + 1) / (tot_raw + 256)) AS lr
+  FROM model, tot
+),
+per AS (
+  SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c FROM tok
+  GROUP BY doc_id, b
+)
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+       round(sum(c * lr), 6) AS logratio
+FROM per JOIN lr USING (b) GROUP BY doc_id"""
+
+
 # Snapshot change feed (streaming/table.py table_changes): the same
 # old/new pair diffed with EXCEPT ALL (bag semantics) + key-presence
 # classification — the SQL statement of the operator's contract.

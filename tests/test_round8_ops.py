@@ -216,3 +216,49 @@ def test_bpe_matches_reference_on_sf0001_corpus(spark):
 
     got = [tuple(r) for r in bpe_train(docs, 8).orderBy("step").collect()]
     assert got == _ref_bpe(texts, 8)
+
+
+# ------------------------------------------------------------- DSIR
+
+
+def test_dsir_target_docs_score_higher_on_average(spark):
+    """Sanity on the selection direction: documents FROM the target
+    subset must average a higher log-ratio than the rest (the target
+    LM, trained on them, assigns their features more mass)."""
+    from pyspark.sql import functions as F
+
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.functions.text import (
+        dsir_weights,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    w = dsir_weights(docs, F.col("lang") == "en")
+    j = w.join(docs.select("doc_id", "lang"), "doc_id")
+    means = {
+        r["t"]: r["m"]
+        for r in j.groupBy((F.col("lang") == "en").alias("t"))
+        .agg(F.avg("logratio").alias("m"))
+        .collect()
+    }
+    assert means[True] > means[False], means
+
+
+def test_dsir_weights_sum_structure(spark):
+    """Every doc with tokens gets exactly one row; n_tokens matches the
+    analyzer's count."""
+    from pyspark.sql import functions as F
+
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.functions.text import (
+        dsir_weights,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.search.index import (
+        tokenize,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb aa", "en"), (2, "cc", "de"), (3, "", "en")],
+        "doc_id long, text string, lang string",
+    )
+    w = dsir_weights(docs, F.col("lang") == "en").orderBy("doc_id")
+    rows = w.collect()
+    assert [(r["doc_id"], r["n_tokens"]) for r in rows] == [(1, 3), (2, 1)]
