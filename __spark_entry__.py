@@ -1715,11 +1715,22 @@ def _q_events_day_pruned(spark, sf_dir):
         write_partitioned,
     )
 
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.pinned import (
+        pinned_layout,
+    )
+
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     path = f"{tempfile.gettempdir()}/sgr-part-{key}/events_by_day"
     ev = tables.load_table(spark, sf_dir, "events")
-    write_partitioned(
-        ev.withColumn("event_date", F.to_date("ts")), path, "event_date"
+    # layout builds ONCE per process (pin lifecycle: the bench's cold
+    # pass releases and repays it); serving reads the path fresh so
+    # PartitionFilters pruning stays in the measured plan.
+    pinned_layout(
+        spark,
+        ("layout_day", sf_dir),
+        lambda: write_partitioned(
+            ev.withColumn("event_date", F.to_date("ts")), path, "event_date"
+        ),
     )
     t = read_partitioned(spark, path)
     return (
@@ -1747,10 +1758,18 @@ def _q_events_user_range_pruned(spark, sf_dir):
         write_range_clustered,
     )
 
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.pinned import (
+        pinned_layout,
+    )
+
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     path = f"{tempfile.gettempdir()}/sgr-clust-{key}/events_by_user"
     ev = tables.load_table(spark, sf_dir, "events")
-    write_range_clustered(ev, path, "user_id")
+    pinned_layout(
+        spark,
+        ("layout_range", sf_dir),
+        lambda: write_range_clustered(ev, path, "user_id"),
+    )
     t = read_range_clustered(spark, path)
     return (
         t.filter(F.col("user_id").between(4, 9))
@@ -1777,12 +1796,20 @@ def _q_events_zorder_pruned(spark, sf_dir):
         write_zordered,
     )
 
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.pinned import (
+        pinned_layout,
+    )
+
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     path = f"{tempfile.gettempdir()}/sgr-zorder-{key}/events_user_ts"
     ev = tables.load_table(spark, sf_dir, "events").withColumn(
         "_ts_epoch", F.unix_timestamp("ts")
     )
-    write_zordered(ev, path, "user_id", "_ts_epoch", n_files=16)
+    pinned_layout(
+        spark,
+        ("layout_zorder", sf_dir),
+        lambda: write_zordered(ev, path, "user_id", "_ts_epoch", n_files=16),
+    )
     t = read_zordered(spark, path)
     return (
         t.filter(

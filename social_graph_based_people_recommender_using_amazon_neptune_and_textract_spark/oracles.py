@@ -2095,11 +2095,12 @@ SELECT doc_id, span_start, span_end, span_len FROM spans"""
 ORACLES["docs_substring_dup_stats"] = f"""\
 {_SUBSTR_SPAN_CTES},
 per_doc AS (
-  SELECT doc_id, count(*) AS n_spans, sum(span_len) AS dup_chars
+  SELECT doc_id, count(*) AS n_spans,
+         CAST(sum(span_len) AS BIGINT) AS dup_chars
   FROM spans GROUP BY doc_id)
 SELECT d.doc_id,
        coalesce(p.n_spans, 0) AS n_spans,
-       coalesce(p.dup_chars, 0) AS dup_chars,
+       CAST(coalesce(p.dup_chars, 0) AS BIGINT) AS dup_chars,
        round(coalesce(p.dup_chars, 0) * 1.0
              / greatest(length(d.text), 1), 6) AS dup_frac
 FROM documents d LEFT JOIN per_doc p USING (doc_id)"""

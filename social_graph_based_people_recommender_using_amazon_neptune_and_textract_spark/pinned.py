@@ -114,6 +114,32 @@ def pinned(
     return dfs
 
 
+def pinned_layout(
+    spark, key: Hashable, build: Callable[[], None]
+) -> None:
+    """Run ``build`` — a DISK-layout materialization (partitioned /
+    range-clustered / Z-ordered rewrite) — at most once per process per
+    key, riding the pin lifecycle: ``release``/``release_all`` forget
+    the key, so the next caller rebuilds, which is exactly how the
+    bench's cold pass charges index builds. Unlike ``pinned``, nothing
+    data-sized is persisted in memory: the registry entry is a 1-row
+    marker, the layout lives on disk, and callers re-read the PATH —
+    so layout-dependent plan features (PartitionFilters, footer-stats
+    skipping) stay in the served plan instead of being masked by an
+    InMemoryRelation.
+
+    Without this, a layout round-trip query pays the full table rewrite
+    on EVERY execution — the r8 sf1 bench showed events_day_pruned's
+    warm number (4.97 s) was ~all rewrite, drowning the pruned read the
+    query exists to demonstrate."""
+
+    def _build():
+        build()
+        return (spark.range(1),)
+
+    pinned(key, _build)
+
+
 def memo(
     key: Hashable,
     compute: Callable[[], object],

@@ -309,3 +309,22 @@ def test_nested_pin_backing_attribution(spark):
     (inner,) = PIN.pinned("nested_inner", inner_build)  # cache hit
     assert inner.count() == 10  # still readable, not freed
     _reset_storage(spark)
+
+
+def test_pinned_layout_builds_once_then_rebuilds_after_release(spark, tmp_path):
+    """pinned_layout: the build callable runs once per process per key;
+    release_all forgets the key so the next call rebuilds (the bench's
+    cold-pass contract for disk layouts)."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark import (
+        pinned as PIN,
+    )
+
+    calls = []
+    key = ("layout_test", str(tmp_path))
+    PIN.pinned_layout(spark, key, lambda: calls.append(1))
+    PIN.pinned_layout(spark, key, lambda: calls.append(1))
+    assert len(calls) == 1
+    PIN.release_all()
+    PIN.pinned_layout(spark, key, lambda: calls.append(1))
+    assert len(calls) == 2
+    PIN.release(key)
