@@ -488,3 +488,16 @@ def test_bpe_encode_broadcasts_vocabulary(spark):
     )
 
     CKPT.free(spark, ids)
+
+
+def test_tfidf_broadcasts_document_frequency(spark):
+    """TF-IDF top-k (functions/text.py tfidf_top_terms): the
+    vocabulary-sized document-frequency dim must broadcast — a token-
+    keyed shuffle of the full tf relation tripled the sf1 time (r8)."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.functions.text import (
+        tfidf_top_terms,
+    )
+
+    df = tfidf_top_terms(tables.load_table(spark, SF, "documents"))
+    assert PL.broadcast_join_count(df) >= 1, PL.physical_plan(df)
+    assert PL.sort_merge_join_count(df) == 0
