@@ -125,3 +125,62 @@ def test_search_bizcards_empty_corpus(spark):
     assert hits.count() == 0
     resp = S.search_response(empty, "anything")
     assert resp == {"statusCode": 200, "body": "[]", "isBase64Encoded": False}
+
+
+def test_bpe_train_survives_degenerate_corpus(spark, weird):
+    """BPE on the weird corpus: empty/whitespace/punct docs contribute
+    no words; single-char tokens can't pair past full merge; non-ASCII
+    words segment and merge like any other (the analyzer drops them —
+    tokenizer splits on [^a-z0-9]+ — so only latin words train)."""
+    out = T.bpe_train(weird, 8).collect()
+    # merges exist (dup/identical/row/one/two/ab repeat chars)
+    assert len(out) >= 1
+    steps = [r["step"] for r in out]
+    assert steps == list(range(1, len(out) + 1))
+    # every merge's count is positive and merged = x || y
+    for r in out:
+        assert r["cnt"] >= 1 and r["merged"] == r["x"] + r["y"]
+
+
+def test_bpe_train_all_empty_corpus_returns_zero_merges(spark):
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   ")], ["doc_id", "text"]
+    )
+    assert T.bpe_train(docs, 4).count() == 0
+
+
+def test_bpe_subword_counts_weighted_by_frequency(spark, weird):
+    """Total subword mass equals total corpus character mass of the
+    trained words — merging never creates or destroys characters."""
+    out = T.bpe_subword_counts(weird, 3, top=1000).collect()
+    total_chars = sum(len(r["subword"]) * r["cnt"] for r in out)
+    toks = weird.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != ""
+            )
+        ).alias("w")
+    ).collect()
+    assert total_chars == sum(len(r["w"]) for r in toks)
+
+
+def test_dsir_no_target_docs_still_scores(spark, weird):
+    """Empty target subset: smoothing keeps every log defined; scores
+    are uniform-ish but finite."""
+    w = T.dsir_weights(weird, F.lit(False)).collect()
+    assert all(r["logratio"] is not None for r in w)
+
+
+def test_source_mixture_single_source_is_unit_weight(spark):
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.sampling import (
+        source_mixture_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c", "only"), (2, "d e", "only")],
+        ["doc_id", "text", "source"],
+    )
+    rows = source_mixture_weights(docs).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["p_natural"] == 1.0 and r["p_alpha"] == 1.0 and r["boost"] == 1.0
