@@ -114,6 +114,10 @@ BENCH_QUERIES = [
     "dedup_substring",
     "events_monthly_users_exact",
     "docs_bpe_vocab_k8",
+    "docs_bpe_tokens_per_doc",
+    "docs_dsir_weights",
+    "docs_source_mixture",
+    "graph_components",
 ]
 
 
