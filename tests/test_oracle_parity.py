@@ -130,6 +130,13 @@ FLOAT_SENSITIVE = [
     # folding, so partitioning must be invisible
     "orders_revenue_ses",
     "orders_priority_revenue_ses",
+    # r8: DSIR per-doc Σ c·lr double sums and the sqrt-weight ratios —
+    # both round at a declared edge (6dp / 9dp); the BPE argmax rides
+    # integer counts with a lexicographic tie-break, so the merge
+    # TRAJECTORY (not just per-round sums) must survive repartitioning
+    "docs_dsir_weights",
+    "docs_source_mixture",
+    "docs_bpe_vocab_k8",
 ]
 
 
