@@ -2058,6 +2058,20 @@ def _q_graph_components(spark, sf_dir):
     )
 
 
+def _q_docs_training_manifest(spark, sf_dir):
+    """The composed LLM-pipeline artifact (operators/curation.py
+    training_manifest): curation gates + split over the plain corpus,
+    then token-budget shard packing and sqrt-temperature source boosts
+    for the train split — (doc_id, source, n_tokens, shard_id, boost),
+    what a trainer's loader consumes. Pure reuse of the pinned dedup
+    relations, the two-phase prefix sum, and a broadcast mixture dim."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.curation import (
+        training_manifest,
+    )
+
+    return training_manifest(tables.load_table(spark, sf_dir, "documents"))
+
+
 def _q_docs_dsir_weights(spark, sf_dir):
     """DSIR importance weights (functions/text.py dsir_weights, Xie et
     al. 2023): hashed-unigram log-likelihood ratio of each document
@@ -2461,6 +2475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_repetition_metrics": _q_docs_repetition_metrics,
         "docs_domain_quota": _q_docs_domain_quota,
         "graph_components": _q_graph_components,
+        "docs_training_manifest": _q_docs_training_manifest,
         "docs_dsir_weights": _q_docs_dsir_weights,
         "docs_source_mixture": _q_docs_source_mixture,
         "events_stratified_sample": _q_events_stratified_sample,

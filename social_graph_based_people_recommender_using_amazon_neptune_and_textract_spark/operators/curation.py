@@ -91,3 +91,36 @@ def curate(
         .join(near_b, "doc_id", "left_anti")
     )
     return hash_split(kept, "doc_id", train, dev).select("doc_id", "split")
+
+
+def training_manifest(corpus: DataFrame, budget: int = 10_000) -> DataFrame:
+    """The artifact a trainer's data loader actually consumes — the
+    composition of the whole LLM-pipeline surface over one corpus:
+    ``curate`` gates + split, then FOR THE TRAIN SPLIT a token-budget
+    shard assignment (operators/packing.token_shards) and the
+    temperature-scaled per-source repetition factor
+    (operators/sampling.source_mixture_weights, α = 1/2). Returns
+    (doc_id, source, n_tokens, shard_id, boost).
+
+    Mixing weights are computed over the POST-curation train split —
+    the distribution the sampler sees — not the raw corpus.
+
+    Scale: everything here is a reuse — the dedup relations are the
+    standalone queries' pins, the shard assignment is the two-phase
+    prefix sum, the mixture is a |sources|-row broadcast; composing
+    adds two semi-joins and one broadcast join, no new corpus pass."""
+    from .packing import token_shards
+    from .sampling import source_mixture_weights
+
+    kept = curate(corpus)
+    train_ids = kept.filter(F.col("split") == "train").select("doc_id")
+    docs_t = corpus.join(train_ids, "doc_id", "left_semi").select(
+        "doc_id", "text", "source"
+    )
+    shards = token_shards(docs_t, budget)
+    mix = source_mixture_weights(docs_t).select("source", "boost")
+    return (
+        shards.join(docs_t.select("doc_id", "source"), "doc_id")
+        .join(F.broadcast(mix), "source")
+        .select("doc_id", "source", "n_tokens", "shard_id", "boost")
+    )

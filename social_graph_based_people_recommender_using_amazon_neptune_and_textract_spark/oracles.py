@@ -869,10 +869,11 @@ FROM c"""
 
 # End-to-end curation pipeline (operators/curation.py): independent gate
 # predicates (lang, quality, exact-canonical, near-dup drop) + hash split.
-ORACLES["corpus_curation"] = f"""\
-WITH {AUG_CORPUS_SQL}, {_SHINGLE_CTES},
-{_MH_CANDS},
-{_VERIFY},
+# Gate + curated-set CTEs shared by corpus_curation (over the
+# dup-augmented corpus) and docs_training_manifest (over the plain
+# corpus, aliased aug AS documents) — both bind the same `aug`/`jac`
+# upstream names.
+_CURATION_GATES = f"""\
 scored_lang AS (
   SELECT doc_id,
     {_lang_scores}
@@ -903,12 +904,58 @@ curated AS (
     AND doc_id IN (SELECT doc_id FROM qual_keep)
     AND doc_id IN (SELECT doc_id FROM canon)
     AND doc_id NOT IN (SELECT doc_id FROM dropped)
-)
+)"""
+
+ORACLES["corpus_curation"] = f"""\
+WITH {AUG_CORPUS_SQL}, {_SHINGLE_CTES},
+{_MH_CANDS},
+{_VERIFY},
+{_CURATION_GATES}
 SELECT doc_id,
   CASE WHEN {_BUCKET} < 8000 THEN 'train'
        WHEN {_BUCKET} < 9000 THEN 'dev'
        ELSE 'test' END AS split
 FROM curated"""
+
+# Training manifest (operators/curation.py training_manifest): the
+# composed pipeline over the PLAIN corpus — curation gates + split,
+# then shard packing (prefix sum, budget 10000) and sqrt-temperature
+# mixing boosts computed over the post-curation train split.
+ORACLES["docs_training_manifest"] = f"""\
+WITH aug AS (SELECT doc_id, text FROM documents), {_SHINGLE_CTES},
+{_MH_CANDS},
+{_VERIFY},
+{_CURATION_GATES},
+tr AS (
+  SELECT c.doc_id, d.source,
+         CAST(len({TOKENIZE.format(col='d.text')}) AS BIGINT) AS n_tokens
+  FROM curated c JOIN documents d USING (doc_id)
+  WHERE {_BUCKET.replace('doc_id', 'c.doc_id')} < 8000
+),
+pre AS (
+  SELECT doc_id, source, n_tokens,
+    COALESCE(SUM(n_tokens) OVER (
+      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    ), 0) AS ce
+  FROM tr
+),
+per_src AS (
+  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS f FROM tr GROUP BY source
+),
+tot AS (
+  SELECT CAST(sum(f) AS DOUBLE) AS tot,
+         sum(sqrt(CAST(f AS DOUBLE))) AS tot_a
+  FROM per_src
+),
+mix AS (
+  SELECT source,
+         round((sqrt(CAST(f AS DOUBLE)) / tot_a) / (f / tot), 9) AS boost
+  FROM per_src, tot
+)
+SELECT p.doc_id, p.source, p.n_tokens,
+       CAST(FLOOR(p.ce / 10000.0) AS BIGINT) AS shard_id,
+       m.boost AS boost
+FROM pre p JOIN mix m USING (source)"""
 
 ORACLES["dedup_ngram_pairs"] = f"""\
 WITH {AUG_CORPUS_SQL}, {_SHINGLE_CTES},
