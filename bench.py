@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "docs_dsir_weights",
     "docs_source_mixture",
     "graph_components",
+    "docs_training_manifest",
 ]
 
 
