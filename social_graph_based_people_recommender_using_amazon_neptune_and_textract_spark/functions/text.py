@@ -624,13 +624,30 @@ def bpe_train(
     strictly longer than ``x``, a just-merged symbol can never equal x,
     so the fold IS the greedy leftmost non-overlapping pass ('a a a'
     with (a,a) → ('aa','a'), never ('a','aa') or ('aa','aa'))."""
-    merges, _words, _ids, spark = _bpe_fit(df, k, text_col)
-    from .. import checkpoints as CKPT
+    _words, mdf = _bpe_fit_pinned(df, k, text_col)
+    return mdf
 
-    CKPT.free(spark, _ids, blocking=False)
-    return spark.createDataFrame(
-        merges, "step int, x string, y string, merged string, cnt long"
-    )
+
+def _bpe_fit_pinned(
+    df: DataFrame, k: int, text_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """(words, merges) as a PINNED index keyed per (corpus, k) — the
+    tokenizer serving model: training (the k sequential rounds) is the
+    index build, every downstream query (merge table, subword counts,
+    corpus encode) is a lookup against the fitted vocabulary. The pin
+    records the words relation's backing tracked checkpoint
+    (pinned._CKPT_BACKED), so either release hook frees both and the
+    bench's cold pass re-pays training."""
+    from ..pinned import pinned
+
+    def build() -> tuple[DataFrame, DataFrame]:
+        merges, words, _ids, spark = _bpe_fit(df, k, text_col)
+        mdf = spark.createDataFrame(
+            merges, "step int, x string, y string, merged string, cnt long"
+        )
+        return (words, mdf)
+
+    return pinned(("bpe_fit", df.semanticHash(), k, text_col), build)
 
 
 def _bpe_fit(df: DataFrame, k: int, text_col: str):
@@ -720,22 +737,16 @@ def bpe_subword_counts(
     needs NO second corpus pass at all. The vocabulary relation already
     carries each word's corpus frequency, so subword counts are one
     explode + sum(freq) over the vocabulary-sized table; 100 TB of
-    text never gets re-read or re-joined."""
-    from .. import checkpoints as CKPT
-
-    _merges, words, ids, spark = _bpe_fit(df, k, text_col)
-    out = (
+    text never gets re-read or re-joined. The fitted vocabulary is a
+    pinned index (train once, serve many)."""
+    words, _mdf = _bpe_fit_pinned(df, k, text_col)
+    return (
         words.select(F.explode("syms").alias("subword"), "freq")
         .groupBy("subword")
         .agg(F.sum("freq").cast("long").alias("cnt"))
         .orderBy(F.col("cnt").desc(), F.col("subword").asc())
         .limit(top)
     )
-    # the result is ``top`` rows built from a checkpointed input whose
-    # handle the caller never sees — materialize, then free.
-    rows = out.collect()
-    CKPT.free(spark, ids, blocking=False)
-    return spark.createDataFrame(rows, "subword string, cnt long")
 
 
 def bpe_tokens_per_doc(
@@ -755,12 +766,11 @@ def bpe_tokens_per_doc(
     of the 100 TB side; the per-doc sum then shuffles once on doc id
     with map-side combine. When a vocabulary ever outgrows the
     broadcast threshold, bucketing both sides on ``word`` is the
-    fallback — never a sort-merge of the raw corpus."""
-    from .. import checkpoints as CKPT
-
-    _merges, words, ids, spark = _bpe_fit(df, k, text_col)
+    fallback — never a sort-merge of the raw corpus. The fitted
+    vocabulary is a pinned index (train once, encode many)."""
+    words, _mdf = _bpe_fit_pinned(df, k, text_col)
     seg_len = words.select("word", F.size("syms").cast("long").alias("n"))
-    out = (
+    return (
         df.select(
             F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("word")
         )
@@ -768,12 +778,6 @@ def bpe_tokens_per_doc(
         .groupBy(id_col)
         .agg(F.sum("n").cast("long").alias("n_subwords"))
     )
-    # materialize before freeing the vocabulary checkpoint the plan
-    # reads; the result checkpoint stays TRACKED (released by
-    # checkpoints.release_all, the house end-of-job hook).
-    out, _out_ids = CKPT.checkpoint(out)
-    CKPT.free(spark, ids, blocking=False)
-    return out
 
 
 def dsir_weights(
