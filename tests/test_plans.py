@@ -501,3 +501,35 @@ def test_tfidf_broadcasts_document_frequency(spark):
     df = tfidf_top_terms(tables.load_table(spark, SF, "documents"))
     assert PL.broadcast_join_count(df) >= 1, PL.physical_plan(df)
     assert PL.sort_merge_join_count(df) == 0
+
+
+def test_dsir_model_joins_broadcast(spark):
+    """DSIR scoring (functions/text.py dsir_weights): both model-side
+    joins (totals combine, per-bucket log-ratio) are constant-width —
+    they must broadcast; a sort-merge would shuffle the per-doc feature
+    relation against a 256-row model."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.functions.text import (
+        dsir_weights,
+    )
+
+    df = dsir_weights(
+        tables.load_table(spark, SF, "documents"), F.col("lang") == "en"
+    )
+    plan = PL.physical_plan(df)
+    # per-bucket log-ratio joins as a broadcast hash join; the totals
+    # combine is the house 1-row BroadcastNestedLoopJoin cross
+    assert PL.broadcast_join_count(df) >= 1, plan
+    assert PL.sort_merge_join_count(df) == 0
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_training_manifest_mixture_broadcasts(spark):
+    """Composed manifest (operators/curation.py training_manifest): the
+    |sources|-row mixture dim must broadcast into the shard relation."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.curation import (
+        training_manifest,
+    )
+
+    df = training_manifest(tables.load_table(spark, SF, "documents"))
+    assert PL.broadcast_join_count(df) >= 1, PL.physical_plan(df)
+    assert df.count() > 0
