@@ -107,11 +107,22 @@ def quality_scores(
     )
 
 
+#: GPT-2-style BPE PRE-tokenizer pattern, lookahead-free so it runs
+#: identically under Java regex (Spark) and RE2 (DuckDB — no lookahead
+#: support): optional leading space + letter run / digit run / other-
+#: symbol run, else a whitespace run. Applied to LOWERED text; both
+#: engines' alternation is leftmost-first, so match counts agree.
+BPE_PRETOKEN_RE = r" ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9]+|\s+"
+
+
 def token_counts(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Token accounting: whitespace-split count, analyzer token count,
-    distinct analyzer tokens. Returns (id, n_ws_tokens, n_tokens, n_distinct)."""
+    distinct analyzer tokens, and the GPT-2-style BPE pre-tokenizer
+    match count (the unit a subword tokenizer's budget is quoted in —
+    whitespace counts UNDER-estimate it on punctuation-heavy text).
+    Returns (id, n_ws_tokens, n_tokens, n_distinct, n_bpe_pretokens)."""
     ws = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
     toks = tokenize(F.col(text_col))
     return df.select(
@@ -119,6 +130,9 @@ def token_counts(
         F.size(ws).cast("long").alias("n_ws_tokens"),
         F.size(toks).cast("long").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.regexp_count(F.lower(F.col(text_col)), F.lit(BPE_PRETOKEN_RE))
+        .cast("long")
+        .alias("n_bpe_pretokens"),
     )
 
 

@@ -589,7 +589,10 @@ ORACLES["text_token_counts"] = f"""\
 SELECT doc_id,
   CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_ws_tokens,
   CAST(len({TOKENIZE.format(col='text')}) AS BIGINT) AS n_tokens,
-  CAST(len(list_distinct({TOKENIZE.format(col='text')})) AS BIGINT) AS n_distinct
+  CAST(len(list_distinct({TOKENIZE.format(col='text')})) AS BIGINT) AS n_distinct,
+  CAST(len(regexp_extract_all(lower(text),
+       ' ?[a-z]+| ?[0-9]+| ?[^\\sa-z0-9]+|\\s+')) AS BIGINT)
+    AS n_bpe_pretokens
 FROM documents"""
 
 ORACLES["text_fingerprint"] = f"""\

@@ -184,3 +184,17 @@ def test_source_mixture_single_source_is_unit_weight(spark):
     assert len(rows) == 1
     r = rows[0]
     assert r["p_natural"] == 1.0 and r["p_alpha"] == 1.0 and r["boost"] == 1.0
+
+
+def test_bpe_pretoken_count_units(spark):
+    """The GPT-2-style pre-tokenizer count exceeds the whitespace count
+    on punctuation-attached text and agrees with hand counts."""
+    docs = spark.createDataFrame(
+        [(1, "Hello, world! It's 2024... really?"), (2, ""), (3, "naïve café 北京")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in T.token_counts(docs).collect()}
+    assert got[1]["n_bpe_pretokens"] == 11  # hello , world ! it ' s 2024 ... really ?
+    assert got[1]["n_bpe_pretokens"] > got[1]["n_ws_tokens"]
+    assert got[2]["n_bpe_pretokens"] == 0
+    assert got[3]["n_bpe_pretokens"] == 6  # na ï ve caf é 北京
