@@ -230,8 +230,14 @@ def main() -> None:
         "detail": "BENCH_local_latest.json",
         "queries": {k: round(v, 2) for k, v in timings.items()},
     }
-    if len(json.dumps(compact, separators=(",", ":"))) > _TAIL_BUDGET:
-        del compact["queries"]  # totals still parse; detail has the rest
+    while (
+        len(json.dumps(compact, separators=(",", ":"))) > _TAIL_BUDGET
+        and compact["queries"]
+    ):
+        # trim the FASTEST entries first — the slow tail is the signal;
+        # totals always parse and the local detail file has everything
+        fastest = min(compact["queries"], key=compact["queries"].get)
+        del compact["queries"][fastest]
     spark.stop()
     print(json.dumps(compact, separators=(",", ":")), flush=True)
 
