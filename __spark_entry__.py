@@ -1423,6 +1423,40 @@ def _q_streaming_monthly_revenue(spark, sf_dir):
     )
 
 
+def _q_streaming_bpe_pairs(spark, sf_dir):
+    """Streaming BPE pair mining (streaming/rollup.py
+    StreamingTokenPairRollup): documents ingest in micro-batches, each
+    batch explodes to adjacent token pairs and merges additively into
+    the stored pair table — integer counts, so drained ≡ the batch
+    miner exactly. Returns the top-20 (x, y, cnt) merge candidates,
+    ties (x, y) asc — the same relation docs_bpe_merge_candidates
+    computes in one pass."""
+    import tempfile
+
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.streaming.rollup import (
+        StreamingTokenPairRollup,
+    )
+
+    docs = tables.load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    base = tempfile.mkdtemp(prefix="sgr-spairs-")
+    docs.repartition(3).write.mode("overwrite").parquet(f"{base}/landing")
+    acc = StreamingTokenPairRollup(spark, f"{base}/wh")
+    acc.run_available_now(
+        f"{base}/landing",
+        f"{base}/ckpt",
+        "doc_id long, text string",
+        max_files_per_trigger=1,
+    )
+    return (
+        acc.table()
+        .select("x", "y", F.col("n").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("x").asc(), F.col("y").asc())
+        .limit(20)
+    )
+
+
 def _q_orders_revenue_ses(spark, sf_dir):
     """Exponential smoothing over monthly revenue
     (operators/timeseries.py ses_levels): distributed exact-decimal
@@ -2495,6 +2529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_weighted_paths": _q_graph_weighted_paths,
         "docs_bpe_merge_candidates": _q_docs_bpe_merge_candidates,
         "docs_bpe_vocab_k8": _q_docs_bpe_vocab_k8,
+        "streaming_bpe_pairs": _q_streaming_bpe_pairs,
         "docs_bpe_subword_counts": _q_docs_bpe_subword_counts,
         "docs_bpe_tokens_per_doc": _q_docs_bpe_tokens_per_doc,
         "docs_hashed_features": _q_docs_hashed_features,

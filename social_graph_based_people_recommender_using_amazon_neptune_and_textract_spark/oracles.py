@@ -2939,6 +2939,12 @@ GROUP BY d.doc_id"""
     return "WITH " + ",\n".join(parts) + "\n" + union + "\nORDER BY step"
 
 
+# Streaming BPE pair mining (streaming/rollup.py
+# StreamingTokenPairRollup): drained additive integer counts == the
+# one-pass batch bigram count; same top-20 relation.
+ORACLES["streaming_bpe_pairs"] = ORACLES["docs_bpe_merge_candidates"]
+
+
 # Iterative BPE training (functions/text.py bpe_train, k=8).
 ORACLES["docs_bpe_vocab_k8"] = _bpe_train_sql(8)
 

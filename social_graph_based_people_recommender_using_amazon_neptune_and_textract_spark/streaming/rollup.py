@@ -132,3 +132,49 @@ class StreamingSumRollup:
             "n",
             F.round(F.col("s").cast("double"), 4).alias("value_sum"),
         )
+
+
+class StreamingTokenPairRollup(StreamingSumRollup):
+    """The BPE miner's streaming twin: each micro-batch of raw documents
+    explodes into adjacent analyzer-token pairs INSIDE the batch
+    transform, then merges additively into the stored (x, y, n) table —
+    integer counts, so the drained table is IDENTICAL to the batch
+    pair-count over the full corpus (no float-order caveat at all).
+    What a tokenizer-training pipeline maintains over a live ingest
+    feed: when the corpus grows, the next merge table is an argmax over
+    this view, not a recount of 100 TB."""
+
+    def __init__(self, spark, out_dir: str, text_col: str = "text") -> None:
+        super().__init__(
+            spark,
+            out_dir,
+            key_cols=["x", "y"],
+            value_col="_one",
+            key_schema="x string, y string",
+        )
+        self.text_col = text_col
+
+    def _batch_partial(self, batch_df: DataFrame) -> DataFrame:
+        from ..search.index import tokenize
+
+        t = tokenize(F.col(self.text_col))
+        pairs = batch_df.select(
+            F.explode(
+                F.when(
+                    F.size(t) >= 2,
+                    F.transform(
+                        F.slice(t, 1, F.size(t) - 1),
+                        lambda s, i: F.struct(
+                            s.alias("x"),
+                            F.element_at(t, i + 2).alias("y"),
+                        ),
+                    ),
+                ).otherwise(
+                    F.array().cast("array<struct<x:string,y:string>>")
+                )
+            ).alias("p")
+        )
+        return pairs.groupBy(F.col("p.x").alias("x"), F.col("p.y").alias("y")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.lit(1)).cast("decimal(28,6)").alias("s"),
+        )
