@@ -832,9 +832,36 @@ def dsir_weights(
         "is_target",
         (md5_long(F.col("token"), 15) % n_buckets).cast("long").alias("b"),
     )
-    model = tok.groupBy("b").agg(
-        F.count(F.lit(1)).cast("long").alias("c_raw"),
-        F.sum(F.col("is_target").cast("long")).cast("long").alias("c_tgt"),
+    # ONE corpus explode feeds everything: per-doc feature counts first
+    # (is_target is constant per doc, so keying on it costs nothing),
+    # then the 2×n_buckets model derives from per_doc. The features
+    # relation is PINNED — it is exactly the hashed-features table a
+    # DSIR pipeline materializes (corpus-scan-reduced: ≤ n_buckets rows
+    # per doc), and without it the model branch, totals branch, and
+    # scoring probe each re-ran the corpus explode (column pruning
+    # makes the subtrees non-identical, so ReuseExchange never fires).
+    from ..pinned import pinned
+
+    (per_doc,) = pinned(
+        (
+            "dsir_features",
+            df.semanticHash(),
+            str(target_pred),
+            n_buckets,
+            id_col,
+            text_col,
+        ),
+        lambda: (
+            tok.groupBy(F.col(id_col), "is_target", "b").agg(
+                F.count(F.lit(1)).cast("long").alias("c")
+            ),
+        ),
+    )
+    model = per_doc.groupBy("b").agg(
+        F.sum("c").cast("long").alias("c_raw"),
+        F.sum(F.when(F.col("is_target"), F.col("c")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("c_tgt"),
     )
     totals = model.agg(
         F.sum("c_raw").cast("double").alias("tot_raw"),
@@ -846,9 +873,6 @@ def dsir_weights(
             F.log((F.col("c_tgt") + 1) / (F.col("tot_tgt") + F.lit(n_buckets)))
             - F.log((F.col("c_raw") + 1) / (F.col("tot_raw") + F.lit(n_buckets)))
         ).alias("lr"),
-    )
-    per_doc = tok.groupBy(F.col(id_col), "b").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
     )
     return (
         per_doc.join(F.broadcast(lr), "b")
