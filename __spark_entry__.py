@@ -2092,6 +2092,18 @@ def _q_graph_components(spark, sf_dir):
     )
 
 
+def _q_docs_substring_stripped(spark, sf_dir):
+    """Span stripping (operators/dedup.py strip_duplicated_spans, the
+    actionable half of Lee et al. exact-substring dedup): cut every
+    maximal duplicated span; (doc_id, n_removed, clean_fp) with the md5
+    fingerprint of the cleaned text carrying the exact value check."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.dedup import (
+        strip_duplicated_spans,
+    )
+
+    return strip_duplicated_spans(tables.load_table(spark, sf_dir, "documents"))
+
+
 def _q_docs_training_manifest(spark, sf_dir):
     """The composed LLM-pipeline artifact (operators/curation.py
     training_manifest): curation gates + split over the plain corpus,
@@ -2509,6 +2521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_repetition_metrics": _q_docs_repetition_metrics,
         "docs_domain_quota": _q_docs_domain_quota,
         "graph_components": _q_graph_components,
+        "docs_substring_stripped": _q_docs_substring_stripped,
         "docs_training_manifest": _q_docs_training_manifest,
         "docs_dsir_weights": _q_docs_dsir_weights,
         "docs_source_mixture": _q_docs_source_mixture,

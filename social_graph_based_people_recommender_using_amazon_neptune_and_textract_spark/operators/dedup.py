@@ -923,3 +923,61 @@ def substring_dup_stats(
             ).alias("dup_frac"),
         )
     )
+
+
+def strip_duplicated_spans(
+    corpus: DataFrame, min_len: int = SUBSTRING_MIN_LEN
+) -> DataFrame:
+    """The ACTIONABLE half of exact-substring dedup (Lee et al. 2022
+    train on the deduplicated text, not the report): cut every maximal
+    duplicated span out of every document. Returns
+    (doc_id, n_removed, clean_fp) — removed char count and the md5 of
+    the CLEANED text (the fingerprint keeps the cross-engine value
+    check exact without hashing megabyte strings through the driver;
+    a pipeline materializes the cleaned column itself).
+
+    Spark shape: ``duplicated_spans``' output (disjoint, sorted per
+    doc) collects into a per-doc array — span count per doc is bounded
+    by len(text)/min_len — and ONE fold walks the document once,
+    concatenating the gap substrings. Documents with no duplicated
+    span pass through verbatim via the left join."""
+    spans = (
+        duplicated_spans(corpus, min_len)
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("span_start", "span_end"))
+            ).alias("sp"),
+            F.sum("span_len").cast("long").alias("n_removed"),
+        )
+    )
+    clean = F.expr(
+        """
+        CASE WHEN sp IS NULL THEN text ELSE
+          concat(
+            aggregate(
+              sp,
+              named_struct('prev', CAST(0 AS BIGINT), 'acc', ''),
+              (a, s) -> named_struct(
+                'prev', CAST(s.span_end AS BIGINT),
+                'acc', concat(a.acc,
+                              substring(text, CAST(a.prev + 1 AS INT),
+                                        CAST(s.span_start - a.prev - 1 AS INT)))
+              )
+            ).acc,
+            substring(text,
+                      CAST(element_at(sp, -1).span_end + 1 AS INT),
+                      CAST(length(text) AS INT))
+          )
+        END
+        """
+    )
+    return (
+        corpus.select("doc_id", "text")
+        .join(spans, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+            F.md5(clean.cast("binary")).alias("clean_fp"),
+        )
+    )

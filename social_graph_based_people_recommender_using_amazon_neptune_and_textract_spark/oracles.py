@@ -2158,6 +2158,49 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN per_doc p USING (doc_id)"""
 
 
+# Span stripping (operators/dedup.py strip_duplicated_spans): cut every
+# maximal duplicated span, fingerprint the cleaned text. Gaps between
+# disjoint sorted spans reassemble via ordered string_agg.
+ORACLES["docs_substring_stripped"] = f"""\
+{_SUBSTR_SPAN_CTES},
+sp2 AS MATERIALIZED (SELECT * FROM spans),
+g AS (
+  SELECT doc_id, span_start AS s, span_end AS e,
+         coalesce(lag(span_end) OVER (PARTITION BY doc_id ORDER BY span_start),
+                  0) AS pe
+  FROM sp2
+),
+pieces AS (
+  SELECT doc_id, pe + 1 AS from_pos, s - pe - 1 AS piece_len, s AS ord
+  FROM g
+  UNION ALL
+  SELECT doc_id, max(span_end) + 1 AS from_pos, NULL AS piece_len,
+         9223372036854775807 AS ord
+  FROM sp2 GROUP BY doc_id
+),
+cleaned AS (
+  SELECT p.doc_id,
+         string_agg(
+           CASE WHEN p.piece_len IS NULL
+                THEN substr(d.text, CAST(p.from_pos AS INT))
+                ELSE substr(d.text, CAST(p.from_pos AS INT),
+                            CAST(p.piece_len AS INT)) END,
+           '' ORDER BY p.ord) AS clean
+  FROM pieces p JOIN documents d USING (doc_id)
+  GROUP BY p.doc_id
+),
+removed AS (
+  SELECT doc_id, CAST(sum(span_len) AS BIGINT) AS n_removed FROM sp2
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(r.n_removed, 0) AS n_removed,
+       md5(coalesce(c.clean, d.text)) AS clean_fp
+FROM documents d
+LEFT JOIN cleaned c USING (doc_id)
+LEFT JOIN removed r USING (doc_id)"""
+
+
 ORACLES["dedup_containment"] = f"""\
 WITH {AUG_CORPUS_SQL}, {_SHINGLE_CTES},
 rare AS (

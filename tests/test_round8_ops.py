@@ -262,3 +262,48 @@ def test_dsir_weights_sum_structure(spark):
     w = dsir_weights(docs, F.col("lang") == "en").orderBy("doc_id")
     rows = w.collect()
     assert [(r["doc_id"], r["n_tokens"]) for r in rows] == [(1, 3), (2, 1)]
+
+
+def test_strip_duplicated_spans_matches_hand_computation(spark):
+    """Cleaned text = original minus the maximal spans; docs without
+    duplication pass through verbatim."""
+    import hashlib
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (1, "AAAA " + shared + " BBBB"),
+        (2, "CCCCCC " + shared + " DD"),
+        (3, "unique text here with no duplication at all xxxx yyyy"),
+    ]
+    docs = _corpus(spark, rows)
+    sp = {
+        r["doc_id"]: (r["span_start"], r["span_end"])
+        for r in D.duplicated_spans(docs, 20).collect()
+    }
+    got = {
+        r["doc_id"]: (r["n_removed"], r["clean_fp"])
+        for r in D.strip_duplicated_spans(docs, 20).collect()
+    }
+    for i, t in rows:
+        if i in sp:
+            s, e = sp[i]
+            clean = t[: s - 1] + t[e:]
+            exp = (e - s + 1, hashlib.md5(clean.encode()).hexdigest())
+        else:
+            exp = (0, hashlib.md5(t.encode()).hexdigest())
+        assert got[i] == exp, (i, got[i], exp)
+
+
+def test_strip_handles_span_at_document_edges(spark):
+    """Spans touching position 1 or the document end leave empty gap
+    pieces, not errors; a fully-duplicated doc cleans to ''."""
+    import hashlib
+
+    t = "exactly the same text in both documents here!"
+    docs = _corpus(spark, [(1, t), (2, t)])
+    got = {
+        r["doc_id"]: (r["n_removed"], r["clean_fp"])
+        for r in D.strip_duplicated_spans(docs, 20).collect()
+    }
+    empty_fp = hashlib.md5(b"").hexdigest()
+    assert got[1] == (len(t), empty_fp) and got[2] == (len(t), empty_fp)
