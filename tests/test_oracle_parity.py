@@ -137,6 +137,10 @@ FLOAT_SENSITIVE = [
     "docs_dsir_weights",
     "docs_source_mixture",
     "docs_bpe_vocab_k8",
+    # r8: composed manifest — prefix-sum shard ids ride the doc_id
+    # total order and the boost rides the sqrt-mixture ratios; neither
+    # may move under a different partition count
+    "docs_training_manifest",
 ]
 
 
