@@ -1066,6 +1066,22 @@ def _q_split_contamination(spark, sf_dir):
     return contamination_report(docs)
 
 
+def _q_split_decontaminated_train(spark, sf_dir):
+    """Decontamination removal (operators/contamination.py
+    decontaminated_train — the GPT-3/Llama direction: prune TRAIN, keep
+    eval intact): train docs sharing any distinct 8-token shingle with
+    the test split drop; survivors return with shingle counts."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        sampling as SA,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.contamination import (
+        decontaminated_train,
+    )
+
+    docs = SA.hash_split(tables.load_table(spark, sf_dir, "documents"), "doc_id")
+    return decontaminated_train(docs)
+
+
 def _q_docs_top_terms(spark, sf_dir):
     """Corpus vocabulary head: top-50 tokens by document frequency
     (functions/text.py document_frequency_topk) — map-side-combined
@@ -2408,6 +2424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles": _q_graph_triangles,
         "status_history_scd2": _q_status_history_scd2,
         "split_contamination": _q_split_contamination,
+        "split_decontaminated_train": _q_split_decontaminated_train,
         "docs_top_terms": _q_docs_top_terms,
         "events_transitions": _q_events_transitions,
         "events_asof_last_click": _q_events_asof_last_click,

@@ -112,3 +112,46 @@ def contamination_report(
             (F.coalesce(F.col("n_overlap"), F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def decontaminated_train(
+    docs: DataFrame,
+    key: str = "doc_id",
+    text: str = "text",
+    split_col: str = "split",
+    train: str = "train",
+    test: str = "test",
+    n: int = NGRAM_N,
+) -> DataFrame:
+    """The audit's ACTIONABLE mirror (the GPT-3/Llama decontamination
+    direction: prune TRAIN, keep the eval set intact): drop every train
+    document sharing ≥ 1 distinct n-token shingle with ANY test
+    document; return the surviving train ids (key, n_shingles).
+
+    Plan shape mirrors ``contamination_report`` with the sides
+    swapped: the TEST split reduces to the distinct shingle SET (no doc
+    ids — fan-out 1 per train shingle regardless of how many test docs
+    share it), train shingles semi-join it, and offending ids
+    anti-join out of the train relation. Train docs too short to
+    shingle can't leak and always survive."""
+    train_docs = (
+        docs.filter(F.col(split_col) == train)
+        .select(F.col(key), tokenize(F.col(text)).alias("_toks"))
+        .select(F.col(key), _shingle_hashes(F.col("_toks"), n).alias("_shs"))
+    )
+    test_sh = (
+        docs.filter(F.col(split_col) == test)
+        .select(tokenize(F.col(text)).alias("_toks"))
+        .select(F.explode(_shingle_hashes(F.col("_toks"), n)).alias("_sh"))
+        .distinct()
+    )
+    bad = (
+        train_docs.select(key, F.explode("_shs").alias("_sh"))
+        .join(test_sh, "_sh", "left_semi")
+        .select(key)
+        .distinct()
+    )
+    return (
+        train_docs.join(bad, key, "left_anti")
+        .select(key, F.size("_shs").cast("long").alias("n_shingles"))
+    )

@@ -1504,6 +1504,33 @@ SELECT t.doc_id, t.n_shingles,
        coalesce(h.n_overlap, 0) > 0 AS contaminated
 FROM test_docs t LEFT JOIN hits h ON t.doc_id = h.doc_id"""
 
+# Decontaminated train split (operators/contamination.py
+# decontaminated_train): drop train docs sharing any 8-shingle with the
+# test split; survivors with their shingle counts.
+ORACLES["split_decontaminated_train"] = f"""\
+WITH toksrc AS (
+  SELECT doc_id, {TOKENIZE.format(col='text')} AS tokens,
+         CASE WHEN {_BUCKET} < 8000 THEN 'train'
+              WHEN {_BUCKET} < 9000 THEN 'dev'
+              ELSE 'test' END AS split
+  FROM documents
+),
+shingled AS (SELECT doc_id, split, {_SHINGLE8} AS shs FROM toksrc),
+train_docs AS (
+  SELECT doc_id, CAST(len(shs) AS BIGINT) AS n_shingles, shs
+  FROM shingled WHERE split = 'train'
+),
+test_sh AS (
+  SELECT DISTINCT unnest(shs) AS sh FROM shingled WHERE split = 'test'
+),
+bad AS (
+  SELECT DISTINCT doc_id
+  FROM (SELECT doc_id, unnest(shs) AS sh FROM train_docs)
+  JOIN test_sh USING (sh)
+)
+SELECT doc_id, n_shingles FROM train_docs
+WHERE doc_id NOT IN (SELECT doc_id FROM bad)"""
+
 # Corpus vocabulary head (functions/text.py document_frequency_topk):
 # declared tie order df desc, token asc.
 ORACLES["docs_top_terms"] = f"""\

@@ -307,3 +307,24 @@ def test_strip_handles_span_at_document_edges(spark):
     }
     empty_fp = hashlib.md5(b"").hexdigest()
     assert got[1] == (len(t), empty_fp) and got[2] == (len(t), empty_fp)
+
+
+def test_decontaminated_train_drops_exactly_leaking_docs(spark):
+    """A train doc sharing an 8-token shingle with a test doc drops;
+    disjoint train docs and short (unshingleable) ones survive."""
+    from pyspark.sql import functions as F
+
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.contamination import (
+        decontaminated_train,
+    )
+
+    leak = "one two three four five six seven eight"
+    rows = [
+        (1, leak + " extra words in the train copy", "train"),
+        (2, "completely different training content with many words here", "train"),
+        (3, "tiny", "train"),  # < 8 tokens: cannot leak
+        (4, "prefix words then " + leak, "test"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, split string")
+    kept = {r["doc_id"] for r in decontaminated_train(docs).collect()}
+    assert kept == {2, 3}
