@@ -143,6 +143,8 @@ def source_mixture_weights(
     corpus size."""
     from ..search.index import tokenize
 
+    from ..checkpoints import checkpoint
+
     per_src = (
         df.groupBy(F.col(source_col).alias("source"))
         .agg(
@@ -152,6 +154,11 @@ def source_mixture_weights(
             .alias("n_tokens"),
         )
     )
+    # the |sources|-row aggregate feeds BOTH the totals branch and the
+    # final projection; without materializing it each branch re-scans
+    # the corpus (column pruning defeats ReuseExchange) — checkpoint
+    # the tiny relation so 100 TB is tokenized once.
+    per_src, _ids = checkpoint(per_src)
     totals = per_src.agg(
         F.sum("n_tokens").cast("double").alias("tot"),
         F.sum(F.sqrt(F.col("n_tokens").cast("double"))).alias("tot_a"),

@@ -533,3 +533,20 @@ def test_training_manifest_mixture_broadcasts(spark):
     df = training_manifest(tables.load_table(spark, SF, "documents"))
     assert PL.broadcast_join_count(df) >= 1, PL.physical_plan(df)
     assert df.count() > 0
+
+
+def test_new_text_queries_prune_columns(spark):
+    """r8 text queries: only needed columns reach any parquet scan —
+    a scan pulling unused columns multiplies 100 TB of IO."""
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    expected = {
+        "docs_dsir_weights": {"doc_id", "text", "lang"},
+        "docs_substring_stripped": {"doc_id", "text"},
+        "split_decontaminated_train": {"doc_id", "text"},
+    }
+    for name, allowed in expected.items():
+        df = qs[name](spark, SF)
+        for cols in PL.read_schema_columns(df):
+            assert cols <= allowed, (name, cols)
