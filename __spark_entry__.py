@@ -2003,7 +2003,7 @@ def _q_dedup_substring(spark, sf_dir):
         dedup as D,
     )
 
-    return D.duplicated_spans(tables.load_table(spark, sf_dir, "documents"))
+    return D.pinned_duplicated_spans(tables.load_table(spark, sf_dir, "documents"))
 
 
 def _q_docs_substring_dup_stats(spark, sf_dir):

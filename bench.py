@@ -119,6 +119,8 @@ BENCH_QUERIES = [
     "docs_source_mixture",
     "graph_components",
     "docs_training_manifest",
+    "docs_substring_stripped",
+    "split_decontaminated_train",
 ]
 
 

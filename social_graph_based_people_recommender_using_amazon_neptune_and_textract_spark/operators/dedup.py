@@ -905,7 +905,7 @@ def substring_dup_stats(
     fraction of each document is boilerplate shared verbatim with the
     rest of the corpus). Documents with no duplicated span report 0s
     (left join keeps them)."""
-    spans = duplicated_spans(corpus, min_len).groupBy("doc_id").agg(
+    spans = pinned_duplicated_spans(corpus, min_len).groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_spans"),
         F.sum("span_len").alias("dup_chars"),
     )
@@ -942,7 +942,7 @@ def strip_duplicated_spans(
     concatenating the gap substrings. Documents with no duplicated
     span pass through verbatim via the left join."""
     spans = (
-        duplicated_spans(corpus, min_len)
+        pinned_duplicated_spans(corpus, min_len)
         .groupBy("doc_id")
         .agg(
             F.sort_array(
@@ -981,3 +981,21 @@ def strip_duplicated_spans(
             F.md5(clean.cast("binary")).alias("clean_fp"),
         )
     )
+
+
+def pinned_duplicated_spans(
+    corpus: DataFrame, min_len: int = SUBSTRING_MIN_LEN
+) -> DataFrame:
+    """``duplicated_spans`` as a PINNED index keyed per (corpus,
+    min_len) — the substring-dedup family's serving model: the ×min_len
+    window fan-out (the expensive part) runs once per corpus; the three
+    consumers (span report, per-doc stats, span stripping) read the
+    small materialized span relation. Either release hook drops it and
+    the bench's cold pass re-pays the build."""
+    from ..pinned import pinned
+
+    (spans,) = pinned(
+        ("dup_spans", corpus.semanticHash(), int(min_len)),
+        lambda: (duplicated_spans(corpus, min_len),),
+    )
+    return spans
