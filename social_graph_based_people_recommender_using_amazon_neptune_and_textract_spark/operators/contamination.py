@@ -134,10 +134,27 @@ def decontaminated_train(
     share it), train shingles semi-join it, and offending ids
     anti-join out of the train relation. Train docs too short to
     shingle can't leak and always survive."""
-    train_docs = (
-        docs.filter(F.col(split_col) == train)
-        .select(F.col(key), tokenize(F.col(text)).alias("_toks"))
-        .select(F.col(key), _shingle_hashes(F.col("_toks"), n).alias("_shs"))
+    from ..pinned import pinned
+
+    def _build():
+        return (
+            docs.filter(F.col(split_col) == train)
+            .select(F.col(key), tokenize(F.col(text)).alias("_toks"))
+            .select(
+                F.col(key), _shingle_hashes(F.col("_toks"), n).alias("_shs")
+            ),
+        )
+
+    # The shingled train relation is a PINNED index: it feeds BOTH the
+    # offender derivation and the final anti-join, and — worse — the
+    # explode below makes InferFiltersFromGenerate push size/notnull
+    # filters back through the projections, re-INLINING the whole
+    # tokenize+shingle+md5 expression into a scan-level Filter that
+    # re-evaluates it per row (measured 3x the query cost at sf0.1,
+    # 7.9 s → 1.6 s materialized). Pinning is the optimizer barrier,
+    # the single-scan guarantee, AND warm serving.
+    (train_docs,) = pinned(
+        ("decontam_train_sh", docs.semanticHash(), key, int(n)), _build
     )
     test_sh = (
         docs.filter(F.col(split_col) == test)
