@@ -2108,6 +2108,17 @@ def _q_graph_components(spark, sf_dir):
     )
 
 
+def _q_dedup_cluster_sizes(spark, sf_dir):
+    """Near-dup cluster-size histogram (operators/dedup.py
+    dedup_cluster_sizes): the corpus-health summary over the connected-
+    components closure — fat tails mean template contamination."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.dedup import (
+        dedup_cluster_sizes,
+    )
+
+    return dedup_cluster_sizes(_aug(spark, sf_dir))
+
+
 def _q_docs_substring_stripped(spark, sf_dir):
     """Span stripping (operators/dedup.py strip_duplicated_spans, the
     actionable half of Lee et al. exact-substring dedup): cut every
@@ -2538,6 +2549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_repetition_metrics": _q_docs_repetition_metrics,
         "docs_domain_quota": _q_docs_domain_quota,
         "graph_components": _q_graph_components,
+        "dedup_cluster_sizes": _q_dedup_cluster_sizes,
         "docs_substring_stripped": _q_docs_substring_stripped,
         "docs_training_manifest": _q_docs_training_manifest,
         "docs_dsir_weights": _q_docs_dsir_weights,

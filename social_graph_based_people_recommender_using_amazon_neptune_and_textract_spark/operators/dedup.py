@@ -564,6 +564,22 @@ def dedup_clusters(corpus: DataFrame, threshold: float = 0.5) -> DataFrame:
     )
 
 
+def dedup_cluster_sizes(corpus: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Near-dup cluster-size histogram: (cluster_size, n_clusters) over
+    ``dedup_clusters`` — the corpus-health summary a curation run reads
+    first (a fat tail of giant clusters means template/boilerplate
+    contamination; all-2 clusters mean simple mirroring). Two
+    vocabulary-sized aggregates over the cluster assignment — nothing
+    here scales with corpus size beyond the clustering itself."""
+    return (
+        dedup_clusters(corpus, threshold)
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+    )
+
+
 # --- SimHash --------------------------------------------------------------
 
 SIMHASH_BITS = 32

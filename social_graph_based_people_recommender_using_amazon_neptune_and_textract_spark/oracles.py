@@ -960,6 +960,27 @@ SELECT p.doc_id, p.source, p.n_tokens,
        m.boost AS boost
 FROM pre p JOIN mix m USING (source)"""
 
+# Near-dup cluster-size histogram (operators/dedup.py
+# dedup_cluster_sizes): the clusters oracle's final SELECT becomes a
+# CTE; two aggregates follow.
+_CL = ORACLES["dedup_clusters"]
+_CL_SPLIT = _CL.rindex("SELECT node AS doc_id")
+ORACLES["dedup_cluster_sizes"] = (
+    _CL[:_CL_SPLIT].rstrip().rstrip(")")  # reopen after the last CTE...
+)
+# rebuild precisely: keep everything up to (and incl.) the final CTE,
+# append the old final SELECT as a named CTE, then the histogram.
+ORACLES["dedup_cluster_sizes"] = (
+    _CL[:_CL_SPLIT]
+    .rstrip()
+    .rstrip(",")  # the CTE list ends with ')' — no trailing comma
+    + ",\nclusters AS (\n"
+    + _CL[_CL_SPLIT:]
+    + ")\nSELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters FROM (\n"
+    + "  SELECT cluster_id, count(*) AS cluster_size FROM clusters\n"
+    + "  GROUP BY cluster_id)\nGROUP BY cluster_size"
+)
+
 ORACLES["dedup_ngram_pairs"] = f"""\
 WITH {AUG_CORPUS_SQL}, {_SHINGLE_CTES},
 rare AS (
