@@ -84,29 +84,66 @@ def swap_siblings(path: str) -> tuple[str, str]:
     return f"{parent}/.{name}__swap", f"{parent}/.{name}__old"
 
 
-def recover_swap(spark: SparkSession, path: str) -> bool:
+def recover_swap(
+    spark: SparkSession, path: str, marker: str | None = None
+) -> bool:
     """Close the swap's crash window: if ``path`` is missing but its
-    hidden temp (fully written — the temp is only ever renamed FROM,
-    never half-present, because Spark's write lands under a distinct
-    ``_temporary`` dir before its own commit rename) or trash sibling
-    exists, rename it back into place. Prefers the temp (newer).
-    Returns True if a recovery happened. Idempotent; every reader and
-    every writer of a swapped table calls this first."""
+    hidden temp or trash sibling exists, rename it back into place.
+    Prefers the temp (newer). Returns True if a recovery happened.
+    Idempotent; every reader and every writer of a swapped table calls
+    this first.
+
+    The temp is restored ONLY when it is provably COMPLETE (r8 ADVICE:
+    on the FIRST-ever write — no live, no trash — a crash mid-parquet-
+    write leaves a half-written temp holding only ``_temporary``, and
+    the old unconditional restore renamed it into place, breaking every
+    subsequent read; worse, a crash after the parquet job commit but
+    before the batch-id marker write restored a marker-less temp as
+    live, so the replayed batch saw ``_applied_batch_id = None`` plus
+    an existing table and double-counted its own data). Completeness
+    proof, in order:
+
+    - the trash sibling exists → ``commit_swap`` was in flight, and it
+      only runs after the caller finished writing the temp;
+    - ``marker`` (the caller's protocol-completion file, written LAST
+      before ``commit_swap`` — e.g. ``_applied_batch_id`` for the
+      batch-merge protocols) exists inside the temp;
+    - no ``marker`` declared: Spark's own job-commit ``_SUCCESS``
+      inside the temp (sufficient for the single-file-set protocols —
+      compaction — whose live table always pre-exists anyway).
+
+    An incomplete temp is deleted and False returned: the only state
+    that produces one is a first-write crash, where the streaming
+    checkpoint has NOT committed the batch, so the replay rebuilds the
+    table from scratch — correct, where restoring would not be."""
     if exists(spark, path):
         return False
     tmp, trash = swap_siblings(path)
-    for candidate in (tmp, trash):  # temp is newer — prefer it
-        if exists(spark, candidate):
-            rename(spark, candidate, path)
+    if exists(spark, tmp):
+        complete = (
+            exists(spark, trash)
+            or exists(spark, f"{tmp}/{marker or '_SUCCESS'}")
+        )
+        if complete:
+            rename(spark, tmp, path)
+            delete(spark, trash)
             return True
+        delete(spark, tmp)
+    if exists(spark, trash):
+        rename(spark, trash, path)
+        return True
     return False
 
 
-def prepare_swap(spark: SparkSession, path: str) -> str:
+def prepare_swap(
+    spark: SparkSession, path: str, marker: str | None = None
+) -> str:
     """Begin a swap of the directory at ``path``: recover any crashed
     prior swap, clear stale temp/trash, and return the hidden temp path
-    the caller should write the NEW table to before ``commit_swap``."""
-    recover_swap(spark, path)
+    the caller should write the NEW table to before ``commit_swap``.
+    ``marker`` is the caller's completion file, forwarded to
+    ``recover_swap`` (see its completeness contract)."""
+    recover_swap(spark, path, marker)
     tmp, trash = swap_siblings(path)
     delete(spark, tmp)
     delete(spark, trash)

@@ -208,7 +208,7 @@ class StreamingCmsAccumulator:
     def _applied_batch_id(self) -> int | None:
         from .. import fsutil
 
-        fsutil.recover_swap(self.spark, self.table_dir)
+        fsutil.recover_swap(self.spark, self.table_dir, self._MARKER)
         raw = fsutil.read_utf8(
             self.spark, f"{self.table_dir}/{self._MARKER}"
         )
@@ -230,7 +230,7 @@ class StreamingCmsAccumulator:
             )
         else:
             merged = delta
-        tmp = fsutil.prepare_swap(self.spark, self.table_dir)
+        tmp = fsutil.prepare_swap(self.spark, self.table_dir, self._MARKER)
         merged.write.mode("overwrite").parquet(tmp)
         fsutil.write_utf8(self.spark, f"{tmp}/{self._MARKER}", str(batch_id))
         fsutil.commit_swap(self.spark, self.table_dir)
@@ -259,7 +259,7 @@ class StreamingCmsAccumulator:
     def counters(self) -> DataFrame:
         from .. import fsutil
 
-        fsutil.recover_swap(self.spark, self.table_dir)
+        fsutil.recover_swap(self.spark, self.table_dir, self._MARKER)
         if not fsutil.exists(self.spark, self.table_dir):
             return self.spark.createDataFrame(
                 [], "depth int, bucket long, cnt long"

@@ -56,7 +56,7 @@ class StreamingQuotaAccumulator:
         self.table_dir = f"{out_dir}/quota"
 
     def _applied_batch_id(self) -> int | None:
-        fsutil.recover_swap(self.spark, self.table_dir)
+        fsutil.recover_swap(self.spark, self.table_dir, self._MARKER)
         raw = fsutil.read_utf8(self.spark, f"{self.table_dir}/{self._MARKER}")
         return int(raw) if raw is not None else None
 
@@ -76,7 +76,7 @@ class StreamingQuotaAccumulator:
             cand.withColumn("rk", F.row_number().over(w).cast("long"))
             .filter(F.col("rk") <= self.cap)
         )
-        tmp = fsutil.prepare_swap(self.spark, self.table_dir)
+        tmp = fsutil.prepare_swap(self.spark, self.table_dir, self._MARKER)
         kept.write.mode("overwrite").parquet(tmp)
         fsutil.write_utf8(self.spark, f"{tmp}/{self._MARKER}", str(batch_id))
         fsutil.commit_swap(self.spark, self.table_dir)
@@ -109,7 +109,7 @@ class StreamingQuotaAccumulator:
     def kept(self) -> DataFrame:
         """The accumulated kept-set (domain, id, rk); empty relation if
         no batch ever ran (degrade, don't crash on a missing path)."""
-        fsutil.recover_swap(self.spark, self.table_dir)
+        fsutil.recover_swap(self.spark, self.table_dir, self._MARKER)
         if not fsutil.exists(self.spark, self.table_dir):
             return self.spark.createDataFrame(
                 [],

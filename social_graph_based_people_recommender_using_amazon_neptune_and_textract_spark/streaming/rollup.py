@@ -59,7 +59,7 @@ class StreamingSumRollup:
         self.table_dir = f"{out_dir}/rollup"
 
     def _applied_batch_id(self) -> int | None:
-        fsutil.recover_swap(self.spark, self.table_dir)
+        fsutil.recover_swap(self.spark, self.table_dir, self._MARKER)
         raw = fsutil.read_utf8(self.spark, f"{self.table_dir}/{self._MARKER}")
         return int(raw) if raw is not None else None
 
@@ -90,7 +90,7 @@ class StreamingSumRollup:
                 F.col("n").cast("long").alias("n"),
                 F.col("s").cast("decimal(28,6)").alias("s"),
             )
-        tmp = fsutil.prepare_swap(self.spark, self.table_dir)
+        tmp = fsutil.prepare_swap(self.spark, self.table_dir, self._MARKER)
         merged.write.mode("overwrite").parquet(tmp)
         fsutil.write_utf8(self.spark, f"{tmp}/{self._MARKER}", str(batch_id))
         fsutil.commit_swap(self.spark, self.table_dir)
@@ -123,7 +123,7 @@ class StreamingSumRollup:
     def table(self) -> DataFrame:
         """(key_cols..., n, value_sum) — the display projection: exact
         decimal state rounded to a 4dp double at READ time only."""
-        fsutil.recover_swap(self.spark, self.table_dir)
+        fsutil.recover_swap(self.spark, self.table_dir, self._MARKER)
         if not fsutil.exists(self.spark, self.table_dir):
             schema = f"{self.key_schema}, n long, value_sum double"
             return self.spark.createDataFrame([], schema)

@@ -136,6 +136,86 @@ def test_rollup_survives_crash_between_renames(spark, tmp_path):
     assert rows == {"a": (2, 11.0), "b": (1, 2.0)}
 
 
+def test_first_write_crash_mid_parquet_discards_half_temp(spark, tmp_path):
+    """r8 ADVICE (fsutil.recover_swap): on the FIRST-ever write (live
+    never existed, so no trash either) a crash mid-parquet-write leaves
+    a temp holding only Spark's ``_temporary`` staging dir. The old
+    unconditional restore renamed that half-written temp into place and
+    every subsequent read failed. Now: no completeness proof → the temp
+    is deleted and False returned (the streaming checkpoint has not
+    committed the batch, so the replay rebuilds from scratch)."""
+    live = str(tmp_path / "t")
+    tmp, _ = fsutil.swap_siblings(live)
+    fsutil.mkdirs(spark, f"{tmp}/_temporary/0")  # job staging, no commit
+    assert fsutil.recover_swap(spark, live) is False
+    assert not fsutil.exists(spark, live)
+    assert not fsutil.exists(spark, tmp)  # half temp GC'd, not restored
+
+
+def test_first_write_crash_before_marker_is_not_restored(spark, tmp_path):
+    """r8 ADVICE second window: first write crashed AFTER the parquet
+    job commit (``_SUCCESS`` present) but BEFORE the batch-id marker
+    write. Restoring that marker-less temp as live makes the replayed
+    batch see ``_applied_batch_id = None`` plus an existing table and
+    double-count its own data. With the protocol marker declared,
+    recover refuses the markerless temp; without one, ``_SUCCESS``
+    still suffices (compaction protocols, whose live pre-exists)."""
+    live = str(tmp_path / "t")
+    tmp, _ = fsutil.swap_siblings(live)
+    _write(spark, tmp, 0, 5)  # parquet committed: _SUCCESS inside
+    assert fsutil.recover_swap(spark, live, "_applied_batch_id") is False
+    assert not fsutil.exists(spark, live)
+    assert not fsutil.exists(spark, tmp)
+
+
+def test_first_write_crash_after_marker_is_restored(spark, tmp_path):
+    """The moment the marker lands, the temp IS the committed batch —
+    a crash before commit_swap's rename must restore it, and the
+    replayed batch must be detected and skipped via the marker."""
+    live = str(tmp_path / "t")
+    tmp, _ = fsutil.swap_siblings(live)
+    _write(spark, tmp, 0, 5)
+    fsutil.write_utf8(spark, f"{tmp}/_applied_batch_id", "0")
+    assert fsutil.recover_swap(spark, live, "_applied_batch_id") is True
+    assert _ids(spark, live) == list(range(5))
+    assert fsutil.read_utf8(spark, f"{live}/_applied_batch_id") == "0"
+
+
+def test_success_marker_suffices_without_protocol_marker(spark, tmp_path):
+    live = str(tmp_path / "t")
+    tmp, _ = fsutil.swap_siblings(live)
+    _write(spark, tmp, 0, 5)
+    assert fsutil.recover_swap(spark, live) is True
+    assert _ids(spark, live) == list(range(5))
+
+
+def test_rollup_first_batch_replay_does_not_double_count(spark, tmp_path):
+    """Accumulator-level regression for the r8 ADVICE double-count: the
+    rollup's batch 0 crashes after its parquet commit but before its
+    marker write; the replayed batch 0 must produce the same sums as a
+    clean single delivery — not 2× (the old recover restored the
+    marker-less temp as live, and the replay merged into it)."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.streaming.rollup import (
+        StreamingSumRollup,
+    )
+
+    acc = StreamingSumRollup(
+        spark, str(tmp_path / "wh"), ["k"], "v", key_schema="k string"
+    )
+    b0 = spark.createDataFrame([("a", 1.0), ("b", 2.0)], "k string, v double")
+    # simulate the crash: parquet landed in the temp, marker never did
+    tmp, _ = fsutil.swap_siblings(acc.table_dir)
+    acc._batch_partial(b0).select(
+        "k",
+        F.col("n").cast("long"),
+        F.col("s").cast("decimal(28,6)"),
+    ).write.mode("overwrite").parquet(tmp)
+    # re-delivery of batch 0 after restart
+    acc._process_batch(b0, 0)
+    rows = {r["k"]: (r["n"], r["value_sum"]) for r in acc.table().collect()}
+    assert rows == {"a": (1, 1.0), "b": (1, 2.0)}
+
+
 def test_rollup_empty_state_honors_key_schema(spark, tmp_path):
     from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.streaming.rollup import (
         StreamingSumRollup,
