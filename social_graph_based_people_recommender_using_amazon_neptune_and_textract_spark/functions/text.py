@@ -112,7 +112,12 @@ def quality_scores(
 #: support): optional leading space + letter run / digit run / other-
 #: symbol run, else a whitespace run. Applied to LOWERED text; both
 #: engines' alternation is leftmost-first, so match counts agree.
-BPE_PRETOKEN_RE = r" ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9]+|\s+"
+#: Whitespace is an EXPLICIT character class, not ``\s`` (r8 ADVICE:
+#: Java's ``\s`` includes vertical tab \x0B, RE2's does not, so
+#: "\x0B.\x0B" matched 3 pretokens in Spark but 1 in DuckDB); both
+#: engines interpret ``\x0B`` identically, verified by the
+#: cross-engine probe in tests/test_round8_properties.py.
+BPE_PRETOKEN_RE = r" ?[a-z]+| ?[0-9]+| ?[^ \t\n\f\r\x0Ba-z0-9]+|[ \t\n\f\r\x0B]+"
 
 
 def token_counts(
@@ -123,7 +128,10 @@ def token_counts(
     match count (the unit a subword tokenizer's budget is quoted in —
     whitespace counts UNDER-estimate it on punctuation-heavy text).
     Returns (id, n_ws_tokens, n_tokens, n_distinct, n_bpe_pretokens)."""
-    ws = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    # explicit whitespace class, same \x0B rationale as BPE_PRETOKEN_RE
+    ws = F.filter(
+        F.split(F.col(text_col), r"[ \t\n\f\r\x0B]+"), lambda x: x != ""
+    )
     toks = tokenize(F.col(text_col))
     return df.select(
         F.col(id_col),
@@ -224,6 +232,14 @@ def unigram_logprob_scores(
     )
 
 
+#: Ceiling on Catalyst's size estimate for a relation we broadcast-HINT
+#: (tfidf's vocabulary dim). Far under Spark's 8 GB broadcast hard limit
+#: and the driver heap; the estimate errs large (see
+#: plans.audit.estimated_size_bytes), so real vocabularies near this
+#: size fall back to a shuffle join that AQE can still convert.
+BROADCAST_DIM_CAP_BYTES = 64 << 20
+
+
 def tfidf_top_terms(
     df: DataFrame, k: int = 3, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -244,21 +260,32 @@ def tfidf_top_terms(
     joins back as a BROADCAST: document frequency is a vocabulary-sized
     relation (Heaps' law, the bpe_tokens_per_doc precedent), and
     shuffling the full tf relation by token just to pair it with that
-    dim tripled the query's sf1 time (r8: 4.9 s → 1.4 s). A corpus
-    whose term dictionary outgrows the broadcast threshold bucketizes
-    both sides on token instead — never the token-keyed shuffle of tf.
+    dim tripled the query's sf1 time (r8: 4.9 s → 1.4 s). The hint is
+    GATED on Catalyst's size estimate (r8 ADVICE: a broadcast hint is
+    honored regardless of actual size, so hinting an ungated
+    vocabulary OOMs the driver on a corpus whose term dictionary
+    outgrows the broadcast limit): past ``BROADCAST_DIM_CAP_BYTES``
+    the join becomes a plain token-keyed equi-join — AQE still
+    converts it to broadcast at runtime if the BUILT relation turns
+    out small, and splits residual token skew if it does not. The
+    estimate errs large (it propagates the exploded corpus size), so
+    the fallback engages well before the hint could hurt.
     N enters as a broadcast 1-row relation; the per-doc top-k window
     partitions by doc_id — no global sort, no driver loop.
     """
+    from ..plans.audit import estimated_size_bytes
+
     tf = (
         df.select(F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("token"))
         .groupBy(id_col, "token")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("dfr"))
+    if estimated_size_bytes(dfreq) <= BROADCAST_DIM_CAP_BYTES:
+        dfreq = F.broadcast(dfreq)
     n = df.agg(F.count(F.lit(1)).alias("n"))
     scored = (
-        tf.join(F.broadcast(dfreq), "token")
+        tf.join(dfreq, "token")
         .crossJoin(F.broadcast(n))
         .select(
             F.col(id_col),

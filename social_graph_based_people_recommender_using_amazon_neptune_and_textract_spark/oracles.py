@@ -587,11 +587,11 @@ FROM base"""
 
 ORACLES["text_token_counts"] = f"""\
 SELECT doc_id,
-  CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_ws_tokens,
+  CAST(len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\f\\r\\x0B]+'), x -> x <> '')) AS BIGINT) AS n_ws_tokens,
   CAST(len({TOKENIZE.format(col='text')}) AS BIGINT) AS n_tokens,
   CAST(len(list_distinct({TOKENIZE.format(col='text')})) AS BIGINT) AS n_distinct,
   CAST(len(regexp_extract_all(lower(text),
-       ' ?[a-z]+| ?[0-9]+| ?[^\\sa-z0-9]+|\\s+')) AS BIGINT)
+       ' ?[a-z]+| ?[0-9]+| ?[^ \\t\\n\\f\\r\\x0Ba-z0-9]+|[ \\t\\n\\f\\r\\x0B]+')) AS BIGINT)
     AS n_bpe_pretokens
 FROM documents"""
 
@@ -965,11 +965,8 @@ FROM pre p JOIN mix m USING (source)"""
 # CTE; two aggregates follow.
 _CL = ORACLES["dedup_clusters"]
 _CL_SPLIT = _CL.rindex("SELECT node AS doc_id")
-ORACLES["dedup_cluster_sizes"] = (
-    _CL[:_CL_SPLIT].rstrip().rstrip(")")  # reopen after the last CTE...
-)
-# rebuild precisely: keep everything up to (and incl.) the final CTE,
-# append the old final SELECT as a named CTE, then the histogram.
+# keep everything up to (and incl.) the final CTE, append the old final
+# SELECT as a named CTE, then the histogram.
 ORACLES["dedup_cluster_sizes"] = (
     _CL[:_CL_SPLIT]
     .rstrip()

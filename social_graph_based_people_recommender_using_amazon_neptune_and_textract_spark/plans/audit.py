@@ -81,3 +81,17 @@ def read_schema_columns(df: DataFrame) -> list[set[str]]:
             {f.split(":")[0].strip() for f in fields.split(",") if f.strip()}
         )
     return cols
+
+
+def estimated_size_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for ``df``'s optimized plan, in bytes —
+    the same statistic the planner's own broadcast decision reads.
+    Without CBO column stats it is a crude propagation of file sizes
+    through the operators, which errs LARGE (an aggregate inherits its
+    child's size) — the safe direction for gating a broadcast hint:
+    an overestimate falls back to a shuffle join that AQE can still
+    convert to broadcast at runtime, while an unconditional hint on a
+    giant relation is honored unconditionally and OOMs the driver."""
+    return int(
+        str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    )

@@ -511,6 +511,31 @@ def test_tfidf_broadcasts_document_frequency(spark):
     assert PL.sort_merge_join_count(df) == 0
 
 
+def test_tfidf_broadcast_gated_on_vocabulary_estimate(spark, monkeypatch):
+    """r8 ADVICE: the broadcast hint is honored regardless of actual
+    size, so it must be GATED. With the planner's own auto-broadcast
+    disabled, only an explicit hint can produce a BroadcastHashJoin —
+    so the dfreq join broadcasts under the normal cap (hint present)
+    and falls back to a shuffle join when the cap is forced to zero
+    (a stand-in for a vocabulary outgrowing the broadcast limit).
+    Results are identical either way (same equi-join)."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.functions import (
+        text as T,
+    )
+
+    docs = tables.load_table(spark, SF, "documents")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        hinted = T.tfidf_top_terms(docs)
+        assert PL.broadcast_join_count(hinted) >= 1, PL.physical_plan(hinted)
+        monkeypatch.setattr(T, "BROADCAST_DIM_CAP_BYTES", 0)
+        gated = T.tfidf_top_terms(docs)
+        assert PL.broadcast_join_count(gated) == 0, PL.physical_plan(gated)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_dsir_model_joins_broadcast(spark):
     """DSIR scoring (functions/text.py dsir_weights): both model-side
     joins (totals combine, per-bucket log-ratio) are constant-width —

@@ -121,3 +121,32 @@ def test_duplicated_spans_matches_brute_force(spark, texts):
         )
     got = {k: sorted(v) for k, v in got.items()}
     assert got == _ref_spans(texts, L)
+
+
+def test_pretoken_whitespace_class_cross_engine(spark):
+    """r8 ADVICE: Java's ``\\s`` includes vertical tab (\\x0B), RE2's
+    does not, so the old ``\\s``-based pretokenizer and whitespace
+    split diverged on corpora containing \\x0B ("\\x0B.\\x0B" → 3
+    pretokens in Spark, 1 in DuckDB). Both regexes now use an explicit
+    character class; this probe pins Spark == DuckDB on exactly the
+    texts that used to diverge."""
+    import duckdb
+
+    cases = ["\x0B.\x0B", "a\tb\x0Bc", " \x0B ", "a.b,c!", "x \x0B y"]
+    docs = spark.createDataFrame(
+        [(str(i), t) for i, t in enumerate(cases)],
+        "doc_id string, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_ws_tokens"], r["n_bpe_pretokens"])
+        for r in T.token_counts(docs).collect()
+    }
+    con = duckdb.connect()
+    for i, t in enumerate(cases):
+        ws, bpe = con.execute(
+            "SELECT len(list_filter(regexp_split_to_array(?,"
+            " '[ \\t\\n\\f\\r\\x0B]+'), x -> x <> '')),"
+            " len(regexp_extract_all(lower(?), ?))",
+            [t, t, T.BPE_PRETOKEN_RE],
+        ).fetchone()
+        assert got[str(i)] == (ws, bpe), (t, got[str(i)], (ws, bpe))
