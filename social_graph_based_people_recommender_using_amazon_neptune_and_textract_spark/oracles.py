@@ -2203,10 +2203,11 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN per_doc p USING (doc_id)"""
 
 
-# Span stripping (operators/dedup.py strip_duplicated_spans): cut every
-# maximal duplicated span, fingerprint the cleaned text. Gaps between
-# disjoint sorted spans reassemble via ordered string_agg.
-ORACLES["docs_substring_stripped"] = f"""\
+# Span stripping (operators/dedup.py strip_duplicated_spans /
+# write_clean_corpus): cut every maximal duplicated span. Gaps between
+# disjoint sorted spans reassemble via ordered string_agg. Shared CTE
+# chain; two finals (fingerprint report / materialized-table readback).
+_SUBSTR_CLEAN_CTES = f"""\
 {_SUBSTR_SPAN_CTES},
 sp2 AS MATERIALIZED (SELECT * FROM spans),
 g AS (
@@ -2237,13 +2238,28 @@ cleaned AS (
 removed AS (
   SELECT doc_id, CAST(sum(span_len) AS BIGINT) AS n_removed FROM sp2
   GROUP BY doc_id
-)
+)"""
+
+ORACLES["docs_substring_stripped"] = f"""\
+{_SUBSTR_CLEAN_CTES}
 SELECT d.doc_id,
        coalesce(r.n_removed, 0) AS n_removed,
        md5(coalesce(c.clean, d.text)) AS clean_fp
 FROM documents d
 LEFT JOIN cleaned c USING (doc_id)
 LEFT JOIN removed r USING (doc_id)"""
+
+# Materialized stripped corpus (operators/dedup.py write_clean_corpus):
+# the engine writes (doc_id, cleaned text, n_removed) as a swapped
+# table; the registered query reads it back rolled down to
+# length + md5 so the hash check covers every byte without moving it.
+ORACLES["docs_substring_clean_table"] = f"""\
+{_SUBSTR_CLEAN_CTES}
+SELECT d.doc_id,
+       CAST(length(coalesce(c.clean, d.text)) AS BIGINT) AS n_clean_chars,
+       md5(coalesce(c.clean, d.text)) AS clean_fp
+FROM documents d
+LEFT JOIN cleaned c USING (doc_id)"""
 
 
 ORACLES["dedup_containment"] = f"""\
@@ -2940,14 +2956,64 @@ def _bpe_train_sql(k: int, final_words: str | None = None) -> str:
 
     CTEs that feed scalar subqueries are MATERIALIZED — inlined, the
     t{{n}} references re-expand the whole upstream chain exponentially
-    (the un-hinted form exhausted file handles re-scanning parquet)."""
+    (the un-hinted form exhausted file handles re-scanning parquet).
+
+    ``final_words='encode_heldout'`` is the INFERENCE twin
+    (functions/text.py bpe_encode_tokens_per_doc): training runs on
+    the TRAIN hash-split only; the fitted merges t1..tk then replay —
+    the identical island machinery, ``n``-prefixed CTEs — over the
+    held-out TEST split's distinct words, so out-of-vocabulary words
+    segment too; final = per-held-out-doc subword sum."""
+    heldout = final_words == "encode_heldout"
+    corpus = (
+        f"(SELECT text FROM documents WHERE {_BUCKET} < 8000)"
+        if heldout
+        else "documents"
+    )
+
+    def apply_round(pfx: str, n: int, src: str) -> list[str]:
+        """The greedy leftmost non-overlapping merge of t{n} applied to
+        word table ``src`` → {pfx}w{n} (gaps-and-islands, odd-ranked
+        matches taken — see the docstring proof)."""
+        return [
+            f"""{pfx}x{n} AS (
+  SELECT word, freq, unnest(generate_series(1, len(syms))) AS i, syms
+  FROM {src}
+)""",
+            f"""{pfx}m{n} AS (
+  SELECT word, freq, i, syms[i] AS s,
+         (i < len(syms) AND syms[i] = (SELECT x FROM t{n})
+          AND syms[i + 1] = (SELECT y FROM t{n})) AS m
+  FROM {pfx}x{n}
+)""",
+            f"""{pfx}g{n} AS (
+  SELECT *, i - row_number() OVER (PARTITION BY word, m ORDER BY i) AS grp
+  FROM {pfx}m{n}
+)""",
+            f"""{pfx}k{n} AS (
+  SELECT *, m AND (row_number()
+        OVER (PARTITION BY word, m, grp ORDER BY i) % 2 = 1) AS taken
+  FROM {pfx}g{n}
+)""",
+            f"""{pfx}w{n} AS MATERIALIZED (
+  SELECT word, freq,
+         list(CASE WHEN taken THEN s || (SELECT y FROM t{n}) ELSE s END
+              ORDER BY i) AS syms
+  FROM (SELECT *, coalesce(lag(taken)
+              OVER (PARTITION BY word ORDER BY i), false) AS prev_taken
+        FROM {pfx}k{n})
+  WHERE NOT prev_taken
+  GROUP BY word, freq
+)""",
+        ]
+
     parts = [
         f"""w0 AS MATERIALIZED (
   SELECT word, CAST(count(*) AS BIGINT) AS freq,
          list_transform(generate_series(1, length(word)),
                         i -> substr(word, i, 1)) AS syms
   FROM (SELECT unnest({TOKENIZE.format(col='text')}) AS word
-        FROM documents)
+        FROM {corpus})
   GROUP BY word
 )"""
     ]
@@ -2968,46 +3034,27 @@ def _bpe_train_sql(k: int, final_words: str | None = None) -> str:
   ORDER BY cnt DESC, x ASC, y ASC LIMIT 1
 )"""
         )
-        if n < k or final_words:
-            parts.append(
-                f"""x{n} AS (
-  SELECT word, freq, unnest(generate_series(1, len(syms))) AS i, syms
-  FROM w{p}
+        if n < k or (final_words and not heldout):
+            parts.extend(apply_round("", n, f"w{p}"))
+    if heldout:
+        parts.append(
+            f"""nw0 AS MATERIALIZED (
+  SELECT word, CAST(1 AS BIGINT) AS freq,
+         list_transform(generate_series(1, length(word)),
+                        i -> substr(word, i, 1)) AS syms
+  FROM (SELECT DISTINCT unnest({TOKENIZE.format(col='text')}) AS word
+        FROM documents WHERE {_BUCKET} >= 9000)
 )"""
-            )
-            parts.append(
-                f"""m{n} AS (
-  SELECT word, freq, i, syms[i] AS s,
-         (i < len(syms) AND syms[i] = (SELECT x FROM t{n})
-          AND syms[i + 1] = (SELECT y FROM t{n})) AS m
-  FROM x{n}
-)"""
-            )
-            parts.append(
-                f"""g{n} AS (
-  SELECT *, i - row_number() OVER (PARTITION BY word, m ORDER BY i) AS grp
-  FROM m{n}
-)"""
-            )
-            parts.append(
-                f"""k{n} AS (
-  SELECT *, m AND (row_number()
-        OVER (PARTITION BY word, m, grp ORDER BY i) % 2 = 1) AS taken
-  FROM g{n}
-)"""
-            )
-            parts.append(
-                f"""w{n} AS MATERIALIZED (
-  SELECT word, freq,
-         list(CASE WHEN taken THEN s || (SELECT y FROM t{n}) ELSE s END
-              ORDER BY i) AS syms
-  FROM (SELECT *, coalesce(lag(taken)
-              OVER (PARTITION BY word ORDER BY i), false) AS prev_taken
-        FROM k{n})
-  WHERE NOT prev_taken
-  GROUP BY word, freq
-)"""
-            )
+        )
+        for n in range(1, k + 1):
+            parts.extend(apply_round("n", n, f"nw{n - 1}"))
+        final = f"""SELECT d.doc_id AS doc_id,
+       CAST(sum(len(w.syms)) AS BIGINT) AS n_subwords
+FROM (SELECT doc_id, unnest({TOKENIZE.format(col='text')}) AS word
+      FROM documents WHERE {_BUCKET} >= 9000) d
+JOIN nw{k} w ON d.word = w.word
+GROUP BY d.doc_id"""
+        return "WITH " + ",\n".join(parts) + "\n" + final
     if final_words == "subword_counts":
         final = f"""SELECT subword, CAST(sum(freq) AS BIGINT) AS cnt FROM (
   SELECT unnest(syms) AS subword, freq FROM w{k}
@@ -3044,6 +3091,13 @@ ORACLES["docs_bpe_subword_counts"] = _bpe_train_sql(8, "subword_counts")
 # BPE corpus encode (functions/text.py bpe_tokens_per_doc): per-doc
 # subword counts via the word → segment-length vocabulary join.
 ORACLES["docs_bpe_tokens_per_doc"] = _bpe_train_sql(8, "tokens_per_doc")
+
+# BPE inference encode (functions/text.py bpe_encode_tokens_per_doc):
+# train on the train hash-split, replay the fitted merges over the
+# held-out split's words (OOV included). The streaming form drains to
+# the identical relation (each doc lives in exactly one micro-batch).
+ORACLES["docs_bpe_encode_heldout"] = _bpe_train_sql(8, "encode_heldout")
+ORACLES["streaming_bpe_encode"] = ORACLES["docs_bpe_encode_heldout"]
 
 
 # Feature hashing (functions/text.py hashed_features): same md5-prefix

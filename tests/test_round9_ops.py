@@ -1,0 +1,202 @@
+"""Round-9 operators: BPE inference encode (apply a fitted merge table
+to unseen text, batch + streaming) and the materialized stripped
+corpus (write_clean_corpus)."""
+
+from __future__ import annotations
+
+import collections
+import re
+
+from pyspark.sql import functions as F
+
+from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark import (
+    fsutil,
+)
+from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.functions import (
+    text as T,
+)
+from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+    dedup as D,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+# --- brute-force reference: fit merges, then encode ANY word ---------------
+
+
+def _ref_fit(texts, k):
+    freq = collections.Counter()
+    for t in texts:
+        for w in [x for x in re.split("[^a-z0-9]+", t.lower()) if x]:
+            freq[w] += 1
+    words = {w: list(w) for w in freq}
+    merges = []
+    for _ in range(k):
+        cnt = collections.Counter()
+        for w, syms in words.items():
+            for a, b in zip(syms, syms[1:]):
+                cnt[(a, b)] += freq[w]
+        if not cnt:
+            break
+        best = min(cnt, key=lambda p: (-cnt[p], p))
+        merges.append(best)
+        for w in words:
+            words[w] = _ref_apply_one(words[w], best)
+    return merges
+
+
+def _ref_apply_one(syms, pair):
+    out = []
+    for s in syms:
+        if out and out[-1] == pair[0] and s == pair[1]:
+            out[-1] = pair[0] + pair[1]
+        else:
+            out.append(s)
+    return out
+
+
+def _ref_encode_count(text, merges):
+    n = 0
+    for w in [x for x in re.split("[^a-z0-9]+", text.lower()) if x]:
+        syms = list(w)
+        for pair in merges:
+            syms = _ref_apply_one(syms, pair)
+        n += len(syms)
+    return n
+
+
+TRAIN = [
+    "the cat sat on the mat",
+    "the cats sat on the mats",
+    "that cat is the best cat",
+    "mats and cats and rats",
+]
+# held-out: overlapping words, UNSEEN words (zebra, catapult), empty doc
+HELDOUT = [
+    "the zebra sat on a catapult",
+    "cats rats bats",
+    "",
+    "thematic catalog",
+]
+
+
+def test_bpe_encode_matches_brute_force_on_unseen_words(spark):
+    merges = _ref_fit(TRAIN, 5)
+    got = {
+        r["doc_id"]: r["n_subwords"]
+        for r in T.bpe_encode_tokens_per_doc(
+            _docs(spark, TRAIN), _docs(spark, HELDOUT), 5
+        ).collect()
+    }
+    want = {
+        i: _ref_encode_count(t, merges)
+        for i, t in enumerate(HELDOUT)
+        if _ref_encode_count(t, merges) > 0
+    }
+    assert got == want
+
+
+def test_bpe_encode_on_training_corpus_reproduces_vocabulary_path(spark):
+    """Applying the fitted merges to raw characters must reproduce the
+    training segmentation (the Sennrich inference contract) — so on
+    the training corpus itself the merge-replay path and the
+    vocabulary-lookup path (bpe_tokens_per_doc) agree exactly."""
+    docs = _docs(spark, TRAIN)
+    via_vocab = {
+        r["doc_id"]: r["n_subwords"]
+        for r in T.bpe_tokens_per_doc(docs, 5).collect()
+    }
+    via_merges = {
+        r["doc_id"]: r["n_subwords"]
+        for r in T.bpe_encode_tokens_per_doc(docs, docs, 5).collect()
+    }
+    assert via_merges == via_vocab
+
+
+def test_streaming_bpe_encode_equals_batch(spark, tmp_path):
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.streaming.rollup import (
+        StreamingBpeEncode,
+    )
+
+    train = _docs(spark, TRAIN)
+    held = _docs(spark, HELDOUT)
+    merges = T.fitted_bpe_merges(train, 5)
+    held.repartition(2).write.mode("overwrite").parquet(
+        str(tmp_path / "landing")
+    )
+    enc = StreamingBpeEncode(spark, str(tmp_path / "wh"), merges)
+    enc.run_available_now(
+        str(tmp_path / "landing"),
+        str(tmp_path / "ckpt"),
+        "doc_id long, text string",
+        max_files_per_trigger=1,
+    )
+    got = {
+        r["doc_id"]: r["n_subwords"]
+        for r in enc.table()
+        .select("doc_id", F.col("value_sum").cast("long").alias("n_subwords"))
+        .collect()
+    }
+    want = {
+        r["doc_id"]: r["n_subwords"]
+        for r in T.bpe_encode_tokens_per_doc(train, held, 5).collect()
+    }
+    assert got == want
+
+
+# --- materialized stripped corpus ------------------------------------------
+
+
+def test_write_clean_corpus_matches_fingerprints(spark, tmp_path):
+    texts = [
+        "A" * 40 + "unique tail one",
+        "A" * 40 + "different tail x",
+        "wholly original document body here",
+    ]
+    docs = _docs(spark, texts)
+    out = str(tmp_path / "clean")
+    clean = D.write_clean_corpus(docs, out, min_len=20)
+    # the written text's md5 equals the fingerprint relation's clean_fp
+    got = {
+        r["doc_id"]: r["fp"]
+        for r in clean.select(
+            "doc_id", F.md5(F.col("text").cast("binary")).alias("fp")
+        ).collect()
+    }
+    want = {
+        r["doc_id"]: r["clean_fp"]
+        for r in D.strip_duplicated_spans(docs, min_len=20).collect()
+    }
+    assert got == want
+    # n_removed rides along and matches too
+    got_rm = {r["doc_id"]: r["n_removed"] for r in clean.collect()}
+    want_rm = {
+        r["doc_id"]: r["n_removed"]
+        for r in D.strip_duplicated_spans(docs, min_len=20).collect()
+    }
+    assert got_rm == want_rm
+
+
+def test_write_clean_corpus_swap_is_crash_safe(spark, tmp_path):
+    """Overwriting an existing clean table goes through the swap
+    protocol: a reader racing a crashed second write still finds a
+    complete table (the old one)."""
+    docs = _docs(spark, ["some text body", "other text body"])
+    out = str(tmp_path / "clean")
+    D.write_clean_corpus(docs, out, min_len=10)
+    before = sorted(
+        r["doc_id"] for r in spark.read.parquet(out).collect()
+    )
+    # simulate a crashed rewrite: half-written temp, live intact
+    tmp, _ = fsutil.swap_siblings(out)
+    fsutil.mkdirs(spark, f"{tmp}/_temporary/0")
+    assert fsutil.recover_swap(spark, out) is False
+    assert (
+        sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+        == before
+    )
