@@ -152,6 +152,10 @@ def main() -> None:
     # then time the second run. This mirrors warehouse steady state;
     # cached intermediates persisted by the operators stay warm exactly
     # as they would across repeated production queries.
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark import (
+        pinned as PIN_STATS,
+    )
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in BENCH_QUERIES:
@@ -166,6 +170,13 @@ def main() -> None:
             timings[name] = round(best, 3)
         except Exception as exc:  # one broken query must not kill the report
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+
+    # Pin telemetry snapshot at the end of the WARM pass (r8 verdict
+    # item 8): live = steady-state registry pressure, builds/hits =
+    # how often the serving pass built vs reused. The cold pass below
+    # releases everything per query, so its churn is recorded
+    # separately as the post-cold delta.
+    pins_warm = PIN_STATS.stats()
 
     # Cold-build pass: release every pin / tracked checkpoint before each
     # query so the timed run pays its index builds (codegen is warm from
@@ -191,6 +202,8 @@ def main() -> None:
         except Exception as exc:
             errors[name] = f"cold: {type(exc).__name__}: {exc}"[:200]
 
+    pins_cold = PIN_STATS.stats()
+
     try:
         duckdb_secs = _duckdb_pass(errors)
     except Exception as exc:  # the anchor must never kill the report
@@ -209,6 +222,7 @@ def main() -> None:
             sum(v for v in duckdb_secs.values() if isinstance(v, float)), 3
         ),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "pins": {"warm": pins_warm, "after_cold": pins_cold},
     }
     if errors:
         out["errors"] = errors
@@ -229,6 +243,7 @@ def main() -> None:
         "n_errors": len(errors),
         "builds_total": out["builds_total"],
         "duckdb_total": out["duckdb_total"],
+        "pins": pins_warm,
         "detail": "BENCH_local_latest.json",
         "queries": {k: round(v, 2) for k, v in timings.items()},
     }
@@ -253,6 +268,66 @@ _TAIL_BUDGET = 1900
 #: are written for CORRECTNESS at sf0.01, not tuned for speed) must not
 #: hang the bench — interrupted queries report "timeout".
 DUCKDB_TIMEOUT_S = 120.0
+
+
+def _duckdb_components(con) -> list:
+    """Bounded DuckDB twin for graph_components (r8 verdict item 3):
+    the single recursive CTE enumerates (node × reachable-label) pairs —
+    quadratic in component size, a 120 s timeout at sf1 — so the bench
+    times this ITERATIVE temp-table loop instead: min-label propagation
+    with pointer jumping (label := label-of-label each round), the same
+    O(log diameter) algorithm the Spark operator runs. Result-identical
+    to ORACLES['graph_components'] (pinned by
+    tests/test_round9_ops.py::test_bounded_components_twin_matches_oracle);
+    the driver's sf0.01 correctness pass still runs the declarative
+    oracle."""
+    con.execute("""
+CREATE OR REPLACE TEMP TABLE cc_e AS
+WITH ev AS (SELECT event_id, user_id FROM events),
+pairs AS (
+  SELECT a.user_id AS src, b.user_id AS dst
+  FROM ev a JOIN ev b ON b.event_id = a.event_id + 1
+  WHERE a.user_id <> b.user_id
+),
+edges AS (SELECT DISTINCT src, dst FROM pairs)
+SELECT src AS a, dst AS b FROM edges
+UNION ALL
+SELECT dst AS a, src AS b FROM edges""")
+    con.execute("""
+CREATE OR REPLACE TEMP TABLE cc_lbl AS
+SELECT a AS node, min(least(a, b)) AS label FROM cc_e GROUP BY a""")
+    for _ in range(64):
+        con.execute("""
+CREATE OR REPLACE TEMP TABLE cc_nxt AS
+SELECT l.node,
+       least(l.label,
+             coalesce(nb.ml, l.label),
+             coalesce(pj.label, l.label)) AS label
+FROM cc_lbl l
+LEFT JOIN (SELECT e.b AS node, min(l2.label) AS ml
+           FROM cc_lbl l2 JOIN cc_e e ON l2.node = e.a
+           GROUP BY e.b) nb ON nb.node = l.node
+LEFT JOIN cc_lbl pj ON pj.node = l.label""")
+        changed = con.execute("""
+SELECT count(*) FROM cc_nxt n JOIN cc_lbl l USING (node)
+WHERE n.label <> l.label""").fetchone()[0]
+        con.execute(
+            "CREATE OR REPLACE TEMP TABLE cc_lbl AS SELECT * FROM cc_nxt"
+        )
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError("components did not converge in 64 rounds")
+    return con.execute(
+        "SELECT node AS id, CAST(label AS BIGINT) AS component_id FROM cc_lbl"
+    ).fetchall()
+
+
+#: Query name → bounded imperative DuckDB twin, timed IN PLACE of the
+#: declarative oracle when the latter's plan shape cannot finish at
+#: bench scale. Each twin must be result-identical to its oracle
+#: (test-pinned) — this overrides the PLAN, never the semantics.
+BOUNDED_DUCKDB = {"graph_components": _duckdb_components}
 
 
 def _duckdb_pass(errors: dict[str, str]) -> dict[str, object]:
@@ -286,7 +361,10 @@ def _duckdb_pass(errors: dict[str, str]) -> dict[str, object]:
             timer.start()
             t0 = time.perf_counter()
             try:
-                con.sql(oracles[name]).fetchall()
+                if name in BOUNDED_DUCKDB:
+                    BOUNDED_DUCKDB[name](con)
+                else:
+                    con.sql(oracles[name]).fetchall()
                 best = min(best, time.perf_counter() - t0)
             except duckdb.Error as exc:
                 # A second-run failure must not erase a valid first-run

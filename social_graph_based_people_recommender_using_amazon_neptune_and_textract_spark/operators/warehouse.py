@@ -168,11 +168,17 @@ def topk_order_revenue(
     Plan contract at 100 TB: the segment filter reduces customer ~5x and
     that TINY side broadcasts into orders (never the reverse); the
     orders⋈lineitem join is the only shuffle pair, on the natural
-    orderkey; both date filters push into the parquet scans. Revenue
-    sums in exact DECIMAL (module docstring) and the top-k orders on the
-    EXACT decimal before the display round, so the cut is deterministic
-    and identical to the oracle's; TakeOrderedAndProject keeps it a
-    k-row driver result.
+    orderkey — PINNED with a shuffle_hash hint, because the planner's
+    size estimate of the selectively-filtered lineitem side undershoots
+    the broadcast threshold at bench scale and it silently broadcast a
+    FACT (the r6→r8 drift the r9 profile caught: the per-run driver
+    HashedRelation build cost 2.12 s at sf1 where the pinned shuffle
+    join serves in 0.61 s — and a fact broadcast is a driver OOM at
+    100 TB, not a slowdown). Both date filters push into the parquet
+    scans. Revenue sums in exact DECIMAL (module docstring) and the
+    top-k orders on the EXACT decimal before the display round, so the
+    cut is deterministic and identical to the oracle's;
+    TakeOrderedAndProject keeps it a k-row driver result.
     """
     ts = F.lit(cutoff).cast("timestamp")
     c = customer.filter(F.col("c_mktsegment") == segment).select("c_custkey")
@@ -185,7 +191,7 @@ def topk_order_revenue(
             F.col("l_extendedprice").cast(DEC)
             * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
         ).alias("_r"),
-    )
+    ).hint("shuffle_hash")
     j = li.join(
         o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")),
         F.col("l_orderkey") == F.col("o_orderkey"),

@@ -2262,25 +2262,45 @@ FROM documents d
 LEFT JOIN cleaned c USING (doc_id)"""
 
 
+# The intersection mirrors Spark's rare+hot DECOMPOSITION (r8 verdict
+# item 3 — the old form re-joined each candidate pair's FULL shingle
+# sets, quadratic in document size, and timed out at sf1; this form is
+# numeric in 7 s there): |A∩B| = |A∩B∩rare| + |A∩B∩hot|. The rare part
+# falls out of the SAME self-join that generates candidates (shingle df
+# ≤ cap bounds its fan-out); the hot part re-joins only the few
+# hotter-than-cap shingles' postings against the candidate pairs.
 ORACLES["dedup_containment"] = f"""\
 WITH {AUG_CORPUS_SQL}, {_SHINGLE_CTES},
 rare AS (
   SELECT shingle FROM shing GROUP BY shingle
   HAVING count(*) <= {SHINGLE_DF_CAP}
 ),
-cands AS (
-  SELECT DISTINCT sa.doc_id AS doc_a, sb.doc_id AS doc_b
+rare_shared AS (
+  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS i_rare
   FROM shing sa
   JOIN rare r ON sa.shingle = r.shingle
-  JOIN shing sb ON sa.shingle = sb.shingle
+  JOIN shing sb ON sb.shingle = sa.shingle
   WHERE sa.doc_id < sb.doc_id
+  GROUP BY sa.doc_id, sb.doc_id
+),
+hot AS (
+  SELECT shingle FROM shing GROUP BY shingle
+  HAVING count(*) > {SHINGLE_DF_CAP}
+),
+hot_post AS (
+  SELECT s.doc_id, s.shingle FROM shing s JOIN hot h ON s.shingle = h.shingle
+),
+hot_shared AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS i_hot
+  FROM rare_shared c
+  JOIN hot_post ha ON ha.doc_id = c.doc_a
+  JOIN hot_post hb ON hb.doc_id = c.doc_b AND hb.shingle = ha.shingle
+  GROUP BY c.doc_a, c.doc_b
 ),
 inter AS (
-  SELECT c.doc_a, c.doc_b, count(*) AS i
-  FROM cands c
-  JOIN shing sa ON sa.doc_id = c.doc_a
-  JOIN shing sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
-  GROUP BY c.doc_a, c.doc_b
+  SELECT rs.doc_a, rs.doc_b, rs.i_rare + coalesce(hs.i_hot, 0) AS i
+  FROM rare_shared rs LEFT JOIN hot_shared hs
+    ON hs.doc_a = rs.doc_a AND hs.doc_b = rs.doc_b
 ),
 directed AS (
   SELECT i.doc_a AS doc_inner, i.doc_b AS doc_outer,

@@ -422,6 +422,12 @@ def test_topk_order_revenue_plan(spark):
     # both date predicates reach the parquet scans
     pushed = " ".join(PL.pushed_filters(df))
     assert "o_orderdate" in pushed and "l_shipdate" in pushed
+    # r9: the fact-fact join is PINNED to a shuffle hash join — the
+    # planner's estimate of the filtered lineitem undershoots the
+    # broadcast threshold at small scale and broadcasting a FACT is a
+    # driver OOM at 100 TB (and cost 3.5x at sf1).
+    plan = PL.physical_plan(df)
+    assert "ShuffledHashJoin" in plan, plan
 
 
 def test_value_histogram_edge_buckets(spark):

@@ -200,3 +200,31 @@ def test_write_clean_corpus_swap_is_crash_safe(spark, tmp_path):
         sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
         == before
     )
+
+
+def test_bounded_components_twin_matches_oracle():
+    """bench.py's iterative temp-table components twin (timed at sf1
+    where the recursive-CTE oracle cannot finish) must be result-
+    identical to the declarative oracle the driver checks — the bench
+    override swaps the PLAN, never the semantics."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, "/root/repo")
+    import bench
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark import (
+        oracles,
+    )
+
+    for sf in ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]:
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{sf}/events.parquet')"
+        )
+        want = sorted(
+            con.execute(oracles.ORACLES["graph_components"]).fetchall()
+        )
+        got = sorted(bench._duckdb_components(con))
+        assert got == want, sf
