@@ -121,6 +121,8 @@ BENCH_QUERIES = [
     "docs_training_manifest",
     "docs_substring_stripped",
     "split_decontaminated_train",
+    "docs_bpe_encode_heldout",
+    "docs_substring_clean_table",
 ]
 
 

@@ -978,20 +978,52 @@ ORACLES["dedup_cluster_sizes"] = (
     + "  GROUP BY cluster_id)\nGROUP BY cluster_size"
 )
 
+# Same rare+hot intersection decomposition as dedup_containment (the
+# generic _VERIFY re-joins each candidate pair's FULL shingle sets —
+# fine for the selective LSH-bucket candidate sets that share it, but
+# this oracle's candidates COME FROM the rare self-join, which already
+# yields the rare part of the intersection for free; the old form sat
+# at ~106 s at sf1 and tipped over the 120 s budget).
 ORACLES["dedup_ngram_pairs"] = f"""\
 WITH {AUG_CORPUS_SQL}, {_SHINGLE_CTES},
 rare AS (
   SELECT shingle FROM shing GROUP BY shingle
   HAVING count(*) <= {SHINGLE_DF_CAP}
 ),
-cands AS (
-  SELECT DISTINCT sa.doc_id AS doc_a, sb.doc_id AS doc_b
+rare_shared AS (
+  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS i_rare
   FROM shing sa
   JOIN rare r ON sa.shingle = r.shingle
-  JOIN shing sb ON sa.shingle = sb.shingle
+  JOIN shing sb ON sb.shingle = sa.shingle
   WHERE sa.doc_id < sb.doc_id
+  GROUP BY sa.doc_id, sb.doc_id
 ),
-{_VERIFY}
+hot AS (
+  SELECT shingle FROM shing GROUP BY shingle
+  HAVING count(*) > {SHINGLE_DF_CAP}
+),
+hot_post AS (
+  SELECT s.doc_id, s.shingle FROM shing s JOIN hot h ON s.shingle = h.shingle
+),
+hot_shared AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS i_hot
+  FROM rare_shared c
+  JOIN hot_post ha ON ha.doc_id = c.doc_a
+  JOIN hot_post hb ON hb.doc_id = c.doc_b AND hb.shingle = ha.shingle
+  GROUP BY c.doc_a, c.doc_b
+),
+inter AS (
+  SELECT rs.doc_a, rs.doc_b, rs.i_rare + coalesce(hs.i_hot, 0) AS i
+  FROM rare_shared rs LEFT JOIN hot_shared hs
+    ON hs.doc_a = rs.doc_a AND hs.doc_b = rs.doc_b
+),
+jac AS (
+  SELECT i.doc_a, i.doc_b,
+    round(CAST(i.i AS DOUBLE) / (za.sz + zb.sz - i.i), 6) AS jaccard
+  FROM inter i
+  JOIN sizes za ON za.doc_id = i.doc_a
+  JOIN sizes zb ON zb.doc_id = i.doc_b
+)
 SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.3"""
 
 _sim_sums = ",\n    ".join(

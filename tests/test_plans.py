@@ -583,3 +583,24 @@ def test_new_text_queries_prune_columns(spark):
         df = qs[name](spark, SF)
         for cols in PL.read_schema_columns(df):
             assert cols <= allowed, (name, cols)
+
+
+def test_bpe_encode_heldout_plan(spark):
+    """BPE inference encode (functions/text.py bpe_encode_tokens_per_doc):
+    the held-out corpus must never sort-merge against the segment-length
+    dim — under the size gate the dim broadcasts (the corpus-side scan
+    stays shuffle-free until the per-doc sum), and the k merge folds
+    must collapse into projections, not joins or shuffles per merge."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.functions.text import (
+        bpe_encode_tokens_per_doc,
+    )
+
+    docs = tables.load_table(spark, SF, "documents")
+    df = bpe_encode_tokens_per_doc(docs, docs, 4)
+    plan = PL.physical_plan(df)
+    assert PL.sort_merge_join_count(df) == 0, plan
+    assert PL.broadcast_join_count(df) >= 1, plan
+    # shuffles: distinct-word agg, (train-side vocab aggregates), and
+    # the final per-doc sum — NOT one per merge round (the folds are
+    # collapsed column expressions). 4 merges must not add 4 exchanges.
+    assert PL.exchange_count(df) <= 5, plan
