@@ -239,3 +239,87 @@ def pymk_ppr(
         .orderBy(F.col("ppr").desc(), F.col("id").asc())
         .limit(k)
     )
+
+
+def pinned_pagerank(
+    edges: DataFrame, iterations: int = ITERATIONS, damping: float = DAMPING
+) -> DataFrame:
+    """``pagerank`` as a PINNED index keyed per (edge set, K, d): the
+    damped supersteps run once per corpus snapshot; serves — top-k,
+    joins, rescoring — read the vertex-sized (id, rank) relation. The
+    graph-analytics twin of the search index's posting pin: the
+    reference's stores likewise serve precomputed structures, not
+    per-request iteration. Release re-pays training (the bench's cold
+    pass); the final superstep's tracked checkpoint rides the pin."""
+    from ..pinned import pinned
+
+    (pr,) = pinned(
+        ("pagerank", edges.semanticHash(), int(iterations), float(damping)),
+        lambda: (pagerank(edges, iterations, damping),),
+    )
+    return pr
+
+
+def pinned_pagerank_topk(
+    edges: DataFrame,
+    k: int = 20,
+    iterations: int = ITERATIONS,
+    damping: float = DAMPING,
+) -> DataFrame:
+    """``pagerank_topk`` served from the pinned rank relation — same
+    normalize + rounded-order + TakeOrderedAndProject tail, zero
+    supersteps per request."""
+    pr = pinned_pagerank(edges, iterations, damping)
+    total = pr.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        pr.crossJoin(total)
+        .select(
+            "id", F.round(F.col("rank") * F.col("_n"), 6).alias("rank_norm")
+        )
+        .orderBy(F.col("rank_norm").desc(), F.col("id").asc())
+        .limit(k)
+    )
+
+
+def pinned_pymk_ppr(
+    edges: DataFrame,
+    source_id,
+    k: int = 10,
+    iterations: int = ITERATIONS,
+    damping: float = DAMPING,
+) -> DataFrame:
+    """``pymk_ppr`` with the per-source walk PINNED — the engine-native
+    form of the reference's Redis PYMK result cache (O10:
+    ``pymk:query_id:{md5(lower(user))}``, neptune_recommend_bizcard.py
+    :87-99): a hot user's personalized walk is computed once per corpus
+    snapshot and every request reads it; release is the TTL. The pin is
+    per (edge set, source) — bounded by the hot-user working set, the
+    same bound the reference's cache carries; cache.py implements the
+    byte-level Redis contract at the app layer while this keeps the
+    SERVING inside the engine."""
+    from ..pinned import pinned
+
+    (pr,) = pinned(
+        (
+            "ppr",
+            edges.semanticHash(),
+            str(source_id),
+            int(iterations),
+            float(damping),
+        ),
+        lambda: (personalized_pagerank(edges, source_id, iterations, damping),),
+    )
+    bi, _ = pinned_bi_deg(edges)
+    friends = (
+        bi.filter(F.col("src") == source_id)
+        .select(F.col("dst").alias("id"))
+        .distinct()
+    )
+    return (
+        pr.filter(F.col("id") != source_id)
+        .join(friends, "id", "left_anti")
+        .select("id", F.round("rank", 9).alias("ppr"))
+        .filter(F.col("ppr") > 0)
+        .orderBy(F.col("ppr").desc(), F.col("id").asc())
+        .limit(k)
+    )

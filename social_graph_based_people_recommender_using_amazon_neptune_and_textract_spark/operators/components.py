@@ -170,3 +170,25 @@ def _components_driver(spark, rows, dtype) -> DataFrame:
     return spark.createDataFrame(
         [(n, find(n)) for n in parent], schema
     )
+
+
+def pinned_connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """``connected_components`` as a PINNED index keyed per pair graph —
+    the serving model for full-graph membership: the iterative closure
+    (the expensive part) runs once per corpus snapshot; every serve
+    reads the vertex-sized (node, label) relation, exactly how a graph
+    store serves a precomputed clustering next to degrees/counts.
+    Either release hook drops it and the bench's cold pass re-pays the
+    propagation. The backing tracked checkpoint rides the pin's
+    lifecycle (pinned._CKPT_BACKED — the _bpe_fit_pinned precedent)."""
+    from ..pinned import pinned
+
+    (cc,) = pinned(
+        ("components", pairs.semanticHash(), a_col, b_col),
+        lambda: (connected_components(pairs, a_col=a_col, b_col=b_col),),
+    )
+    return cc
