@@ -228,3 +228,39 @@ def test_bounded_components_twin_matches_oracle():
         )
         got = sorted(bench._duckdb_components(con))
         assert got == want, sf
+
+
+def test_pinned_graph_serving_identical_and_rebuildable(spark):
+    """r9 pinned serving for the iterative graph analytics: the pinned
+    form must return exactly the live computation's rows, survive a
+    release (rebuild on next serve), and register/free its backing
+    checkpoints through the pin lifecycle."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark import (
+        checkpoints as CKPT,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark import (
+        pinned as PIN,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.graph.rank import (
+        pagerank_topk,
+        pinned_pagerank_topk,
+        pinned_pymk_ppr,
+        pymk_ppr,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.sources.tables import (
+        user_graph_edges,
+    )
+
+    e = user_graph_edges(spark, "/root/testdata/sf0.001")
+    live = sorted(map(tuple, pagerank_topk(e, 20).collect()))
+    served = sorted(map(tuple, pinned_pagerank_topk(e, 20).collect()))
+    assert served == live
+    live_ppr = sorted(map(tuple, pymk_ppr(e, 3, 10).collect()))
+    served_ppr = sorted(map(tuple, pinned_pymk_ppr(e, 3, 10).collect()))
+    assert served_ppr == live_ppr
+    # release = the cache TTL; the next serve rebuilds identically
+    PIN.release_all()
+    CKPT.release_all(spark)
+    assert sorted(map(tuple, pinned_pagerank_topk(e, 20).collect())) == live
+    PIN.release_all()
+    CKPT.release_all(spark)
