@@ -408,3 +408,27 @@ def pymk_all(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def pinned_pymk_all(
+    edges: DataFrame,
+    limit: int = 10,
+    whale_degree_cap: int = WHALE_DEGREE_CAP,
+    salt_r: int = SALT_R,
+) -> DataFrame:
+    """``pymk_all`` as a PINNED batch product keyed per (edge set,
+    limit): the all-users recommendation table is what a production
+    PYMK system computes per corpus snapshot and SERVES — the
+    reference's per-user Redis cache (es/neptune_recommend…:87-99,
+    TTL 600 s) is the per-key view of exactly this table, and release
+    is the TTL. The Σdeg²-bounded 2-hop batch (the expensive part)
+    runs once; every serve reads the |users|·limit-row relation.
+    Single-user ``pymk`` stays a LIVE traversal — the point-query path
+    the flagship measures."""
+    from ..pinned import pinned
+
+    (rec,) = pinned(
+        ("pymk_all", edges.semanticHash(), int(limit), int(whale_degree_cap), int(salt_r)),
+        lambda: (pymk_all(edges, limit, whale_degree_cap, salt_r),),
+    )
+    return rec

@@ -264,3 +264,37 @@ def test_pinned_graph_serving_identical_and_rebuildable(spark):
     assert sorted(map(tuple, pinned_pagerank_topk(e, 20).collect())) == live
     PIN.release_all()
     CKPT.release_all(spark)
+
+
+def test_bpe_encode_degenerate_inputs(spark):
+    """Empty training corpus → zero merges → every held-out word
+    segments to characters; empty held-out corpus → empty result;
+    token-free held-out docs emit no rows (the tokens_per_doc
+    contract)."""
+    empty = _docs(spark, [])
+    held = _docs(spark, ["ab cd", "!!!", ""])
+    out = {
+        r["doc_id"]: r["n_subwords"]
+        for r in T.bpe_encode_tokens_per_doc(empty, held, 5).collect()
+    }
+    assert out == {0: 4}  # a,b,c,d — chars; '!!!' and '' tokenize empty
+    assert T.bpe_encode_tokens_per_doc(
+        _docs(spark, TRAIN), empty, 5
+    ).count() == 0
+    assert T.fitted_bpe_merges(empty, 5) == []
+
+
+def test_write_clean_corpus_empty_and_unicode(spark, tmp_path):
+    """Empty corpus → empty (but readable) table; multibyte text round-
+    trips through the char-positioned span fold unchanged when nothing
+    is duplicated."""
+    empty = _docs(spark, [])
+    out = str(tmp_path / "c1")
+    assert D.write_clean_corpus(empty, out, min_len=10).count() == 0
+    uni = _docs(spark, ["héllo wörld ünïcode ß∂ƒ", "短い文書です"])
+    out2 = str(tmp_path / "c2")
+    back = {
+        r["doc_id"]: r["text"]
+        for r in D.write_clean_corpus(uni, out2, min_len=10).collect()
+    }
+    assert back == {0: "héllo wörld ünïcode ß∂ƒ", 1: "短い文書です"}
