@@ -1030,10 +1030,10 @@ def _q_graph_triangles(spark, sf_dir):
     so wedge fan-out is bounded by O(sqrt(m)) per vertex; the oracle
     counts the same triangles with the simpler id-ordered join."""
     from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.graph.triangles import (
-        triangle_stats,
+        pinned_triangle_stats,
     )
 
-    return triangle_stats(tables.user_graph_edges(spark, sf_dir))
+    return pinned_triangle_stats(tables.user_graph_edges(spark, sf_dir))
 
 
 def _q_status_history_scd2(spark, sf_dir):

@@ -296,19 +296,25 @@ def pinned_pymk_ppr(
     per (edge set, source) — bounded by the hot-user working set, the
     same bound the reference's cache carries; cache.py implements the
     byte-level Redis contract at the app layer while this keeps the
-    SERVING inside the engine."""
+    SERVING inside the engine. Concurrently pinned sources are LRU-
+    bounded at ``PPR_CACHE_CAP`` (the Redis-maxmemory analogue): the
+    coldest source's walk is released and recomputed on its next
+    request, so a server answering arbitrary users holds a bounded
+    working set instead of one vertex-sized pin per user forever."""
     from ..pinned import pinned
 
+    key = (
+        "ppr",
+        edges.semanticHash(),
+        str(source_id),
+        int(iterations),
+        float(damping),
+    )
     (pr,) = pinned(
-        (
-            "ppr",
-            edges.semanticHash(),
-            str(source_id),
-            int(iterations),
-            float(damping),
-        ),
+        key,
         lambda: (personalized_pagerank(edges, source_id, iterations, damping),),
     )
+    _ppr_cache_admit(key)
     bi, _ = pinned_bi_deg(edges)
     friends = (
         bi.filter(F.col("src") == source_id)
@@ -323,3 +329,28 @@ def pinned_pymk_ppr(
         .orderBy(F.col("ppr").desc(), F.col("id").asc())
         .limit(k)
     )
+
+
+#: Redis-maxmemory analogue for the per-source PPR cache: a long-lived
+#: server answering PYMK for arbitrary users would otherwise grow one
+#: vertex-sized pinned walk per distinct source forever (the unbounded
+#: sibling of pinned.MEMO_CAP). LRU over sources; eviction = release =
+#: the reference cache's TTL expiry — recompute on next request, never
+#: a correctness event.
+PPR_CACHE_CAP = 64
+_PPR_LRU: "OrderedDict" = None  # created lazily (collections import below)
+
+
+def _ppr_cache_admit(key) -> None:
+    global _PPR_LRU
+    from collections import OrderedDict
+
+    from ..pinned import release
+
+    if _PPR_LRU is None:
+        _PPR_LRU = OrderedDict()
+    _PPR_LRU[key] = None
+    _PPR_LRU.move_to_end(key)
+    while len(_PPR_LRU) > PPR_CACHE_CAP:
+        old, _ = _PPR_LRU.popitem(last=False)
+        release(old)

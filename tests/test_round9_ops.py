@@ -298,3 +298,45 @@ def test_write_clean_corpus_empty_and_unicode(spark, tmp_path):
         for r in D.write_clean_corpus(uni, out2, min_len=10).collect()
     }
     assert back == {0: "héllo wörld ünïcode ß∂ƒ", 1: "短い文書です"}
+
+
+def test_ppr_cache_lru_bounds_pinned_sources(spark, monkeypatch):
+    """pinned_pymk_ppr's per-source pins are LRU-bounded: with the cap
+    forced to 2, pinning a third source must release the coldest one
+    (recompute-on-next-request, never a correctness event)."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark import (
+        checkpoints as CKPT,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark import (
+        pinned as PIN,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.graph import (
+        rank as R,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.sources.tables import (
+        user_graph_edges,
+    )
+
+    PIN.release_all()
+    CKPT.release_all(spark)
+    monkeypatch.setattr(R, "PPR_CACHE_CAP", 2)
+    monkeypatch.setattr(R, "_PPR_LRU", None)
+    e = user_graph_edges(spark, "/root/testdata/sf0.001")
+    h = e.semanticHash()
+
+    def key(src):
+        return PIN.effective_key(("ppr", h, str(src), 3, 0.85))
+
+    first = sorted(map(tuple, R.pinned_pymk_ppr(e, 3, 5, 3, 0.85).collect()))
+    R.pinned_pymk_ppr(e, 5, 5, 3, 0.85).collect()
+    assert key(3) in PIN.pinned_keys() and key(5) in PIN.pinned_keys()
+    R.pinned_pymk_ppr(e, 7, 5, 3, 0.85).collect()  # evicts source 3
+    assert key(3) not in PIN.pinned_keys()
+    assert key(5) in PIN.pinned_keys() and key(7) in PIN.pinned_keys()
+    # the evicted source recomputes identically on its next request
+    assert (
+        sorted(map(tuple, R.pinned_pymk_ppr(e, 3, 5, 3, 0.85).collect()))
+        == first
+    )
+    PIN.release_all()
+    CKPT.release_all(spark)
