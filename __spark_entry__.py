@@ -658,6 +658,25 @@ def _aug(spark, sf_dir):
     return D.aug_corpus(tables.load_table(spark, sf_dir, "documents"))
 
 
+def _q_split_neardup_contamination(spark, sf_dir):
+    """Fuzzy train/test leakage (operators/contamination.py
+    neardup_contamination): near-duplicate pairs ACROSS the hash-split
+    boundary — MinHash/LSH candidates restricted to train×test, exact
+    Jaccard ≥ 0.5 verify; the paraphrase-leak complement of the exact-
+    shingle split_contamination audit (GPT-3's fuzzy benchmark dedup is
+    the public precedent). Runs on the augmented near-dup corpus so the
+    cross-split duplicate geometry actually exists at test scale."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        sampling as SA,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.contamination import (
+        neardup_contamination,
+    )
+
+    split = SA.hash_split(_aug(spark, sf_dir), "doc_id", train=0.8, dev=0.1)
+    return neardup_contamination(split, threshold=0.5)
+
+
 def _q_docs_hash_sample(spark, sf_dir):
     from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
         sampling as SA,
@@ -2674,6 +2693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_substring_clean_table": _q_docs_substring_clean_table,
         "docs_bpe_encode_heldout": _q_docs_bpe_encode_heldout,
         "streaming_bpe_encode": _q_streaming_bpe_encode,
+        "split_neardup_contamination": _q_split_neardup_contamination,
     }
     return _rotate(registry)
 

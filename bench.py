@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "split_decontaminated_train",
     "docs_bpe_encode_heldout",
     "docs_substring_clean_table",
+    "split_neardup_contamination",
 ]
 
 

@@ -172,3 +172,68 @@ def decontaminated_train(
         train_docs.join(bad, key, "left_anti")
         .select(key, F.size("_shs").cast("long").alias("n_shingles"))
     )
+
+
+def neardup_contamination(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    key: str = "doc_id",
+    text: str = "text",
+    split_col: str = "split",
+    train: str = "train",
+    test: str = "test",
+) -> DataFrame:
+    """FUZZY train/test leakage: near-duplicate pairs ACROSS the split
+    boundary — (train_doc_id, test_doc_id, jaccard ≥ threshold). The
+    exact-shingle audit (``contamination_report``) misses paraphrased
+    or lightly-edited benchmark leaks; production pipelines therefore
+    also run the fuzzy pass (GPT-3's 13-gram fuzzy benchmark dedup is
+    the public precedent). Reuses the near-dup engine wholesale: word
+    3-shingle MinHash signatures, banded LSH buckets, exact Jaccard
+    verify — with the candidate join RESTRICTED to train×test pairs,
+    so within-split duplicates (a dedup concern, not a leakage one)
+    never reach verification.
+
+    Scale: identical bounds to ``dedup_minhash_lsh`` — candidates are
+    bucket-local band joins (never all-pairs), the exact verify runs
+    only on cross-split candidates, and the split tags ride a
+    projection of the corpus scan (no second pass)."""
+    from .dedup import (
+        banded_signatures,
+        minhash_signatures_from_shingles,
+        shingle_bag,
+        verify_jaccard,
+    )
+
+    base = docs.select(F.col(key).alias("doc_id"), F.col(text).alias("text"),
+                       F.col(split_col).alias("_split"))
+    bag = shingle_bag(base.select("doc_id", "text"))
+    banded = banded_signatures(minhash_signatures_from_shingles(bag))
+    tags = base.select("doc_id", "_split")
+    tr = (
+        banded.join(tags.filter(F.col("_split") == train), "doc_id")
+        .select(F.col("doc_id").alias("doc_a"), "band", "sig")
+    )
+    te = (
+        banded.join(tags.filter(F.col("_split") == test), "doc_id")
+        .select(F.col("doc_id").alias("doc_b"), "band", "sig")
+    )
+    cands = tr.join(te, ["band", "sig"]).select("doc_a", "doc_b").distinct()
+    # exact verify only for docs that appear in some cross-split pair
+    cand_docs = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    shingles = bag.join(cand_docs, "doc_id", "left_semi").dropDuplicates(
+        ["doc_id", "shingle"]
+    )
+    return (
+        verify_jaccard(cands, shingles)
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("doc_a").alias("train_doc_id"),
+            F.col("doc_b").alias("test_doc_id"),
+            "jaccard",
+        )
+    )

@@ -797,7 +797,7 @@ jac AS (
 
 # mh signatures → banded buckets → candidate pairs (shared by the
 # standalone minhash query and the curation pipeline).
-_MH_CANDS = f"""\
+_MH_SIGS = f"""\
 mh AS (
   SELECT doc_id,
     {_mh_aggs}
@@ -809,7 +809,10 @@ mh AS (
 ),
 banded AS (
   {_band_rows}
-),
+)"""
+
+_MH_CANDS = f"""\
+{_MH_SIGS},
 cands AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM banded a JOIN banded b ON a.band = b.band AND a.sig = b.sig
@@ -825,6 +828,31 @@ SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.5"""
 # Streaming incremental MinHash-LSH (streaming/neardup.py): the drained
 # stream's converged pair set is the batch operator's — same oracle.
 ORACLES["streaming_dedup_minhash"] = ORACLES["dedup_minhash_lsh"]
+
+# Fuzzy cross-split leakage (operators/contamination.py
+# neardup_contamination): the near-dup engine's signatures and LSH
+# buckets with candidates RESTRICTED to train×test pairs of the hash
+# split — paraphrased benchmark leaks the exact-shingle audit misses.
+ORACLES["split_neardup_contamination"] = f"""\
+WITH {AUG_CORPUS_SQL}, {_SHINGLE_CTES},
+{_MH_SIGS},
+spl AS (
+  SELECT doc_id,
+         CASE WHEN {_BUCKET} < 8000 THEN 'train'
+              WHEN {_BUCKET} < 9000 THEN 'dev'
+              ELSE 'test' END AS split
+  FROM aug
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a
+  JOIN spl pa ON pa.doc_id = a.doc_id AND pa.split = 'train'
+  JOIN banded b ON a.band = b.band AND a.sig = b.sig
+  JOIN spl pb ON pb.doc_id = b.doc_id AND pb.split = 'test'
+),
+{_VERIFY}
+SELECT doc_a AS train_doc_id, doc_b AS test_doc_id, jaccard
+FROM jac WHERE jaccard >= 0.5"""
 
 # Cluster assignment (operators/components.py): connected components of
 # the verified ≥0.5-Jaccard pair graph — min reachable id via a

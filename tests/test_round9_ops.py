@@ -340,3 +340,34 @@ def test_ppr_cache_lru_bounds_pinned_sources(spark, monkeypatch):
     )
     PIN.release_all()
     CKPT.release_all(spark)
+
+
+def test_neardup_contamination_finds_cross_split_leaks_only(spark):
+    """A test document that near-duplicates a train document must
+    surface; near-dup pairs WITHIN one split must not (they are a dedup
+    concern, not leakage); unrelated documents never pair."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.contamination import (
+        neardup_contamination,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep dark forest tonight"
+    )
+    rows = [
+        (1, base, "train"),
+        (2, base + " extra tail", "test"),       # cross-split leak
+        (3, base + " extra tail", "train"),      # within-train dup of 2's text
+        (4, "completely different content about spark physical plans "
+            "and shuffle exchanges in a distributed engine", "test"),
+        (5, base + " extra tail", "test"),       # within-test dup
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, split string"
+    )
+    got = {
+        (r["train_doc_id"], r["test_doc_id"])
+        for r in neardup_contamination(docs, threshold=0.5).collect()
+    }
+    # every (train, test) near-dup pair, nothing within-split, no doc 4
+    assert got == {(1, 2), (3, 2), (1, 5), (3, 5)}
