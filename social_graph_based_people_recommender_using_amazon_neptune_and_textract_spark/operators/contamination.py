@@ -197,7 +197,42 @@ def neardup_contamination(
     Scale: identical bounds to ``dedup_minhash_lsh`` — candidates are
     bucket-local band joins (never all-pairs), the exact verify runs
     only on cross-split candidates, and the split tags ride a
-    projection of the corpus scan (no second pass)."""
+    projection of the corpus scan (no second pass). The verified audit
+    relation is PINNED per (corpus, threshold, split labels) — it is
+    exactly the leakage report a pipeline materializes once per
+    snapshot (the dedup_minhash_lsh verified-table precedent); release
+    re-pays the signature pipeline."""
+    from ..pinned import pinned
+
+    (audit,) = pinned(
+        (
+            "neardup_contam",
+            docs.semanticHash(),
+            float(threshold),
+            key,
+            text,
+            split_col,
+            train,
+            test,
+        ),
+        lambda: (
+            _neardup_contamination_build(
+                docs, threshold, key, text, split_col, train, test
+            ),
+        ),
+    )
+    return audit
+
+
+def _neardup_contamination_build(
+    docs: DataFrame,
+    threshold: float,
+    key: str,
+    text: str,
+    split_col: str,
+    train: str,
+    test: str,
+) -> DataFrame:
     from .dedup import (
         banded_signatures,
         minhash_signatures_from_shingles,
