@@ -2167,13 +2167,20 @@ def _q_docs_substring_clean_table(spark, sf_dir):
     (doc_id, n_clean_chars, clean_fp) rolls the megabyte text column
     down to a length + fingerprint so the cross-engine hash check
     stays cheap while still covering every byte of the written text."""
+    import hashlib
     import tempfile
 
     from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.dedup import (
         write_clean_corpus,
     )
 
-    base = tempfile.mkdtemp(prefix="sgr-clean-")
+    # Stable location keyed by sf_dir (same convention as the bucketed-
+    # edges query above): repeated invocations overwrite in place via the
+    # swap protocol instead of orphaning a full cleaned-corpus copy per
+    # run; the swap protocol already makes the in-place overwrite
+    # crash-safe.
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"{tempfile.gettempdir()}/sgr-clean-{key}"
     clean = write_clean_corpus(
         tables.load_table(spark, sf_dir, "documents"), f"{base}/clean_docs"
     )
@@ -2513,9 +2520,18 @@ def _rotate(
     round. Ties keep canonical registration order. The same evidence map
     drives COVERAGE.md's rotation table (tools/rotation_report.py)."""
     evidence = _driver_evidence()
+    # Declared rows-only entries (no DuckDB twin BY NATURE — e.g. the
+    # HLL sketch whose binary registers have no SQL equivalent) can
+    # never turn hash-green, so never-green = 0 would pin them to the
+    # window HEAD forever, burning one of the driver's 50 hash-checkable
+    # slots every round. Sort them to the registry TAIL instead: every
+    # window slot stays a verifiable check.
+    checkable = set(oracles.ORACLES)
 
     def sort_key(item: tuple[int, str]) -> tuple[float, int]:
         idx, name = item
+        if name not in checkable:
+            return (float("inf"), idx)
         rnd = float(evidence.get(name, 0))
         if name == _FLAGSHIP and rnd:
             rnd = 0.5

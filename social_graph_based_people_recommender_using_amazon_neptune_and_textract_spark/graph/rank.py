@@ -345,12 +345,20 @@ def _ppr_cache_admit(key) -> None:
     global _PPR_LRU
     from collections import OrderedDict
 
-    from ..pinned import release
+    from ..pinned import pinned_keys, release
 
     if _PPR_LRU is None:
         _PPR_LRU = OrderedDict()
     _PPR_LRU[key] = None
     _PPR_LRU.move_to_end(key)
+    # Pins dropped externally (pinned.release_all in a bench cold pass,
+    # evict_checkpoint_backed) leave stale LRU keys behind; purge them
+    # first so a stale entry never counts against the cap — otherwise
+    # the effective number of concurrently LIVE PPR pins sits below
+    # PPR_CACHE_CAP until the stale slots age out.
+    live = pinned_keys()
+    for stale in [k for k in _PPR_LRU if k not in live]:
+        del _PPR_LRU[stale]
     while len(_PPR_LRU) > PPR_CACHE_CAP:
         old, _ = _PPR_LRU.popitem(last=False)
         release(old)

@@ -191,9 +191,16 @@ def topk_order_revenue(
             F.col("l_extendedprice").cast(DEC)
             * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
         ).alias("_r"),
-    ).hint("shuffle_hash")
+    )
+    # The hint rides on the orders⋈customer side: Spark builds the
+    # ShuffledHashJoin hash map from the HINTED side, and the segment-
+    # filtered orders side is the small one — building from the filtered
+    # fact would reintroduce the very per-partition memory pressure the
+    # pinned-shuffle contract above exists to avoid.
     j = li.join(
-        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")),
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")).hint(
+            "shuffle_hash"
+        ),
         F.col("l_orderkey") == F.col("o_orderkey"),
     )
     agg = j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(

@@ -218,7 +218,13 @@ class StreamingBpeEncode(StreamingSumRollup):
         self.text_col = text_col
 
     def _batch_partial(self, batch_df: DataFrame) -> DataFrame:
-        from ..functions.text import _char_syms, bpe_apply_merges, tokenize
+        from ..functions.text import (
+            BROADCAST_DIM_CAP_BYTES,
+            _char_syms,
+            bpe_apply_merges,
+            tokenize,
+        )
+        from ..plans.audit import estimated_size_bytes
 
         vocab = (
             batch_df.select(
@@ -231,12 +237,17 @@ class StreamingBpeEncode(StreamingSumRollup):
         seg_len = bpe_apply_merges(vocab, self.merges).select(
             "word", F.size("syms").cast("long").alias("n_sub")
         )
+        # Same estimated-size gate as the batch encode paths (text.py):
+        # a broadcast hint is always honored, and a huge micro-batch's
+        # distinct-word dim must fall back to a plain equi-join.
+        if estimated_size_bytes(seg_len) <= BROADCAST_DIM_CAP_BYTES:
+            seg_len = F.broadcast(seg_len)
         return (
             batch_df.select(
                 F.col(self.id_col),
                 F.explode(tokenize(F.col(self.text_col))).alias("word"),
             )
-            .join(F.broadcast(seg_len), "word")
+            .join(seg_len, "word")
             .groupBy(self.id_col)
             .agg(F.sum("n_sub").cast("decimal(28,6)").alias("s"))
             .select(

@@ -17,14 +17,30 @@ def test_rotation_window_invariants():
     evidence = entrymod._driver_evidence()
     window = ordered[:WINDOW]
 
-    # 1. Every never-driver-verified query outranks every verified one
-    #    (or the window is all-never, impossible here), so no new query
-    #    can silently ship without a driver row while verified ones
-    #    occupy its slot.
-    never = [q for q in ordered if q not in evidence and q != entrymod._FLAGSHIP]
+    # 1. Every never-driver-verified ORACLE-CHECKABLE query outranks
+    #    every verified one (or the window is all-never, impossible
+    #    here), so no new query can silently ship without a driver row
+    #    while verified ones occupy its slot. Declared rows-only
+    #    entries (no DuckDB twin by nature) are exempt: they can never
+    #    turn hash-green, so they sort to the registry TAIL instead of
+    #    permanently burning a window slot (r9 verdict item 1).
+    checkable = set(entrymod.oracle_sql())
+    never = [
+        q
+        for q in ordered
+        if q not in evidence and q != entrymod._FLAGSHIP and q in checkable
+    ]
     if len(never) <= WINDOW:
         missing = [q for q in never if q not in window]
         assert not missing, f"never-verified outside window: {missing}"
+
+    # 1b. Rows-only entries sit strictly after every checkable entry,
+    #     so all 50 window slots stay hash-verifiable.
+    rows_only = [q for q in ordered if q not in checkable]
+    if rows_only:
+        first_rows_only = ordered.index(rows_only[0])
+        last_checkable = max(ordered.index(q) for q in ordered if q in checkable)
+        assert first_rows_only > last_checkable
 
     # 2. The flagship is pinned into the window every round.
     assert entrymod._FLAGSHIP in window
