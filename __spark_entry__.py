@@ -1388,6 +1388,31 @@ def _q_docs_bpe_tokens_per_doc(spark, sf_dir):
     return bpe_tokens_per_doc(tables.load_table(spark, sf_dir, "documents"), 8)
 
 
+def _q_docs_unigram_vocab(spark, sf_dir):
+    """Unigram-LM tokenizer training (functions/text.py unigram_vocab;
+    Kudo 2018 / SentencePiece): 3 hard-EM rounds over the word table —
+    Viterbi E-step, integer-count M-step with unused-piece pruning and
+    character floor-smoothing. (piece, cnt) — the fitted model as a
+    relation, exact integers."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.functions.text import (
+        unigram_vocab,
+    )
+
+    return unigram_vocab(tables.load_table(spark, sf_dir, "documents"))
+
+
+def _q_docs_unigram_encode(spark, sf_dir):
+    """Unigram-LM corpus encode (functions/text.py
+    unigram_tokens_per_doc): per-document Viterbi piece count under the
+    fitted model — same broadcast-the-word-dim join shape as the BPE
+    encode; the corpus side never shuffles."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.functions.text import (
+        unigram_tokens_per_doc,
+    )
+
+    return unigram_tokens_per_doc(tables.load_table(spark, sf_dir, "documents"))
+
+
 def _q_graph_weighted_paths(spark, sf_dir):
     """Hop-bounded weighted shortest paths (graph/traverse.py
     weighted_shortest_paths): 3 distributed Bellman–Ford min-plus
@@ -2710,6 +2735,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_bpe_encode_heldout": _q_docs_bpe_encode_heldout,
         "streaming_bpe_encode": _q_streaming_bpe_encode,
         "split_neardup_contamination": _q_split_neardup_contamination,
+        "docs_unigram_vocab": _q_docs_unigram_vocab,
+        "docs_unigram_encode": _q_docs_unigram_encode,
     }
     return _rotate(registry)
 

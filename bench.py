@@ -124,6 +124,8 @@ BENCH_QUERIES = [
     "docs_bpe_encode_heldout",
     "docs_substring_clean_table",
     "split_neardup_contamination",
+    "docs_unigram_vocab",
+    "docs_unigram_encode",
 ]
 
 

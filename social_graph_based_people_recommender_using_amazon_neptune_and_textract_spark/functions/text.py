@@ -1059,3 +1059,264 @@ def hashed_features(
         .groupBy(id_col, "bucket")
         .agg(F.sum("s").cast("long").alias("weight"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer (SentencePiece-style; Kudo 2018, "Subword
+# Regularization"). The canonical tokenizer family beside BPE: pieces
+# carry probabilities, words segment by VITERBI (max-probability path),
+# and training is EM — E-step: hard counts of piece uses over each
+# word's Viterbi segmentation; M-step: renormalize counts into
+# probabilities, dropping pieces no segmentation uses (the pruning
+# step), with single characters floor-smoothed at count 1 so the model
+# always covers the alphabet (SentencePiece's character-coverage
+# guarantee).
+#
+# Cross-engine determinism WITHOUT rounding declarations: every piece
+# probability is one IEEE division cnt/total of exact integers, every
+# path score is a left-to-right IEEE product of those — both engines
+# compute bit-identical doubles. Viterbi ties break on the
+# lexicographically smallest pieces array; two candidates at the same
+# position always cover the same characters, so neither array is a
+# proper prefix of the other and the comparison is extension-monotone —
+# the DP fixpoint is unique no matter the relaxation order.
+
+#: Longest candidate piece (SentencePiece's max_sentencepiece_length
+#: analogue). The Viterbi DP examines exactly this many predecessors
+#: per position, so the fold is O(len * UNIGRAM_MAX_PIECE_LEN).
+UNIGRAM_MAX_PIECE_LEN = 4
+#: Seed-vocabulary cap: the top-V substrings by corpus count (ties by
+#: piece ascending) — plus ALL single characters — form round-0's
+#: candidate set; EM only ever shrinks it.
+UNIGRAM_SEED_VOCAB = 48
+UNIGRAM_EM_ROUNDS = 3
+
+
+def _unigram_word_table(df: DataFrame, text_col: str) -> DataFrame:
+    """(word, freq) — the one corpus-sized pass (same massive reduction
+    as ``_bpe_fit``: 100 TB of text becomes a Heaps-law-sized table);
+    every EM round below touches only this relation."""
+    return (
+        df.select(F.explode(tokenize(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+
+
+def _unigram_seed(words: DataFrame, max_len: int, seed_cap: int) -> DataFrame:
+    """Round-0 candidate vocabulary: every substring of length
+    1..max_len of every word, cnt = Σ freq·occurrences; top-``seed_cap``
+    by (cnt desc, piece asc) ∪ all single characters. One explode +
+    piece-keyed map-side-combined sum over the vocabulary-sized word
+    table — the corpus itself is never rescanned."""
+    occ = (
+        words.select(
+            "word",
+            "freq",
+            F.explode(F.sequence(F.lit(0), F.length("word") - 1)).alias("i"),
+        )
+        .select(
+            "word",
+            "freq",
+            "i",
+            F.explode(F.sequence(F.lit(1), F.lit(max_len))).alias("w"),
+        )
+        .filter(F.col("i") + F.col("w") <= F.length("word"))
+        .select(
+            "freq",
+            F.col("word").substr(F.col("i") + 1, F.col("w")).alias("piece"),
+        )
+    )
+    cand = occ.groupBy("piece").agg(F.sum("freq").cast("long").alias("cnt"))
+    top = cand.orderBy(F.col("cnt").desc(), F.col("piece").asc()).limit(seed_cap)
+    chars = cand.filter(F.length("piece") == 1)
+    return (
+        top.unionByName(chars).groupBy("piece").agg(F.max("cnt").alias("cnt"))
+    )
+
+
+def _unigram_vmap(vocab: DataFrame) -> DataFrame:
+    """1-row (vmap) relation: piece → p = cnt/total as an in-plan map —
+    the model the DP folds against. The map is vocabulary-sized (≤ seed
+    cap + alphabet), so shipping it is a 1-row broadcast fold (house
+    crossJoin pattern), never a per-word shuffle."""
+    tot = vocab.agg(F.sum("cnt").cast("double").alias("_total"))
+    return vocab.crossJoin(F.broadcast(tot)).agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    F.col("piece"),
+                    (F.col("cnt").cast("double") / F.col("_total")).alias("p"),
+                )
+            )
+        ).alias("vmap")
+    )
+
+
+def _unigram_pick(a: Column, b: Column) -> Column:
+    """max under the DP total order: higher score, then lexicographically
+    smaller pieces array (see the section comment's uniqueness proof)."""
+    return F.when(
+        (b["s"] > a["s"]) | ((b["s"] == a["s"]) & (b["ps"] < a["ps"])), b
+    ).otherwise(a)
+
+
+def _unigram_final(word: Column, vmap: Column, max_len: int) -> Column:
+    """The word's final Viterbi entry struct(s, ps): a left fold over
+    positions 1..len — accumulator = the DP table so far (array of
+    best-entry structs, index = position + 1), each step picking the
+    best of the ≤max_len in-vocabulary predecessors. Pure column
+    expressions (whole-stage codegen); the oracle twin folds the
+    IDENTICAL recurrence with DuckDB list_reduce."""
+    sent = F.struct(
+        F.lit(0.0).alias("s"), F.array().cast("array<string>").alias("ps")
+    )
+
+    def cand(acc: Column, w: int) -> Column:
+        j = F.size(acc)  # the position this step fills
+        piece = word.substr(j - w + 1, F.lit(w))
+        prev = F.element_at(acc, j - w + 1)
+        p = F.coalesce(F.element_at(vmap, piece), F.lit(0.0))
+        return F.when(
+            (j >= w) & (p > 0.0),
+            F.struct(
+                (prev["s"] * p).alias("s"),
+                F.concat(prev["ps"], F.array(piece)).alias("ps"),
+            ),
+        ).otherwise(sent)
+
+    def step(acc: Column, _x: Column) -> Column:
+        best = cand(acc, 1)
+        for w in range(2, max_len + 1):
+            best = _unigram_pick(best, cand(acc, w))
+        return F.concat(acc, F.array(best))
+
+    init = F.array(
+        F.struct(
+            F.lit(1.0).alias("s"), F.array().cast("array<string>").alias("ps")
+        )
+    )
+    dp = F.aggregate(F.sequence(F.lit(1), F.length(word)), init, step)
+    return F.element_at(dp, F.length(word) + 1)
+
+
+def _unigram_fit(
+    df: DataFrame, rounds: int, max_len: int, seed_cap: int, text_col: str
+) -> DataFrame:
+    """EM training loop; returns the fitted (piece, cnt) vocabulary.
+    Per round: one 1-row vmap fold, one Viterbi pass over the WORD
+    table (not the corpus), one piece-keyed usage sum, one vocab-sized
+    left join — zero driver-side data traffic (BPE's per-round argmax
+    sync is already 1 row; here it is none). Round state is
+    localCheckpointed so lineage stays O(1) in rounds."""
+    from .. import checkpoints as CKPT
+
+    spark = df.sparkSession
+    words, wids = CKPT.checkpoint(_unigram_word_table(df, text_col))
+    vocab, ids = CKPT.checkpoint(_unigram_seed(words, max_len, seed_cap))
+    for _ in range(rounds):
+        vm = _unigram_vmap(vocab)
+        fin = words.crossJoin(F.broadcast(vm)).select(
+            "freq",
+            _unigram_final(F.col("word"), F.col("vmap"), max_len).alias("fin"),
+        )
+        usage = (
+            fin.select(F.explode(F.col("fin.ps")).alias("piece"), "freq")
+            .groupBy("piece")
+            .agg(F.sum("freq").cast("long").alias("used"))
+        )
+        nxt = (
+            vocab.join(usage, "piece", "left")
+            .select(
+                "piece",
+                F.when(
+                    F.length("piece") == 1,
+                    F.greatest(F.coalesce(F.col("used"), F.lit(0)), F.lit(1)),
+                )
+                .otherwise(F.coalesce(F.col("used"), F.lit(0)))
+                .cast("long")
+                .alias("cnt"),
+            )
+            .filter(F.col("cnt") > 0)
+        )
+        vocab, new_ids = CKPT.checkpoint(nxt)
+        CKPT.free(spark, ids, blocking=False)
+        ids = new_ids
+    CKPT.free(spark, wids, blocking=False)
+    return vocab
+
+
+def _unigram_fit_pinned(
+    df: DataFrame,
+    rounds: int = UNIGRAM_EM_ROUNDS,
+    max_len: int = UNIGRAM_MAX_PIECE_LEN,
+    seed_cap: int = UNIGRAM_SEED_VOCAB,
+    text_col: str = "text",
+) -> DataFrame:
+    """Fitted vocabulary as a PINNED index keyed per (corpus, params) —
+    the same train-once-serve-many contract as ``_bpe_fit_pinned``; the
+    final round's checkpoint backing rides the pin lifecycle."""
+    from ..pinned import pinned
+
+    (vocab,) = pinned(
+        ("unigram_fit", df.semanticHash(), rounds, max_len, seed_cap, text_col),
+        lambda: (_unigram_fit(df, rounds, max_len, seed_cap, text_col),),
+    )
+    return vocab
+
+
+def unigram_vocab(
+    df: DataFrame,
+    rounds: int = UNIGRAM_EM_ROUNDS,
+    text_col: str = "text",
+) -> DataFrame:
+    """The fitted unigram-LM vocabulary — (piece, cnt), cnt = the
+    E-step's freq-weighted Viterbi use count after the final round
+    (exact integers; probabilities are cnt/total). Ordered
+    (cnt desc, piece asc). The artifact a SentencePiece .model file
+    carries, as a relation."""
+    return _unigram_fit_pinned(df, rounds, text_col=text_col).orderBy(
+        F.col("cnt").desc(), F.col("piece").asc()
+    )
+
+
+def unigram_tokens_per_doc(
+    df: DataFrame,
+    rounds: int = UNIGRAM_EM_ROUNDS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus encode under the fitted unigram LM: (id, n_pieces) =
+    per-document Viterbi piece count — the token-budget number, same
+    join shape as ``bpe_tokens_per_doc``: the per-WORD piece count is
+    computed once on the vocabulary-sized word table, then broadcast
+    (size-gated) into the exploded corpus scan; the 100 TB side never
+    shuffles."""
+    from ..plans.audit import estimated_size_bytes
+
+    vocab = _unigram_fit_pinned(df, rounds, text_col=text_col)
+    vm = _unigram_vmap(vocab)
+    seg_len = (
+        _unigram_word_table(df, text_col)
+        .crossJoin(F.broadcast(vm))
+        .select(
+            "word",
+            F.size(
+                _unigram_final(
+                    F.col("word"), F.col("vmap"), UNIGRAM_MAX_PIECE_LEN
+                )["ps"]
+            )
+            .cast("long")
+            .alias("n"),
+        )
+    )
+    if estimated_size_bytes(seg_len) <= BROADCAST_DIM_CAP_BYTES:
+        seg_len = F.broadcast(seg_len)
+    return (
+        df.select(
+            F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("word")
+        )
+        .join(seg_len, "word")
+        .groupBy(id_col)
+        .agg(F.sum("n").cast("long").alias("n_pieces"))
+    )

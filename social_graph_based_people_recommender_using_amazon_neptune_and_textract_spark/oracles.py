@@ -3405,3 +3405,141 @@ JOIN nation cn ON c_nationkey = cn.n_nationkey
 JOIN nation sn ON s_nationkey = sn.n_nationkey
 WHERE cn.n_name <> sn.n_name
 GROUP BY cn.n_name, sn.n_name, year(l_shipdate)"""
+
+
+def _unigram_sql(rounds: int, final: str, seed_cap: int = 48, max_len: int = 4) -> str:
+    """Generated unigram-LM tokenizer twin (functions/text.py
+    unigram_vocab / unigram_tokens_per_doc; Kudo 2018). Mirrors the
+    engine's recurrence EXACTLY: piece probabilities are single IEEE
+    divisions of exact integer counts, Viterbi scores are left-to-right
+    IEEE products, ties break on the lexicographically smaller pieces
+    list — so both engines compute bit-identical doubles and no
+    rounding declaration is needed (see the text.py section comment's
+    uniqueness proof).
+
+    The per-word Viterbi DP is one DuckDB ``list_reduce`` whose
+    accumulator is the DP table (list of best-entry structs, index =
+    position + 1); the ≤max_len predecessor candidates are unrolled in
+    the generated SQL (DuckDB 1.0 mis-binds variables captured by
+    NESTED lambdas and drops list-typed struct fields carried through a
+    struct accumulator — both bugs are avoided by keeping the
+    accumulator a plain list and the candidate scan lambda-free), with
+    piece lookups against a 1-row piece→p MAP. CTEs are MATERIALIZED
+    (the BPE twins' file-handle lesson)."""
+    sent = "struct_pack(s := CAST(0.0 AS DOUBLE), ps := CAST([] AS VARCHAR[]))"
+
+    def pick(a: str, b: str) -> str:
+        return (
+            f"(CASE WHEN ({b}).s > ({a}).s OR (({b}).s = ({a}).s "
+            f"AND ({b}).ps < ({a}).ps) THEN ({b}) ELSE ({a}) END)"
+        )
+
+    def cand(w: int) -> str:
+        piece = f"substr(word, len(acc) - {w} + 1, {w})"
+        prev = f"list_extract(acc, len(acc) - {w} + 1)"
+        p = (
+            f"coalesce(list_extract(map_extract(vmap, {piece}), 1), "
+            "CAST(0.0 AS DOUBLE))"
+        )
+        return (
+            f"(CASE WHEN len(acc) >= {w} AND {p} > 0.0 THEN "
+            f"struct_pack(s := ({prev}).s * {p}, "
+            f"ps := ({prev}).ps || [{piece}]) ELSE {sent} END)"
+        )
+
+    best = cand(1)
+    for w in range(2, max_len + 1):
+        best = pick(best, cand(w))
+    fold = f"""list_extract(list_reduce(
+      [[struct_pack(s := CAST(1.0 AS DOUBLE), ps := CAST([] AS VARCHAR[]))]] ||
+      list_transform(generate_series(1, len(word)),
+                     j -> CAST([] AS STRUCT(s DOUBLE, ps VARCHAR[])[])),
+      (acc, x) -> acc || [{best}]
+    ), len(word) + 1)"""
+
+    def vm(n: int) -> str:
+        return f"""vm{n} AS MATERIALIZED (
+  SELECT map(list(piece ORDER BY piece),
+             list(CAST(cnt AS DOUBLE) / t.total ORDER BY piece)) AS vmap
+  FROM v{n}, (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM v{n}) t
+  GROUP BY t.total
+)"""
+
+    parts = [
+        f"""w0 AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest({TOKENIZE.format(col='text')}) AS word FROM documents)
+  GROUP BY word
+)""",
+        f"""seedcand AS MATERIALIZED (
+  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+    SELECT w.freq, substr(w.word, q.i + 1, q.width) AS piece
+    FROM w0 w, LATERAL (
+      SELECT i, width
+      FROM unnest(generate_series(0, len(w.word) - 1)) AS s(i),
+           unnest(generate_series(1, {max_len})) AS t(width)
+      WHERE i + width <= len(w.word)
+    ) q
+  ) GROUP BY piece
+)""",
+        f"""v0 AS MATERIALIZED (
+  SELECT piece, max(cnt) AS cnt FROM (
+    (SELECT piece, cnt FROM seedcand
+     ORDER BY cnt DESC, piece ASC LIMIT {seed_cap})
+    UNION ALL
+    SELECT piece, cnt FROM seedcand WHERE length(piece) = 1
+  ) GROUP BY piece
+)""",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(vm(p))
+        parts.append(
+            f"""vit{r} AS MATERIALIZED (
+  SELECT word, freq, {fold} AS fin FROM w0, vm{p}
+)"""
+        )
+        parts.append(
+            f"""use{r} AS MATERIALIZED (
+  SELECT piece, CAST(sum(freq) AS BIGINT) AS used
+  FROM (SELECT unnest(fin.ps) AS piece, freq FROM vit{r})
+  GROUP BY piece
+)"""
+        )
+        parts.append(
+            f"""v{r} AS MATERIALIZED (
+  SELECT piece, cnt FROM (
+    SELECT v.piece,
+           CAST(CASE WHEN length(v.piece) = 1
+                THEN greatest(coalesce(u.used, 0), 1)
+                ELSE coalesce(u.used, 0) END AS BIGINT) AS cnt
+    FROM v{p} v LEFT JOIN use{r} u ON v.piece = u.piece
+  ) WHERE cnt > 0
+)"""
+        )
+    if final == "vocab":
+        tail = f"SELECT piece, cnt FROM v{rounds} ORDER BY cnt DESC, piece ASC"
+        return "WITH " + ",\n".join(parts) + "\n" + tail
+    # encode: per-word Viterbi piece count under the FITTED model, then
+    # the per-doc sum over the exploded corpus
+    parts.append(vm(rounds))
+    parts.append(
+        f"""seg AS MATERIALIZED (
+  SELECT word, CAST(len(({fold}).ps) AS BIGINT) AS n FROM w0, vm{rounds}
+)"""
+    )
+    tail = f"""SELECT d.doc_id AS doc_id, CAST(sum(s.n) AS BIGINT) AS n_pieces
+FROM (SELECT doc_id, unnest({TOKENIZE.format(col='text')}) AS word
+      FROM documents) d
+JOIN seg s ON d.word = s.word
+GROUP BY d.doc_id"""
+    return "WITH " + ",\n".join(parts) + "\n" + tail
+
+
+# Unigram-LM tokenizer training (functions/text.py unigram_vocab): the
+# fitted (piece, cnt) vocabulary after 3 hard-EM rounds.
+ORACLES["docs_unigram_vocab"] = _unigram_sql(3, "vocab")
+
+# Unigram-LM corpus encode (functions/text.py unigram_tokens_per_doc):
+# per-document Viterbi piece count under the fitted model.
+ORACLES["docs_unigram_encode"] = _unigram_sql(3, "encode")
