@@ -1388,6 +1388,20 @@ def _q_docs_bpe_tokens_per_doc(spark, sf_dir):
     return bpe_tokens_per_doc(tables.load_table(spark, sf_dir, "documents"), 8)
 
 
+def _q_docs_quality_classifier(spark, sf_dir):
+    """Learned quality-classifier application (functions/text.py
+    quality_classifier_margin): hashed features ⋈ the broadcast
+    constant integer weight relation — the fastText-style model-based
+    curation gate, exact BIGINT margins."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.functions.text import (
+        quality_classifier_margin,
+    )
+
+    return quality_classifier_margin(
+        tables.load_table(spark, sf_dir, "documents")
+    )
+
+
 def _q_docs_unigram_vocab(spark, sf_dir):
     """Unigram-LM tokenizer training (functions/text.py unigram_vocab;
     Kudo 2018 / SentencePiece): 3 hard-EM rounds over the word table —
@@ -2737,6 +2751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_neardup_contamination": _q_split_neardup_contamination,
         "docs_unigram_vocab": _q_docs_unigram_vocab,
         "docs_unigram_encode": _q_docs_unigram_encode,
+        "docs_quality_classifier": _q_docs_quality_classifier,
     }
     return _rotate(registry)
 

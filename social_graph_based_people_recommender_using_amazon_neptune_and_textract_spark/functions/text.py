@@ -1320,3 +1320,56 @@ def unigram_tokens_per_doc(
         .groupBy(id_col)
         .agg(F.sum("n").cast("long").alias("n_pieces"))
     )
+
+
+#: Integer weight range of the stand-in classifier model: weights live
+#: in [-QUALITY_CLF_SCALE, +QUALITY_CLF_SCALE] and margins are exact
+#: BIGINT sums (the logistic is monotone in the margin, so a
+#: threshold-on-margin gate is the threshold-on-probability gate).
+QUALITY_CLF_SCALE = 1000
+
+
+def quality_classifier_weights(spark, n_buckets: int = 256) -> DataFrame:
+    """The linear quality model as a CONSTANT relation (bucket, w) —
+    the artifact a trained fastText-style classifier (Joulin et al.
+    2016; the GPT-3/CCNet curation gate) exports. Weights here are a
+    DECLARED deterministic stand-in (md5 of the bucket id, folded into
+    [-scale, scale]); swapping in genuinely trained weights is a data
+    change, not a code change. |relation| = n_buckets — always
+    broadcastable."""
+    from ..operators.dedup import md5_long
+
+    b = spark.range(n_buckets).select(F.col("id").cast("long").alias("bucket"))
+    h = md5_long(F.col("bucket").cast("string"), 15)
+    return b.select(
+        "bucket",
+        (h % (2 * QUALITY_CLF_SCALE + 1) - QUALITY_CLF_SCALE)
+        .cast("long")
+        .alias("w"),
+    )
+
+
+def quality_classifier_margin(
+    df: DataFrame,
+    n_buckets: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Learned-quality-classifier application — the standard model-based
+    curation gate beside the heuristic ``quality_scores``: margin(doc) =
+    Σ_b w(b) · hashed_feature(doc, b), an EXACT integer (so the
+    cross-engine check is float-free); keep iff margin ≥ threshold is
+    the logistic-probability gate by monotonicity. Returns
+    (id, margin).
+
+    Scale: ``hashed_features`` is one scan + one (doc, bucket) sum with
+    NO vocabulary table (the hashing trick's point at 100 TB); the
+    model join is a broadcast of an n_buckets-row constant relation;
+    the margin is one more doc-keyed map-side-combined sum."""
+    w = F.broadcast(quality_classifier_weights(df.sparkSession, n_buckets))
+    return (
+        hashed_features(df, n_buckets, id_col, text_col)
+        .join(w, "bucket")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("w") * F.col("weight")).cast("long").alias("margin"))
+    )

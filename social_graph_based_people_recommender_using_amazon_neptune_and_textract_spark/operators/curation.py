@@ -62,6 +62,20 @@ def text_gate_stats(corpus: DataFrame) -> DataFrame:
     return gates
 
 
+def classifier_margins(corpus: DataFrame, n_buckets: int = 256) -> DataFrame:
+    """(doc_id, margin) — the learned-quality-classifier margins
+    (functions/text.quality_classifier_margin), pinned once per corpus
+    exactly like ``text_gate_stats``: thresholds stay OUT of the pinned
+    relation so every (gate, threshold) combination reuses it."""
+    from ..functions.text import quality_classifier_margin
+
+    (m,) = pinned(
+        ("clf_margin", corpus.semanticHash(), n_buckets),
+        lambda: (quality_classifier_margin(corpus, n_buckets),),
+    )
+    return m
+
+
 def curate(
     corpus: DataFrame,
     lang: str = "en",
@@ -69,9 +83,16 @@ def curate(
     near_dup_threshold: float = 0.5,
     train: float = 0.8,
     dev: float = 0.1,
+    classifier_min_margin: int | None = None,
 ) -> DataFrame:
     """(doc_id, split) for documents surviving every gate, split
-    deterministically by key hash (leak-free; operators/sampling)."""
+    deterministically by key hash (leak-free; operators/sampling).
+
+    ``classifier_min_margin`` (optional) adds the model-based quality
+    gate: keep iff the learned classifier's integer margin ≥ the
+    threshold (functions/text.quality_classifier_margin) — one more
+    independent predicate under the module's composition rule, served
+    from the pinned margin relation."""
     canon = dedup_exact(corpus).select(
         F.col("canonical_doc_id").alias("doc_id")
     )
@@ -90,6 +111,11 @@ def curate(
         .join(canon, "doc_id", "left_semi")
         .join(near_b, "doc_id", "left_anti")
     )
+    if classifier_min_margin is not None:
+        ok = classifier_margins(corpus).filter(
+            F.col("margin") >= F.lit(int(classifier_min_margin))
+        )
+        kept = kept.join(ok.select("doc_id"), "doc_id", "left_semi")
     return hash_split(kept, "doc_id", train, dev).select("doc_id", "split")
 
 

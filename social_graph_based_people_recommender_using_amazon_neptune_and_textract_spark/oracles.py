@@ -3543,3 +3543,32 @@ ORACLES["docs_unigram_vocab"] = _unigram_sql(3, "vocab")
 # Unigram-LM corpus encode (functions/text.py unigram_tokens_per_doc):
 # per-document Viterbi piece count under the fitted model.
 ORACLES["docs_unigram_encode"] = _unigram_sql(3, "encode")
+
+
+# Learned quality-classifier margins (functions/text.py
+# quality_classifier_margin): hashed features x the declared constant
+# integer weight relation (md5 of the bucket id folded into
+# [-1000, 1000]) -> exact BIGINT margin per doc.
+ORACLES["docs_quality_classifier"] = f"""\
+WITH toksrc AS (
+  SELECT doc_id, {TOKENIZE.format(col='text')} AS tokens FROM documents
+),
+h AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(token), 1, 15)) AS BIGINT) AS h
+  FROM (SELECT doc_id, unnest(tokens) AS token FROM toksrc)
+),
+feat AS (
+  SELECT doc_id, CAST(h % 256 AS BIGINT) AS bucket,
+         CAST(sum(((h >> 8) & 1) * 2 - 1) AS BIGINT) AS weight
+  FROM h GROUP BY doc_id, h % 256
+),
+model AS (
+  SELECT CAST(b AS BIGINT) AS bucket,
+         CAST(CAST(concat('0x', substr(md5(CAST(b AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 2001 - 1000 AS BIGINT) AS w
+  FROM generate_series(0, 255) AS t(b)
+)
+SELECT f.doc_id AS doc_id, CAST(sum(m.w * f.weight) AS BIGINT) AS margin
+FROM feat f JOIN model m ON f.bucket = m.bucket
+GROUP BY f.doc_id"""
