@@ -1388,6 +1388,23 @@ def _q_docs_bpe_tokens_per_doc(spark, sf_dir):
     return bpe_tokens_per_doc(tables.load_table(spark, sf_dir, "documents"), 8)
 
 
+def _q_dedup_semantic(spark, sf_dir):
+    """Semantic dedup (operators/dedup.py semantic_dedup, SemDeDup
+    shape): k-means-bucketed exact-cosine pairs over the near-dup-
+    augmented embeddings + components closure — the embedding tier of
+    the dedup family, catching paraphrase-shaped duplicates no shingle
+    pipeline can see."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.dedup import (
+        semantic_dedup,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.similarity import (
+        semdedup_aug_embeddings,
+    )
+
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(semdedup_aug_embeddings(emb), threshold=0.9)
+
+
 def _q_docs_quality_classifier(spark, sf_dir):
     """Learned quality-classifier application (functions/text.py
     quality_classifier_margin): hashed features ⋈ the broadcast
@@ -2752,6 +2769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_unigram_vocab": _q_docs_unigram_vocab,
         "docs_unigram_encode": _q_docs_unigram_encode,
         "docs_quality_classifier": _q_docs_quality_classifier,
+        "dedup_semantic": _q_dedup_semantic,
     }
     return _rotate(registry)
 

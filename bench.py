@@ -126,6 +126,8 @@ BENCH_QUERIES = [
     "split_neardup_contamination",
     "docs_unigram_vocab",
     "docs_unigram_encode",
+    "docs_quality_classifier",
+    "dedup_semantic",
 ]
 
 

@@ -1079,3 +1079,68 @@ def pinned_duplicated_spans(
         lambda: (duplicated_spans(corpus, min_len),),
     )
     return spans
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Semantic dedup (SemDeDup shape — Abbas et al. 2023): k-means
+    buckets the embeddings (operators/clustering.kmeans_assign, the
+    same deterministic Lloyd fit the IVF index trains), exact cosine
+    runs WITHIN clusters only, and connected components over the
+    ≥threshold pair graph choose a canonical per group (keep-min, the
+    family rule). Completes the dedup family's embedding tier: shingle
+    pipelines (MinHash/SimHash/ngram) cannot see a paraphrase —
+    different surface tokens, near-identical embedding — and the
+    pairwise LSH sibling (embedding_near_dup_pairs at 0.99) is tuned
+    for exact copies; this is the lower-threshold, cluster-blocked
+    semantic pass.
+
+    Returns (vec_id, canonical_vec_id, is_canonical) for every vector
+    in ≥1 semantic-dup pair — same relation shape as ``dedup_clusters``.
+
+    Scale: never all-pairs — candidate pairs exist only inside a
+    k-means cluster, so k is the blocking knob (SemDeDup's production
+    setting is k ≈ N/⟨cluster⟩, keeping per-cluster work bounded while
+    the cluster assignment itself is one broadcast-centroid pass);
+    the components closure runs on the pair graph, which is ≪ N."""
+    from .components import connected_components
+    from ..operators.clustering import kmeans_assign
+    from ..operators.similarity import cosine, with_norm
+
+    assign = kmeans_assign(embeddings, k, iters)
+    base = with_norm(embeddings.select("vec_id", "embedding")).join(
+        assign, "vec_id"
+    )
+    a = base.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("cluster").alias("ca"),
+        F.col("v").alias("va"),
+        F.col("n2").alias("na2"),
+    )
+    b = base.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("cluster").alias("cb"),
+        F.col("v").alias("vb"),
+        F.col("n2").alias("nb2"),
+    )
+    pairs = (
+        a.join(b, (F.col("ca") == F.col("cb")) & (F.col("vec_a") < F.col("vec_b")))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(
+                cosine(F.col("va"), F.col("vb"), F.col("na2"), F.col("nb2")), 6
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+    labels = connected_components(pairs, "vec_a", "vec_b")
+    return labels.select(
+        F.col("node").alias("vec_id"),
+        F.col("label").alias("canonical_vec_id"),
+        (F.col("label") == F.col("node")).alias("is_canonical"),
+    )

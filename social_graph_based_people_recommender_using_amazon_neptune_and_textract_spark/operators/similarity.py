@@ -170,6 +170,29 @@ def aug_embeddings(embeddings: DataFrame) -> DataFrame:
     return base.unionAll(copies)
 
 
+def semdedup_aug_embeddings(embeddings: DataFrame) -> DataFrame:
+    """NEAR-dup-augmented vectors — the SEMANTIC sibling of
+    ``aug_embeddings``: the vec_id%20==0 copies (→ +100000) get their
+    FIRST component shifted by +0.01 in double space, so the copy's
+    cosine to its source is <1 but ≫ any unrelated pair's (the corpus
+    max is ~0.47) — exactly the paraphrase-shaped duplicate a shingle
+    pipeline cannot see. The embedding column is emitted as
+    array<double> (perturbing AFTER the float32→double cast keeps both
+    engines' arithmetic identical)."""
+    base = embeddings.select(
+        "vec_id", "label", _to_double(F.col("embedding")).alias("embedding")
+    )
+    copies = embeddings.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        "label",
+        F.transform(
+            _to_double(F.col("embedding")),
+            lambda x, i: F.when(i == 0, x + F.lit(0.01)).otherwise(x),
+        ).alias("embedding"),
+    )
+    return base.unionAll(copies)
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame, threshold: float = 0.99
 ) -> DataFrame:

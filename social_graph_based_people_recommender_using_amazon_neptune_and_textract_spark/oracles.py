@@ -1134,11 +1134,11 @@ _KM_ASSIGN = """\
   ) WHERE r = 1
 )"""
 
-ORACLES["kmeans_assign"] = (
-    "WITH "
-    + _VEC.format(src="embeddings")
-    + """,
-seeds AS (
+# The Lloyd chain (seeds -> a1 -> updated centroids -> a2) references
+# only the `norms` CTE, so it is shared verbatim by kmeans_assign and
+# dedup_semantic (which runs it over the near-dup-augmented vectors).
+_KMEANS_CHAIN = (
+    """seeds AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id ASC) - 1 AS INT) AS cluster,
          v AS centroid, n2 AS cn2
   FROM (SELECT vec_id, v, n2 FROM norms ORDER BY vec_id ASC LIMIT 4)
@@ -1166,8 +1166,58 @@ c1 AS (
     + _KM_ASSIGN.format(
         out="a2", cents="c1", dot=_DOT.format(a="b.v", b="c.centroid")
     )
+)
+
+ORACLES["kmeans_assign"] = (
+    "WITH "
+    + _VEC.format(src="embeddings")
+    + ",\n"
+    + _KMEANS_CHAIN
     + """
 SELECT vec_id, CAST(cluster AS INT) AS cluster FROM a2"""
+)
+
+# Semantic dedup (operators/dedup.py semantic_dedup): k-means buckets
+# the NEAR-dup-augmented vectors (semdedup_aug_embeddings: vec_id%20==0
+# copies -> +100000 with the first component shifted +0.01 in double
+# space), exact cosine within clusters only, components closure with
+# keep-min canonicals.
+ORACLES["dedup_semantic"] = (
+    """WITH RECURSIVE semaug AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, label,
+         [CAST(embedding[1] AS DOUBLE) + 0.01] ||
+         list_transform(embedding[2:], x -> CAST(x AS DOUBLE))
+  FROM embeddings WHERE vec_id % 20 = 0
+),
+"""
+    + _VEC.format(src="semaug")
+    + ",\n"
+    + _KMEANS_CHAIN
+    + f""",
+spairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM a2 a JOIN a2 b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE round({_DOT.format(a="a.v", b="b.v")} / (sqrt(a.n2) * sqrt(b.n2)), 6)
+        >= 0.9
+),
+e AS (
+  SELECT vec_a AS a, vec_b AS b FROM spairs
+  UNION ALL
+  SELECT vec_b AS a, vec_a AS b FROM spairs
+),
+reach(node, label) AS (
+  SELECT DISTINCT a, a FROM e
+  UNION
+  SELECT e.a, r.label FROM e JOIN reach r ON r.node = e.b
+)
+SELECT CAST(node AS BIGINT) AS vec_id,
+       CAST(min(label) AS BIGINT) AS canonical_vec_id,
+       (min(label) = node) AS is_canonical
+FROM reach GROUP BY node"""
 )
 
 ORACLES["ann_bruteforce"] = f"""\

@@ -93,3 +93,74 @@ def test_curate_classifier_gate_composes(spark):
     # split labels unchanged by the extra predicate (hash of doc_id only)
     assert all(base[i] == s for i, s in gated.items())
     PIN.release_all()
+
+
+def test_semantic_dedup_catches_pair_lsh_misses(spark):
+    """A paraphrase pair — DISJOINT token sets (so the MinHash shingle
+    pipeline sees jaccard 0 and emits no pair) but near-identical
+    embeddings — is exactly what semantic_dedup exists for."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark import (
+        pinned as PIN,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.dedup import (
+        dedup_minhash_lsh,
+        semantic_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat inside our house today"),
+            (2, "a feline rested upon its rug within this home now"),
+            (3, "completely unrelated text about spark query planning"),
+        ],
+        "doc_id long, text string",
+    )
+    # shingle view: disjoint tokens -> no LSH pair at any threshold
+    assert dedup_minhash_lsh(docs, threshold=0.1).count() == 0
+
+    base = [0.0] * 64
+    base[0], base[1] = 1.0, 1.0
+    near = list(base)
+    near[2] = 0.05  # cosine(base, near) ~ 0.9994
+    far = [0.0] * 64
+    far[5] = 1.0
+    emb = spark.createDataFrame(
+        [(1, 0, base), (2, 0, near), (3, 1, far), (4, 1, [float(i) for i in range(64)])],
+        "vec_id long, label int, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: (r["canonical_vec_id"], r["is_canonical"])
+        for r in semantic_dedup(emb, k=2, threshold=0.9).collect()
+    }
+    assert got == {1: (1, True), 2: (1, False)}
+    PIN.release_all()
+
+
+def test_semantic_dedup_aug_relation(spark):
+    """The near-dup augmentation pairs every %20 source with its
+    perturbed copy and nothing else at threshold 0.9 (corpus max
+    unrelated cosine ~0.47)."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark import (
+        pinned as PIN,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.dedup import (
+        semantic_dedup,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.similarity import (
+        semdedup_aug_embeddings,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.sources import (
+        tables,
+    )
+
+    emb = tables.load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    n_src = emb.filter(F.col("vec_id") % 20 == 0).count()
+    rows = semantic_dedup(semdedup_aug_embeddings(emb), threshold=0.9).collect()
+    assert len(rows) == 2 * n_src
+    for r in rows:
+        lo = min(r["vec_id"], r["canonical_vec_id"])
+        assert r["canonical_vec_id"] == lo  # keep-min canonical
+        assert (r["vec_id"] == lo) == r["is_canonical"]
+        # every cluster is {source, source+100000}
+        assert r["vec_id"] in (r["canonical_vec_id"], r["canonical_vec_id"] + 100000)
+    PIN.release_all()
