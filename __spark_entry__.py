@@ -1395,14 +1395,14 @@ def _q_dedup_semantic(spark, sf_dir):
     the dedup family, catching paraphrase-shaped duplicates no shingle
     pipeline can see."""
     from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.dedup import (
-        semantic_dedup,
+        pinned_semantic_dedup,
     )
     from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.similarity import (
         semdedup_aug_embeddings,
     )
 
     emb = tables.load_table(spark, sf_dir, "embeddings")
-    return semantic_dedup(semdedup_aug_embeddings(emb), threshold=0.9)
+    return pinned_semantic_dedup(semdedup_aug_embeddings(emb), threshold=0.9)
 
 
 def _q_docs_quality_classifier(spark, sf_dir):

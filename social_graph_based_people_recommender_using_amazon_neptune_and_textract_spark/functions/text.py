@@ -1292,23 +1292,33 @@ def unigram_tokens_per_doc(
     computed once on the vocabulary-sized word table, then broadcast
     (size-gated) into the exploded corpus scan; the 100 TB side never
     shuffles."""
+    from ..pinned import pinned
     from ..plans.audit import estimated_size_bytes
 
-    vocab = _unigram_fit_pinned(df, rounds, text_col=text_col)
-    vm = _unigram_vmap(vocab)
-    seg_len = (
-        _unigram_word_table(df, text_col)
-        .crossJoin(F.broadcast(vm))
-        .select(
-            "word",
-            F.size(
-                _unigram_final(
-                    F.col("word"), F.col("vmap"), UNIGRAM_MAX_PIECE_LEN
-                )["ps"]
-            )
-            .cast("long")
-            .alias("n"),
+    def _seg_build() -> tuple[DataFrame]:
+        vocab = _unigram_fit_pinned(df, rounds, text_col=text_col)
+        vm = _unigram_vmap(vocab)
+        return (
+            _unigram_word_table(df, text_col)
+            .crossJoin(F.broadcast(vm))
+            .select(
+                "word",
+                F.size(
+                    _unigram_final(
+                        F.col("word"), F.col("vmap"), UNIGRAM_MAX_PIECE_LEN
+                    )["ps"]
+                )
+                .cast("long")
+                .alias("n"),
+            ),
         )
+
+    # The word → piece-count dim is itself a serving index (one Viterbi
+    # pass over the vocabulary-sized word table) — pinned beside the
+    # fitted model so repeated encodes join a cached dim instead of
+    # re-folding the DP per call.
+    (seg_len,) = pinned(
+        ("unigram_seg", df.semanticHash(), int(rounds), text_col), _seg_build
     )
     if estimated_size_bytes(seg_len) <= BROADCAST_DIM_CAP_BYTES:
         seg_len = F.broadcast(seg_len)

@@ -153,14 +153,31 @@ def shingle_bag(corpus: DataFrame) -> DataFrame:
     )
 
 
+def pinned_shingle_bag(corpus: DataFrame) -> DataFrame:
+    """``shingle_bag`` as the ONE pinned shingle relation per corpus —
+    the base index every token-shingle family (MinHash-LSH, n-gram
+    Jaccard, containment via the distinct-shingle view) consumes, so a
+    cold start of the whole dedup workload tokenizes + shingles the
+    corpus ONCE instead of once per family (r9 verdict item 7). The
+    relation is doc_id-clustered (``by_doc``), so every downstream
+    per-doc aggregate stays shuffle-free."""
+    from ..pinned import pinned
+
+    (bag,) = pinned(
+        ("shingle_bag", corpus.semanticHash()), lambda: (shingle_bag(corpus),)
+    )
+    return bag
+
+
 def shingle_table(corpus: DataFrame) -> DataFrame:
-    """(doc_id, shingle) — distinct word 3-shingles per document.
+    """(doc_id, shingle) — distinct word 3-shingles per document, read
+    through the shared pinned bag.
 
     Dedup happens relationally (explode → dropDuplicates) rather than via
     array_distinct: the quadratic per-array distinct falls out of
     whole-stage codegen and benchmarked ~12x slower than one 300k-row
     shuffle at sf0.1."""
-    return shingle_bag(corpus).dropDuplicates(["doc_id", "shingle"])
+    return pinned_shingle_bag(corpus).dropDuplicates(["doc_id", "shingle"])
 
 
 def minhash_signatures(corpus: DataFrame) -> DataFrame:
@@ -267,8 +284,9 @@ def dedup_minhash_lsh(corpus: DataFrame, threshold: float = 0.5) -> DataFrame:
     - One shuffle of raw text (by_doc); shingling + the 16-way min()
       aggregate are then partition-local over the shingle *bag*
       (min() is multiset-invariant — no per-doc distinct needed).
-    - The bag, the tiny candidate/restricted-shingle tables, AND the
-      unthresholded verified-pair table are pinned (registry-persisted,
+    - The bag rides the family-shared ``pinned_shingle_bag``; the tiny
+      candidate/restricted-shingle tables AND the unthresholded
+      verified-pair table are pinned here (registry-persisted,
       releasable): each is referenced by 2-3 downstream consumers
       (standalone query, cluster assignment, curation), and without
       pinning, the full shingle pipeline — or the verification joins —
@@ -281,7 +299,7 @@ def dedup_minhash_lsh(corpus: DataFrame, threshold: float = 0.5) -> DataFrame:
     from ..pinned import pinned
 
     def _build():
-        bag = shingle_bag(corpus)
+        bag = pinned_shingle_bag(corpus)
         sigs = minhash_signatures_from_shingles(bag)
         cands = lsh_candidate_pairs(sigs)
         cand_docs = (
@@ -298,9 +316,12 @@ def dedup_minhash_lsh(corpus: DataFrame, threshold: float = 0.5) -> DataFrame:
             ["doc_id", "shingle"]
         )
         verified = verify_jaccard(cands, sh_cand)
-        return bag, cands, sh_cand, verified
+        # The bag rides its OWN pin (pinned_shingle_bag — shared with
+        # the n-gram/containment families); this pin holds only the
+        # LSH-specific relations.
+        return cands, sh_cand, verified
 
-    _, _, _, verified = pinned(("minhash_lsh", corpus.semanticHash()), _build)
+    _, _, verified = pinned(("minhash_lsh", corpus.semanticHash()), _build)
     return verified.filter(F.col("jaccard") >= threshold)
 
 
@@ -1144,3 +1165,29 @@ def semantic_dedup(
         F.col("label").alias("canonical_vec_id"),
         (F.col("label") == F.col("node")).alias("is_canonical"),
     )
+
+
+def pinned_semantic_dedup(
+    embeddings: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """``semantic_dedup`` as a PINNED per-corpus product — the family
+    serving model: the k-means fit + within-cluster cosine + closure
+    (the expensive part) runs once per embedding snapshot; every serve
+    reads the small assignment relation. Release = the snapshot TTL,
+    and the bench's cold pass re-pays the build."""
+    from ..pinned import pinned
+
+    (out,) = pinned(
+        (
+            "semantic_dedup",
+            embeddings.semanticHash(),
+            int(k),
+            int(iters),
+            float(threshold),
+        ),
+        lambda: (semantic_dedup(embeddings, k, iters, threshold),),
+    )
+    return out
