@@ -164,3 +164,43 @@ def test_semantic_dedup_aug_relation(spark):
         # every cluster is {source, source+100000}
         assert r["vec_id"] in (r["canonical_vec_id"], r["canonical_vec_id"] + 100000)
     PIN.release_all()
+
+
+def test_pymk_served_from_pin_identical_to_live(spark):
+    """The Redis read path: once the batch pin is live, pymk() serves
+    the hydrated response from the pinned named table — ordered rows
+    bit-identical to the live traversal, at any limit ≤ the pin depth."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark import (
+        pinned as PIN,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.graph import (
+        pymk as _pymk_mod,  # noqa: F401 — ensure the submodule is loaded
+    )
+    import sys
+
+    G = sys.modules[
+        "social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.graph.pymk"
+    ]
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.sources import (
+        tables,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    PIN.release_all()
+    v = tables.user_graph_vertices(spark, sf)
+    e = tables.user_graph_edges(spark, sf)
+    live = {
+        lim: [tuple(r) for r in G.pymk(v, e, "user_3", limit=lim).collect()]
+        for lim in (3, 10)
+    }
+    G.pinned_pymk_all(e, limit=5).count()  # fill: builds the canonical pin
+    assert G._pymk_all_pin_key(e, G.WHALE_DEGREE_CAP, G.SALT_R) in PIN.pinned_keys()
+    for lim in (3, 10):
+        served = [
+            tuple(r) for r in G.pymk(v, e, "user_3", limit=lim).collect()
+        ]
+        assert served == live[lim]
+    # deeper than the pin -> falls back to the live plan, still correct
+    deep = [tuple(r) for r in G.pymk(v, e, "user_3", limit=50).collect()]
+    assert deep[: len(live[10])] == live[10]
+    PIN.release_all()

@@ -35,9 +35,14 @@ def main() -> None:
     spec.loader.exec_module(mod)
     evidence = mod._driver_evidence()
     names = registry_names()
+    # Same rows-only rule as _rotate (r10): entries with no oracle twin
+    # by nature sort to the registry tail, never burning a window slot.
+    checkable = set(mod.oracle_sql())
 
     def sort_key(item):
         idx, name = item
+        if name not in checkable:
+            return (float("inf"), idx)
         rnd = float(evidence.get(name, 0))
         if name == mod._FLAGSHIP and rnd:
             rnd = 0.5
@@ -52,7 +57,8 @@ def main() -> None:
         last = f"r{evidence[n]}" if n in evidence else "never"
         print(f"| {n} | {last} | {pos[n]} | {'yes' if pos[n] <= 50 else ''} |")
 
-    never = [n for n in names if n not in evidence]
+    never = [n for n in names if n not in evidence and n in checkable]
+    rows_only = [n for n in names if n not in checkable]
     by_round: dict[int, int] = {}
     for n in names:
         by_round[evidence.get(n, 0)] = by_round.get(evidence.get(n, 0), 0) + 1
@@ -63,6 +69,11 @@ def main() -> None:
     if never:
         print(f"Never driver-verified ({len(never)}), all inside the next window: "
               + ", ".join(never))
+    if rows_only:
+        print(
+            f"Declared rows-only ({len(rows_only)}), pinned to the registry "
+            "tail (no window slot): " + ", ".join(rows_only)
+        )
 
 
 if __name__ == "__main__":
