@@ -1409,14 +1409,15 @@ def _q_docs_quality_classifier(spark, sf_dir):
     """Learned quality-classifier application (functions/text.py
     quality_classifier_margin): hashed features ⋈ the broadcast
     constant integer weight relation — the fastText-style model-based
-    curation gate, exact BIGINT margins."""
-    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.functions.text import (
-        quality_classifier_margin,
+    curation gate, exact BIGINT margins. Served from the same pinned
+    margin relation curate() reads (operators/curation.py
+    classifier_margins) — score once per corpus, gate at any
+    threshold."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.curation import (
+        classifier_margins,
     )
 
-    return quality_classifier_margin(
-        tables.load_table(spark, sf_dir, "documents")
-    )
+    return classifier_margins(tables.load_table(spark, sf_dir, "documents"))
 
 
 def _q_docs_unigram_vocab(spark, sf_dir):
@@ -2309,12 +2310,16 @@ def _q_docs_training_manifest(spark, sf_dir):
     then token-budget shard packing and sqrt-temperature source boosts
     for the train split — (doc_id, source, n_tokens, shard_id, boost),
     what a trainer's loader consumes. Pure reuse of the pinned dedup
-    relations, the two-phase prefix sum, and a broadcast mixture dim."""
+    relations, the two-phase prefix sum, and a broadcast mixture dim;
+    pinned per snapshot (r10) — a manifest is read for a whole training
+    run, so the composition executes once and serves many."""
     from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.curation import (
-        training_manifest,
+        pinned_training_manifest,
     )
 
-    return training_manifest(tables.load_table(spark, sf_dir, "documents"))
+    return pinned_training_manifest(
+        tables.load_table(spark, sf_dir, "documents")
+    )
 
 
 def _q_docs_dsir_weights(spark, sf_dir):

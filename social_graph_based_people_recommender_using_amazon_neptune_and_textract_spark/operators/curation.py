@@ -150,3 +150,18 @@ def training_manifest(corpus: DataFrame, budget: int = 10_000) -> DataFrame:
         .join(F.broadcast(mix), "source")
         .select("doc_id", "source", "n_tokens", "shard_id", "boost")
     )
+
+
+def pinned_training_manifest(
+    corpus: DataFrame, budget: int = 10_000
+) -> DataFrame:
+    """``training_manifest`` as a PINNED per-snapshot product — the
+    manifest is by nature a build-once artifact (a trainer's loader
+    reads it for an entire run); the composition (gates + split +
+    prefix-sum shards + mixture) executes once per (corpus, budget) and
+    every serve reads the |train|-row relation."""
+    (m,) = pinned(
+        ("training_manifest", corpus.semanticHash(), int(budget)),
+        lambda: (training_manifest(corpus, budget),),
+    )
+    return m
