@@ -604,3 +604,63 @@ def test_bpe_encode_heldout_plan(spark):
     # the final per-doc sum — NOT one per merge round (the folds are
     # collapsed column expressions). 4 merges must not add 4 exchanges.
     assert PL.exchange_count(df) <= 5, plan
+
+
+def test_unigram_encode_broadcasts_piece_dim(spark):
+    """Unigram-LM corpus encode (functions/text.py
+    unigram_tokens_per_doc): the word → piece-count dim is vocabulary-
+    sized (Heaps' law) and must broadcast into the exploded corpus scan
+    — a sort-merge here shuffles the 100 TB side."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark import (
+        pinned as PIN,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.functions.text import (
+        unigram_tokens_per_doc,
+    )
+
+    df = unigram_tokens_per_doc(tables.load_table(spark, SF, "documents"))
+    assert PL.broadcast_join_count(df) >= 1, PL.physical_plan(df)
+    assert PL.sort_merge_join_count(df) == 0
+    assert df.count() > 0
+    PIN.release_all()
+
+
+def test_quality_classifier_broadcasts_model(spark):
+    """Classifier gate (functions/text.py quality_classifier_margin):
+    the n_buckets-row weight relation is a constant dim — always
+    broadcast, never a shuffle of the hashed-features side."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.functions.text import (
+        quality_classifier_margin,
+    )
+
+    df = quality_classifier_margin(tables.load_table(spark, SF, "documents"))
+    assert PL.broadcast_join_count(df) >= 1, PL.physical_plan(df)
+    assert PL.sort_merge_join_count(df) == 0
+
+
+def test_semantic_dedup_no_nested_loop(spark):
+    """Semantic dedup (operators/dedup.py semantic_dedup): candidate
+    pairs come from the k-means-cluster equi-join — the plan must show
+    NO BroadcastNestedLoopJoin / CartesianProduct (all-pairs would be
+    N² at any scale; the cluster id is the blocking key)."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark import (
+        pinned as PIN,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.dedup import (
+        semantic_dedup,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.similarity import (
+        semdedup_aug_embeddings,
+    )
+
+    emb = semdedup_aug_embeddings(tables.load_table(spark, SF, "embeddings"))
+    df = semantic_dedup(emb, threshold=0.9)
+    plan = PL.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    # the only nested-loop allowed is the 1-row centroid/total folds;
+    # the PAIR join itself must be an equi-join on the cluster key
+    assert "vec_a" not in [
+        ln for ln in plan.splitlines() if "NestedLoop" in ln
+    ], plan
+    assert df.count() > 0
+    PIN.release_all()

@@ -180,3 +180,21 @@ def test_unigram_single_char_and_unseen_are_covered(spark):
     enc = T.unigram_tokens_per_doc(docs).collect()
     assert enc[0]["n_pieces"] == 3
     PIN.release_all()
+
+
+def test_unigram_degenerate_inputs(spark):
+    """Empty corpus and token-free documents yield empty relations
+    (no crash in the seed aggregate, the vmap fold, or the encode
+    join)."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark import (
+        pinned as PIN,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert T.unigram_vocab(empty).count() == 0
+    assert T.unigram_tokens_per_doc(empty).count() == 0
+    punct = spark.createDataFrame([(1, "!!! ... ???")], "doc_id long, text string")
+    assert T.unigram_vocab(punct).count() == 0
+    assert T.unigram_tokens_per_doc(punct).count() == 0
+    assert T.quality_classifier_margin(empty).count() == 0
+    PIN.release_all()
