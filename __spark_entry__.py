@@ -1405,6 +1405,26 @@ def _q_dedup_semantic(spark, sf_dir):
     return pinned_semantic_dedup(semdedup_aug_embeddings(emb), threshold=0.9)
 
 
+def _q_docs_unigram_encode_heldout(spark, sf_dir):
+    """Unigram-LM INFERENCE encode (functions/text.py
+    unigram_encode_tokens_per_doc): fit the 3-round EM model on the
+    TRAIN hash-split, encode the held-out TEST split — including words
+    and characters training never saw, via the declared UNK fold —
+    (doc_id, n_pieces) per tokenized held-out document."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.functions.text import (
+        unigram_encode_tokens_per_doc,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        sampling as SA,
+    )
+
+    docs = tables.load_table(spark, sf_dir, "documents")
+    split = SA.hash_split(docs, "doc_id", train=0.8, dev=0.1)
+    train = split.filter(F.col("split") == "train").drop("split")
+    heldout = split.filter(F.col("split") == "test").drop("split")
+    return unigram_encode_tokens_per_doc(train, heldout)
+
+
 def _q_docs_quality_classifier(spark, sf_dir):
     """Learned quality-classifier application (functions/text.py
     quality_classifier_margin): hashed features ⋈ the broadcast
@@ -2775,6 +2795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_unigram_encode": _q_docs_unigram_encode,
         "docs_quality_classifier": _q_docs_quality_classifier,
         "dedup_semantic": _q_dedup_semantic,
+        "docs_unigram_encode_heldout": _q_docs_unigram_encode_heldout,
     }
     return _rotate(registry)
 

@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "docs_unigram_encode",
     "docs_quality_classifier",
     "dedup_semantic",
+    "docs_unigram_encode_heldout",
 ]
 
 

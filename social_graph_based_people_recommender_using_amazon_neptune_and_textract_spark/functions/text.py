@@ -1141,15 +1141,34 @@ def _unigram_vmap(vocab: DataFrame) -> DataFrame:
     cap + alphabet), so shipping it is a 1-row broadcast fold (house
     crossJoin pattern), never a per-word shuffle."""
     tot = vocab.agg(F.sum("cnt").cast("double").alias("_total"))
-    return vocab.crossJoin(F.broadcast(tot)).agg(
-        F.map_from_entries(
-            F.collect_list(
-                F.struct(
-                    F.col("piece"),
-                    (F.col("cnt").cast("double") / F.col("_total")).alias("p"),
+    return (
+        vocab.crossJoin(F.broadcast(tot))
+        # GROUP on the total (the oracle's GROUP BY t.total): an EMPTY
+        # vocabulary yields an EMPTY model relation — no model, no
+        # encode rows — instead of a global agg's one all-NULL row.
+        .groupBy("_total")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(
+                    F.struct(
+                        F.col("piece"),
+                        (F.col("cnt").cast("double") / F.col("_total")).alias(
+                            "p"
+                        ),
+                    )
                 )
-            )
-        ).alias("vmap")
+            ).alias("vmap")
+        )
+        .select(
+            "vmap",
+            # UNK probability for inference over unseen characters: HALF
+            # the smallest possible real-piece probability (cnt ≥ 1 ⇒
+            # p ≥ 1/total), so an UNK char candidate is strictly
+            # dominated whenever the real char is in vocabulary — the
+            # declared SentencePiece-UNK analogue, one exact IEEE
+            # division.
+            (F.lit(0.5) / F.col("_total")).alias("unk_p"),
+        )
     )
 
 
@@ -1161,13 +1180,21 @@ def _unigram_pick(a: Column, b: Column) -> Column:
     ).otherwise(a)
 
 
-def _unigram_final(word: Column, vmap: Column, max_len: int) -> Column:
+def _unigram_final(
+    word: Column, vmap: Column, max_len: int, unk: Column | None = None
+) -> Column:
     """The word's final Viterbi entry struct(s, ps): a left fold over
     positions 1..len — accumulator = the DP table so far (array of
     best-entry structs, index = position + 1), each step picking the
     best of the ≤max_len in-vocabulary predecessors. Pure column
     expressions (whole-stage codegen); the oracle twin folds the
-    IDENTICAL recurrence with DuckDB list_reduce."""
+    IDENTICAL recurrence with DuckDB list_reduce.
+
+    ``unk`` (inference only): out-of-vocabulary CHARACTERS fall back to
+    a single-char piece at this probability instead of killing the
+    path — strictly dominated by any in-vocabulary char (see
+    ``_unigram_vmap``), so it changes nothing on covered text and makes
+    unseen text totally segmentable (the SentencePiece UNK contract)."""
     sent = F.struct(
         F.lit(0.0).alias("s"), F.array().cast("array<string>").alias("ps")
     )
@@ -1176,7 +1203,8 @@ def _unigram_final(word: Column, vmap: Column, max_len: int) -> Column:
         j = F.size(acc)  # the position this step fills
         piece = word.substr(j - w + 1, F.lit(w))
         prev = F.element_at(acc, j - w + 1)
-        p = F.coalesce(F.element_at(vmap, piece), F.lit(0.0))
+        fallback = unk if (w == 1 and unk is not None) else F.lit(0.0)
+        p = F.coalesce(F.element_at(vmap, piece), fallback)
         return F.when(
             (j >= w) & (p > 0.0),
             F.struct(
@@ -1382,4 +1410,71 @@ def quality_classifier_margin(
         .join(w, "bucket")
         .groupBy(id_col)
         .agg(F.sum(F.col("w") * F.col("weight")).cast("long").alias("margin"))
+    )
+
+
+def unigram_encode_tokens_per_doc(
+    train_df: DataFrame,
+    new_df: DataFrame,
+    rounds: int = UNIGRAM_EM_ROUNDS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """INFERENCE half of the unigram-LM tokenizer (the symmetric twin of
+    ``bpe_encode_tokens_per_doc``): encode UNSEEN text under the model
+    fitted on ``train_df`` — (id, n_pieces) per held-out document.
+    Out-of-vocabulary characters segment as single-char UNK pieces at
+    the declared sub-minimal probability (``_unigram_vmap``), so every
+    held-out word — including ones with characters training never saw —
+    gets a total, deterministic segmentation.
+
+    Scale: the held-out corpus reduces to its distinct-word relation
+    (Heaps-sublinear), one Viterbi fold per word against the broadcast
+    1-row model, then the size-gated broadcast join back into the
+    exploded held-out scan — the corpus side never shuffles."""
+    from ..pinned import pinned
+    from ..plans.audit import estimated_size_bytes
+
+    def _seg_build() -> tuple[DataFrame]:
+        vocab = _unigram_fit_pinned(train_df, rounds, text_col=text_col)
+        vm = _unigram_vmap(vocab)
+        words = (
+            new_df.select(F.explode(tokenize(F.col(text_col))).alias("word"))
+            .distinct()
+        )
+        return (
+            words.crossJoin(F.broadcast(vm)).select(
+                "word",
+                F.size(
+                    _unigram_final(
+                        F.col("word"),
+                        F.col("vmap"),
+                        UNIGRAM_MAX_PIECE_LEN,
+                        unk=F.col("unk_p"),
+                    )["ps"]
+                )
+                .cast("long")
+                .alias("n"),
+            ),
+        )
+
+    (seg_len,) = pinned(
+        (
+            "unigram_seg_heldout",
+            train_df.semanticHash(),
+            new_df.semanticHash(),
+            int(rounds),
+            text_col,
+        ),
+        _seg_build,
+    )
+    if estimated_size_bytes(seg_len) <= BROADCAST_DIM_CAP_BYTES:
+        seg_len = F.broadcast(seg_len)
+    return (
+        new_df.select(
+            F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("word")
+        )
+        .join(seg_len, "word")
+        .groupBy(id_col)
+        .agg(F.sum("n").cast("long").alias("n_pieces"))
     )

@@ -3475,7 +3475,16 @@ def _unigram_sql(rounds: int, final: str, seed_cap: int = 48, max_len: int = 4) 
     struct accumulator — both bugs are avoided by keeping the
     accumulator a plain list and the candidate scan lambda-free), with
     piece lookups against a 1-row piece→p MAP. CTEs are MATERIALIZED
-    (the BPE twins' file-handle lesson)."""
+    (the BPE twins' file-handle lesson).
+
+    ``final='encode_heldout'`` is the INFERENCE twin
+    (functions/text.py unigram_encode_tokens_per_doc): training runs on
+    the TRAIN hash-split only; the fitted model then encodes the
+    held-out TEST split's distinct words with the UNK fold variant —
+    out-of-vocabulary CHARACTERS fall back to single-char pieces at
+    0.5/total (strictly dominated by any real char; the declared
+    SentencePiece-UNK analogue, one exact IEEE division in both
+    engines); final = per-held-out-doc piece sum."""
     sent = "struct_pack(s := CAST(0.0 AS DOUBLE), ps := CAST([] AS VARCHAR[]))"
 
     def pick(a: str, b: str) -> str:
@@ -3484,41 +3493,52 @@ def _unigram_sql(rounds: int, final: str, seed_cap: int = 48, max_len: int = 4) 
             f"AND ({b}).ps < ({a}).ps) THEN ({b}) ELSE ({a}) END)"
         )
 
-    def cand(w: int) -> str:
-        piece = f"substr(word, len(acc) - {w} + 1, {w})"
-        prev = f"list_extract(acc, len(acc) - {w} + 1)"
-        p = (
-            f"coalesce(list_extract(map_extract(vmap, {piece}), 1), "
-            "CAST(0.0 AS DOUBLE))"
-        )
-        return (
-            f"(CASE WHEN len(acc) >= {w} AND {p} > 0.0 THEN "
-            f"struct_pack(s := ({prev}).s * {p}, "
-            f"ps := ({prev}).ps || [{piece}]) ELSE {sent} END)"
-        )
+    def make_fold(unk: bool) -> str:
+        def cand(w: int) -> str:
+            piece = f"substr(word, len(acc) - {w} + 1, {w})"
+            prev = f"list_extract(acc, len(acc) - {w} + 1)"
+            fallback = "unk" if (w == 1 and unk) else "CAST(0.0 AS DOUBLE)"
+            p = (
+                f"coalesce(list_extract(map_extract(vmap, {piece}), 1), "
+                f"{fallback})"
+            )
+            return (
+                f"(CASE WHEN len(acc) >= {w} AND {p} > 0.0 THEN "
+                f"struct_pack(s := ({prev}).s * {p}, "
+                f"ps := ({prev}).ps || [{piece}]) ELSE {sent} END)"
+            )
 
-    best = cand(1)
-    for w in range(2, max_len + 1):
-        best = pick(best, cand(w))
-    fold = f"""list_extract(list_reduce(
+        best = cand(1)
+        for w in range(2, max_len + 1):
+            best = pick(best, cand(w))
+        return f"""list_extract(list_reduce(
       [[struct_pack(s := CAST(1.0 AS DOUBLE), ps := CAST([] AS VARCHAR[]))]] ||
       list_transform(generate_series(1, len(word)),
                      j -> CAST([] AS STRUCT(s DOUBLE, ps VARCHAR[])[])),
       (acc, x) -> acc || [{best}]
     ), len(word) + 1)"""
 
-    def vm(n: int) -> str:
+    fold = make_fold(unk=False)
+
+    def vm(n: int, with_unk: bool = False) -> str:
+        unk_col = ",\n         0.5 / t.total AS unk" if with_unk else ""
         return f"""vm{n} AS MATERIALIZED (
   SELECT map(list(piece ORDER BY piece),
-             list(CAST(cnt AS DOUBLE) / t.total ORDER BY piece)) AS vmap
+             list(CAST(cnt AS DOUBLE) / t.total ORDER BY piece)) AS vmap{unk_col}
   FROM v{n}, (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM v{n}) t
   GROUP BY t.total
 )"""
 
+    heldout = final == "encode_heldout"
+    corpus = (
+        f"(SELECT text FROM documents WHERE {_BUCKET} < 8000)"
+        if heldout
+        else "documents"
+    )
     parts = [
         f"""w0 AS MATERIALIZED (
   SELECT word, CAST(count(*) AS BIGINT) AS freq
-  FROM (SELECT unnest({TOKENIZE.format(col='text')}) AS word FROM documents)
+  FROM (SELECT unnest({TOKENIZE.format(col='text')}) AS word FROM {corpus})
   GROUP BY word
 )""",
         f"""seedcand AS MATERIALIZED (
@@ -3570,6 +3590,28 @@ def _unigram_sql(rounds: int, final: str, seed_cap: int = 48, max_len: int = 4) 
     if final == "vocab":
         tail = f"SELECT piece, cnt FROM v{rounds} ORDER BY cnt DESC, piece ASC"
         return "WITH " + ",\n".join(parts) + "\n" + tail
+    if heldout:
+        # inference: fitted model + UNK fold over the TEST split's
+        # distinct words, then the per-held-out-doc piece sum
+        parts.append(vm(rounds, with_unk=True))
+        parts.append(
+            f"""nw AS MATERIALIZED (
+  SELECT DISTINCT unnest({TOKENIZE.format(col='text')}) AS word
+  FROM documents WHERE {_BUCKET} >= 9000
+)"""
+        )
+        parts.append(
+            f"""seg AS MATERIALIZED (
+  SELECT word, CAST(len(({make_fold(unk=True)}).ps) AS BIGINT) AS n
+  FROM nw, vm{rounds}
+)"""
+        )
+        tail = f"""SELECT d.doc_id AS doc_id, CAST(sum(s.n) AS BIGINT) AS n_pieces
+FROM (SELECT doc_id, unnest({TOKENIZE.format(col='text')}) AS word
+      FROM documents WHERE {_BUCKET} >= 9000) d
+JOIN seg s ON d.word = s.word
+GROUP BY d.doc_id"""
+        return "WITH " + ",\n".join(parts) + "\n" + tail
     # encode: per-word Viterbi piece count under the FITTED model, then
     # the per-doc sum over the exploded corpus
     parts.append(vm(rounds))
@@ -3593,6 +3635,11 @@ ORACLES["docs_unigram_vocab"] = _unigram_sql(3, "vocab")
 # Unigram-LM corpus encode (functions/text.py unigram_tokens_per_doc):
 # per-document Viterbi piece count under the fitted model.
 ORACLES["docs_unigram_encode"] = _unigram_sql(3, "encode")
+
+# Unigram-LM inference encode (functions/text.py
+# unigram_encode_tokens_per_doc): train on the TRAIN hash-split, encode
+# the held-out TEST split with the UNK fold.
+ORACLES["docs_unigram_encode_heldout"] = _unigram_sql(3, "encode_heldout")
 
 
 # Learned quality-classifier margins (functions/text.py

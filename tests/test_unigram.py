@@ -198,3 +198,76 @@ def test_unigram_degenerate_inputs(spark):
     assert T.unigram_tokens_per_doc(punct).count() == 0
     assert T.quality_classifier_margin(empty).count() == 0
     PIN.release_all()
+
+
+def _ref_heldout_encode(train_texts, new_texts, rounds=3, max_len=4):
+    """Reference inference: fit on train, Viterbi-encode new text with
+    the UNK fold (single-char fallback at 0.5/total)."""
+    vocab, _, _ = _ref_unigram(train_texts, rounds, max_len)
+    if not vocab:  # empty model -> no encode rows (engine + oracle agree)
+        return {}
+    total = float(sum(vocab.values()))
+    pmap = {p: c / total for p, c in vocab.items()}
+    unk = 0.5 / total
+
+    def vit(w):
+        best = [(1.0, [])]
+        for j in range(1, len(w) + 1):
+            cur = (0.0, [])
+            for width in range(1, max_len + 1):
+                i = j - width
+                if i < 0:
+                    continue
+                piece = w[i:j]
+                p = pmap.get(piece, unk if width == 1 else 0.0)
+                if p <= 0.0:
+                    continue
+                s = best[i][0] * p
+                ps = best[i][1] + [piece]
+                if s > cur[0] or (s == cur[0] and ps < cur[1]):
+                    cur = (s, ps)
+            best.append(cur)
+        return best[len(w)][1]
+
+    out = {}
+    for i, t in enumerate(new_texts):
+        toks = [w for w in re.split("[^a-z0-9]+", t.lower()) if w]
+        if toks:
+            out[i] = sum(len(vit(w)) for w in toks)
+    return out
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(train=_corpus, new=_corpus)
+def test_unigram_heldout_encode_matches_reference(spark, train, new):
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark import (
+        pinned as PIN,
+    )
+
+    tdf = _mkdocs(spark, train)
+    ndf = _mkdocs(spark, new)
+    got = {
+        r["doc_id"]: r["n_pieces"]
+        for r in T.unigram_encode_tokens_per_doc(tdf, ndf).collect()
+    }
+    assert got == _ref_heldout_encode(train, new)
+    PIN.release_all()
+
+
+def test_unigram_heldout_unseen_chars_use_unk(spark):
+    """Characters training never saw segment as single UNK pieces but
+    never displace real pieces on covered text."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark import (
+        pinned as PIN,
+    )
+
+    train = _mkdocs(spark, ["the cat sat on the mat"] * 2)
+    new = _mkdocs(spark, ["zz7q the cat"])
+    got = T.unigram_encode_tokens_per_doc(train, new).collect()
+    # 'zz7q' -> 4 UNK chars; 'the' and 'cat' are whole learned pieces
+    assert got[0]["n_pieces"] == 6
+    PIN.release_all()
