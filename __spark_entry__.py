@@ -1405,6 +1405,18 @@ def _q_dedup_semantic(spark, sf_dir):
     return pinned_semantic_dedup(semdedup_aug_embeddings(emb), threshold=0.9)
 
 
+def _q_docs_bigram_logprob(spark, sf_dir):
+    """Bigram-LM fluency gate (functions/text.py bigram_logprob_scores):
+    Jelinek-Mercer interpolated adjacent-pair log-likelihood per doc —
+    the CCNet perplexity-gate shape, self-scored; the context-aware
+    sibling of docs_unigram_logprob."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.functions.text import (
+        bigram_logprob_scores,
+    )
+
+    return bigram_logprob_scores(tables.load_table(spark, sf_dir, "documents"))
+
+
 def _q_docs_unigram_encode_heldout(spark, sf_dir):
     """Unigram-LM INFERENCE encode (functions/text.py
     unigram_encode_tokens_per_doc): fit the 3-round EM model on the
@@ -2796,6 +2808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality_classifier": _q_docs_quality_classifier,
         "dedup_semantic": _q_dedup_semantic,
         "docs_unigram_encode_heldout": _q_docs_unigram_encode_heldout,
+        "docs_bigram_logprob": _q_docs_bigram_logprob,
     }
     return _rotate(registry)
 

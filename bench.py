@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "docs_quality_classifier",
     "dedup_semantic",
     "docs_unigram_encode_heldout",
+    "docs_bigram_logprob",
 ]
 
 

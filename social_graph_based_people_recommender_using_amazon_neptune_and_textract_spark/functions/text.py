@@ -1478,3 +1478,81 @@ def unigram_encode_tokens_per_doc(
         .groupBy(id_col)
         .agg(F.sum("n").cast("long").alias("n_pieces"))
     )
+
+
+#: Jelinek-Mercer interpolation weight of the bigram term; the unigram
+#: complement is computed once as ``1.0 - LAM`` in Python and the SAME
+#: double is embedded in the oracle via repr() — ``1 - 0.8`` is NOT the
+#: double ``0.2``, so deriving the complement independently in SQL
+#: would diverge by 1 ulp before the declared 6dp rounding.
+BIGRAM_LAM = 0.8
+
+
+def bigram_logprob_scores(
+    df: DataFrame,
+    lam: float = BIGRAM_LAM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Bigram language-model fluency score per document — the
+    context-aware sibling of ``unigram_logprob_scores`` and the shape
+    of the CCNet perplexity gate (Wenzek et al. 2020, there with an
+    external KenLM; here self-scored so the operator is closed over its
+    input): score = avg over the doc's adjacent token pairs of
+    ln(λ·c₂(x,y)/c₁(x) + (1−λ)·c₁(y)/T) — Jelinek-Mercer interpolated,
+    so unseen-bigram mass is covered by the unigram term. Returns
+    (id, n_bigrams, bigram_logprob); docs with <2 tokens score NULL,
+    rounded to 6dp (absorbs summation-order and libm ulp divergence,
+    the unigram gate's declared edge).
+
+    Scale: three shuffles — corpus bigram counts and unigram counts
+    (both map-side combined), then the per-doc average; the count
+    relations join the occurrence stream with fan-out exactly 1 per
+    occurrence and are NOT force-broadcast (a web corpus's bigram
+    vocabulary is huge; AQE converts when genuinely small)."""
+    toks = df.select(F.col(id_col), tokenize(F.col(text_col)).alias("_toks"))
+    t = F.col("_toks")
+    pairs = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size(t) >= 2,
+                F.transform(
+                    F.slice(t, 1, F.size(t) - 1),
+                    lambda x, i: F.struct(
+                        x.alias("x"), F.element_at(t, i + 2).alias("y")
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<x:string,y:string>>"))
+        ).alias("p"),
+    ).select(id_col, F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+    c2 = pairs.groupBy("x", "y").agg(F.count(F.lit(1)).alias("cnt2"))
+    uni = toks.select(F.explode(t).alias("w"))
+    c1 = uni.groupBy("w").agg(F.count(F.lit(1)).alias("cnt1"))
+    total = uni.agg(F.count(F.lit(1)).alias("t_all"))
+    lp = F.log(
+        F.lit(float(lam)) * (F.col("cnt2") / F.col("cx"))
+        + F.lit(1.0 - float(lam)) * (F.col("cy") / F.col("t_all"))
+    )
+    scored = (
+        pairs.join(c2, ["x", "y"])
+        .join(c1.select(F.col("w").alias("x"), F.col("cnt1").alias("cx")), "x")
+        .join(c1.select(F.col("w").alias("y"), F.col("cnt1").alias("cy")), "y")
+        .crossJoin(total)  # 1-row combine, same device as the unigram gate
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(F.avg(lp), 6).alias("bigram_logprob"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias(
+                "n_bigrams"
+            ),
+            "bigram_logprob",
+        )
+    )

@@ -3669,3 +3669,44 @@ model AS (
 SELECT f.doc_id AS doc_id, CAST(sum(m.w * f.weight) AS BIGINT) AS margin
 FROM feat f JOIN model m ON f.bucket = m.bucket
 GROUP BY f.doc_id"""
+
+
+# Bigram LM fluency gate (functions/text.py bigram_logprob_scores):
+# Jelinek-Mercer interpolated adjacent-pair log-likelihood, self-scored.
+# The unigram complement weight is embedded as the EXACT double the
+# engine computes (repr of 1.0 - lam) — see BIGRAM_LAM's note.
+def _bigram_logprob_sql(lam: float = 0.8) -> str:
+    return f"""\
+WITH toksrc AS (
+  SELECT doc_id, {TOKENIZE.format(col='text')} AS tokens FROM documents
+),
+pairs AS (
+  SELECT doc_id, q.x AS x, q.y AS y FROM (
+    SELECT doc_id, unnest(list_transform(generate_series(1, len(tokens) - 1),
+           i -> struct_pack(x := tokens[i], y := tokens[i + 1]))) AS q
+    FROM toksrc WHERE len(tokens) >= 2
+  )
+),
+c2 AS (SELECT x, y, count(*) AS cnt2 FROM pairs GROUP BY x, y),
+uni AS (SELECT unnest(tokens) AS w FROM toksrc),
+c1 AS (SELECT w, count(*) AS cnt1 FROM uni GROUP BY w),
+tot AS (SELECT count(*) AS t_all FROM uni),
+scored AS (
+  SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         round(avg(ln(CAST({lam!r} AS DOUBLE) * (c2.cnt2 / cx.cnt1)
+                      + CAST({1.0 - lam!r} AS DOUBLE)
+                        * (cy.cnt1 / (SELECT t_all FROM tot)))), 6)
+           AS bigram_logprob
+  FROM pairs p
+  JOIN c2 ON p.x = c2.x AND p.y = c2.y
+  JOIN c1 cx ON p.x = cx.w
+  JOIN c1 cy ON p.y = cy.w
+  GROUP BY p.doc_id
+)
+SELECT d.doc_id AS doc_id,
+       CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       s.bigram_logprob AS bigram_logprob
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id"""
+
+
+ORACLES["docs_bigram_logprob"] = _bigram_logprob_sql(0.8)

@@ -204,3 +204,48 @@ def test_pymk_served_from_pin_identical_to_live(spark):
     deep = [tuple(r) for r in G.pymk(v, e, "user_3", limit=50).collect()]
     assert deep[: len(live[10])] == live[10]
     PIN.release_all()
+
+
+def test_bigram_logprob_matches_reference(spark):
+    """Hand-computable bigram gate: interpolated probabilities over a
+    tiny corpus vs a plain-Python reference."""
+    import math
+
+    texts = {1: "a b a b", 2: "a a", 3: "x", 4: ""}
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.functions.text import (
+        BIGRAM_LAM,
+        bigram_logprob_scores,
+    )
+
+    toks = {i: t.split() for i, t in texts.items()}
+    c2, c1, tot = {}, {}, 0
+    for ws in toks.values():
+        for w in ws:
+            c1[w] = c1.get(w, 0) + 1
+            tot += 1
+        for x, y in zip(ws, ws[1:]):
+            c2[(x, y)] = c2.get((x, y), 0) + 1
+    lam = BIGRAM_LAM
+    want = {}
+    for i, ws in toks.items():
+        bs = list(zip(ws, ws[1:]))
+        if not bs:
+            want[i] = (0, None)
+            continue
+        lp = sum(
+            math.log(
+                lam * (c2[(x, y)] / c1[x]) + (1.0 - lam) * (c1[y] / tot)
+            )
+            for x, y in bs
+        ) / len(bs)
+        want[i] = (len(bs), round(lp, 6))
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["bigram_logprob"])
+        for r in bigram_logprob_scores(docs).collect()
+    }
+    assert got == want
+    # frequent bigram scores above rare one
+    assert got[1][1] > got[2][1]
