@@ -1405,6 +1405,36 @@ def _q_dedup_semantic(spark, sf_dir):
     return pinned_semantic_dedup(semdedup_aug_embeddings(emb), threshold=0.9)
 
 
+def _q_streaming_quality_gate(spark, sf_dir):
+    """Streaming classifier gate (streaming/rollup.py
+    StreamingQualityGate): the corpus arrives in 3 micro-batches, each
+    scored against the frozen broadcast weight relation at ingest time;
+    drained table ≡ the batch quality_classifier_margin (same oracle as
+    docs_quality_classifier — margins are exact integers, the additive
+    merge degenerates to insert)."""
+    import tempfile
+
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.streaming.rollup import (
+        StreamingQualityGate,
+    )
+
+    docs = tables.load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    base = tempfile.mkdtemp(prefix="sgr-sclf-")
+    docs.repartition(3).write.mode("overwrite").parquet(f"{base}/landing")
+    gate = StreamingQualityGate(spark, f"{base}/wh")
+    gate.run_available_now(
+        f"{base}/landing",
+        f"{base}/ckpt",
+        "doc_id long, text string",
+        max_files_per_trigger=1,
+    )
+    return gate.table().select(
+        "doc_id", F.col("value_sum").cast("long").alias("margin")
+    )
+
+
 def _q_docs_bigram_logprob(spark, sf_dir):
     """Bigram-LM fluency gate (functions/text.py bigram_logprob_scores):
     Jelinek-Mercer interpolated adjacent-pair log-likelihood per doc —
@@ -2809,6 +2839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": _q_dedup_semantic,
         "docs_unigram_encode_heldout": _q_docs_unigram_encode_heldout,
         "docs_bigram_logprob": _q_docs_bigram_logprob,
+        "streaming_quality_gate": _q_streaming_quality_gate,
     }
     return _rotate(registry)
 

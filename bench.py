@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "dedup_semantic",
     "docs_unigram_encode_heldout",
     "docs_bigram_logprob",
+    "streaming_quality_gate",
 ]
 
 

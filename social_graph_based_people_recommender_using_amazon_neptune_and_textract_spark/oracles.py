@@ -3710,3 +3710,8 @@ FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id"""
 
 
 ORACLES["docs_bigram_logprob"] = _bigram_logprob_sql(0.8)
+
+
+# Streaming classifier gate (streaming/rollup.py StreamingQualityGate):
+# drained per-doc margin table == the batch classifier application.
+ORACLES["streaming_quality_gate"] = ORACLES["docs_quality_classifier"]

@@ -254,3 +254,50 @@ class StreamingBpeEncode(StreamingSumRollup):
                 self.id_col, F.lit(1).cast("long").alias("n"), "s"
             )
         )
+
+
+class StreamingQualityGate(StreamingSumRollup):
+    """Streaming application of the learned quality classifier
+    (functions/text.quality_classifier_margin): each arriving
+    micro-batch of documents is scored against the FROZEN broadcast
+    weight relation, maintaining the per-doc margin table
+    (doc_id, margin) — the model-based gate applied at ingest time,
+    before anything lands in the corpus, exactly where a production
+    pipeline runs it (CCNet scores at crawl ingestion).
+
+    A document lives in exactly ONE batch and its margin is computed
+    entirely within it, so the inherited additive rollup merge
+    degenerates to an insert — the drained table is IDENTICAL to the
+    batch `quality_classifier_margin` over the full corpus,
+    integer-exact (the margin is a BIGINT sum of integer products)."""
+
+    def __init__(
+        self,
+        spark,
+        out_dir: str,
+        n_buckets: int = 256,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> None:
+        super().__init__(
+            spark,
+            out_dir,
+            key_cols=[id_col],
+            value_col="_m",
+            key_schema=f"{id_col} long",
+        )
+        self.n_buckets = int(n_buckets)
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def _batch_partial(self, batch_df: DataFrame) -> DataFrame:
+        from ..functions.text import quality_classifier_margin
+
+        margins = quality_classifier_margin(
+            batch_df, self.n_buckets, self.id_col, self.text_col
+        )
+        return margins.select(
+            self.id_col,
+            F.lit(1).cast("long").alias("n"),
+            F.col("margin").cast("decimal(28,6)").alias("s"),
+        )

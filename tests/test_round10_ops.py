@@ -249,3 +249,42 @@ def test_bigram_logprob_matches_reference(spark):
     assert got == want
     # frequent bigram scores above rare one
     assert got[1][1] > got[2][1]
+
+
+def test_streaming_quality_gate_equals_batch(spark, tmp_path):
+    """Drained streaming margin table == batch classifier application
+    (integer-exact), including replay safety across micro-batches."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.streaming.rollup import (
+        StreamingQualityGate,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "qualitatively distinct content here"),
+            (3, "the the the the"),
+            (4, "a b c d e f"),
+        ],
+        "doc_id long, text string",
+    )
+    docs.repartition(2).write.mode("overwrite").parquet(
+        str(tmp_path / "landing")
+    )
+    gate = StreamingQualityGate(spark, str(tmp_path / "wh"))
+    gate.run_available_now(
+        str(tmp_path / "landing"),
+        str(tmp_path / "ckpt"),
+        "doc_id long, text string",
+        max_files_per_trigger=1,
+    )
+    got = {
+        r["doc_id"]: r["margin"]
+        for r in gate.table()
+        .select("doc_id", F.col("value_sum").cast("long").alias("margin"))
+        .collect()
+    }
+    want = {
+        r["doc_id"]: r["margin"]
+        for r in T.quality_classifier_margin(docs).collect()
+    }
+    assert got == want
