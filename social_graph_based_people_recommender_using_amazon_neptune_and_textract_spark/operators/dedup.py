@@ -153,31 +153,24 @@ def shingle_bag(corpus: DataFrame) -> DataFrame:
     )
 
 
-def pinned_shingle_bag(corpus: DataFrame) -> DataFrame:
-    """``shingle_bag`` as the ONE pinned shingle relation per corpus —
-    the base index every token-shingle family (MinHash-LSH, n-gram
-    Jaccard, containment via the distinct-shingle view) consumes, so a
-    cold start of the whole dedup workload tokenizes + shingles the
-    corpus ONCE instead of once per family (r9 verdict item 7). The
-    relation is doc_id-clustered (``by_doc``), so every downstream
-    per-doc aggregate stays shuffle-free."""
-    from ..pinned import pinned
-
-    (bag,) = pinned(
-        ("shingle_bag", corpus.semanticHash()), lambda: (shingle_bag(corpus),)
-    )
-    return bag
-
-
 def shingle_table(corpus: DataFrame) -> DataFrame:
-    """(doc_id, shingle) — distinct word 3-shingles per document, read
-    through the shared pinned bag.
+    """(doc_id, shingle) — distinct word 3-shingles per document.
 
     Dedup happens relationally (explode → dropDuplicates) rather than via
     array_distinct: the quadratic per-array distinct falls out of
     whole-stage codegen and benchmarked ~12x slower than one 300k-row
-    shuffle at sf0.1."""
-    return pinned_shingle_bag(corpus).dropDuplicates(["doc_id", "shingle"])
+    shuffle at sf0.1.
+
+    NOT read through a shared cross-family bag pin (r10 finding): an
+    InMemoryRelation over an un-executed adaptive plan reports UNKNOWN
+    output partitioning, so every consumer's (doc_id, …) aggregate
+    regains an Exchange of the EXPLODED bag — strictly worse than
+    re-deriving from the doc_id-clustered scan, whose partitioning the
+    planner can see (test_minhash_agg_reuses_doc_partitioning pins
+    this). Cross-family cold-start sharing is delivered by the family
+    pins themselves (minhash_lsh, ngram_shingles, dup_spans) under the
+    bench's cold-START accounting."""
+    return shingle_bag(corpus).dropDuplicates(["doc_id", "shingle"])
 
 
 def minhash_signatures(corpus: DataFrame) -> DataFrame:
@@ -284,9 +277,8 @@ def dedup_minhash_lsh(corpus: DataFrame, threshold: float = 0.5) -> DataFrame:
     - One shuffle of raw text (by_doc); shingling + the 16-way min()
       aggregate are then partition-local over the shingle *bag*
       (min() is multiset-invariant — no per-doc distinct needed).
-    - The bag rides the family-shared ``pinned_shingle_bag``; the tiny
-      candidate/restricted-shingle tables AND the unthresholded
-      verified-pair table are pinned here (registry-persisted,
+    - The bag, the tiny candidate/restricted-shingle tables, AND the
+      unthresholded verified-pair table are pinned (registry-persisted,
       releasable): each is referenced by 2-3 downstream consumers
       (standalone query, cluster assignment, curation), and without
       pinning, the full shingle pipeline — or the verification joins —
@@ -299,7 +291,7 @@ def dedup_minhash_lsh(corpus: DataFrame, threshold: float = 0.5) -> DataFrame:
     from ..pinned import pinned
 
     def _build():
-        bag = pinned_shingle_bag(corpus)
+        bag = shingle_bag(corpus)
         sigs = minhash_signatures_from_shingles(bag)
         cands = lsh_candidate_pairs(sigs)
         cand_docs = (
@@ -316,12 +308,9 @@ def dedup_minhash_lsh(corpus: DataFrame, threshold: float = 0.5) -> DataFrame:
             ["doc_id", "shingle"]
         )
         verified = verify_jaccard(cands, sh_cand)
-        # The bag rides its OWN pin (pinned_shingle_bag — shared with
-        # the n-gram/containment families); this pin holds only the
-        # LSH-specific relations.
-        return cands, sh_cand, verified
+        return bag, cands, sh_cand, verified
 
-    _, _, verified = pinned(("minhash_lsh", corpus.semanticHash()), _build)
+    _, _, _, verified = pinned(("minhash_lsh", corpus.semanticHash()), _build)
     return verified.filter(F.col("jaccard") >= threshold)
 
 
@@ -1102,6 +1091,13 @@ def pinned_duplicated_spans(
     return spans
 
 
+#: Safety margin of the Arrow scorer's raw-cosine pre-filter: the
+#: 6dp display round moves a value by < 5e-7, so emitting raw ≥
+#: threshold − 1e-6 is a guaranteed SUPERSET of the final rounded
+#: filter (which runs JVM-side, identical to the all-JVM plan).
+_SEMANTIC_PREFILTER_MARGIN = 1e-6
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     k: int = 4,
@@ -1136,26 +1132,71 @@ def semantic_dedup(
     base = with_norm(embeddings.select("vec_id", "embedding")).join(
         assign, "vec_id"
     )
-    a = base.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("cluster").alias("ca"),
-        F.col("v").alias("va"),
-        F.col("n2").alias("na2"),
-    )
-    b = base.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("cluster").alias("cb"),
-        F.col("v").alias("vb"),
-        F.col("n2").alias("nb2"),
-    )
+    # Within-cluster scoring is the SemDeDup paper's own shape — a
+    # dense per-cluster matrix pass — and exactly where a JVM pair JOIN
+    # falls over: joining on the cluster id alone gives the shuffle
+    # only k keys (55M pairs on 4 tasks at sf1, >10 min), and even
+    # block-salted, the join MATERIALIZES every candidate pair row
+    # (two 64-double arrays × 55M ≈ 56 GB through the exchange) just
+    # to reduce it to ~100k survivors. The sanctioned escape hatch is
+    # the vectorized Arrow boundary: applyInPandas per cluster ships
+    # each group's |cluster|×64 matrix ONCE (~MBs), scores the whole
+    # triangle with numpy, and emits only the near-threshold pairs.
+    #
+    # Cross-engine exactness is PRESERVED, not approximated: dots use
+    # np.add.accumulate over a zero-prefixed product row — the strictly
+    # sequential ufunc recurrence r[i] = r[i-1] + x[i], bit-identical
+    # to the JVM fold 0.0 + p₁ + p₂ + … (and to the oracle's
+    # list_sum); norms/sqrt are IEEE-correctly-rounded in all three
+    # engines; the 6dp display round and the threshold run JVM-SIDE on
+    # the raw cosine, so the Python layer only computes the same
+    # doubles and pre-filters with a superset margin.
+    def _score(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        m = len(ids)
+        if m < 2:
+            return pd.DataFrame(
+                {"vec_a": [], "vec_b": [], "cos_raw": []}
+            ).astype({"vec_a": "int64", "vec_b": "int64", "cos_raw": "float64"})
+        V = np.stack(pdf["v"].to_numpy())
+        norms = np.sqrt(pdf["n2"].to_numpy())
+        lo = float(threshold) - _SEMANTIC_PREFILTER_MARGIN
+        out_a: list = []
+        out_b: list = []
+        out_c: list = []
+        zeros = np.zeros((m, 1))
+        for i in range(m - 1):
+            prod = V[i + 1 :] * V[i]
+            acc = np.concatenate([zeros[: m - i - 1], prod], axis=1)
+            dots = np.add.accumulate(acc, axis=1)[:, -1]
+            cos = dots / (norms[i] * norms[i + 1 :])
+            sel = cos >= lo
+            if sel.any():
+                out_a.append(np.full(int(sel.sum()), ids[i]))
+                out_b.append(ids[i + 1 :][sel])
+                out_c.append(cos[sel])
+        if not out_a:
+            return pd.DataFrame(
+                {"vec_a": [], "vec_b": [], "cos_raw": []}
+            ).astype({"vec_a": "int64", "vec_b": "int64", "cos_raw": "float64"})
+        return pd.DataFrame(
+            {
+                "vec_a": np.concatenate(out_a),
+                "vec_b": np.concatenate(out_b),
+                "cos_raw": np.concatenate(out_c),
+            }
+        )
+
+    raw = base.select("vec_id", "cluster", "v", "n2").groupBy(
+        "cluster"
+    ).applyInPandas(_score, "vec_a long, vec_b long, cos_raw double")
     pairs = (
-        a.join(b, (F.col("ca") == F.col("cb")) & (F.col("vec_a") < F.col("vec_b")))
-        .select(
-            "vec_a",
-            "vec_b",
-            F.round(
-                cosine(F.col("va"), F.col("vb"), F.col("na2"), F.col("nb2")), 6
-            ).alias("cos"),
+        raw.select(
+            "vec_a", "vec_b", F.round(F.col("cos_raw"), 6).alias("cos")
         )
         .filter(F.col("cos") >= threshold)
     )
