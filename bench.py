@@ -133,7 +133,10 @@ BENCH_QUERIES = [
     "dedup_semantic",
     "docs_unigram_encode_heldout",
     "docs_bigram_logprob",
-    "streaming_quality_gate",
+    # streaming twins (streaming_bpe_encode, streaming_quality_gate)
+    # are driver-verified but not headline entries: each timed run
+    # replays a full corpus stream from a fresh landing dir, so the
+    # number measures stream-harness setup, not an operator.
 ]
 
 
