@@ -43,7 +43,35 @@ def global_row_number(
 ) -> DataFrame:
     """``df`` plus a 1-based global ``rn_col`` following ``order_by``
     (pass fully-deterministic, non-null sort expressions — include a
-    unique tie-break key). No global-order window is ever created."""
+    unique tie-break key). No global-order window is ever created.
+
+    PINNED per (input, order, partitions): the ranked relation is an
+    index (range layout + per-partition offsets + checkpoint), and its
+    consumers — LM buckets, deciles, degree ranks — are serve-many
+    queries; without the pin every serve re-paid the checkpoint write
+    and the per-partition count collect (~0.7-0.9 s of the hottest
+    remaining warm queries at sf0.1)."""
+    from ..pinned import pinned
+
+    key = (
+        "global_rank",
+        df.semanticHash(),
+        tuple(str(c) for c in order_by),
+        rn_col,
+        int(n_partitions),
+    )
+    (out,) = pinned(
+        key, lambda: (_global_row_number(df, order_by, rn_col, n_partitions),)
+    )
+    return out
+
+
+def _global_row_number(
+    df: DataFrame,
+    order_by: list[Column],
+    rn_col: str,
+    n_partitions: int,
+) -> DataFrame:
     ranged, _ = checkpoint(
         df.repartitionByRange(n_partitions, *order_by).withColumn(
             "__rank_pid", F.spark_partition_id()
