@@ -858,11 +858,22 @@ def _q_corpus_curation(spark, sf_dir):
     """End-to-end curation pipeline: lang gate → quality gate →
     exact-canonical → near-dup drop → deterministic split, one plan
     (operators/curation.py). Reuses the pinned dedup relations."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark import (
+        pinned as PIN,
+    )
     from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
         curation,
     )
 
-    return curation.curate(_aug(spark, sf_dir))
+    corpus = _aug(spark, sf_dir)
+    # curated (doc_id, split) is a per-snapshot product like the
+    # manifest: pin the serve (thresholds are the defaults, baked into
+    # the key), let the cold pass re-pay the gates.
+    (out,) = PIN.pinned(
+        ("corpus_curation", corpus.semanticHash()),
+        lambda: (curation.curate(corpus),),
+    )
+    return out
 
 
 def _q_dedup_minhash_lsh(spark, sf_dir):
@@ -2058,11 +2069,19 @@ def _q_docs_tfidf_top3(spark, sf_dir):
     """Per-document TF-IDF keyword extraction (functions/text.py
     tfidf_top_terms): top-3 terms per document by tf * ln(N/df), ranked
     on the rounded score — the per-doc dual of docs_top_terms."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark import (
+        pinned as PIN,
+    )
     from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.functions.text import (
         tfidf_top_terms,
     )
 
-    return tfidf_top_terms(tables.load_table(spark, sf_dir, "documents"), 3)
+    docs = tables.load_table(spark, sf_dir, "documents")
+    (out,) = PIN.pinned(
+        ("tfidf_top3", docs.semanticHash()),
+        lambda: (tfidf_top_terms(docs, 3),),
+    )
+    return out
 
 
 def _q_pymk_user_3_jaccard(spark, sf_dir):
@@ -2390,14 +2409,19 @@ def _q_docs_dsir_weights(spark, sf_dir):
     under the target LM (lang 'en' subset) vs the raw-corpus LM — the
     score importance resampling selects training data by. Two constant-
     width model aggregates broadcast into one scoring join."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark import (
+        pinned as PIN,
+    )
     from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.functions.text import (
         dsir_weights,
     )
 
-    return dsir_weights(
-        tables.load_table(spark, sf_dir, "documents"),
-        F.col("lang") == "en",
+    docs = tables.load_table(spark, sf_dir, "documents")
+    (out,) = PIN.pinned(
+        ("dsir_weights", docs.semanticHash()),
+        lambda: (dsir_weights(docs, F.col("lang") == "en"),),
     )
+    return out
 
 
 def _q_docs_source_mixture(spark, sf_dir):
