@@ -288,3 +288,84 @@ def test_streaming_quality_gate_equals_batch(spark, tmp_path):
         for r in T.quality_classifier_margin(docs).collect()
     }
     assert got == want
+
+
+def test_bigram_logprob_property_random_corpora(spark):
+    """Randomized corpora vs the plain-Python interpolated reference —
+    repeated-token geometry makes bigram/unigram count interactions
+    that a fixed fixture undercovers."""
+    import math
+    import random
+
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.functions.text import (
+        BIGRAM_LAM,
+        bigram_logprob_scores,
+    )
+
+    rng = random.Random(7)
+    words = ["a", "b", "ab", "ba", "c"]
+    for trial in range(3):
+        texts = {
+            i: " ".join(
+                rng.choice(words) for _ in range(rng.randrange(0, 9))
+            )
+            for i in range(6)
+        }
+        docs = spark.createDataFrame(
+            list(texts.items()), "doc_id long, text string"
+        )
+        toks = {i: [w for w in t.split() if w] for i, t in texts.items()}
+        c2, c1, tot = {}, {}, 0
+        for ws in toks.values():
+            for w in ws:
+                c1[w] = c1.get(w, 0) + 1
+                tot += 1
+            for x, y in zip(ws, ws[1:]):
+                c2[(x, y)] = c2.get((x, y), 0) + 1
+        lam = BIGRAM_LAM
+        want = {}
+        for i, ws in toks.items():
+            bs = list(zip(ws, ws[1:]))
+            if not bs:
+                want[i] = (0, None)
+                continue
+            lp = sum(
+                math.log(
+                    lam * (c2[(x, y)] / c1[x]) + (1.0 - lam) * (c1[y] / tot)
+                )
+                for x, y in bs
+            ) / len(bs)
+            want[i] = (len(bs), round(lp, 6))
+        got = {
+            r["doc_id"]: (r["n_bigrams"], r["bigram_logprob"])
+            for r in bigram_logprob_scores(docs).collect()
+        }
+        assert got == want, f"trial {trial}"
+
+
+def test_streaming_quality_gate_replay_is_idempotent(spark, tmp_path):
+    """Draining the same landing dir through a SECOND stream run (fresh
+    checkpoint, same rollup table) must not double-add margins — the
+    swap-protocol batch-id marker detects the replay."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.streaming.rollup import (
+        StreamingQualityGate,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "dogs bark loudly")],
+        "doc_id long, text string",
+    )
+    docs.repartition(1).write.mode("overwrite").parquet(
+        str(tmp_path / "landing")
+    )
+    gate = StreamingQualityGate(spark, str(tmp_path / "wh"))
+    gate.run_available_now(
+        str(tmp_path / "landing"), str(tmp_path / "ckpt"), "doc_id long, text string"
+    )
+    first = sorted(tuple(r) for r in gate.table().collect())
+    # same files, fresh checkpoint -> the batch REPLAYS with batch_id 0;
+    # the applied-batch marker must reject the double-add
+    gate.run_available_now(
+        str(tmp_path / "landing"), str(tmp_path / "ckpt2"), "doc_id long, text string"
+    )
+    assert sorted(tuple(r) for r in gate.table().collect()) == first
