@@ -2329,6 +2329,43 @@ def _q_docs_substring_clean_table(spark, sf_dir):
     )
 
 
+def _q_docs_boilerplate_grams(spark, sf_dir):
+    """Per-source boilerplate dictionary (operators/dedup.py
+    boilerplate_grams — CCNet's repeated-line detector with the line
+    unit adapted to word 3-grams): (source, gram, n_docs) for every
+    gram in ≥ 3 distinct documents of the same source."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.dedup import (
+        boilerplate_grams,
+    )
+
+    return boilerplate_grams(tables.load_table(spark, sf_dir, "documents"))
+
+
+def _q_docs_boilerplate_stripped(spark, sf_dir):
+    """Boilerplate stripping (operators/dedup.py strip_boilerplate —
+    the actionable half; CCNet trains on the stripped shard): drop
+    every token covered by a boilerplate-gram occurrence of the doc's
+    own source; (doc_id, n_removed, clean_fp) with the md5 of the
+    cleaned token-rejoined text carrying the exact value check."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.dedup import (
+        strip_boilerplate,
+    )
+
+    return strip_boilerplate(tables.load_table(spark, sf_dir, "documents"))
+
+
+def _q_docs_boilerplate_stats(spark, sf_dir):
+    """Per-source boilerplate exposure roll-up (operators/dedup.py
+    boilerplate_stats): (source, n_boiler_grams, docs_affected,
+    words_removed) — the before/after table a shard owner reads
+    before committing to the strip."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.dedup import (
+        boilerplate_stats,
+    )
+
+    return boilerplate_stats(tables.load_table(spark, sf_dir, "documents"))
+
+
 def _q_docs_bpe_encode_heldout(spark, sf_dir):
     """BPE INFERENCE encode (functions/text.py bpe_encode_tokens_per_doc):
     fit the 8-merge tokenizer on the TRAIN hash-split of the corpus,
@@ -2864,6 +2901,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_unigram_encode_heldout": _q_docs_unigram_encode_heldout,
         "docs_bigram_logprob": _q_docs_bigram_logprob,
         "streaming_quality_gate": _q_streaming_quality_gate,
+        "docs_boilerplate_grams": _q_docs_boilerplate_grams,
+        "docs_boilerplate_stripped": _q_docs_boilerplate_stripped,
+        "docs_boilerplate_stats": _q_docs_boilerplate_stats,
     }
     return _rotate(registry)
 

@@ -1232,3 +1232,179 @@ def pinned_semantic_dedup(
         lambda: (semantic_dedup(embeddings, k, iters, threshold),),
     )
     return out
+
+
+# --- per-source boilerplate n-gram removal (CCNet shape) -------------------
+
+#: Word n-gram width of the boilerplate unit. CCNet/RefinedWeb strip
+#: LINES repeated across a shard's documents; this corpus has no line
+#: structure (TESTDATA.md: single-line synthetic text), so the repeated
+#: unit is a fixed-width word n-gram under the frozen analyzer — the
+#: same adaptation the shingle families make.
+BOILER_N = 3
+
+#: A gram is boilerplate FOR A SOURCE when it appears in at least this
+#: many distinct documents of that source. An absolute floor rather
+#: than CCNet's document fraction: doc-frequency of a fixed n-gram in
+#: this synthetic corpus does not grow with corpus size, so a
+#: percentage bar degenerates to zero hits at bench scales; real
+#: deployments tune this knob per shard exactly like CCNet's 0.5%.
+BOILER_MIN_DOCS = 3
+
+
+def _boiler_grams(corpus: DataFrame, n: int = BOILER_N) -> DataFrame:
+    """(doc_id, source, pos, gram): every word ``n``-gram of every
+    document under the frozen analyzer (search/index.tokenize), ``pos``
+    1-based in TOKEN space. The CASE guards the short-document edge —
+    ``sequence(1, 0)`` would silently descend (the intervals.py ADVICE
+    bug class), so documents with fewer than ``n`` tokens emit no rows.
+
+    Scale: the ×n word fan-out is the operator's declared cost (same
+    trade as _gram_positions); rows are (8B id, short source, 8B pos,
+    ~3-word gram) and the downstream aggregate map-side combines."""
+    toks = tokenize(F.col("text"))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda p: F.struct(
+                p.cast("long").alias("pos"),
+                F.array_join(F.slice(toks, p, n), " ").alias("gram"),
+            ),
+        ),
+    ).otherwise(
+        F.array().cast("array<struct<pos:bigint,gram:string>>")
+    )
+    return corpus.select("doc_id", "source", F.explode(grams).alias("g")).select(
+        "doc_id",
+        "source",
+        F.col("g.pos").alias("pos"),
+        F.col("g.gram").alias("gram"),
+    )
+
+
+def _pinned_boilerplate(
+    corpus: DataFrame, n: int = BOILER_N, min_docs: int = BOILER_MIN_DOCS
+) -> tuple[DataFrame, DataFrame]:
+    """The family's shared pinned pair, built once per (corpus, n,
+    min_docs): ``boiler`` (source, gram, n_docs) — the per-source
+    boilerplate dictionary — and ``dpos`` (doc_id, source, pos) — every
+    occurrence position of a boilerplate gram. All three consumers
+    (dictionary report, stripping, per-source stats) read these small
+    relations; the ×n gram fan-out runs once per cold start.
+
+    Spark shape: the distinct-docs count is two map-side-combinable
+    aggregates (distinct (source, gram, doc) then count), never a
+    countDistinct expand; occurrence positions come from a left-semi
+    equi-join of the gram table against the (small) dictionary — AQE
+    broadcasts it when small and skew-splits the hot grams when not
+    (a boilerplate gram is hot BY DEFINITION; a join is
+    skew-splittable, a window partition is not)."""
+    from ..pinned import pinned
+
+    def _build():
+        grams = _boiler_grams(corpus, n)
+        boiler = (
+            grams.select("source", "gram", "doc_id")
+            .distinct()
+            .groupBy("source", "gram")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .filter(F.col("n_docs") >= min_docs)
+        )
+        dpos = grams.join(
+            boiler.select("source", "gram"), ["source", "gram"], "left_semi"
+        ).select("doc_id", "source", "pos")
+        return boiler, dpos
+
+    return pinned(
+        ("boilerplate", corpus.semanticHash(), int(n), int(min_docs)), _build
+    )
+
+
+def boilerplate_grams(
+    corpus: DataFrame, n: int = BOILER_N, min_docs: int = BOILER_MIN_DOCS
+) -> DataFrame:
+    """The per-source boilerplate dictionary: (source, gram, n_docs) for
+    every word ``n``-gram appearing in ≥ ``min_docs`` distinct documents
+    of the SAME source — the CCNet repeated-unit detector with the line
+    unit adapted to fixed word n-grams (module constants above)."""
+    boiler, _ = _pinned_boilerplate(corpus, n, min_docs)
+    return boiler.select("source", "gram", F.col("n_docs").cast("long").alias("n_docs"))
+
+
+def strip_boilerplate(
+    corpus: DataFrame, n: int = BOILER_N, min_docs: int = BOILER_MIN_DOCS
+) -> DataFrame:
+    """The ACTIONABLE half (CCNet trains on the stripped shard): drop
+    every token covered by any boilerplate-gram occurrence of the
+    document's own source. Returns (doc_id, n_removed, clean_fp) —
+    removed TOKEN count and the md5 of the cleaned token-rejoined text
+    (tokenized reassembly, single spaces — the declared normalization;
+    the oracle applies the identical analyzer, so fingerprints match
+    byte-for-byte).
+
+    Spark shape: boilerplate positions per doc collect into one
+    document-length-bounded array (same boundedness argument as the
+    span-merge fold), and ONE array filter walks the token array —
+    a token survives iff no boilerplate occurrence [p, p+n-1] covers
+    it. Documents with no boilerplate pass through via the left join;
+    nothing is exploded back to row-per-token."""
+    _, dpos = _pinned_boilerplate(corpus, n, min_docs)
+    per_doc = dpos.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("pos")).alias("bp")
+    )
+    toks = tokenize(F.col("text"))
+    kept = F.expr(
+        f"CASE WHEN bp IS NULL THEN ws "
+        f"ELSE filter(ws, (w, i) -> NOT exists(bp, "
+        f"p -> p <= CAST(i + 1 AS BIGINT) AND CAST(i + 1 AS BIGINT) < p + {int(n)})) "
+        f"END"
+    )
+    return (
+        corpus.select("doc_id", toks.alias("ws"))
+        .join(per_doc, "doc_id", "left")
+        .select("doc_id", "ws", kept.alias("kept"))
+        .select(
+            "doc_id",
+            (F.size("ws") - F.size("kept")).cast("long").alias("n_removed"),
+            F.md5(F.array_join("kept", " ").cast("binary")).alias("clean_fp"),
+        )
+    )
+
+
+def boilerplate_stats(
+    corpus: DataFrame, n: int = BOILER_N, min_docs: int = BOILER_MIN_DOCS
+) -> DataFrame:
+    """Per-source boilerplate exposure: (source, n_boiler_grams,
+    docs_affected, words_removed) — the corpus-health roll-up a shard
+    owner reads before committing to a strip (CCNet reports exactly
+    this before/after table). Sources with no boilerplate report 0s.
+
+    Scale: both inputs are the pinned family relations; the roll-up is
+    one |sources|-row aggregate each — no new corpus pass."""
+    boiler, dpos = _pinned_boilerplate(corpus, n, min_docs)
+    per_source_grams = boiler.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_boiler_grams")
+    )
+    removed = strip_boilerplate(corpus, n, min_docs)
+    exposure = (
+        corpus.select("doc_id", "source")
+        .join(removed, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count_if(F.col("n_removed") > 0).alias("docs_affected"),
+            F.sum("n_removed").alias("words_removed"),
+        )
+    )
+    return (
+        corpus.select("source")
+        .distinct()
+        .join(per_source_grams, "source", "left")
+        .join(exposure, "source", "left")
+        .select(
+            "source",
+            F.coalesce("n_boiler_grams", F.lit(0)).cast("long").alias("n_boiler_grams"),
+            F.coalesce("docs_affected", F.lit(0)).cast("long").alias("docs_affected"),
+            F.coalesce("words_removed", F.lit(0)).cast("long").alias("words_removed"),
+        )
+    )

@@ -3715,3 +3715,85 @@ ORACLES["docs_bigram_logprob"] = _bigram_logprob_sql(0.8)
 # Streaming classifier gate (streaming/rollup.py StreamingQualityGate):
 # drained per-doc margin table == the batch classifier application.
 ORACLES["streaming_quality_gate"] = ORACLES["docs_quality_classifier"]
+
+
+# Per-source boilerplate n-gram removal (operators/dedup.py
+# boilerplate_grams / strip_boilerplate / boilerplate_stats — the CCNet
+# repeated-line strip with the line unit adapted to word 3-grams).
+# Identical frozen analyzer; the stripped fingerprint is md5 of the
+# token-rejoined clean text in BOTH engines, so the check is exact.
+_BOILER_N = 3
+_BOILER_MIN_DOCS = 3
+_BOILER_CTES = f"""\
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, source, CAST(i AS BIGINT) AS pos,
+         array_to_string(ws[i:i+{_BOILER_N}-1], ' ') AS gram
+  FROM toks, unnest(range(1, len(ws) - {_BOILER_N} + 2)) AS t(i)
+),
+boiler AS (
+  SELECT source, gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM grams GROUP BY source, gram
+  HAVING count(DISTINCT doc_id) >= {_BOILER_MIN_DOCS}
+),
+dpos AS (
+  SELECT g.doc_id, g.source, g.pos
+  FROM grams g JOIN boiler b ON g.source = b.source AND g.gram = b.gram
+),
+covered AS (
+  SELECT DISTINCT doc_id, pos + k AS wi
+  FROM dpos, unnest(range(0, {_BOILER_N})) AS r(k)
+)"""
+
+ORACLES["docs_boilerplate_grams"] = f"""\
+{_BOILER_CTES}
+SELECT source, gram, n_docs FROM boiler"""
+
+_BOILER_CLEAN_CTES = f"""\
+{_BOILER_CTES},
+words AS (
+  SELECT t.doc_id, CAST(i AS BIGINT) AS wi, ws[CAST(i AS INT)] AS w
+  FROM toks t, unnest(range(1, len(ws) + 1)) AS u(i)
+),
+clean AS (
+  SELECT w.doc_id,
+         string_agg(w.w, ' ' ORDER BY w.wi)
+           FILTER (WHERE c.wi IS NULL) AS clean_text,
+         count(*) FILTER (WHERE c.wi IS NOT NULL) AS n_removed
+  FROM words w
+  LEFT JOIN covered c ON c.doc_id = w.doc_id AND c.wi = w.wi
+  GROUP BY w.doc_id
+)"""
+
+ORACLES["docs_boilerplate_stripped"] = f"""\
+{_BOILER_CLEAN_CTES}
+SELECT t.doc_id,
+       CAST(coalesce(cl.n_removed, 0) AS BIGINT) AS n_removed,
+       md5(CASE WHEN cl.doc_id IS NULL THEN array_to_string(t.ws, ' ')
+                ELSE coalesce(cl.clean_text, '') END) AS clean_fp
+FROM toks t LEFT JOIN clean cl ON cl.doc_id = t.doc_id"""
+
+ORACLES["docs_boilerplate_stats"] = f"""\
+{_BOILER_CTES},
+nb AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_boiler_grams
+  FROM boiler GROUP BY source
+),
+pd AS (SELECT doc_id, count(*) AS rm FROM covered GROUP BY doc_id),
+expo AS (
+  SELECT d.source, CAST(count(*) AS BIGINT) AS docs_affected,
+         CAST(sum(pd.rm) AS BIGINT) AS words_removed
+  FROM pd JOIN documents d USING (doc_id) GROUP BY d.source
+)
+SELECT s.source,
+       coalesce(nb.n_boiler_grams, 0) AS n_boiler_grams,
+       coalesce(expo.docs_affected, 0) AS docs_affected,
+       coalesce(expo.words_removed, 0) AS words_removed
+FROM (SELECT DISTINCT source FROM documents) s
+LEFT JOIN nb USING (source)
+LEFT JOIN expo USING (source)"""

@@ -369,3 +369,133 @@ def test_streaming_quality_gate_replay_is_idempotent(spark, tmp_path):
         str(tmp_path / "landing"), str(tmp_path / "ckpt2"), "doc_id long, text string"
     )
     assert sorted(tuple(r) for r in gate.table().collect()) == first
+
+
+# --- per-source boilerplate n-gram removal --------------------------------
+
+
+def _ref_boilerplate(rows, n=3, min_docs=3):
+    """Brute-force reference: rows = [(doc_id, text, source)]. Returns
+    (boiler set {(source, gram)}, {doc_id: (n_removed, clean_text)})."""
+    toks = {
+        d: [t for t in re.split("[^a-z0-9]+", txt.lower()) if t]
+        for d, txt, _ in rows
+    }
+    src = {d: s for d, _, s in rows}
+    seen: dict[tuple[str, str], set[int]] = {}
+    for d, ws in toks.items():
+        for i in range(len(ws) - n + 1):
+            g = " ".join(ws[i : i + n])
+            seen.setdefault((src[d], g), set()).add(d)
+    boiler = {k for k, docs in seen.items() if len(docs) >= min_docs}
+    out = {}
+    for d, ws in toks.items():
+        covered = set()
+        for i in range(len(ws) - n + 1):
+            if (src[d], " ".join(ws[i : i + n])) in boiler:
+                covered.update(range(i, i + n))
+        kept = [w for i, w in enumerate(ws) if i not in covered]
+        out[d] = (len(ws) - len(kept), " ".join(kept))
+    return boiler, out
+
+
+def _boiler_rows():
+    # "alpha beta gamma" in 3 docs of srcA (boilerplate there) and in
+    # 2 docs of srcB (below the floor -> untouched). Doc 4 holds two
+    # OVERLAPPING boilerplate occurrences ("p q r" / "q r s" both reach
+    # 3 docs in srcA via docs 5 and 6) - the covered-token union must
+    # not double-count the shared tokens. Doc 7 is shorter than n.
+    return [
+        (1, "alpha beta gamma one two three", "srcA"),
+        (2, "zero alpha beta gamma four five", "srcA"),
+        (3, "six seven alpha beta gamma", "srcA"),
+        (4, "p q r s tail words here", "srcA"),
+        (5, "p q r other q r s words", "srcA"),
+        (6, "lead p q r and q r s", "srcA"),
+        (7, "tiny doc", "srcA"),
+        (8, "alpha beta gamma in source b", "srcB"),
+        (9, "also alpha beta gamma here", "srcB"),
+    ]
+
+
+def test_boilerplate_matches_reference(spark):
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.dedup import (
+        boilerplate_grams,
+        strip_boilerplate,
+    )
+
+    rows = _boiler_rows()
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    ref_boiler, ref_clean = _ref_boilerplate(rows)
+    got_boiler = {
+        (r["source"], r["gram"]): r["n_docs"]
+        for r in boilerplate_grams(docs).collect()
+    }
+    assert set(got_boiler) == ref_boiler
+    assert ("srcA", "alpha beta gamma") in got_boiler
+    assert ("srcB", "alpha beta gamma") not in got_boiler  # per-source floor
+    assert ("srcA", "p q r") in got_boiler and ("srcA", "q r s") in got_boiler
+
+    got = {r["doc_id"]: r for r in strip_boilerplate(docs).collect()}
+    assert set(got) == set(ref_clean)
+    for d, (n_removed, clean) in ref_clean.items():
+        assert got[d]["n_removed"] == n_removed, d
+        assert got[d]["clean_fp"] == hashlib.md5(clean.encode()).hexdigest(), d
+    # overlapping occurrences in doc 5: "p q r" at 0 and "q r s" at 4
+    # plus the literal tokens between - union, never double-counted
+    assert got[5]["n_removed"] == ref_clean[5][0] <= 7
+    # short doc passes through verbatim
+    assert got[7]["n_removed"] == 0
+
+
+def test_boilerplate_stats_rolls_up(spark):
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.dedup import (
+        boilerplate_stats,
+    )
+
+    rows = _boiler_rows()
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    ref_boiler, ref_clean = _ref_boilerplate(rows)
+    src = {d: s for d, _, s in rows}
+    stats = {r["source"]: r for r in boilerplate_stats(docs).collect()}
+    assert set(stats) == {"srcA", "srcB"}
+    for s in ("srcA", "srcB"):
+        assert stats[s]["n_boiler_grams"] == sum(1 for k in ref_boiler if k[0] == s)
+        assert stats[s]["docs_affected"] == sum(
+            1 for d, (nr, _) in ref_clean.items() if src[d] == s and nr > 0
+        )
+        assert stats[s]["words_removed"] == sum(
+            nr for d, (nr, _) in ref_clean.items() if src[d] == s
+        )
+    assert stats["srcB"]["n_boiler_grams"] == 0
+    assert stats["srcB"]["words_removed"] == 0
+
+
+def test_boilerplate_no_hits_passthrough(spark):
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.dedup import (
+        boilerplate_grams,
+        strip_boilerplate,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "one two three four", "s"), (2, "five six seven eight", "s")],
+        "doc_id long, text string, source string",
+    )
+    assert boilerplate_grams(docs).count() == 0
+    got = {r["doc_id"]: r for r in strip_boilerplate(docs).collect()}
+    assert got[1]["n_removed"] == 0
+    assert got[1]["clean_fp"] == hashlib.md5(b"one two three four").hexdigest()
+
+
+def test_boilerplate_plan_has_no_cartesian_or_window(spark):
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.dedup import (
+        strip_boilerplate,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d", "s")], "doc_id long, text string, source string"
+    )
+    plan = strip_boilerplate(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "Window" not in plan  # array-side filter, never a row explode + window
