@@ -2366,6 +2366,33 @@ def _q_docs_boilerplate_stats(spark, sf_dir):
     return boilerplate_stats(tables.load_table(spark, sf_dir, "documents"))
 
 
+def _q_emb_sq8_codes(spark, sf_dir):
+    """SQ8 code table (operators/similarity.py sq8_codes — faiss
+    QT_8bit shape): per-dim min/max grid trained on the corpus, every
+    vector encoded to 64 uint8 codes (4× scan reduction vs float32);
+    (vec_id, code_sum, code_fp) rolls the codes down to an exact
+    integer sum + md5 so the hash covers every byte."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        similarity as SIM,
+    )
+
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    return SIM.sq8_codes(emb)
+
+
+def _q_ann_sq8_rerank(spark, sf_dir):
+    """SQ8 serving path (operators/similarity.py ann_sq8_rerank): the
+    approximate scan reads only the compressed code table (on-the-fly
+    reconstruction, full-precision query — asymmetric), shortlists 50,
+    then exact-reranks the shortlist against raw vectors."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        similarity as SIM,
+    )
+
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    return SIM.ann_sq8_rerank(emb, oracles.ANN_QUERY_IDS, k=10)
+
+
 def _q_docs_bpe_encode_heldout(spark, sf_dir):
     """BPE INFERENCE encode (functions/text.py bpe_encode_tokens_per_doc):
     fit the 8-merge tokenizer on the TRAIN hash-split of the corpus,
@@ -2904,6 +2931,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_boilerplate_grams": _q_docs_boilerplate_grams,
         "docs_boilerplate_stripped": _q_docs_boilerplate_stripped,
         "docs_boilerplate_stats": _q_docs_boilerplate_stats,
+        "emb_sq8_codes": _q_emb_sq8_codes,
+        "ann_sq8_rerank": _q_ann_sq8_rerank,
     }
     return _rotate(registry)
 

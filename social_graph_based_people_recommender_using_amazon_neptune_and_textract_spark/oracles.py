@@ -3797,3 +3797,92 @@ SELECT s.source,
 FROM (SELECT DISTINCT source FROM documents) s
 LEFT JOIN nb USING (source)
 LEFT JOIN expo USING (source)"""
+
+
+# SQ8 scalar quantization (operators/similarity.py sq8_codes /
+# ann_sq8_rerank — faiss QT_8bit shape). The grid stats are order-free
+# min/max aggregates and every code is a fixed-order IEEE expression
+# with an exact floor, so codes are bit-identical cross-engine; the
+# approximate scan + exact rerank reuse the blessed _DOT/list_sum
+# operation tree. CAST(255 AS DOUBLE) avoids the DECIMAL promotion the
+# driver hash rejects.
+_SQ8_CTES = """\
+WITH vecs AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+dim AS (
+  SELECT pos, min(x) AS mn, max(x) AS mx FROM (
+    SELECT unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM vecs
+  ) GROUP BY pos
+),
+stats AS (
+  SELECT list(mn ORDER BY pos) AS mins,
+         list(mx - mn ORDER BY pos) AS ranges
+  FROM dim
+),
+codes AS (
+  SELECT vec_id,
+    list_transform(range(1, 65), i ->
+      CAST(CASE WHEN s.ranges[i] > 0
+        THEN floor((v[i] - s.mins[i]) * CAST(255 AS DOUBLE) / s.ranges[i]
+                   + 0.5)
+        ELSE 0 END AS INT)) AS codes
+  FROM vecs, stats s
+)"""
+
+ORACLES["emb_sq8_codes"] = f"""\
+{_SQ8_CTES}
+SELECT vec_id,
+       CAST(list_sum(codes) AS BIGINT) AS code_sum,
+       md5(array_to_string(codes, ',')) AS code_fp
+FROM codes"""
+
+ORACLES["ann_sq8_rerank"] = f"""\
+{_SQ8_CTES},
+norms AS (
+  SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS n2 FROM vecs
+),
+recon AS (
+  SELECT c.vec_id,
+    list_transform(range(1, 65), i ->
+      s.mins[i] + c.codes[i] * (s.ranges[i] / CAST(255 AS DOUBLE))) AS rv
+  FROM codes c, stats s
+),
+rnorm AS (
+  SELECT vec_id, rv, list_sum(list_transform(rv, x -> x * x)) AS rn2
+  FROM recon
+),
+q AS (
+  SELECT vec_id AS query_id, v AS qv, n2 AS qn2 FROM norms
+  WHERE vec_id IN ({_qid_list})
+),
+cand AS (
+  SELECT q.query_id, r.vec_id,
+    round({_DOT.format(a="q.qv", b="r.rv")} / (sqrt(q.qn2) * sqrt(r.rn2)), 6)
+      AS acos
+  FROM rnorm r CROSS JOIN q WHERE r.vec_id <> q.query_id
+),
+short AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+      row_number() OVER (PARTITION BY query_id
+                         ORDER BY acos DESC, vec_id ASC) AS rr
+    FROM cand
+  ) WHERE rr <= 50
+),
+scored AS (
+  SELECT s.query_id, n.vec_id AS neighbor_id,
+    round({_DOT.format(a="q.qv", b="n.v")} / (sqrt(q.qn2) * sqrt(n.n2)), 6)
+      AS cos
+  FROM short s
+  JOIN norms n ON n.vec_id = s.vec_id
+  JOIN q ON q.query_id = s.query_id
+)
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT query_id, neighbor_id, cos,
+    CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS INT)
+      AS rank
+  FROM scored
+) WHERE rank <= 10"""

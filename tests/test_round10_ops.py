@@ -499,3 +499,110 @@ def test_boilerplate_plan_has_no_cartesian_or_window(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
     assert "Window" not in plan  # array-side filter, never a row explode + window
+
+
+# --- SQ8 scalar quantization ----------------------------------------------
+
+SF_001 = "/root/testdata/sf0.001"
+
+
+def test_sq8_codes_grid_contract(spark):
+    """Codes live on the 0..255 grid; a vector AT the per-dim min
+    encodes 0 and at the max encodes 255; a degenerate (constant)
+    dimension encodes 0 everywhere."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        similarity as S,
+    )
+
+    # dim1 spans [0,2]; dim2 spans [-1,1]; dim3 constant (degenerate)
+    emb = spark.createDataFrame(
+        [
+            (1, [0.0, -1.0, 7.0]),
+            (2, [2.0, 1.0, 7.0]),
+            (3, [1.0, 0.0, 7.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    stats, codes = S.pinned_sq8(emb)
+    got = {r["vec_id"]: list(r["codes"]) for r in codes.collect()}
+    assert got[1] == [0, 0, 0]
+    assert got[2] == [255, 255, 0]
+    assert got[3] == [128, 128, 0]  # midpoint: floor(127.5 + 0.5)
+    st = stats.first()
+    assert list(st["mins"]) == [0.0, -1.0, 7.0]
+    assert list(st["ranges"]) == [2.0, 2.0, 0.0]
+
+
+def test_sq8_reconstruction_error_bounded(spark):
+    """Per-coordinate |recon − x| ≤ range/510 + eps (half a grid step)
+    over the real sf0.001 corpus — the declared resolution bound."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        similarity as S,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.similarity import (
+        _sq8_recon_arr,
+        _to_double,
+    )
+
+    emb = spark.read.parquet(f"{SF_001}/embeddings.parquet")
+    stats, codes = S.pinned_sq8(emb)
+    recon = (
+        codes.crossJoin(F.broadcast(stats))
+        .select(
+            "vec_id",
+            _sq8_recon_arr(F.col("codes"), F.col("mins"), F.col("ranges")).alias("rv"),
+            F.col("ranges").alias("rg"),
+        )
+        .join(
+            emb.select("vec_id", _to_double(F.col("embedding")).alias("v")),
+            "vec_id",
+        )
+    )
+    worst = recon.select(
+        F.max(
+            F.array_max(
+                F.zip_with(
+                    F.zip_with(F.col("rv"), F.col("v"), lambda a, b: F.abs(a - b)),
+                    F.col("rg"),
+                    lambda e, r: e - r / F.lit(510.0),
+                )
+            )
+        ).alias("slack")
+    ).first()["slack"]
+    assert worst <= 1e-9
+
+
+def test_sq8_rerank_recall_floor(spark):
+    """Compressed-scan shortlist-50 + exact rerank recovers most of the
+    brute-force top-10 on uniform random vectors. Pinned ≥ 0.8 at
+    sf0.001 (the 8-bit grid is far finer than PQ's 16 centroids, so the
+    floor sits above PQ's 0.7)."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        similarity as S,
+    )
+
+    emb = spark.read.parquet(f"{SF_001}/embeddings.parquet")
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ann_bruteforce(emb, [0, 1, 2], 10).collect()
+    }
+    sq = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ann_sq8_rerank(emb, [0, 1, 2], 10).collect()
+    }
+    assert len(bf & sq) / len(bf) >= 0.8
+
+
+def test_sq8_shortlist_scans_codes_not_raw_vectors(spark):
+    """The approximate scan reads the pinned CODE table (InMemory scan)
+    — raw embedding vectors enter the plan only via the output-sized
+    rerank join, never the N-candidate scoring scan."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        similarity as S,
+    )
+
+    emb = spark.read.parquet(f"{SF_001}/embeddings.parquet")
+    df = S.ann_sq8_rerank(emb, [0, 1, 2], 10)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
+    assert "CartesianProduct" not in plan
