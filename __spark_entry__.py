@@ -2366,6 +2366,47 @@ def _q_docs_boilerplate_stats(spark, sf_dir):
     return boilerplate_stats(tables.load_table(spark, sf_dir, "documents"))
 
 
+def _q_docs_soft_dedup_weights(spark, sf_dir):
+    """Duplicate-aware soft training weights (operators/dedup.py
+    soft_dedup_weights): each near-dup cluster contributes one doc's
+    worth of training mass — weight = 1/|cluster|, 1.0 for unclustered
+    docs; the keep-the-data alternative to canonical-only dedup."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.dedup import (
+        soft_dedup_weights,
+    )
+
+    return soft_dedup_weights(_aug(spark, sf_dir))
+
+
+def _q_streaming_boilerplate(spark, sf_dir):
+    """Streaming boilerplate strip (streaming/boilerplate.py): the
+    dictionary is trained in batch on the corpus (the pinned family
+    relation), frozen, and applied to the corpus replayed in 3
+    micro-batches — drained table ≡ batch strip_boilerplate (shared
+    strip core; same oracle as docs_boilerplate_stripped)."""
+    import tempfile
+
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.dedup import (
+        boilerplate_grams,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.streaming.boilerplate import (
+        StreamingBoilerplateStrip,
+    )
+
+    docs = tables.load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    base = tempfile.mkdtemp(prefix="sgr-sboiler-")
+    docs.repartition(3).write.mode("overwrite").parquet(f"{base}/landing")
+    gate = StreamingBoilerplateStrip(
+        spark, f"{base}/wh", boilerplate_grams(docs)
+    )
+    gate.run_available_now(
+        f"{base}/landing", f"{base}/ckpt", max_files_per_trigger=1
+    )
+    return gate.stripped()
+
+
 def _q_emb_sq8_codes(spark, sf_dir):
     """SQ8 code table (operators/similarity.py sq8_codes — faiss
     QT_8bit shape): per-dim min/max grid trained on the corpus, every
@@ -2933,6 +2974,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_boilerplate_stats": _q_docs_boilerplate_stats,
         "emb_sq8_codes": _q_emb_sq8_codes,
         "ann_sq8_rerank": _q_ann_sq8_rerank,
+        "docs_soft_dedup_weights": _q_docs_soft_dedup_weights,
+        "streaming_boilerplate": _q_streaming_boilerplate,
     }
     return _rotate(registry)
 

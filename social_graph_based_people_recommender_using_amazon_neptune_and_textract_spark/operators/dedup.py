@@ -1350,6 +1350,41 @@ def strip_boilerplate(
     it. Documents with no boilerplate pass through via the left join;
     nothing is exploded back to row-per-token."""
     _, dpos = _pinned_boilerplate(corpus, n, min_docs)
+    return _boiler_strip_rows(corpus, dpos, n)
+
+
+def strip_with_dictionary(
+    corpus: DataFrame, boiler: DataFrame, n: int = BOILER_N
+) -> DataFrame:
+    """Strip ``corpus`` against a FROZEN boilerplate dictionary
+    (source, gram) trained elsewhere — the serving half of the family:
+    a production pipeline trains the dictionary on the reference shard
+    in batch and applies it at ingest time to every arriving document
+    (the streaming twin wraps exactly this). Same output contract as
+    ``strip_boilerplate``; on the training corpus itself the two are
+    row-identical (test-pinned).
+
+    The dictionary join broadcasts only under the family size gate
+    (BROADCAST_DIM_CAP_BYTES — the r9 ADVICE hint-is-always-honored
+    hazard); an outsized dictionary falls back to the plain equi-join
+    and AQE picks the strategy."""
+    from ..functions.text import BROADCAST_DIM_CAP_BYTES
+    from ..plans.audit import estimated_size_bytes
+
+    dic = boiler.select("source", "gram")
+    if estimated_size_bytes(dic) <= BROADCAST_DIM_CAP_BYTES:
+        dic = F.broadcast(dic)
+    dpos = (
+        _boiler_grams(corpus, n)
+        .join(dic, ["source", "gram"], "left_semi")
+        .select("doc_id", "pos")
+    )
+    return _boiler_strip_rows(corpus, dpos, n)
+
+
+def _boiler_strip_rows(corpus: DataFrame, dpos: DataFrame, n: int) -> DataFrame:
+    """Shared strip core: (doc_id, n_removed, clean_fp) from a
+    (doc_id, pos) boilerplate-occurrence relation."""
     per_doc = dpos.groupBy("doc_id").agg(
         F.sort_array(F.collect_list("pos")).alias("bp")
     )
@@ -1406,5 +1441,39 @@ def boilerplate_stats(
             F.coalesce("n_boiler_grams", F.lit(0)).cast("long").alias("n_boiler_grams"),
             F.coalesce("docs_affected", F.lit(0)).cast("long").alias("docs_affected"),
             F.coalesce("words_removed", F.lit(0)).cast("long").alias("words_removed"),
+        )
+    )
+
+
+# --- duplicate-aware soft training weights --------------------------------
+
+def soft_dedup_weights(corpus: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Soft dedup: instead of DROPPING near-duplicates, downweight them
+    so each near-dup CLUSTER contributes one document's worth of
+    training mass — weight = 1/|cluster| for clustered docs, 1.0
+    otherwise. Returns (doc_id, cluster_size, weight) for EVERY corpus
+    doc; weight is round(1/size, 6) and composes directly with the
+    weighted sampler (operators/sampling.py weighted_sample) and the
+    manifest's boost column — the keep-the-data alternative to
+    ``dedup_clusters``' keep-canonical rule that several production
+    pipelines prefer when duplicates carry distribution signal.
+
+    Scale: reuses the clustering closure (pinned via its family); the
+    additions are a |clusters|-row count and one fan-out-1 left join."""
+    clusters = dedup_clusters(corpus, threshold)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    per_doc = clusters.join(sizes, "cluster_id").select("doc_id", "cluster_size")
+    one = F.lit(1).cast("long")
+    return (
+        corpus.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_size", one).cast("long").alias("cluster_size"),
+            F.round(
+                F.lit(1.0) / F.coalesce("cluster_size", one).cast("double"), 6
+            ).alias("weight"),
         )
     )

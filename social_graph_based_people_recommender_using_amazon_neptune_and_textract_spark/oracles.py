@@ -3886,3 +3886,34 @@ SELECT query_id, neighbor_id, cos, rank FROM (
       AS rank
   FROM scored
 ) WHERE rank <= 10"""
+
+
+# Duplicate-aware soft training weights (operators/dedup.py
+# soft_dedup_weights): the clusters oracle's final SELECT becomes a CTE;
+# per-cluster sizes then a fan-out-1 left join back over the corpus.
+# CAST(1 AS DOUBLE) keeps the division double-typed (no DECIMAL).
+_CLW = ORACLES["dedup_clusters"]
+_CLW_SPLIT = _CLW.rindex("SELECT node AS doc_id")
+ORACLES["docs_soft_dedup_weights"] = (
+    _CLW[:_CLW_SPLIT].rstrip().rstrip(",")
+    + """,
+cl AS (
+  SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node
+),
+cl_sizes AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM cl GROUP BY cluster_id
+),
+pd AS (
+  SELECT cl.doc_id, s.cluster_size FROM cl JOIN cl_sizes s USING (cluster_id)
+)
+SELECT a.doc_id,
+  CAST(coalesce(pd.cluster_size, 1) AS BIGINT) AS cluster_size,
+  round(CAST(1 AS DOUBLE) / coalesce(pd.cluster_size, 1), 6) AS weight
+FROM aug a LEFT JOIN pd USING (doc_id)"""
+)
+
+# Streaming boilerplate strip (streaming/boilerplate.py): dictionary
+# trained in batch and frozen; drained replay of the corpus ==
+# the batch strip (shared strip core).
+ORACLES["streaming_boilerplate"] = ORACLES["docs_boilerplate_stripped"]

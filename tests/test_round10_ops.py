@@ -606,3 +606,76 @@ def test_sq8_shortlist_scans_codes_not_raw_vectors(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" in plan
     assert "CartesianProduct" not in plan
+
+
+# --- soft dedup weights + streaming boilerplate ----------------------------
+
+
+def test_soft_dedup_weights_cluster_mass(spark):
+    """Each near-dup cluster carries one doc's worth of mass: exact
+    copies weigh 1/|cluster|, unclustered docs weigh 1.0, and every
+    corpus doc gets a row."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.dedup import (
+        soft_dedup_weights,
+    )
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(1, text), (2, text), (3, text), (4, "totally different words here now")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in soft_dedup_weights(docs).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    for d in (1, 2, 3):
+        assert got[d]["cluster_size"] == 3
+        assert abs(got[d]["weight"] - round(1 / 3, 6)) < 1e-9
+    assert got[4]["cluster_size"] == 1 and got[4]["weight"] == 1.0
+
+
+def test_strip_with_dictionary_equals_family_strip(spark):
+    """Serving strip against the trained frozen dictionary is
+    row-identical to the batch family strip on the training corpus."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.dedup import (
+        boilerplate_grams,
+        strip_boilerplate,
+        strip_with_dictionary,
+    )
+
+    docs = spark.createDataFrame(
+        _boiler_rows(), "doc_id long, text string, source string"
+    )
+    batch = sorted(tuple(r) for r in strip_boilerplate(docs).collect())
+    served = sorted(
+        tuple(r)
+        for r in strip_with_dictionary(docs, boilerplate_grams(docs)).collect()
+    )
+    assert served == batch
+
+
+def test_streaming_boilerplate_equals_batch(spark, tmp_path):
+    """Drained replay of the corpus through the ingest-time strip ==
+    the batch strip; a re-run over the same checkpoint is a no-op."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.dedup import (
+        boilerplate_grams,
+        strip_boilerplate,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.streaming.boilerplate import (
+        StreamingBoilerplateStrip,
+    )
+
+    docs = spark.createDataFrame(
+        _boiler_rows(), "doc_id long, text string, source string"
+    )
+    docs.repartition(3).write.mode("overwrite").parquet(str(tmp_path / "landing"))
+    gate = StreamingBoilerplateStrip(
+        spark, str(tmp_path / "wh"), boilerplate_grams(docs)
+    )
+    gate.run_available_now(
+        str(tmp_path / "landing"), str(tmp_path / "ckpt"), max_files_per_trigger=1
+    )
+    batch = sorted(tuple(r) for r in strip_boilerplate(docs).collect())
+    got = sorted(tuple(r) for r in gate.stripped().collect())
+    assert got == batch
+    # replay over the drained checkpoint: converged, still identical
+    gate.run_available_now(str(tmp_path / "landing"), str(tmp_path / "ckpt"))
+    assert sorted(tuple(r) for r in gate.stripped().collect()) == batch
