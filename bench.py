@@ -133,10 +133,17 @@ BENCH_QUERIES = [
     "dedup_semantic",
     "docs_unigram_encode_heldout",
     "docs_bigram_logprob",
-    # streaming twins (streaming_bpe_encode, streaming_quality_gate)
-    # are driver-verified but not headline entries: each timed run
-    # replays a full corpus stream from a fresh landing dir, so the
-    # number measures stream-harness setup, not an operator.
+    "docs_boilerplate_grams",
+    "docs_boilerplate_stripped",
+    "docs_boilerplate_stats",
+    "emb_sq8_codes",
+    "ann_sq8_rerank",
+    "docs_soft_dedup_weights",
+    # streaming twins (streaming_bpe_encode, streaming_quality_gate,
+    # streaming_boilerplate) are driver-verified but not headline
+    # entries: each timed run replays a full corpus stream from a
+    # fresh landing dir, so the number measures stream-harness setup,
+    # not an operator.
 ]
 
 
