@@ -2366,6 +2366,19 @@ def _q_docs_boilerplate_stats(spark, sf_dir):
     return boilerplate_stats(tables.load_table(spark, sf_dir, "documents"))
 
 
+def _q_split_source_balance(spark, sf_dir):
+    """Split-representativeness audit (operators/quality.py
+    split_source_balance): the (source × split) contingency grid —
+    empty cells included — with expected counts under independence and
+    chi-square contributions; the check run before trusting per-source
+    dev/test numbers."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.quality import (
+        split_source_balance,
+    )
+
+    return split_source_balance(tables.load_table(spark, sf_dir, "documents"))
+
+
 def _q_docs_soft_dedup_weights(spark, sf_dir):
     """Duplicate-aware soft training weights (operators/dedup.py
     soft_dedup_weights): each near-dup cluster contributes one doc's
@@ -2976,6 +2989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_sq8_rerank": _q_ann_sq8_rerank,
         "docs_soft_dedup_weights": _q_docs_soft_dedup_weights,
         "streaming_boilerplate": _q_streaming_boilerplate,
+        "split_source_balance": _q_split_source_balance,
     }
     return _rotate(registry)
 

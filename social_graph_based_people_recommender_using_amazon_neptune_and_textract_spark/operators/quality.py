@@ -75,3 +75,47 @@ def dq_audit(checks: list[DataFrame]) -> DataFrame:
     for c in checks[1:]:
         out = out.crossJoin(c)
     return out
+
+
+def split_source_balance(documents: DataFrame) -> DataFrame:
+    """Split-representativeness audit: does the hash split preserve
+    each source's share, or did a source land disproportionately in one
+    split? The check a pipeline owner runs before trusting dev/test
+    numbers — a source over-represented in test makes every eval score
+    on it unshippable. One row per (source × split) — including EMPTY
+    cells, which are the very skew being audited: (source, split, n,
+    n_expected, chi2_term) with n_expected = n_source·n_split/N under
+    independence and chi2_term = (n − n_expected)²/n_expected (the
+    standard contingency contribution; the caller sums terms against
+    its own χ² threshold).
+
+    Determinism: counts are exact integers; n_expected and chi2_term
+    are fixed-order IEEE expressions on those integers, rounded at 6dp
+    only for display — the oracle spells the identical tree.
+
+    Scale: three count aggregates over one scan each (map-side
+    combined); the full grid is |sources|×|splits| — dimension-sized,
+    built from the two tiny aggregate relations (the bounded-relation
+    cross device, same as dq_audit's 1×1 fold) and left-joined against
+    the observed cells."""
+    from .sampling import hash_split
+
+    d = hash_split(documents.select("doc_id", "source"), "doc_id")
+    obs = d.groupBy("source", "split").agg(F.count(F.lit(1)).alias("n"))
+    src_tot = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    split_tot = d.groupBy("split").agg(F.count(F.lit(1)).alias("n_split"))
+    tot = d.agg(F.count(F.lit(1)).alias("n_all"))
+    grid = src_tot.crossJoin(split_tot).crossJoin(tot)
+    ne = F.col("n_src") * F.col("n_split") / F.col("n_all")
+    n = F.coalesce("n", F.lit(0)).cast("long")
+    chi2 = (n - ne) * (n - ne) / ne
+    return (
+        grid.join(obs, ["source", "split"], "left")
+        .select(
+            "source",
+            "split",
+            n.alias("n"),
+            F.round(ne, 6).alias("n_expected"),
+            F.round(chi2, 6).alias("chi2_term"),
+        )
+    )

@@ -3917,3 +3917,33 @@ FROM aug a LEFT JOIN pd USING (doc_id)"""
 # trained in batch and frozen; drained replay of the corpus ==
 # the batch strip (shared strip core).
 ORACLES["streaming_boilerplate"] = ORACLES["docs_boilerplate_stripped"]
+
+
+# Split-representativeness audit (operators/quality.py
+# split_source_balance): the contingency grid over (source x split)
+# including empty cells; expected counts and chi-square terms are
+# fixed-order IEEE expressions over exact integer counts (BIGINT/BIGINT
+# division is DOUBLE in both engines), rounded at 6dp for display.
+ORACLES["split_source_balance"] = f"""\
+WITH d AS (
+  SELECT source,
+    CASE WHEN {_BUCKET} < 8000 THEN 'train'
+         WHEN {_BUCKET} < 9000 THEN 'dev'
+         ELSE 'test' END AS split
+  FROM documents
+),
+obs AS (
+  SELECT source, split, CAST(count(*) AS BIGINT) AS n
+  FROM d GROUP BY source, split
+),
+st AS (SELECT source, CAST(count(*) AS BIGINT) AS n_src FROM d GROUP BY source),
+sp AS (SELECT split, CAST(count(*) AS BIGINT) AS n_split FROM d GROUP BY split),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM d)
+SELECT st.source, sp.split,
+  CAST(coalesce(obs.n, 0) AS BIGINT) AS n,
+  round(st.n_src * sp.n_split / t.n_all, 6) AS n_expected,
+  round((coalesce(obs.n, 0) - st.n_src * sp.n_split / t.n_all)
+        * (coalesce(obs.n, 0) - st.n_src * sp.n_split / t.n_all)
+        / (st.n_src * sp.n_split / t.n_all), 6) AS chi2_term
+FROM st CROSS JOIN sp CROSS JOIN tot t
+LEFT JOIN obs ON obs.source = st.source AND obs.split = sp.split"""

@@ -679,3 +679,44 @@ def test_streaming_boilerplate_equals_batch(spark, tmp_path):
     # replay over the drained checkpoint: converged, still identical
     gate.run_available_now(str(tmp_path / "landing"), str(tmp_path / "ckpt"))
     assert sorted(tuple(r) for r in gate.stripped().collect()) == batch
+
+
+# --- split-representativeness audit ---------------------------------------
+
+
+def test_split_source_balance_grid_contract(spark):
+    """Every (source x split) cell is present — including EMPTY cells,
+    the very skew being audited; counts total correctly and the
+    chi-square terms match a hand computation."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.quality import (
+        split_source_balance,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.sampling import (
+        hash_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}", "srcA" if i % 2 == 0 else "srcB") for i in range(40)],
+        "doc_id long, text string, source string",
+    )
+    rows = split_source_balance(docs).collect()
+    splits_present = {r["split"] for r in hash_split(docs, "doc_id").collect()}
+    assert len(rows) == 2 * len(splits_present)  # full grid, maybe with 0 cells
+    got = {(r["source"], r["split"]): r for r in rows}
+    # reference counts from the same hash split
+    ref = {}
+    for r in hash_split(docs, "doc_id").collect():
+        ref[(r["source"], r["split"])] = ref.get((r["source"], r["split"]), 0) + 1
+    n_all = 40
+    n_src = {"srcA": 20, "srcB": 20}
+    n_split = {}
+    for (s, sp), c in ref.items():
+        n_split[sp] = n_split.get(sp, 0) + c
+    for (s, sp), r in got.items():
+        assert r["n"] == ref.get((s, sp), 0)
+        ne = n_src[s] * n_split[sp] / n_all
+        assert abs(r["n_expected"] - round(ne, 6)) < 1e-9
+        assert abs(r["chi2_term"] - round((r["n"] - ne) ** 2 / ne, 6)) < 1e-9
+    # per-source totals reconstruct
+    for s in ("srcA", "srcB"):
+        assert sum(r["n"] for (src, _), r in got.items() if src == s) == 20
