@@ -28,11 +28,15 @@ class StreamingBoilerplateStrip:
     frozen (source, gram) dictionary relation."""
 
     def __init__(self, spark: SparkSession, out_dir: str, boiler: DataFrame) -> None:
+        from .. import checkpoints
+
         self.spark = spark
-        # The dictionary is frozen for the gate's lifetime: localCheckpoint
-        # cuts its lineage once so every micro-batch re-reads a
-        # materialized relation instead of re-running the training plan.
-        self.boiler = boiler.select("source", "gram").localCheckpoint(eager=True)
+        # The dictionary is frozen for the gate's lifetime: a TRACKED
+        # eager checkpoint cuts its lineage once so every micro-batch
+        # re-reads a materialized relation instead of re-running the
+        # training plan, and the engine's release hooks can reclaim the
+        # blocks (an untracked localCheckpoint would leak per gate).
+        self.boiler, _ = checkpoints.checkpoint(boiler.select("source", "gram"))
         self.table = KeyedParquetTable(
             spark, out_dir, keys=["doc_id"], order_by=["batch_id"]
         )
