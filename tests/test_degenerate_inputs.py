@@ -198,3 +198,67 @@ def test_bpe_pretoken_count_units(spark):
     assert got[1]["n_bpe_pretokens"] > got[1]["n_ws_tokens"]
     assert got[2]["n_bpe_pretokens"] == 0
     assert got[3]["n_bpe_pretokens"] == 6  # na ï ve caf é 北京
+
+
+def test_boilerplate_family_survives_weird_and_empty(spark, weird):
+    """Boilerplate ops on degenerate text (empty / whitespace / short /
+    unicode / punctuation-only / exact dups) and on an EMPTY corpus:
+    every doc keeps a strip row, empty corpus yields empty relations."""
+    w = weird.withColumn("source", F.lit("s"))
+    grams = {(r["source"], r["gram"]) for r in D.boilerplate_grams(w).collect()}
+    # only the exact-dup pair shares grams, and 2 docs < the 3-doc floor
+    assert grams == set()
+    got = {r["doc_id"]: r for r in D.strip_boilerplate(w).collect()}
+    assert set(got) == set(range(1, 9))
+    assert all(r["n_removed"] == 0 for r in got.values())
+    stats = D.boilerplate_stats(w).collect()
+    assert len(stats) == 1 and stats[0]["words_removed"] == 0
+
+    empty = spark.createDataFrame([], "doc_id long, text string, source string")
+    assert D.boilerplate_grams(empty).count() == 0
+    assert D.strip_boilerplate(empty).count() == 0
+    assert D.boilerplate_stats(empty).count() == 0
+
+
+def test_soft_dedup_weights_no_duplicates_all_unit(spark, weird):
+    """A corpus whose only cluster is the planted exact-dup pair: those
+    two weigh 0.5, every other doc weighs 1.0."""
+    got = {r["doc_id"]: r for r in D.soft_dedup_weights(weird).collect()}
+    assert set(got) == set(range(1, 9))
+    assert got[6]["cluster_size"] == 2 and got[6]["weight"] == 0.5
+    assert got[7]["cluster_size"] == 2 and got[7]["weight"] == 0.5
+    for d in (1, 2, 3, 4, 5, 8):
+        assert got[d]["cluster_size"] == 1 and got[d]["weight"] == 1.0
+
+
+def test_sq8_single_vector_corpus(spark):
+    """One vector: every dimension is degenerate (range 0) -> all codes
+    0 and the reconstruction is exactly the vector (the grid origin)."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        similarity as SIM,
+    )
+
+    emb = spark.createDataFrame(
+        [(1, [0.5, -2.0, 3.25])], "vec_id long, embedding array<float>"
+    )
+    stats, codes = SIM.pinned_sq8(emb)
+    assert [list(r["codes"]) for r in codes.collect()] == [[0, 0, 0]]
+    st = stats.first()
+    assert list(st["ranges"]) == [0.0, 0.0, 0.0]
+    assert list(st["mins"]) == [0.5, -2.0, 3.25]
+
+
+def test_split_source_balance_single_doc(spark):
+    """One doc: its source has n=1 in exactly one split; the grid holds
+    exactly the splits that exist (a 1-doc corpus has one)."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.quality import (
+        split_source_balance,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "only doc", "solo")], "doc_id long, text string, source string"
+    )
+    rows = split_source_balance(docs).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n"] == 1 and r["n_expected"] == 1.0 and r["chi2_term"] == 0.0
