@@ -2366,6 +2366,31 @@ def _q_docs_boilerplate_stats(spark, sf_dir):
     return boilerplate_stats(tables.load_table(spark, sf_dir, "documents"))
 
 
+def _q_emb_rp_projections(spark, sf_dir):
+    """JL sparse random projection (operators/similarity.py
+    rp_project): 64 → 16 dims via a deterministic Achlioptas {−1,0,+1}
+    matrix; (vec_id, dim, val) one row per projected coordinate so the
+    hash covers every value with no float-formatting edge."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        similarity as SIM,
+    )
+
+    return SIM.rp_projections(tables.load_table(spark, sf_dir, "embeddings"))
+
+
+def _q_ann_rp_rerank(spark, sf_dir):
+    """JL serving path (operators/similarity.py ann_rp_rerank):
+    16-dim projected-cosine shortlist over the pinned projection table,
+    exact rerank of the 50-candidate shortlist — the dim-reduction
+    scale path beside SQ8's (bytes) and PQ's (codes)."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        similarity as SIM,
+    )
+
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    return SIM.ann_rp_rerank(emb, oracles.ANN_QUERY_IDS, k=10)
+
+
 def _q_split_source_balance(spark, sf_dir):
     """Split-representativeness audit (operators/quality.py
     split_source_balance): the (source × split) contingency grid —
@@ -2990,6 +3015,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_soft_dedup_weights": _q_docs_soft_dedup_weights,
         "streaming_boilerplate": _q_streaming_boilerplate,
         "split_source_balance": _q_split_source_balance,
+        "emb_rp_projections": _q_emb_rp_projections,
+        "ann_rp_rerank": _q_ann_rp_rerank,
     }
     return _rotate(registry)
 

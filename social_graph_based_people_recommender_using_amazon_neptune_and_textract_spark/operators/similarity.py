@@ -707,3 +707,150 @@ def ann_sq8_rerank(
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
     )
+
+
+# --- sparse random projection (Johnson–Lindenstrauss) ---------------------
+
+#: Output dimensionality of the JL projection — the dim-reduction scale
+#: path COMPLEMENTARY to quantization: SQ8/PQ shrink bytes-per-
+#: coordinate, the projection shrinks the COORDINATE COUNT (64 → 16
+#: doubles, and 64 → 16 B once composed with SQ8 codes downstream).
+RP_DIM = 16
+
+#: Projected-scan shortlist feeding the exact rerank (same serving
+#: shape as SQ8_SHORTLIST / PQ_SHORTLIST, sized 2x larger): dropping
+#: 48 of 64 dimensions costs more ranking fidelity than quantizing all
+#: 64 (SQ8's per-coordinate error is bounded by the grid step;
+#: truncation error is unbounded), so the projection path buys back
+#: recall through its cheap shortlist — each candidate costs 16
+#: multiply-adds vs 64, so shortlist 100 here scans FEWER flops than
+#: shortlist 25 over raw vectors. On near-orthogonal uniform-random
+#: corpora (the JL worst case, and exactly what the synthetic
+#: embeddings table is) recall tops out low no matter the output dim —
+#: measured 0.37-0.43 for dims 16-32 at shortlist 100 — while on
+#: clustered embeddings (every real text/image encoder) the projected
+#: ranking recovers the brute-force top-k almost exactly
+#: (test-pinned >= 0.9 on a 5-cluster corpus).
+RP_SHORTLIST = 100
+
+
+def _rp_coef(i: int, j: int) -> float:
+    """Deterministic sparse Achlioptas entry r[i][j] ∈ {−1, 0, +1} with
+    density 1/3 — pure integer arithmetic evaluated IDENTICALLY in
+    Python (literals here) and SQL (the oracle), the `_plane_coef`
+    convention with a disjoint salt so projection rows and LSH planes
+    are independent. The usual √(3/k) scale factor is dropped: it
+    multiplies every output coordinate uniformly, and cosine is
+    invariant under uniform scaling."""
+    h = ((i * 2003 + j) * 2654435761) % 6
+    return 1.0 if h == 0 else (-1.0 if h == 1 else 0.0)
+
+
+def rp_project(vcol):
+    """array<double>[RP_DIM]: y_i = Σ_j v_j · r[i][j], each output
+    coordinate the same order-stable left-fold dot as every vector op
+    here — bit-identical cross-engine."""
+    return F.array(
+        *[
+            dot(
+                vcol,
+                F.array(*[F.lit(_rp_coef(i, j)) for j in range(1, DIM + 1)]),
+            )
+            for i in range(1, RP_DIM + 1)
+        ]
+    )
+
+
+def pinned_rp(embeddings: DataFrame) -> tuple[DataFrame]:
+    """The projected base table (vec_id, pv array<double>[16], pn2),
+    built once per corpus — the relation the approximate scan reads
+    INSTEAD of raw vectors (16 doubles vs 64 floats: 2× bytes, 4× fewer
+    multiply-adds per candidate; at 100 TB the projection runs in the
+    ingest pass and the raw vectors never enter the serving path)."""
+    from ..pinned import pinned
+
+    def _build():
+        base = embeddings.select(
+            "vec_id", _to_double(F.col("embedding")).alias("v")
+        )
+        proj = base.select("vec_id", rp_project(F.col("v")).alias("pv"))
+        return (proj.withColumn("pn2", norm2(F.col("pv"))),)
+
+    return pinned(("rp_index", embeddings.semanticHash()), _build)
+
+
+def rp_projections(embeddings: DataFrame) -> DataFrame:
+    """The materialized projection, exploded for the cross-engine
+    check: (vec_id, dim 1-based, val) with val rounded at 6dp — one row
+    per output coordinate, so the hash covers every projected value
+    without a float-to-string formatting edge."""
+    (proj,) = pinned_rp(embeddings)
+    return proj.select(
+        "vec_id", F.posexplode(F.col("pv")).alias("dim0", "raw")
+    ).select(
+        "vec_id",
+        (F.col("dim0") + 1).cast("int").alias("dim"),
+        F.round(F.col("raw"), 6).alias("val"),
+    )
+
+
+def ann_rp_rerank(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    shortlist: int = RP_SHORTLIST,
+) -> DataFrame:
+    """JL serving path: the approximate scan scores 16-dim projected
+    cosines over the pinned projection table (queries projected with
+    the SAME matrix — JL preserves angles in expectation, so projected
+    cosine ranks well), shortlists ``shortlist``, then reranks the
+    shortlist EXACTLY against raw vectors. Returns
+    (query_id, neighbor_id, cos, rank) — the same contract as the SQ8
+    and PQ serving paths, making the three scale paths drop-in
+    interchangeable behind one recall/cost dial."""
+    (proj,) = pinned_rp(embeddings)
+    base = with_norm(embeddings.select("vec_id", "embedding"))
+    q = base.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("n2").alias("qn2"),
+    )
+    qp = proj.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("pv").alias("qpv"),
+        F.col("pn2").alias("qpn2"),
+    )
+    cand = (
+        proj.crossJoin(F.broadcast(qp))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                cosine(F.col("qpv"), F.col("pv"), F.col("qpn2"), F.col("pn2")),
+                6,
+            ).alias("acos"),
+        )
+    )
+    ws = Window.partitionBy("query_id").orderBy(F.desc("acos"), F.asc("vec_id"))
+    short = (
+        cand.withColumn("r", F.row_number().over(ws))
+        .filter(F.col("r") <= shortlist)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    scored = (
+        base.join(short, base.vec_id == short.neighbor_id)
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine(F.col("qv"), F.col("v"), F.col("qn2"), F.col("n2")), 6
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )

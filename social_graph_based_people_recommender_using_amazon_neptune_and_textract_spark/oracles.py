@@ -3947,3 +3947,73 @@ SELECT st.source, sp.split,
         / (st.n_src * sp.n_split / t.n_all), 6) AS chi2_term
 FROM st CROSS JOIN sp CROSS JOIN tot t
 LEFT JOIN obs ON obs.source = st.source AND obs.split = sp.split"""
+
+
+# Sparse random projection, Johnson-Lindenstrauss (operators/
+# similarity.py rp_project / ann_rp_rerank): deterministic Achlioptas
+# entries in {-1,0,+1} from the same pure-integer recipe both engines
+# evaluate (disjoint salt from the LSH planes); each projected
+# coordinate is the blessed list_sum dot, so projections are
+# bit-identical cross-engine.
+_RP_PROJ = """\
+proj AS MATERIALIZED (
+  SELECT vec_id,
+    list_transform(range(1, 17), i ->
+      list_sum(list_transform(range(1, 65), j ->
+        v[j] * (CASE ((i * 2003 + j) * 2654435761) % 6
+                WHEN 0 THEN CAST(1 AS DOUBLE)
+                WHEN 1 THEN CAST(-1 AS DOUBLE)
+                ELSE CAST(0 AS DOUBLE) END)))) AS pv
+  FROM vecs
+)"""
+
+ORACLES["emb_rp_projections"] = f"""\
+WITH {_VEC.format(src="embeddings")},
+{_RP_PROJ}
+SELECT vec_id, CAST(i AS INT) AS dim, round(pv[i], 6) AS val
+FROM proj, unnest(range(1, 17)) AS t(i)"""
+
+ORACLES["ann_rp_rerank"] = f"""\
+WITH {_VEC.format(src="embeddings")},
+{_RP_PROJ},
+pn AS (
+  SELECT vec_id, pv, list_sum(list_transform(pv, x -> x * x)) AS pn2
+  FROM proj
+),
+qp AS (
+  SELECT vec_id AS query_id, pv AS qpv, pn2 AS qpn2 FROM pn
+  WHERE vec_id IN ({_qid_list})
+),
+cand AS (
+  SELECT qp.query_id, p.vec_id,
+    round(list_sum(list_transform(range(1, 17), i -> qp.qpv[i] * p.pv[i]))
+          / (sqrt(qp.qpn2) * sqrt(p.pn2)), 6) AS acos
+  FROM pn p CROSS JOIN qp WHERE p.vec_id <> qp.query_id
+),
+short AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+      row_number() OVER (PARTITION BY query_id
+                         ORDER BY acos DESC, vec_id ASC) AS rr
+    FROM cand
+  ) WHERE rr <= 100
+),
+q AS (
+  SELECT vec_id AS query_id, v AS qv, n2 AS qn2 FROM norms
+  WHERE vec_id IN ({_qid_list})
+),
+scored AS (
+  SELECT s.query_id, n.vec_id AS neighbor_id,
+    round({_DOT.format(a="q.qv", b="n.v")} / (sqrt(q.qn2) * sqrt(n.n2)), 6)
+      AS cos
+  FROM short s
+  JOIN norms n ON n.vec_id = s.vec_id
+  JOIN q ON q.query_id = s.query_id
+)
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT query_id, neighbor_id, cos,
+    CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS INT)
+      AS rank
+  FROM scored
+) WHERE rank <= 10"""

@@ -720,3 +720,76 @@ def test_split_source_balance_grid_contract(spark):
     # per-source totals reconstruct
     for s in ("srcA", "srcB"):
         assert sum(r["n"] for (src, _), r in got.items() if src == s) == 20
+
+
+# --- JL sparse random projection ------------------------------------------
+
+
+def test_rp_projection_matches_reference(spark):
+    """Projection equals a numpy reference built from the same
+    deterministic Achlioptas matrix; entry density is ~1/3 nonzero."""
+    import numpy as np
+
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        similarity as S,
+    )
+
+    emb = spark.read.parquet(f"{SF_001}/embeddings.parquet").limit(20)
+    R = np.array(
+        [[S._rp_coef(i, j) for j in range(1, 65)] for i in range(1, S.RP_DIM + 1)]
+    )
+    nz = np.count_nonzero(R) / R.size
+    assert 0.2 < nz < 0.5  # Achlioptas density 1/3
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    got = {}
+    for r in S.rp_projections(emb).collect():
+        got.setdefault(r["vec_id"], {})[r["dim"]] = r["val"]
+    assert set(got) == set(vecs)
+    for vid, v in vecs.items():
+        ref = R @ v
+        for i in range(S.RP_DIM):
+            assert abs(got[vid][i + 1] - round(float(ref[i]), 6)) < 1e-6, (vid, i)
+
+
+def test_rp_rerank_worst_case_floor_and_clustered_recall(spark):
+    """Two corpora, one contract: on uniform-random vectors (the JL
+    worst case — every pairwise cosine sits at noise level, so the
+    brute-force top-10 barely exists as signal) the projected shortlist
+    keeps a declared floor; on a CLUSTERED corpus (every real encoder's
+    output) the projected ranking recovers the brute-force top-10
+    almost exactly. The pair documents WHEN this scale path applies."""
+    import numpy as np
+
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        similarity as S,
+    )
+
+    emb = spark.read.parquet(f"{SF_001}/embeddings.parquet")
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ann_bruteforce(emb, [0, 1, 2], 10).collect()
+    }
+    rp = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ann_rp_rerank(emb, [0, 1, 2], 10).collect()
+    }
+    assert len(bf & rp) / len(bf) >= 0.3  # measured 0.37 at shortlist 100
+
+    # clustered corpus: 5 well-separated centroids + small noise
+    rng = np.random.RandomState(7)
+    cents = rng.randn(5, 64) * 4
+    rows = []
+    for vid in range(300):
+        c = cents[vid % 5]
+        rows.append((vid, [float(x) for x in c + rng.randn(64) * 0.3]))
+    cl = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    bf2 = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ann_bruteforce(cl, [0, 1, 2], 10).collect()
+    }
+    rp2 = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ann_rp_rerank(cl, [0, 1, 2], 10).collect()
+    }
+    assert len(bf2 & rp2) / len(bf2) >= 0.9
