@@ -139,6 +139,9 @@ BENCH_QUERIES = [
     "emb_sq8_codes",
     "ann_sq8_rerank",
     "docs_soft_dedup_weights",
+    "split_source_balance",
+    "emb_rp_projections",
+    "ann_rp_rerank",
     # streaming twins (streaming_bpe_encode, streaming_quality_gate,
     # streaming_boilerplate) are driver-verified but not headline
     # entries: each timed run replays a full corpus stream from a
