@@ -793,3 +793,79 @@ def test_rp_rerank_worst_case_floor_and_clustered_recall(spark):
         for r in S.ann_rp_rerank(cl, [0, 1, 2], 10).collect()
     }
     assert len(bf2 & rp2) / len(bf2) >= 0.9
+
+
+def test_boilerplate_property_random_corpora(spark):
+    """Randomized small-vocab corpora vs the brute-force reference —
+    random repetition geometry exercises cross-doc/same-doc counting,
+    overlapping covers, and the per-source floor in combinations a
+    fixed fixture undercovers."""
+    import random
+
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.dedup import (
+        boilerplate_grams,
+        strip_boilerplate,
+    )
+
+    rng = random.Random(11)
+    vocab = ["x", "y", "z", "w"]
+    for trial in range(3):
+        rows = [
+            (
+                i,
+                " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 12))),
+                rng.choice(["s1", "s2"]),
+            )
+            for i in range(10)
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        )
+        ref_boiler, ref_clean = _ref_boilerplate(rows)
+        got_boiler = {
+            (r["source"], r["gram"]) for r in boilerplate_grams(docs).collect()
+        }
+        assert got_boiler == ref_boiler, trial
+        got = {r["doc_id"]: r for r in strip_boilerplate(docs).collect()}
+        assert set(got) == set(ref_clean), trial
+        for d, (n_removed, clean) in ref_clean.items():
+            assert got[d]["n_removed"] == n_removed, (trial, d)
+            assert (
+                got[d]["clean_fp"] == hashlib.md5(clean.encode()).hexdigest()
+            ), (trial, d)
+
+
+def test_sq8_codes_property_vs_numpy(spark):
+    """Randomized vectors vs a numpy reference applying the identical
+    grid formula — covers negative ranges, tight ranges, and values at
+    the grid boundaries."""
+    import numpy as np
+
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        similarity as S,
+    )
+
+    rng = np.random.RandomState(13)
+    for trial in range(2):
+        V = (rng.randn(12, 5) * rng.uniform(0.01, 10)).astype(np.float32)
+        V[:, 3] = 7.25  # planted degenerate dimension
+        emb = spark.createDataFrame(
+            [(i, [float(x) for x in V[i]]) for i in range(12)],
+            "vec_id long, embedding array<float>",
+        )
+        Vd = V.astype(np.float64)
+        mn, mx = Vd.min(axis=0), Vd.max(axis=0)
+        rg = mx - mn
+        want = {}
+        for i in range(12):
+            cs = []
+            for j in range(5):
+                if rg[j] > 0:
+                    cs.append(int(np.floor((Vd[i, j] - mn[j]) * 255.0 / rg[j] + 0.5)))
+                else:
+                    cs.append(0)
+            want[i] = cs
+        _, codes = S.pinned_sq8(emb)
+        got = {r["vec_id"]: list(r["codes"]) for r in codes.collect()}
+        assert got == want, trial
+        assert all(0 <= c <= 255 for cs in got.values() for c in cs)
