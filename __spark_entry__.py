@@ -2391,6 +2391,31 @@ def _q_ann_rp_rerank(spark, sf_dir):
     return SIM.ann_rp_rerank(emb, oracles.ANN_QUERY_IDS, k=10)
 
 
+def _q_emb_rp_sq8_codes(spark, sf_dir):
+    """RP ∘ SQ8 composed code table (operators/similarity.py
+    pinned_rp_sq8): quantize the 16-dim projection — 16 bytes per
+    vector, a 16× scan reduction over raw float32; rolled down to
+    (vec_id, code_sum, code_fp) like the plain SQ8 check."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        similarity as SIM,
+    )
+
+    return SIM.emb_rp_sq8_codes(tables.load_table(spark, sf_dir, "embeddings"))
+
+
+def _q_ann_rp_sq8_rerank(spark, sf_dir):
+    """Composed serving path (operators/similarity.py
+    ann_rp_sq8_rerank): scan the 16-byte code table, reconstruct on the
+    fly, shortlist by projected cosine, exact rerank — the OPQ/IVFPQ-
+    class memory-hierarchy end point of the vector tier."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        similarity as SIM,
+    )
+
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    return SIM.ann_rp_sq8_rerank(emb, oracles.ANN_QUERY_IDS, k=10)
+
+
 def _q_split_source_balance(spark, sf_dir):
     """Split-representativeness audit (operators/quality.py
     split_source_balance): the (source × split) contingency grid —
@@ -3017,6 +3042,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_source_balance": _q_split_source_balance,
         "emb_rp_projections": _q_emb_rp_projections,
         "ann_rp_rerank": _q_ann_rp_rerank,
+        "emb_rp_sq8_codes": _q_emb_rp_sq8_codes,
+        "ann_rp_sq8_rerank": _q_ann_rp_sq8_rerank,
     }
     return _rotate(registry)
 

@@ -142,6 +142,8 @@ BENCH_QUERIES = [
     "split_source_balance",
     "emb_rp_projections",
     "ann_rp_rerank",
+    "emb_rp_sq8_codes",
+    "ann_rp_sq8_rerank",
     # streaming twins (streaming_bpe_encode, streaming_quality_gate,
     # streaming_boilerplate) are driver-verified but not headline
     # entries: each timed run replays a full corpus stream from a

@@ -554,9 +554,16 @@ def sq8_dim_stats(embeddings: DataFrame) -> DataFrame:
     order-free aggregates — no float-summation-order edge — so the
     stats are bit-identical cross-engine. One corpus scan; 1-row
     result; broadcast to every consumer."""
-    pos = embeddings.select(
-        F.posexplode(_to_double(F.col("embedding"))).alias("pos", "x")
+    return _sq8_stats_of(
+        embeddings.select(_to_double(F.col("embedding")).alias("v")), "v"
     )
+
+
+def _sq8_stats_of(df: DataFrame, vec_col: str) -> DataFrame:
+    """Grid-stats core over any (…, vec_col array<double>) relation —
+    shared by the raw-vector grid and the projected-vector grid
+    (ann_rp_sq8_rerank)."""
+    pos = df.select(F.posexplode(F.col(vec_col)).alias("pos", "x"))
     per_dim = pos.groupBy("pos").agg(
         F.min("x").alias("mn"), F.max("x").alias("mx")
     )
@@ -828,6 +835,124 @@ def ann_rp_rerank(
             "vec_id",
             F.round(
                 cosine(F.col("qpv"), F.col("pv"), F.col("qpn2"), F.col("pn2")),
+                6,
+            ).alias("acos"),
+        )
+    )
+    ws = Window.partitionBy("query_id").orderBy(F.desc("acos"), F.asc("vec_id"))
+    short = (
+        cand.withColumn("r", F.row_number().over(ws))
+        .filter(F.col("r") <= shortlist)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    scored = (
+        base.join(short, base.vec_id == short.neighbor_id)
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine(F.col("qv"), F.col("v"), F.col("qn2"), F.col("n2")), 6
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+# --- RP ∘ SQ8: project then quantize (16 bytes per vector) ----------------
+
+def pinned_rp_sq8(embeddings: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The composed index: SQ8-quantize the PINNED 16-dim projection —
+    (stats16, codes16) with codes16 = (vec_id, codes array<int>[16]).
+    The memory-hierarchy end point of the vector tier: 256 B raw
+    float32 → 64 B SQ8 → 128 B projected doubles (16 f64; 64 B as f32)
+    → **16 B projected codes**, a 16× scan reduction over raw — the
+    shape a 100 TB ANN index actually ships (OPQ/IVFPQ-class systems
+    compose reduction and quantization exactly like this). Both stages
+    reuse the pinned family builds; the compose adds one 16-dim stats
+    scan + one encode scan over the projection."""
+    from ..pinned import pinned
+
+    def _build():
+        (proj,) = pinned_rp(embeddings)
+        stats16 = _sq8_stats_of(proj, "pv")
+        codes16 = (
+            proj.crossJoin(F.broadcast(stats16))
+            .select(
+                "vec_id",
+                _sq8_code_arr(F.col("pv"), F.col("mins"), F.col("ranges")).alias(
+                    "codes"
+                ),
+            )
+        )
+        return stats16, codes16
+
+    return pinned(("rp_sq8_index", embeddings.semanticHash()), _build)
+
+
+def emb_rp_sq8_codes(embeddings: DataFrame) -> DataFrame:
+    """The 16-byte composed code table, rolled down for the
+    cross-engine check exactly like ``sq8_codes``: (vec_id, code_sum,
+    code_fp)."""
+    _, codes16 = pinned_rp_sq8(embeddings)
+    s = F.aggregate(
+        F.col("codes"), F.lit(0).cast("long"), lambda acc, c: acc + c
+    )
+    return codes16.select(
+        "vec_id",
+        s.alias("code_sum"),
+        F.md5(
+            F.array_join(
+                F.transform(F.col("codes"), lambda c: c.cast("string")), ","
+            ).cast("binary")
+        ).alias("code_fp"),
+    )
+
+
+def ann_rp_sq8_rerank(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    shortlist: int = RP_SHORTLIST,
+) -> DataFrame:
+    """Composed serving path: the approximate scan reads ONLY the
+    16-byte code table (reconstruct 16 dims on the fly, score against
+    the query's FULL-PRECISION projection — asymmetric at both stages),
+    shortlists ``shortlist``, exact-reranks against raw vectors.
+    Returns (query_id, neighbor_id, cos, rank) — same contract as the
+    SQ8 / PQ / RP paths. The grid step costs ≤ range/510 per projected
+    coordinate on top of the projection's own distortion, so recall
+    tracks ``ann_rp_rerank`` closely (test-pinned equal-or-near on the
+    clustered corpus)."""
+    stats16, codes16 = pinned_rp_sq8(embeddings)
+    (proj,) = pinned_rp(embeddings)
+    base = with_norm(embeddings.select("vec_id", "embedding"))
+    q = base.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("n2").alias("qn2"),
+    )
+    qp = proj.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("pv").alias("qpv"),
+        F.col("pn2").alias("qpn2"),
+    )
+    recon = _sq8_recon_arr(F.col("codes"), F.col("mins"), F.col("ranges"))
+    cand = (
+        codes16.crossJoin(F.broadcast(stats16))
+        .select("vec_id", recon.alias("rv"))
+        .withColumn("rn2", norm2(F.col("rv")))
+        .crossJoin(F.broadcast(qp))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                cosine(F.col("qpv"), F.col("rv"), F.col("qpn2"), F.col("rn2")),
                 6,
             ).alias("acos"),
         )

@@ -4017,3 +4017,91 @@ SELECT query_id, neighbor_id, cos, rank FROM (
       AS rank
   FROM scored
 ) WHERE rank <= 10"""
+
+
+# RP ∘ SQ8 composition (operators/similarity.py pinned_rp_sq8 /
+# ann_rp_sq8_rerank): quantize the 16-dim projection — both stages'
+# formulas verbatim, so the composed codes are bit-identical too.
+_RP_SQ8_CTES = f"""\
+WITH {_VEC.format(src="embeddings")},
+{_RP_PROJ},
+dim16 AS (
+  SELECT pos, min(x) AS mn, max(x) AS mx FROM (
+    SELECT unnest(pv) AS x, generate_subscripts(pv, 1) AS pos FROM proj
+  ) GROUP BY pos
+),
+stats16 AS (
+  SELECT list(mn ORDER BY pos) AS mins,
+         list(mx - mn ORDER BY pos) AS ranges
+  FROM dim16
+),
+codes16 AS (
+  SELECT vec_id,
+    list_transform(range(1, 17), i ->
+      CAST(CASE WHEN s.ranges[i] > 0
+        THEN floor((pv[i] - s.mins[i]) * CAST(255 AS DOUBLE) / s.ranges[i]
+                   + 0.5)
+        ELSE 0 END AS INT)) AS codes
+  FROM proj, stats16 s
+)"""
+
+ORACLES["emb_rp_sq8_codes"] = f"""\
+{_RP_SQ8_CTES}
+SELECT vec_id,
+       CAST(list_sum(codes) AS BIGINT) AS code_sum,
+       md5(array_to_string(codes, ',')) AS code_fp
+FROM codes16"""
+
+ORACLES["ann_rp_sq8_rerank"] = f"""\
+{_RP_SQ8_CTES},
+recon16 AS (
+  SELECT c.vec_id,
+    list_transform(range(1, 17), i ->
+      s.mins[i] + c.codes[i] * (s.ranges[i] / CAST(255 AS DOUBLE))) AS rv
+  FROM codes16 c, stats16 s
+),
+rn AS (
+  SELECT vec_id, rv, list_sum(list_transform(rv, x -> x * x)) AS rn2
+  FROM recon16
+),
+pn AS (
+  SELECT vec_id, pv, list_sum(list_transform(pv, x -> x * x)) AS pn2
+  FROM proj
+),
+qp AS (
+  SELECT vec_id AS query_id, pv AS qpv, pn2 AS qpn2 FROM pn
+  WHERE vec_id IN ({_qid_list})
+),
+cand AS (
+  SELECT qp.query_id, r.vec_id,
+    round(list_sum(list_transform(range(1, 17), i -> qp.qpv[i] * r.rv[i]))
+          / (sqrt(qp.qpn2) * sqrt(r.rn2)), 6) AS acos
+  FROM rn r CROSS JOIN qp WHERE r.vec_id <> qp.query_id
+),
+short AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+      row_number() OVER (PARTITION BY query_id
+                         ORDER BY acos DESC, vec_id ASC) AS rr
+    FROM cand
+  ) WHERE rr <= 100
+),
+q AS (
+  SELECT vec_id AS query_id, v AS qv, n2 AS qn2 FROM norms
+  WHERE vec_id IN ({_qid_list})
+),
+scored AS (
+  SELECT s.query_id, n.vec_id AS neighbor_id,
+    round({_DOT.format(a="q.qv", b="n.v")} / (sqrt(q.qn2) * sqrt(n.n2)), 6)
+      AS cos
+  FROM short s
+  JOIN norms n ON n.vec_id = s.vec_id
+  JOIN q ON q.query_id = s.query_id
+)
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT query_id, neighbor_id, cos,
+    CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS INT)
+      AS rank
+  FROM scored
+) WHERE rank <= 10"""

@@ -869,3 +869,38 @@ def test_sq8_codes_property_vs_numpy(spark):
         got = {r["vec_id"]: list(r["codes"]) for r in codes.collect()}
         assert got == want, trial
         assert all(0 <= c <= 255 for cs in got.values() for c in cs)
+
+
+def test_rp_sq8_composition_contracts(spark):
+    """The composed 16-byte index: codes are 16 per vector in [0,255];
+    on the clustered corpus the composed path's recall tracks the
+    plain projection path (the grid adds ≤ range/510 per-coordinate
+    on top of projection distortion)."""
+    import numpy as np
+
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        similarity as S,
+    )
+
+    rng = np.random.RandomState(7)
+    cents = rng.randn(5, 64) * 4
+    rows = []
+    for vid in range(300):
+        c = cents[vid % 5]
+        rows.append((vid, [float(x) for x in c + rng.randn(64) * 0.3]))
+    cl = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    _, codes16 = S.pinned_rp_sq8(cl)
+    got = {r["vec_id"]: list(r["codes"]) for r in codes16.collect()}
+    assert len(got) == 300
+    assert all(len(cs) == S.RP_DIM for cs in got.values())
+    assert all(0 <= c <= 255 for cs in got.values() for c in cs)
+
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ann_bruteforce(cl, [0, 1, 2], 10).collect()
+    }
+    comp = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ann_rp_sq8_rerank(cl, [0, 1, 2], 10).collect()
+    }
+    assert len(bf & comp) / len(bf) >= 0.9
