@@ -2381,7 +2381,10 @@ def _q_emb_rp_projections(spark, sf_dir):
 def _q_ann_rp_rerank(spark, sf_dir):
     """JL serving path (operators/similarity.py ann_rp_rerank):
     16-dim projected-cosine shortlist over the pinned projection table,
-    exact rerank of the 50-candidate shortlist — the dim-reduction
+    exact rerank of the 100-candidate shortlist (RP_SHORTLIST, 2× the
+    quantizer paths' 50: truncation error is unbounded where the grid
+    step is not, so the projection buys recall back through a cheap
+    16-flop-per-candidate scan) — the dim-reduction
     scale path beside SQ8's (bytes) and PQ's (codes)."""
     from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
         similarity as SIM,

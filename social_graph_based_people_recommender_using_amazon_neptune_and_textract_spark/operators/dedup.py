@@ -1353,8 +1353,27 @@ def strip_boilerplate(
     return _boiler_strip_rows(corpus, dpos, n)
 
 
+def hint_boiler_dictionary(boiler: DataFrame) -> DataFrame:
+    """Apply the family broadcast-size gate to a frozen (source, gram)
+    dictionary ONCE and return the (possibly) hinted relation. The size
+    probe (``estimated_size_bytes``) is a driver-side Catalyst
+    plan-stats round-trip — callers that strip many batches against the
+    SAME frozen dictionary (StreamingBoilerplateStrip) must pay it once
+    at setup, not per micro-batch."""
+    from ..functions.text import BROADCAST_DIM_CAP_BYTES
+    from ..plans.audit import estimated_size_bytes
+
+    dic = boiler.select("source", "gram")
+    if estimated_size_bytes(dic) <= BROADCAST_DIM_CAP_BYTES:
+        dic = F.broadcast(dic)
+    return dic
+
+
 def strip_with_dictionary(
-    corpus: DataFrame, boiler: DataFrame, n: int = BOILER_N
+    corpus: DataFrame,
+    boiler: DataFrame,
+    n: int = BOILER_N,
+    prehinted: bool = False,
 ) -> DataFrame:
     """Strip ``corpus`` against a FROZEN boilerplate dictionary
     (source, gram) trained elsewhere — the serving half of the family:
@@ -1367,13 +1386,12 @@ def strip_with_dictionary(
     The dictionary join broadcasts only under the family size gate
     (BROADCAST_DIM_CAP_BYTES — the r9 ADVICE hint-is-always-honored
     hazard); an outsized dictionary falls back to the plain equi-join
-    and AQE picks the strategy."""
-    from ..functions.text import BROADCAST_DIM_CAP_BYTES
-    from ..plans.audit import estimated_size_bytes
-
-    dic = boiler.select("source", "gram")
-    if estimated_size_bytes(dic) <= BROADCAST_DIM_CAP_BYTES:
-        dic = F.broadcast(dic)
+    and AQE picks the strategy. ``prehinted=True`` declares the caller
+    already ran ``hint_boiler_dictionary`` on a frozen dictionary —
+    the per-call size probe is skipped (the streaming gate strips every
+    micro-batch against one frozen dictionary; re-probing identical
+    plan stats per batch is pure driver overhead)."""
+    dic = boiler if prehinted else hint_boiler_dictionary(boiler)
     dpos = (
         _boiler_grams(corpus, n)
         .join(dic, ["source", "gram"], "left_semi")

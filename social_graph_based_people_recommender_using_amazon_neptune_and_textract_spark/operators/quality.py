@@ -97,18 +97,34 @@ def split_source_balance(documents: DataFrame) -> DataFrame:
     combined); the full grid is |sources|×|splits| — dimension-sized,
     built from the two tiny aggregate relations (the bounded-relation
     cross device, same as dq_audit's 1×1 fold) and left-joined against
-    the observed cells."""
-    from .sampling import hash_split
+    the observed cells.
+
+    The split dimension is the KNOWN domain hash_split emits
+    (train/dev/test as a constant relation), not the observed distinct
+    splits — a split with ZERO documents overall is the most extreme
+    skew of all and must appear in the grid as n=0 rows rather than
+    vanish. Its cells have n_expected = 0; the χ² contribution of a
+    0-expected 0-observed cell is defined 0 (the standard limit
+    convention — and n>0 with n_expected=0 is impossible, since
+    n_expected=0 only when the whole split is empty)."""
+    from .sampling import SPLIT_NAMES, hash_split
 
     d = hash_split(documents.select("doc_id", "source"), "doc_id")
     obs = d.groupBy("source", "split").agg(F.count(F.lit(1)).alias("n"))
     src_tot = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
-    split_tot = d.groupBy("split").agg(F.count(F.lit(1)).alias("n_split"))
+    split_dom = documents.sparkSession.createDataFrame(
+        [(s,) for s in SPLIT_NAMES], "split string"
+    )
+    split_tot = split_dom.join(
+        d.groupBy("split").agg(F.count(F.lit(1)).alias("n_split")),
+        "split",
+        "left",
+    ).select("split", F.coalesce("n_split", F.lit(0)).alias("n_split"))
     tot = d.agg(F.count(F.lit(1)).alias("n_all"))
     grid = src_tot.crossJoin(split_tot).crossJoin(tot)
     ne = F.col("n_src") * F.col("n_split") / F.col("n_all")
     n = F.coalesce("n", F.lit(0)).cast("long")
-    chi2 = (n - ne) * (n - ne) / ne
+    chi2 = F.when(ne == 0, F.lit(0.0)).otherwise((n - ne) * (n - ne) / ne)
     return (
         grid.join(obs, ["source", "split"], "left")
         .select(

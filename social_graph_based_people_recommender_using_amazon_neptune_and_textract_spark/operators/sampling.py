@@ -38,6 +38,12 @@ def hash_sample(df: DataFrame, key: str, fraction: float) -> DataFrame:
     return df.filter(_bucket(F.col(key)) < int(fraction * N_BUCKETS))
 
 
+#: The split domain hash_split emits — the KNOWN dimension audits
+#: (split_source_balance) cross against, so a fully-empty split still
+#: appears in their grids.
+SPLIT_NAMES = ("train", "dev", "test")
+
+
 def hash_split(
     df: DataFrame, key: str, train: float = 0.8, dev: float = 0.1
 ) -> DataFrame:

@@ -748,9 +748,18 @@ def _rp_coef(i: int, j: int) -> float:
     convention with a disjoint salt so projection rows and LSH planes
     are independent. The usual √(3/k) scale factor is dropped: it
     multiplies every output coordinate uniformly, and cosine is
-    invariant under uniform scaling."""
-    h = ((i * 2003 + j) * 2654435761) % 6
-    return 1.0 if h == 0 else (-1.0 if h == 1 else 0.0)
+    invariant under uniform scaling.
+
+    The reduction uses the LARGE modulus 2001 (the `_plane_coef`
+    convention) rather than % 6: with a mod-6 reduction the multiplier
+    2654435761 ≡ 1 and 2003 ≡ −1 (mod 6), so the entry would depend
+    only on (j − i) mod 6 — a period-6 circulant with 6 distinct rows
+    and numeric rank 5, i.e. 11 of the 16 output coordinates would be
+    linear copies. Mixing through % 2001 first keeps the full matrix
+    rank (16, test-pinned) while preserving the 1/6 : 1/6 : 2/3
+    Achlioptas split (334 : 333 : 1334 out of 2001)."""
+    h = ((i * 2003 + j) * 2654435761) % 2001
+    return 1.0 if h < 334 else (-1.0 if h < 667 else 0.0)
 
 
 def rp_project(vcol):

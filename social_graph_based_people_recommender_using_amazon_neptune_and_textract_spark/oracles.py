@@ -3937,14 +3937,21 @@ obs AS (
   FROM d GROUP BY source, split
 ),
 st AS (SELECT source, CAST(count(*) AS BIGINT) AS n_src FROM d GROUP BY source),
-sp AS (SELECT split, CAST(count(*) AS BIGINT) AS n_split FROM d GROUP BY split),
+sp AS (
+  SELECT dom.split, CAST(coalesce(cnt.n_split, 0) AS BIGINT) AS n_split
+  FROM (VALUES ('train'), ('dev'), ('test')) AS dom(split)
+  LEFT JOIN (
+    SELECT split, CAST(count(*) AS BIGINT) AS n_split FROM d GROUP BY split
+  ) cnt ON cnt.split = dom.split
+),
 tot AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM d)
 SELECT st.source, sp.split,
   CAST(coalesce(obs.n, 0) AS BIGINT) AS n,
   round(st.n_src * sp.n_split / t.n_all, 6) AS n_expected,
-  round((coalesce(obs.n, 0) - st.n_src * sp.n_split / t.n_all)
-        * (coalesce(obs.n, 0) - st.n_src * sp.n_split / t.n_all)
-        / (st.n_src * sp.n_split / t.n_all), 6) AS chi2_term
+  round(CASE WHEN sp.n_split = 0 THEN CAST(0 AS DOUBLE)
+        ELSE (coalesce(obs.n, 0) - st.n_src * sp.n_split / t.n_all)
+             * (coalesce(obs.n, 0) - st.n_src * sp.n_split / t.n_all)
+             / (st.n_src * sp.n_split / t.n_all) END, 6) AS chi2_term
 FROM st CROSS JOIN sp CROSS JOIN tot t
 LEFT JOIN obs ON obs.source = st.source AND obs.split = sp.split"""
 
@@ -3960,9 +3967,11 @@ proj AS MATERIALIZED (
   SELECT vec_id,
     list_transform(range(1, 17), i ->
       list_sum(list_transform(range(1, 65), j ->
-        v[j] * (CASE ((i * 2003 + j) * 2654435761) % 6
-                WHEN 0 THEN CAST(1 AS DOUBLE)
-                WHEN 1 THEN CAST(-1 AS DOUBLE)
+        v[j] * (CASE
+                WHEN ((i * 2003 + j) * 2654435761) % 2001 < 334
+                  THEN CAST(1 AS DOUBLE)
+                WHEN ((i * 2003 + j) * 2654435761) % 2001 < 667
+                  THEN CAST(-1 AS DOUBLE)
                 ELSE CAST(0 AS DOUBLE) END)))) AS pv
   FROM vecs
 )"""

@@ -37,6 +37,13 @@ class StreamingBoilerplateStrip:
         # training plan, and the engine's release hooks can reclaim the
         # blocks (an untracked localCheckpoint would leak per gate).
         self.boiler, _ = checkpoints.checkpoint(boiler.select("source", "gram"))
+        # Broadcast decision made ONCE here: the dictionary is frozen
+        # for the gate's lifetime, so its size never changes — probing
+        # Catalyst plan stats per micro-batch (the r10 shape) was a
+        # driver round-trip for a constant answer.
+        from ..operators.dedup import hint_boiler_dictionary
+
+        self.boiler_hinted = hint_boiler_dictionary(self.boiler)
         self.table = KeyedParquetTable(
             spark, out_dir, keys=["doc_id"], order_by=["batch_id"]
         )
@@ -44,7 +51,9 @@ class StreamingBoilerplateStrip:
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         from ..operators.dedup import strip_with_dictionary
 
-        rows = strip_with_dictionary(batch_df, self.boiler).withColumn(
+        rows = strip_with_dictionary(
+            batch_df, self.boiler_hinted, prehinted=True
+        ).withColumn(
             "batch_id", F.lit(int(batch_id)).cast("long")
         )
         self.table.merge(rows)

@@ -249,16 +249,29 @@ def test_sq8_single_vector_corpus(spark):
 
 
 def test_split_source_balance_single_doc(spark):
-    """One doc: its source has n=1 in exactly one split; the grid holds
-    exactly the splits that exist (a 1-doc corpus has one)."""
+    """One doc: the grid still spans the FULL split domain — the doc's
+    split has n=1, the two fully-empty splits appear as n=0 rows with
+    n_expected=0 and chi2_term=0 (the 0-expected limit convention) —
+    an entirely empty split is the most extreme skew and must be
+    visible, not absent."""
     from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.quality import (
         split_source_balance,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.sampling import (
+        SPLIT_NAMES,
+        hash_split,
     )
 
     docs = spark.createDataFrame(
         [(1, "only doc", "solo")], "doc_id long, text string, source string"
     )
     rows = split_source_balance(docs).collect()
-    assert len(rows) == 1
-    r = rows[0]
-    assert r["n"] == 1 and r["n_expected"] == 1.0 and r["chi2_term"] == 0.0
+    assert {r["split"] for r in rows} == set(SPLIT_NAMES)
+    (lived,) = {r["split"] for r in hash_split(docs, "doc_id").collect()}
+    for r in rows:
+        if r["split"] == lived:
+            assert r["n"] == 1 and r["n_expected"] == 1.0
+            assert r["chi2_term"] == 0.0
+        else:
+            assert r["n"] == 0 and r["n_expected"] == 0.0
+            assert r["chi2_term"] == 0.0
