@@ -1039,6 +1039,42 @@ def _q_media_features(spark, sf_dir):
     ).withColumn("feature_idx", F.col("feature_idx").cast("int"))
 
 
+def _media_aug(spark, sf_dir):
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        multimodal as M,
+    )
+
+    return M, M.synth_media_aug(tables.load_table(spark, sf_dir, "documents"))
+
+
+def _q_media_phash(spark, sf_dir):
+    """Perceptual fingerprints (operators/multimodal.py image_phash):
+    dHash + aHash per image over the variant-augmented media table —
+    the pinned index the image near-dup tier serves from, verified
+    bit-for-bit against a pure-SQL pixel-arithmetic twin (the binary →
+    Arrow → pandas round-trip proven lossless, the media_decode
+    contract extended to pixel level)."""
+    M, media = _media_aug(spark, sf_dir)
+    return M.image_phash(media)
+
+
+def _q_dedup_media_phash(spark, sf_dir):
+    """Image near-dup pairs (phash_pairs): banded 8-byte-block Hamming
+    join at threshold 7 — exact by pigeonhole (7 < 8 blocks), so the
+    oracle's all-pairs form returns the identical pair set while the
+    Spark plan never goes all-pairs."""
+    M, media = _media_aug(spark, sf_dir)
+    return M.phash_pairs(media)
+
+
+def _q_media_dup_clusters(spark, sf_dir):
+    """Image dup clusters (media_dup_clusters): components closure of
+    the pHash pair graph, min-id canonical — the base image always
+    survives (variant ids sit above MEDIA_VARIANT_OFFSET)."""
+    M, media = _media_aug(spark, sf_dir)
+    return M.media_dup_clusters(media)
+
+
 def _q_media_resize_decode(spark, sf_dir):
     M, media = _media(spark, sf_dir)
     decoded = M.decode_media(M.resize_media(media, 32, 32))
@@ -2964,6 +3000,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize_decode": _q_media_resize_decode,
         "media_frame_sample": _q_media_frame_sample,
         "media_features": _q_media_features,
+        "media_phash": _q_media_phash,
+        "dedup_media_phash": _q_dedup_media_phash,
+        "media_dup_clusters": _q_media_dup_clusters,
         "ann_bruteforce": _q_ann_bruteforce,
         "ann_ivf": _q_ann_ivf,
         "ann_ivf_probe2": _q_ann_ivf_probe2,

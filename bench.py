@@ -144,6 +144,9 @@ BENCH_QUERIES = [
     "ann_rp_rerank",
     "emb_rp_sq8_codes",
     "ann_rp_sq8_rerank",
+    "media_phash",
+    "dedup_media_phash",
+    "media_dup_clusters",
     # streaming twins (streaming_bpe_encode, streaming_quality_gate,
     # streaming_boilerplate) are driver-verified but not headline
     # entries: each timed run replays a full corpus stream from a

@@ -243,3 +243,227 @@ def sample_frames(media: DataFrame, every_k: int = 4) -> DataFrame:
             8,
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Image perceptual-hash near-dup (dHash/aHash + banded Hamming pairs)
+# ---------------------------------------------------------------------------
+# The first image operator of a LAION-style pipeline: re-encodes/crops of
+# the same picture survive exact-byte dedup, so images are fingerprinted
+# perceptually (difference hash over a downsampled grayscale grid) and
+# paired by banded Hamming distance — the identical serving shape as the
+# text tier's SimHash (dedup.py simhash_pairs), scaled from 32 to 64 bits.
+#
+# Pixel model: the SGMM "image" is the w×h grayscale grid
+# pixel(r, c) = ascii(payload[(r·w + c) mod payload_len]) — the
+# deterministic stand-in for real pixel decode (swap _parse_sgmm +
+# this indexing for PIL and NOTHING downstream changes); the DuckDB
+# oracle re-derives every sampled pixel with pure SQL arithmetic.
+
+#: media_id offset for synthetic "re-encode" variants — far above any
+#: doc_id at every test scale, so base and variant ids never collide.
+MEDIA_VARIANT_OFFSET = 1_000_000_000
+
+#: Every PERTURB_EVERY-th payload byte of a variant is shifted +1 — the
+#: deterministic stand-in for re-encode noise: sparse, tiny-amplitude
+#: pixel perturbation that leaves most dHash comparisons (strict
+#: inequalities between hex-char codes) unflipped.
+PERTURB_EVERY = 17
+
+#: Hamming threshold for a near-dup pair. MUST stay < the 8 byte-blocks
+#: of the 64-bit hash: if two hashes differ in at most 7 bits, at most 7
+#: blocks contain a differing bit, so at least one block is equal and the
+#: banded join finds the pair — candidate generation is EXACT (zero
+#: false negatives), which is what lets the all-pairs DuckDB twin
+#: hash-match the banded plan.
+PHASH_MAX_HAMMING = 7
+
+
+def synth_media_variants(documents: DataFrame) -> DataFrame:
+    """Synthetic re-encoded copies: every EVEN image doc spawns one
+    variant — same container dims, payload perturbed (+1 on every
+    PERTURB_EVERY-th byte), media_id offset by MEDIA_VARIANT_OFFSET.
+    The same augmentation device as similarity.aug_embeddings: the
+    uniform-random synthetic corpus has no natural near-dups, so the
+    dedup operator needs planted ones to have anything to find."""
+    d = documents.filter(
+        (F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 2 == 0)
+    )
+    mid = F.col("doc_id")
+    payload_len = (64 + mid % 128).cast("int")
+    seed = F.md5(F.concat(F.lit("sgmm:"), mid.cast("string")).cast("binary"))
+    payload = F.substring(
+        F.repeat(seed, F.ceil(payload_len / 32).cast("int") + 1), 1, payload_len
+    )
+    perturbed = F.expr(
+        "concat_ws('', transform(sequence(0, length(p) - 1), "
+        f"i -> char(ascii(substring(p, i + 1, 1)) "
+        f"+ IF(i % {PERTURB_EVERY} = 0, 1, 0))))"
+    )
+    content = F.concat_ws(
+        "|",
+        F.lit("SGMM"),
+        F.lit("image"),
+        (16 + mid % 64).cast("string"),
+        (16 + mid % 48).cast("string"),
+        F.lit("1"),
+        F.col("pp"),
+    ).cast("binary")
+    return (
+        d.select(mid.alias("doc_id"), payload.alias("p"))
+        .withColumn("pp", perturbed)
+        .select(
+            (F.col("doc_id") + MEDIA_VARIANT_OFFSET).alias("media_id"),
+            F.lit("image").alias("kind"),
+            content.alias("content"),
+        )
+    )
+
+
+def synth_media_aug(documents: DataFrame) -> DataFrame:
+    """Base media table ∪ re-encode variants — the pHash dedup corpus."""
+    return synth_media(documents).unionAll(synth_media_variants(documents))
+
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("dhash", LongType()),
+        StructField("ahash", LongType()),
+    ]
+)
+
+
+def _signed64(v: int) -> int:
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def image_phash(media: DataFrame) -> DataFrame:
+    """(media_id, dhash, ahash) for image rows — PINNED per corpus (the
+    persistent fingerprint index, same serving model as the SimHash
+    table: production pHash systems store fingerprints at ingest and
+    never re-decode).
+
+    dHash: nearest-neighbor downsample to an 8×9 grid
+    g[r][c] = pixel(⌊r·h/8⌋, ⌊c·w/9⌋); bit r·8+c set iff
+    g[r][c+1] > g[r][c] (row-wise gradient sign — invariant to uniform
+    brightness shift, robust to sparse noise). aHash: 8×8 grid, bit set
+    iff 64·g[r][c] > Σg (strictly above the mean, integer form — no
+    float division, so both engines agree bit-for-bit).
+
+    The kind filter runs JVM-side BEFORE the Arrow boundary (column
+    pruning + predicate pushdown keep non-image bytes out of the Python
+    transfer entirely); the per-image work is the declared codec
+    boundary — real pHash is pixel-level Python/PIL work too."""
+    from ..pinned import pinned
+
+    (fps,) = pinned(
+        ("image_phash", media.semanticHash()),
+        lambda: (_image_phash_build(media),),
+    )
+    return fps
+
+
+def _image_phash_build(media: DataFrame) -> DataFrame:
+    def _ph(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                _, w, h, _, payload = _parse_sgmm(content)
+                plen = len(payload)
+
+                def px(r: int, c: int) -> int:
+                    return payload[(r * w + c) % plen]
+
+                dh = 0
+                for r in range(8):
+                    rr = (r * h) // 8
+                    g = [px(rr, (c * w) // 9) for c in range(9)]
+                    for c in range(8):
+                        if g[c + 1] > g[c]:
+                            dh |= 1 << (r * 8 + c)
+                ga = [
+                    [px((r * h) // 8, (c * w) // 8) for c in range(8)]
+                    for r in range(8)
+                ]
+                s = sum(sum(row) for row in ga)
+                ah = 0
+                for r in range(8):
+                    for c in range(8):
+                        if 64 * ga[r][c] > s:
+                            ah |= 1 << (r * 8 + c)
+                out.append((int(mid), _signed64(dh), _signed64(ah)))
+            yield pd.DataFrame(
+                out, columns=["media_id", "dhash", "ahash"]
+            ).astype({"media_id": "int64", "dhash": "int64", "ahash": "int64"})
+
+    return (
+        media.filter(F.col("kind") == "image")
+        .select("media_id", "content")
+        .mapInPandas(_ph, PHASH_SCHEMA)
+    )
+
+
+def phash_pairs(
+    media: DataFrame, max_hamming: int = PHASH_MAX_HAMMING
+) -> DataFrame:
+    """Near-dup image pairs: block on the 8 dHash bytes (each image
+    emits 8 (block, byte) keys; a pair within max_hamming < 8 shares at
+    least one — the pigeonhole that makes candidate generation exact),
+    verify exact Hamming on candidates. Returns
+    (media_a, media_b, hamming).
+
+    Scale: never all-pairs — candidates are bounded by per-(block,byte)
+    bucket sizes (256 values per block spread uniformly under any
+    non-degenerate hash), the same guarantee as simhash_pairs; the
+    arithmetic is bit_count/xor, JVM whole-stage codegen."""
+    fps = image_phash(media)
+    blocked = fps.select(
+        "media_id",
+        "dhash",
+        F.expr(
+            "stack(8, "
+            + ", ".join(
+                f"{i}, CAST(shiftright(dhash, {8 * i}) & 255 AS INT)"
+                for i in range(8)
+            )
+            + ") as (blk, byte)"
+        ),
+    )
+    a = blocked.select(
+        F.col("media_id").alias("media_a"), F.col("dhash").alias("fa"),
+        "blk", "byte",
+    )
+    b = blocked.select(
+        F.col("media_id").alias("media_b"), F.col("dhash").alias("fb"),
+        "blk", "byte",
+    )
+    cands = (
+        a.join(b, ["blk", "byte"])
+        .filter(F.col("media_a") < F.col("media_b"))
+        .select("media_a", "media_b", "fa", "fb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).cast("int")
+    return (
+        cands.select("media_a", "media_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def media_dup_clusters(media: DataFrame) -> DataFrame:
+    """(media_id, cluster_id, is_canonical) — connected components of
+    the pHash pair graph, labels = min media_id per component (so the
+    base image, whose id is below every variant's offset id, is always
+    the canonical survivor). Same output contract as the text tier's
+    dedup_clusters; the closure is the shared adaptive union-find /
+    pointer-jumping operator (components.py), pinned per pair graph."""
+    from .components import pinned_connected_components
+
+    pairs = phash_pairs(media)
+    cc = pinned_connected_components(pairs, a_col="media_a", b_col="media_b")
+    return cc.select(
+        F.col("node").alias("media_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("label") == F.col("node")).alias("is_canonical"),
+    )

@@ -1380,6 +1380,124 @@ SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
 FROM (SELECT media_id, unnest(range(0, n_frames, 4)) AS frame_idx
       FROM meta WHERE kind = 'video')"""
 
+# Image perceptual hash (operators/multimodal.py image_phash /
+# phash_pairs / media_dup_clusters): the SGMM "image" is the w×h grid
+# pixel(r,c) = ascii(payload[(r·w+c) mod plen]); variants perturb every
+# 17th payload byte by +1. dHash bits compare horizontally-adjacent
+# samples of an 8×9 nearest-neighbor downsample; aHash compares each
+# 8×8 sample against the integer mean (64·g > Σg). Bits pack into a
+# signed BIGINT via a HUGEINT sum (bit 63 is the sign bit — added as
+# the MIN_VALUE literal, summed in HUGEINT, cast back); Hamming is
+# bit_count(xor(...)), identical two's-complement semantics in both
+# engines. The Spark side bands on the 8 hash bytes; hamming ≤ 7 < 8
+# blocks guarantees a shared block (pigeonhole), so the banded plan and
+# this all-pairs twin return the SAME pair set.
+_IMG_PHASH = """\
+img AS (
+  SELECT doc_id AS media_id, doc_id AS src_id, FALSE AS pert
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 1000000000, doc_id, TRUE
+  FROM documents WHERE doc_id % 3 = 0 AND doc_id % 2 = 0
+),
+imeta AS (
+  SELECT media_id, pert,
+    CAST(16 + src_id % 64 AS BIGINT) AS w,
+    CAST(16 + src_id % 48 AS BIGINT) AS h,
+    CAST(64 + src_id % 128 AS BIGINT) AS plen,
+    substr(repeat(md5('sgmm:' || CAST(src_id AS VARCHAR)),
+                  CAST(ceil((64 + src_id % 128) / 32.0) AS INT) + 1),
+           1, CAST(64 + src_id % 128 AS INT)) AS payload
+  FROM img
+),
+dgrid AS (
+  SELECT media_id, r, c,
+    ascii(substr(payload, CAST((r*h//8*w + c*w//9) % plen + 1 AS INT), 1))
+      + CASE WHEN pert AND ((r*h//8*w + c*w//9) % plen) % 17 = 0
+             THEN 1 ELSE 0 END AS g
+  FROM imeta
+  CROSS JOIN (SELECT unnest(range(0, 8)) AS r) rr
+  CROSS JOIN (SELECT unnest(range(0, 9)) AS c) cc
+),
+dbit AS (
+  SELECT a.media_id, a.r * 8 + a.c AS k
+  FROM dgrid a
+  JOIN dgrid b ON b.media_id = a.media_id AND b.r = a.r AND b.c = a.c + 1
+  WHERE a.c < 8 AND b.g > a.g
+),
+dh AS (
+  SELECT i.media_id,
+    CAST(coalesce(sum(CASE WHEN k = 63
+          THEN CAST(-9223372036854775808 AS HUGEINT)
+          ELSE CAST(CAST(1 AS BIGINT) << CAST(k AS INT) AS HUGEINT) END), 0)
+      AS BIGINT) AS dhash
+  FROM imeta i LEFT JOIN dbit ON dbit.media_id = i.media_id
+  GROUP BY i.media_id
+),
+agrid AS (
+  SELECT media_id, r, c,
+    ascii(substr(payload, CAST((r*h//8*w + c*w//8) % plen + 1 AS INT), 1))
+      + CASE WHEN pert AND ((r*h//8*w + c*w//8) % plen) % 17 = 0
+             THEN 1 ELSE 0 END AS g
+  FROM imeta
+  CROSS JOIN (SELECT unnest(range(0, 8)) AS r) rr
+  CROSS JOIN (SELECT unnest(range(0, 8)) AS c) cc
+),
+asum AS (
+  SELECT media_id, CAST(sum(g) AS BIGINT) AS s FROM agrid GROUP BY media_id
+),
+abit AS (
+  SELECT g.media_id, g.r * 8 + g.c AS k
+  FROM agrid g JOIN asum USING (media_id)
+  WHERE 64 * g.g > asum.s
+),
+ah AS (
+  SELECT i.media_id,
+    CAST(coalesce(sum(CASE WHEN k = 63
+          THEN CAST(-9223372036854775808 AS HUGEINT)
+          ELSE CAST(CAST(1 AS BIGINT) << CAST(k AS INT) AS HUGEINT) END), 0)
+      AS BIGINT) AS ahash
+  FROM imeta i LEFT JOIN abit ON abit.media_id = i.media_id
+  GROUP BY i.media_id
+),
+phash AS (
+  SELECT dh.media_id, dh.dhash, ah.ahash FROM dh JOIN ah USING (media_id)
+)"""
+
+ORACLES["media_phash"] = f"""\
+WITH {_IMG_PHASH}
+SELECT media_id, dhash, ahash FROM phash"""
+
+_IMG_PAIRS = """\
+ppairs AS (
+  SELECT a.media_id AS media_a, b.media_id AS media_b,
+    CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+  FROM phash a JOIN phash b ON a.media_id < b.media_id
+  WHERE bit_count(xor(a.dhash, b.dhash)) <= 7
+)"""
+
+ORACLES["dedup_media_phash"] = f"""\
+WITH {_IMG_PHASH},
+{_IMG_PAIRS}
+SELECT media_a, media_b, hamming FROM ppairs"""
+
+ORACLES["media_dup_clusters"] = f"""\
+WITH RECURSIVE {_IMG_PHASH},
+{_IMG_PAIRS},
+pe AS (
+  SELECT media_a AS a, media_b AS b FROM ppairs
+  UNION ALL
+  SELECT media_b AS a, media_a AS b FROM ppairs
+),
+preach(node, label) AS (
+  SELECT DISTINCT a, a FROM pe
+  UNION
+  SELECT pe.a, r.label FROM pe JOIN preach r ON r.node = pe.b
+)
+SELECT node AS media_id, min(label) AS cluster_id,
+       (min(label) = node) AS is_canonical
+FROM preach GROUP BY node"""
+
 ORACLES["dedup_embedding"] = f"""\
 WITH aug_emb AS (
   SELECT vec_id, label, embedding FROM embeddings
