@@ -984,6 +984,20 @@ def _q_ann_ivf(spark, sf_dir):
     return SIM.ann_ivf(emb, oracles.ANN_QUERY_IDS, k=10)
 
 
+def _q_emb_knn_graph(spark, sf_dir):
+    """Batch kNN-join (operators/similarity.py knn_graph): top-5
+    neighbors for EVERY vector via IVF cell blocking — probe assignment
+    is a 1-row broadcast centroid fold (zero shuffles), candidates come
+    from one cell equi-join, never all-pairs. The corpus-scale input
+    SemDeDup / diversity pruning consume."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        similarity as SIM,
+    )
+
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    return SIM.knn_graph(emb, k=5, nprobe=1)
+
+
 def _q_kmeans_assign(spark, sf_dir):
     """Deterministic Lloyd k-means (k=4, 2 assignment passes) — the IVF
     codebook train step, one declarative unrolled plan."""
@@ -3005,6 +3019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_dup_clusters": _q_media_dup_clusters,
         "ann_bruteforce": _q_ann_bruteforce,
         "ann_ivf": _q_ann_ivf,
+        "emb_knn_graph": _q_emb_knn_graph,
         "ann_ivf_probe2": _q_ann_ivf_probe2,
         "kmeans_assign": _q_kmeans_assign,
         "vertex_lookup": _q_vertex_lookup,

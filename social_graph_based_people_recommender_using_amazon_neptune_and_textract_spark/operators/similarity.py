@@ -988,3 +988,102 @@ def ann_rp_sq8_rerank(
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
     )
+
+
+# --- batch kNN-join: the all-vectors kNN graph -----------------------------
+
+def knn_graph(
+    embeddings: DataFrame, k: int = 10, nprobe: int = 1
+) -> DataFrame:
+    """Top-k neighbors for EVERY vector (the kNN graph) via the same
+    IVF cell blocking as ``ann_ivf``, generalized from a broadcast
+    query list to the whole corpus — the input SemDeDup / diversity
+    pruning / graph-based ANN indexes (NN-Descent seeds, DiskANN
+    builds) need at corpus scale. Returns
+    (vec_id, neighbor_id, cos, rank ≤ k), self excluded, ties broken
+    by neighbor_id — identical semantics to ``ann_ivf`` with every
+    vector as a query.
+
+    Spark shape (NO per-query broadcast, NO all-pairs):
+    1. Probe assignment is a 1-row broadcast fold: the pinned centroid
+       table (shared pin with ann_ivf) collapses to ONE row holding the
+       (label, centroid, cn2) array; each vector picks its ``nprobe``
+       nearest cells with pure array ops (transform → array_sort →
+       slice) — zero shuffles, the house bounded-relation cross device.
+       The sort key is (1 − ccos, label): ascending struct order ≡
+       (cos DESC, label ASC) without a negative-zero hazard.
+    2. Candidates come from ONE equi-join on the cell id — each vector
+       meets only the ~nprobe·N/L vectors of its probed cells, never
+       the corpus.
+    3. Exact top-k per vector over the cell-bounded candidate set.
+
+    Scale: shuffle volume is the candidate set (nprobe·N²/L rows),
+    the irreducible cost of an exact-within-cells kNN graph — L (and
+    nprobe) is the knob that bounds it; the window's per-key group is
+    cell-sized, never corpus-sized. At 100 TB: centroids stay a tiny
+    broadcast, the label join co-partitions with AQE skew handling,
+    and output is exactly k·N rows."""
+    from ..pinned import pinned
+
+    base = with_norm(embeddings.select("vec_id", "label", "embedding"))
+    (cents,) = pinned(
+        ("ivf_centroids", embeddings.semanticHash()),
+        lambda: (
+            cluster_centroids(embeddings).withColumn(
+                "cn2", norm2(F.col("centroid"))
+            ),
+        ),
+    )
+    cent_row = cents.agg(
+        F.collect_list(F.struct("label", "centroid", "cn2")).alias("cs")
+    )
+    v, n2 = F.col("v"), F.col("n2")
+    keyed = F.transform(
+        F.col("cs"),
+        lambda c: F.struct(
+            (
+                F.lit(1.0)
+                - F.round(
+                    dot(v, c["centroid"]) / (F.sqrt(n2) * F.sqrt(c["cn2"])), 6
+                )
+            ).alias("key"),
+            c["label"].alias("lbl"),
+        ),
+    )
+    probes = (
+        base.crossJoin(F.broadcast(cent_row))
+        .select(
+            "vec_id",
+            "v",
+            "n2",
+            F.explode(
+                F.slice(
+                    F.transform(F.array_sort(keyed), lambda s: s["lbl"]),
+                    1,
+                    nprobe,
+                )
+            ).alias("probe_label"),
+        )
+    )
+    cand = base.select(
+        F.col("vec_id").alias("neighbor_id"),
+        "label",
+        F.col("v").alias("nv"),
+        F.col("n2").alias("nn2"),
+    )
+    scored = (
+        probes.join(cand, probes["probe_label"] == cand["label"])
+        .filter(F.col("neighbor_id") != F.col("vec_id"))
+        .select(
+            "vec_id",
+            "neighbor_id",
+            F.round(
+                cosine(F.col("v"), F.col("nv"), F.col("n2"), F.col("nn2")), 6
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )

@@ -1279,6 +1279,47 @@ ORACLES["ann_ivf"] = _ann_ivf_sql(1)
 # nprobe=2 — the IVF recall knob: each query scans its 2 nearest clusters.
 ORACLES["ann_ivf_probe2"] = _ann_ivf_sql(2)
 
+# Batch kNN-join (operators/similarity.py knn_graph): ann_ivf with
+# EVERY vector as a query — probe the nearest centroid, exact top-k
+# within the probed cell. The naive all-queries form below is the
+# semantic spec; the Spark plan assigns probes via a 1-row broadcast
+# centroid fold and blocks candidates on the cell equi-join.
+ORACLES["emb_knn_graph"] = f"""\
+WITH {_VEC.format(src="embeddings")},
+cent AS (
+  SELECT label, list(m ORDER BY pos) AS centroid FROM (
+    SELECT label, pos, avg(x) AS m FROM (
+      SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM vecs
+    ) GROUP BY label, pos
+  ) GROUP BY label
+),
+cnorm AS (
+  SELECT label, centroid, list_sum(list_transform(centroid, x -> x * x)) AS cn2 FROM cent
+),
+qc AS (
+  SELECT q.vec_id, q.v, q.n2, c.label AS probe_label,
+    round({_DOT.format(a="q.v", b="c.centroid")} / (sqrt(q.n2) * sqrt(c.cn2)), 6) AS ccos
+  FROM norms q CROSS JOIN cnorm c
+),
+probe AS (
+  SELECT vec_id, v, n2, probe_label FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, probe_label ASC) AS r
+    FROM qc
+  ) WHERE r <= 1
+),
+kscored AS (
+  SELECT p.vec_id, n.vec_id AS neighbor_id,
+    round({_DOT.format(a="p.v", b="n.v")} / (sqrt(p.n2) * sqrt(n.n2)), 6) AS cos
+  FROM norms n JOIN probe p ON n.label = p.probe_label
+  WHERE n.vec_id <> p.vec_id
+),
+kranked AS (
+  SELECT vec_id, neighbor_id, cos,
+    CAST(row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+  FROM kscored
+)
+SELECT vec_id, neighbor_id, cos, rank FROM kranked WHERE rank <= 5"""
+
 # Converged watermarked hourly rollup == batch GROUP BY on hour buckets.
 ORACLES["streaming_event_windows"] = """\
 SELECT

@@ -171,3 +171,74 @@ def test_phash_kind_filter_precedes_arrow_boundary(spark):
     # build plan instead
     build_plan = M._image_phash_build(media)._jdf.queryExecution().executedPlan().toString()
     assert "image" in build_plan
+
+
+# --- batch kNN-join (all-vectors kNN graph) --------------------------------
+
+def test_knn_graph_equals_ann_ivf_per_query(spark):
+    """knn_graph IS ann_ivf with every vector as a query: for any
+    query subset the two return identical (neighbor, cos, rank) rows —
+    the probe-assignment rewrite (1-row centroid fold vs broadcast
+    query window) is semantics-preserving."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        similarity as S,
+    )
+
+    emb = spark.read.parquet(f"{SF_001}/embeddings.parquet")
+    g = {
+        (r["vec_id"], r["neighbor_id"], r["cos"], r["rank"])
+        for r in S.knn_graph(emb, k=5).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"], r["cos"], r["rank"])
+        for r in S.ann_ivf(emb, [0, 7, 42, 311], k=5).collect()
+    }
+    assert ivf == {t for t in g if t[0] in (0, 7, 42, 311)}
+    # full-graph contract: k rows per vector (every cell holds > k
+    # vectors at this scale), ranks dense from 1
+    n = emb.count()
+    assert len(g) == 5 * n
+    assert {t[3] for t in g} == {1, 2, 3, 4, 5}
+    assert all(t[0] != t[1] for t in g)
+
+
+def test_knn_graph_cell_bounded_plan(spark):
+    """Candidates must come from the label equi-join: the only
+    nested-loop in the plan is the 1-row centroid-array fold (the house
+    bounded-relation cross device); no CartesianProduct, and the
+    candidate join is a real equi-join (hash/sort-merge)."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        similarity as S,
+    )
+
+    emb = spark.read.parquet(f"{SF_001}/embeddings.parquet")
+    df = S.knn_graph(emb, k=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # the 1-row fold
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_knn_graph_nprobe_widens_candidates(spark):
+    """nprobe=2 scans a second cell: every nprobe=1 neighbor set is a
+    subset of the nprobe=2 candidate pool, so per-vector top-k cosine
+    at nprobe=2 is >= the nprobe=1 value (recall knob monotonicity)."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        similarity as S,
+    )
+
+    emb = spark.read.parquet(f"{SF_001}/embeddings.parquet").limit(100)
+    one = {
+        (r["vec_id"], r["rank"]): r["cos"]
+        for r in S.knn_graph(emb, k=3, nprobe=1).collect()
+    }
+    two = {
+        (r["vec_id"], r["rank"]): r["cos"]
+        for r in S.knn_graph(emb, k=3, nprobe=2).collect()
+    }
+    assert set(one) <= set(two) or set(two) <= set(one) or set(one) == set(two)
+    for key, c1 in one.items():
+        if key in two:
+            assert two[key] >= c1 - 1e-9, key
