@@ -397,24 +397,33 @@ def user_event_pivot(events: DataFrame) -> DataFrame:
 def customer_spend_quartiles(orders: DataFrame) -> DataFrame:
     """Per-customer total spend with the NTILE(4) quartile bucket —
     the segmentation primitive (deciles/quartiles) every growth
-    dashboard runs. Ties declared: ntile orders on (rounded spend desc,
-    custkey asc), so bucket boundaries are deterministic.
+    dashboard runs. Ties declared: the tiling orders on (rounded spend
+    desc, custkey asc), so bucket boundaries are deterministic.
 
-    Scale: the aggregate reduces orders to one row per customer before
-    the window; the ntile window is a GLOBAL sort of the customer-sized
-    relation — the one legitimate single-partition window in the repo
-    (1 row per customer; at 100 TB this is the relation you'd hand a
-    dashboard, and the sort is the quantile definition). For billions of
-    customers the drop-in is percent_rank binning over range-partitioned
-    sort, declared here rather than implemented."""
+    Scale: the aggregate reduces orders to one row per customer, then
+    the quartile comes from the house two-phase machinery (ranking.py):
+    range-partitioned global row_number + the exact closed-form
+    ``ntile_from_rank`` on (rank, count) — NO global-order window
+    anywhere in the plan (was the repo's one unpartitioned NTILE window
+    through r10; parity with window NTILE is test-pinned on unique-rank
+    data, and the oracle is still DuckDB's real ntile). Works for
+    billions of customers: the sort is 32-way range-partitioned, the
+    count join is a 1-row broadcast fold."""
+    from .ranking import global_row_number, ntile_from_rank
+
     spend = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.round(
             F.sum(F.col("o_totalprice").cast(DEC)).cast("double"), 4
         ).alias("total_spend")
     )
-    w = Window.orderBy(F.col("total_spend").desc(), F.col("custkey").asc())
-    return spend.select(
-        "custkey", "total_spend", F.ntile(4).over(w).alias("quartile")
+    ranked = global_row_number(
+        spend, [F.col("total_spend").desc(), F.col("custkey").asc()]
+    )
+    total = ranked.agg(F.count(F.lit(1)).alias("n_rows"))
+    return ranked.crossJoin(F.broadcast(total)).select(
+        "custkey",
+        "total_spend",
+        ntile_from_rank(F.col("rn"), F.col("n_rows"), 4).alias("quartile"),
     )
 
 
