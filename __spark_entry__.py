@@ -1508,6 +1508,18 @@ def _q_docs_bigram_logprob(spark, sf_dir):
     return bigram_logprob_scores(tables.load_table(spark, sf_dir, "documents"))
 
 
+def _q_docs_trigram_logprob(spark, sf_dir):
+    """Trigram fluency gate (functions/text.py trigram_logprob_scores):
+    absolute-discount interpolated trigram log-likelihood — the next
+    rung toward CCNet's KenLM 5-gram KN gate, with declared
+    simplifications (fixed D=0.75, MLE unigram base, self-scored)."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.functions.text import (
+        trigram_logprob_scores,
+    )
+
+    return trigram_logprob_scores(tables.load_table(spark, sf_dir, "documents"))
+
+
 def _q_docs_unigram_encode_heldout(spark, sf_dir):
     """Unigram-LM INFERENCE encode (functions/text.py
     unigram_encode_tokens_per_doc): fit the 3-round EM model on the
@@ -3088,6 +3100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": _q_dedup_semantic,
         "docs_unigram_encode_heldout": _q_docs_unigram_encode_heldout,
         "docs_bigram_logprob": _q_docs_bigram_logprob,
+        "docs_trigram_logprob": _q_docs_trigram_logprob,
         "streaming_quality_gate": _q_streaming_quality_gate,
         "docs_boilerplate_grams": _q_docs_boilerplate_grams,
         "docs_boilerplate_stripped": _q_docs_boilerplate_stripped,

@@ -148,6 +148,7 @@ BENCH_QUERIES = [
     "dedup_media_phash",
     "media_dup_clusters",
     "emb_knn_graph",
+    "docs_trigram_logprob",
     # streaming twins (streaming_bpe_encode, streaming_quality_gate,
     # streaming_boilerplate) are driver-verified but not headline
     # entries: each timed run replays a full corpus stream from a

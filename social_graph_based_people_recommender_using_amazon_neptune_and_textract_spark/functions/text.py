@@ -1556,3 +1556,138 @@ def bigram_logprob_scores(
             "bigram_logprob",
         )
     )
+
+
+#: Absolute-discount constant for the trigram gate (Kneser-Ney's fixed
+#: discount, the standard 0.75); embedded as the SAME double literal in
+#: the oracle (repr), the BIGRAM_LAM convention.
+TRIGRAM_D = 0.75
+
+
+def trigram_logprob_scores(
+    df: DataFrame,
+    d: float = TRIGRAM_D,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Interpolated trigram language-model fluency score — one step up
+    the CCNet ladder from ``bigram_logprob_scores`` toward the KenLM
+    5-gram Kneser-Ney gate (Wenzek et al. 2020), with DECLARED
+    simplifications: absolute discounting with a fixed D=0.75 at the
+    trigram and bigram levels (KN's discount without its
+    continuation-count base), MLE unigrams, self-scored corpus. Per
+    trigram position (x, y, z):
+
+        P_uni(z)     = c1(z) / T
+        P_bi(z|y)    = max(c2(y,z) − D, 0)/c1(y) + (D·N1+(y·)/c1(y))·P_uni(z)
+        P_tri(z|x,y) = max(c3(x,y,z) − D, 0)/c2(x,y)
+                       + (D·N1+(x,y,·)/c2(x,y))·P_bi(z|y)
+
+    where N1+(h·) is the distinct-follower count of history h — the
+    discount mass each level redistributes to the level below. Scoring
+    its own corpus, every observed trigram has c3 ≥ 1 and every context
+    c2 ≥ 1, so probabilities are always positive and finite; the
+    interpolation is still semantically load-bearing (rare trigrams
+    lean on their bigram, rare bigrams on the unigram). Returns
+    (id, n_trigrams, trigram_logprob = avg ln P_tri, 6dp); docs with
+    < 3 tokens score NULL.
+
+    Scale: all model relations are VOCABULARY-sized (trigram, bigram,
+    unigram count tables + two distinct-follower aggregates, each
+    map-side combined), and the scoring pass joins the occurrence
+    stream with fan-out exactly 1 per join — the bigram gate's shape
+    with three more dimension joins; nothing is force-broadcast (web
+    trigram vocab is huge; AQE converts genuinely small sides)."""
+    dd = float(d)
+    toks = df.select(F.col(id_col), tokenize(F.col(text_col)).alias("_toks"))
+    t = F.col("_toks")
+    triples = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size(t) >= 3,
+                F.transform(
+                    F.slice(t, 1, F.size(t) - 2),
+                    lambda x, i: F.struct(
+                        x.alias("x"),
+                        F.element_at(t, i + 2).alias("y"),
+                        F.element_at(t, i + 3).alias("z"),
+                    ),
+                ),
+            ).otherwise(
+                F.array().cast("array<struct<x:string,y:string,z:string>>")
+            )
+        ).alias("q"),
+    ).select(
+        id_col, F.col("q.x").alias("x"), F.col("q.y").alias("y"),
+        F.col("q.z").alias("z"),
+    )
+    pairs = toks.select(
+        F.explode(
+            F.when(
+                F.size(t) >= 2,
+                F.transform(
+                    F.slice(t, 1, F.size(t) - 1),
+                    lambda x, i: F.struct(
+                        x.alias("x"), F.element_at(t, i + 2).alias("y")
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<x:string,y:string>>"))
+        ).alias("p")
+    ).select(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+    c3 = triples.groupBy("x", "y", "z").agg(F.count(F.lit(1)).alias("cnt3"))
+    c2 = pairs.groupBy("x", "y").agg(F.count(F.lit(1)).alias("cnt2"))
+    f3 = c3.groupBy("x", "y").agg(F.count(F.lit(1)).alias("n1p3"))
+    f2 = c2.groupBy("x").agg(F.count(F.lit(1)).alias("n1p2"))
+    uni = toks.select(F.explode(t).alias("w"))
+    c1 = uni.groupBy("w").agg(F.count(F.lit(1)).alias("cnt1"))
+    total = uni.agg(F.count(F.lit(1)).alias("t_all"))
+
+    D = F.lit(dd)
+    p_uni = F.col("cz") / F.col("t_all")
+    p_bi = (
+        F.greatest(F.col("cnt2yz") - D, F.lit(0.0)) / F.col("cy")
+        + ((D * F.col("n1p2")) / F.col("cy")) * p_uni
+    )
+    p_tri = (
+        F.greatest(F.col("cnt3") - D, F.lit(0.0)) / F.col("cnt2xy")
+        + ((D * F.col("n1p3")) / F.col("cnt2xy")) * p_bi
+    )
+    scored = (
+        triples.join(c3, ["x", "y", "z"])
+        .join(
+            c2.select(
+                F.col("x").alias("x"), F.col("y").alias("y"),
+                F.col("cnt2").alias("cnt2xy"),
+            ),
+            ["x", "y"],
+        )
+        .join(f3, ["x", "y"])
+        .join(
+            c2.select(
+                F.col("x").alias("y"), F.col("y").alias("z"),
+                F.col("cnt2").alias("cnt2yz"),
+            ),
+            ["y", "z"],
+        )
+        .join(f2.select(F.col("x").alias("y"), "n1p2"), "y")
+        .join(c1.select(F.col("w").alias("y"), F.col("cnt1").alias("cy")), "y")
+        .join(c1.select(F.col("w").alias("z"), F.col("cnt1").alias("cz")), "z")
+        .crossJoin(total)  # 1-row combine, the unigram/bigram gate device
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+            F.round(F.avg(F.log(p_tri)), 6).alias("trigram_logprob"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_trigrams"), F.lit(0)).cast("long").alias(
+                "n_trigrams"
+            ),
+            "trigram_logprob",
+        )
+    )

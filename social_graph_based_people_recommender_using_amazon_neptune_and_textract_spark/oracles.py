@@ -3871,6 +3871,67 @@ FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id"""
 ORACLES["docs_bigram_logprob"] = _bigram_logprob_sql(0.8)
 
 
+# Interpolated trigram gate with absolute discounting (functions/
+# text.py trigram_logprob_scores): identical expression tree — the
+# discount D embedded as the same double literal, max() via greatest
+# against CAST(0 AS DOUBLE), and the same parenthesization — so the
+# only cross-engine divergence is avg() summation order, absorbed by
+# the declared 6dp rounding (the bigram gate's discipline).
+def _trigram_logprob_sql(d: float = 0.75) -> str:
+    return f"""\
+WITH toksrc AS MATERIALIZED (
+  SELECT doc_id, {TOKENIZE.format(col='text')} AS tokens FROM documents
+),
+tri AS MATERIALIZED (
+  SELECT doc_id, q.x AS x, q.y AS y, q.z AS z FROM (
+    SELECT doc_id, unnest(list_transform(generate_series(1, len(tokens) - 2),
+           i -> struct_pack(x := tokens[i], y := tokens[i + 1],
+                            z := tokens[i + 2]))) AS q
+    FROM toksrc WHERE len(tokens) >= 3
+  )
+),
+pairs AS MATERIALIZED (
+  SELECT q.x AS x, q.y AS y FROM (
+    SELECT unnest(list_transform(generate_series(1, len(tokens) - 1),
+           i -> struct_pack(x := tokens[i], y := tokens[i + 1]))) AS q
+    FROM toksrc WHERE len(tokens) >= 2
+  )
+),
+c3 AS MATERIALIZED (SELECT x, y, z, count(*) AS cnt3 FROM tri GROUP BY x, y, z),
+c2 AS MATERIALIZED (SELECT x, y, count(*) AS cnt2 FROM pairs GROUP BY x, y),
+f3 AS MATERIALIZED (SELECT x, y, count(*) AS n1p3 FROM c3 GROUP BY x, y),
+f2 AS MATERIALIZED (SELECT x, count(*) AS n1p2 FROM c2 GROUP BY x),
+uni AS MATERIALIZED (SELECT unnest(tokens) AS w FROM toksrc),
+c1 AS MATERIALIZED (SELECT w, count(*) AS cnt1 FROM uni GROUP BY w),
+tot AS MATERIALIZED (SELECT count(*) AS t_all FROM uni),
+scored AS (
+  SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+    round(avg(ln(
+      greatest(c3.cnt3 - CAST({d!r} AS DOUBLE), CAST(0 AS DOUBLE)) / c2xy.cnt2
+      + ((CAST({d!r} AS DOUBLE) * f3.n1p3) / c2xy.cnt2)
+        * (greatest(c2yz.cnt2 - CAST({d!r} AS DOUBLE), CAST(0 AS DOUBLE)) / cy.cnt1
+           + ((CAST({d!r} AS DOUBLE) * f2.n1p2) / cy.cnt1)
+             * (cz.cnt1 / (SELECT t_all FROM tot)))
+    )), 6) AS trigram_logprob
+  FROM tri p
+  JOIN c3 ON p.x = c3.x AND p.y = c3.y AND p.z = c3.z
+  JOIN c2 c2xy ON p.x = c2xy.x AND p.y = c2xy.y
+  JOIN f3 ON p.x = f3.x AND p.y = f3.y
+  JOIN c2 c2yz ON p.y = c2yz.x AND p.z = c2yz.y
+  JOIN f2 ON p.y = f2.x
+  JOIN c1 cy ON p.y = cy.w
+  JOIN c1 cz ON p.z = cz.w
+  GROUP BY p.doc_id
+)
+SELECT d.doc_id AS doc_id,
+       CAST(coalesce(s.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+       s.trigram_logprob AS trigram_logprob
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id"""
+
+
+ORACLES["docs_trigram_logprob"] = _trigram_logprob_sql(0.75)
+
+
 # Streaming classifier gate (streaming/rollup.py StreamingQualityGate):
 # drained per-doc margin table == the batch classifier application.
 ORACLES["streaming_quality_gate"] = ORACLES["docs_quality_classifier"]

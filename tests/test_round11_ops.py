@@ -300,3 +300,107 @@ def test_spend_quartiles_no_global_window(spark):
     for ln in plan.splitlines():
         if "windowspecdefinition" in ln:
             assert "__rank_pid" in ln, ln
+
+
+# --- interpolated trigram LM gate ------------------------------------------
+
+def _ref_trigram_lm(texts: dict[int, str], D: float = 0.75):
+    """Brute-force absolute-discount interpolated trigram LM — written
+    independently of the operator (dict counting, no Spark)."""
+    import math
+    import re as _re
+
+    tok = {
+        i: [w for w in _re.split("[^a-z0-9]+", t.lower()) if w]
+        for i, t in texts.items()
+    }
+    c1, c2, c3 = {}, {}, {}
+    for ws in tok.values():
+        for w in ws:
+            c1[w] = c1.get(w, 0) + 1
+        for a, b in zip(ws, ws[1:]):
+            c2[(a, b)] = c2.get((a, b), 0) + 1
+        for a, b, c in zip(ws, ws[1:], ws[2:]):
+            c3[(a, b, c)] = c3.get((a, b, c), 0) + 1
+    T = sum(c1.values())
+    f3 = {}
+    for (a, b, _c) in c3:
+        f3[(a, b)] = f3.get((a, b), 0) + 1
+    f2 = {}
+    for (a, _b) in c2:
+        f2[a] = f2.get(a, 0) + 1
+    out = {}
+    for i, ws in tok.items():
+        if len(ws) < 3:
+            out[i] = (0, None)
+            continue
+        lps = []
+        for x, y, z in zip(ws, ws[1:], ws[2:]):
+            p_uni = c1[z] / T
+            p_bi = max(c2[(y, z)] - D, 0.0) / c1[y] + (D * f2[y] / c1[y]) * p_uni
+            p_tri = (
+                max(c3[(x, y, z)] - D, 0.0) / c2[(x, y)]
+                + (D * f3[(x, y)] / c2[(x, y)]) * p_bi
+            )
+            lps.append(math.log(p_tri))
+        out[i] = (len(lps), round(sum(lps) / len(lps), 6))
+    return out
+
+
+def test_trigram_logprob_property_random_corpora(spark):
+    """Randomized small-vocab corpora vs the brute-force reference —
+    random repetition geometry exercises every count table, follower
+    aggregate, and the discount max() at cnt=1 (the boilerplate-strip
+    property-test pattern)."""
+    import random
+
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.functions.text import (
+        trigram_logprob_scores,
+    )
+
+    rng = random.Random(23)
+    vocab = ["a", "b", "c", "d", "e"]
+    for trial in range(3):
+        texts = {
+            i: " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 14)))
+            for i in range(12)
+        }
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in texts.items()], "doc_id long, text string"
+        )
+        want = _ref_trigram_lm(texts)
+        got = {
+            r["doc_id"]: (r["n_trigrams"], r["trigram_logprob"])
+            for r in trigram_logprob_scores(docs).collect()
+        }
+        assert set(got) == set(want), trial
+        for i in want:
+            assert got[i][0] == want[i][0], (trial, i)
+            if want[i][1] is None:
+                assert got[i][1] is None, (trial, i)
+            else:
+                assert abs(got[i][1] - want[i][1]) < 2e-6, (trial, i)
+
+
+def test_trigram_discount_mass_flows_down(spark):
+    """The interpolation is load-bearing: a trigram seen ONCE in a
+    frequent context scores below its MLE (mass was discounted away),
+    and the bigram/unigram terms give it back a nonzero floor — i.e.
+    ln P is finite and P < c3/c2 MLE for singleton trigrams inside
+    repeated contexts."""
+    import math
+
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.functions.text import (
+        trigram_logprob_scores,
+    )
+
+    # 'a b' context appears 4x: 3x followed by c, 1x followed by d
+    docs = spark.createDataFrame(
+        [(1, "a b c a b c a b c"), (2, "a b d")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in trigram_logprob_scores(docs).collect()}
+    # doc 2's only trigram (a,b,d): c3=1, c2(a,b)=4 -> MLE 0.25
+    lp = rows[2]["trigram_logprob"]
+    assert lp is not None and lp < math.log(0.25)
+    assert lp > math.log(0.25 / 100)  # but nowhere near zero probability
