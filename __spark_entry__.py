@@ -2636,6 +2636,19 @@ def _q_docs_training_manifest(spark, sf_dir):
     )
 
 
+def _q_media_training_manifest(spark, sf_dir):
+    """The image-side manifest (operators/curation.py
+    media_training_manifest): aspect + feature-score gates → pHash
+    dedup canonical survivors → per-source quota → byte-budget
+    prefix-sum shards — the multimodal tier composed end-to-end like
+    the text tier's docs_training_manifest."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.curation import (
+        media_training_manifest,
+    )
+
+    return media_training_manifest(tables.load_table(spark, sf_dir, "documents"))
+
+
 def _q_docs_dsir_weights(spark, sf_dir):
     """DSIR importance weights (functions/text.py dsir_weights, Xie et
     al. 2023): hashed-unigram log-likelihood ratio of each document
@@ -3061,6 +3074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_sizes": _q_dedup_cluster_sizes,
         "docs_substring_stripped": _q_docs_substring_stripped,
         "docs_training_manifest": _q_docs_training_manifest,
+        "media_training_manifest": _q_media_training_manifest,
         "docs_dsir_weights": _q_docs_dsir_weights,
         "docs_source_mixture": _q_docs_source_mixture,
         "events_stratified_sample": _q_events_stratified_sample,

@@ -165,3 +165,79 @@ def pinned_training_manifest(
         lambda: (training_manifest(corpus, budget),),
     )
     return m
+
+
+def media_training_manifest(
+    documents: DataFrame, cap: int = 20, byte_budget: int = 4096
+) -> DataFrame:
+    """The image-side twin of ``training_manifest`` — the composed
+    end-to-end story the multimodal tier feeds: decode + quality gates
+    → perceptual-hash dedup (canonical survivors only) → per-source
+    quota → byte-budget shard packing. Returns
+    (media_id, source, n_bytes, shard_id) — what an image trainer's
+    loader reads.
+
+    Gates (independent predicates, the module's composition rule):
+    - aspect: max(w,h) ≤ 2·min(w,h), integer arithmetic;
+    - feature score ≥ FEATURE_SCORE_MIN (mean of the extracted
+      features — the aesthetic-scorer gate shape);
+    - keep iff NOT a non-canonical member of a pHash dup cluster
+      (the base image survives, its re-encodes drop);
+    - at most ``cap`` images per source (domain_quota's salted
+      two-phase top-k), source inherited from the spawning document.
+
+    Scale: every constituent is a pin or a reuse — image_quality_stats
+    and the pHash cluster closure are the standalone queries' pinned
+    relations; the quota is the salted two-phase top-k; the shard
+    assignment is the generic two-phase prefix sum (weighted_shards)
+    with BYTES as the unit. Composing adds two semi/anti joins and one
+    dimension join, no new decode pass."""
+    from .multimodal import (
+        ASPECT_MAX_RATIO,
+        FEATURE_SCORE_MIN,
+        MEDIA_VARIANT_OFFSET,
+        image_quality_stats,
+        media_dup_clusters,
+        synth_media_aug,
+    )
+    from .packing import weighted_shards
+    from .quota import domain_quota
+
+    media = synth_media_aug(documents)
+    stats = image_quality_stats(media)
+    gated = stats.filter(
+        (
+            F.greatest(F.col("width"), F.col("height"))
+            <= F.lit(int(ASPECT_MAX_RATIO))
+            * F.least(F.col("width"), F.col("height"))
+        )
+        & (F.col("score") >= F.lit(float(FEATURE_SCORE_MIN)))
+    )
+    noncanon = media_dup_clusters(media).filter(
+        ~F.col("is_canonical")
+    ).select("media_id")
+    kept = gated.join(noncanon, "media_id", "left_anti")
+    src = kept.withColumn(
+        "src_id",
+        F.when(
+            F.col("media_id") >= MEDIA_VARIANT_OFFSET,
+            F.col("media_id") - MEDIA_VARIANT_OFFSET,
+        ).otherwise(F.col("media_id")),
+    ).join(
+        F.broadcast(
+            documents.select(F.col("doc_id").alias("src_id"), "source")
+        ),
+        "src_id",
+    )
+    quota = domain_quota(
+        src, cap, domain_col="source", id_col="media_id"
+    ).select("media_id", "source")
+    weighted = kept.select("media_id", "n_bytes").join(
+        quota, "media_id", "left_semi"
+    )
+    shards = weighted_shards(
+        weighted, byte_budget, id_col="media_id", weight_col="n_bytes"
+    )
+    return shards.join(quota, "media_id").select(
+        "media_id", "source", "n_bytes", "shard_id"
+    )

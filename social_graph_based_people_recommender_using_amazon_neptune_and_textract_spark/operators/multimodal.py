@@ -467,3 +467,52 @@ def media_dup_clusters(media: DataFrame) -> DataFrame:
         F.col("label").alias("cluster_id"),
         (F.col("label") == F.col("node")).alias("is_canonical"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Image curation gates (the media manifest's inputs)
+# ---------------------------------------------------------------------------
+
+#: Aspect-ratio gate: keep iff max(w,h) <= 2*min(w,h) — the LAION-style
+#: extreme-aspect filter, pure integer arithmetic (no float compare).
+ASPECT_MAX_RATIO = 2
+
+#: Feature-score gate floor. The score is the mean of the 16 extracted
+#: features (the declared stand-in for an aesthetic/NSFW scorer — the
+#: gate SHAPE is the real part: threshold on a per-image model output).
+FEATURE_SCORE_MIN = 0.45
+
+
+def image_quality_stats(media: DataFrame) -> DataFrame:
+    """(media_id, width, height, n_bytes, score) for image rows —
+    pinned per corpus (the text tier's ``text_gate_stats`` pattern:
+    decode + feature scoring run ONCE per corpus; thresholds stay OUT
+    of the pin so every gate combination reuses it). score = mean of
+    the 16 features, rounded 6dp (the fold order and the /16 are
+    mirrored in the oracle)."""
+    from ..pinned import pinned
+
+    def _build():
+        imgs = media.filter(F.col("kind") == "image")
+        decoded = decode_media(imgs).select(
+            "media_id", "width", "height",
+            F.col("payload_len").cast("long").alias("n_bytes"),
+        )
+        feats = extract_features(imgs)
+        score = F.round(
+            F.aggregate(
+                F.col("features"), F.lit(0.0), lambda acc, x: acc + x
+            )
+            / F.lit(16.0),
+            6,
+        )
+        return (
+            decoded.join(
+                feats.select("media_id", score.alias("score")), "media_id"
+            ),
+        )
+
+    (stats,) = pinned(
+        ("image_quality_stats", media.semanticHash()), _build
+    )
+    return stats

@@ -51,14 +51,33 @@ def token_shards(
     counted = documents.select(
         F.col(id_col), F.size(tokenize(F.col(text_col))).cast("long").alias("n_tokens")
     )
+    return weighted_shards(
+        counted, budget, id_col=id_col, weight_col="n_tokens",
+        n_partitions=n_partitions,
+    )
+
+
+def weighted_shards(
+    weighted: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    weight_col: str = "n_tokens",
+    n_partitions: int = N_RANGE_PARTITIONS,
+) -> DataFrame:
+    """The generic two-phase prefix-sum packer: ``weighted`` is
+    (id, weight); returns (id, weight, shard_id) with
+    shard_id = floor(exclusive_prefix_sum(weight)/budget) over the id
+    total order. ``token_shards`` (tokens) and the media manifest
+    (payload bytes) are thin front-ends — the unit differs, the
+    distributed prefix sum does not."""
     # Tracked checkpoint: the returned DataFrame reads ``ranged``, so its
     # storage is released by checkpoints.release_all once consumed.
     ranged, _ = checkpoint(
-        counted.repartitionByRange(n_partitions, F.col(id_col))
+        weighted.repartitionByRange(n_partitions, F.col(id_col))
         .withColumn("pid", F.spark_partition_id())
     )
 
-    totals = ranged.groupBy("pid").agg(F.sum("n_tokens").alias("t")).collect()
+    totals = ranged.groupBy("pid").agg(F.sum(weight_col).alias("t")).collect()
     offsets: dict[int, int] = {}
     acc = 0
     for row in sorted(totals, key=lambda r: r["pid"]):
@@ -78,9 +97,9 @@ def token_shards(
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    cum_excl = off_col + F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    cum_excl = off_col + F.coalesce(F.sum(weight_col).over(w), F.lit(0))
     return ranged.select(
         id_col,
-        "n_tokens",
+        weight_col,
         F.floor(cum_excl / F.lit(float(budget))).cast("long").alias("shard_id"),
     )

@@ -1539,6 +1539,69 @@ SELECT node AS media_id, min(label) AS cluster_id,
        (min(label) = node) AS is_canonical
 FROM preach GROUP BY node"""
 
+# Media training manifest (operators/curation.py
+# media_training_manifest): the image-side curation composition —
+# aspect + feature-score gates, pHash-canonical survivors, per-source
+# quota (cap 20, md5 preference), byte-budget prefix-sum shards
+# (budget 4096). The feature score is the mean of the 16 md5-derived
+# features (media_features' arithmetic), rounded 6dp before the gate.
+ORACLES["media_training_manifest"] = f"""\
+WITH RECURSIVE {_IMG_PHASH},
+{_IMG_PAIRS},
+pe AS (
+  SELECT media_a AS a, media_b AS b FROM ppairs
+  UNION ALL
+  SELECT media_b AS a, media_a AS b FROM ppairs
+),
+preach(node, label) AS (
+  SELECT DISTINCT a, a FROM pe
+  UNION
+  SELECT pe.a, r.label FROM pe JOIN preach r ON r.node = pe.b
+),
+noncanon AS (
+  SELECT node AS media_id FROM preach GROUP BY node
+  HAVING min(label) <> node
+),
+fscore AS (
+  SELECT media_id,
+    round(list_sum(list_transform(range(0, 16), i ->
+      CAST(CAST(concat('0x', substr(md5(payload || ':' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS DOUBLE) / 10000))
+      / CAST(16 AS DOUBLE), 6) AS score
+  FROM imeta
+),
+gated AS (
+  SELECT m.media_id, m.plen
+  FROM imeta m JOIN fscore f USING (media_id)
+  WHERE greatest(m.w, m.h) <= 2 * least(m.w, m.h)
+    AND f.score >= CAST(0.45 AS DOUBLE)
+    AND m.media_id NOT IN (SELECT media_id FROM noncanon)
+),
+srcd AS (
+  SELECT g.media_id, g.plen, d.source
+  FROM gated g JOIN documents d
+    ON d.doc_id = CASE WHEN g.media_id >= 1000000000
+                  THEN g.media_id - 1000000000 ELSE g.media_id END
+),
+mquota AS (
+  SELECT media_id, plen, source FROM (
+    SELECT media_id, plen, source,
+      row_number() OVER (
+        PARTITION BY source
+        ORDER BY md5(CAST(media_id AS VARCHAR)), media_id) AS rk
+    FROM srcd
+  ) WHERE rk <= 20
+),
+mpre AS (
+  SELECT media_id, source, plen,
+    COALESCE(SUM(plen) OVER (
+      ORDER BY media_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    ), 0) AS ce
+  FROM mquota
+)
+SELECT media_id, source, CAST(plen AS BIGINT) AS n_bytes,
+  CAST(FLOOR(ce / 4096.0) AS BIGINT) AS shard_id
+FROM mpre"""
+
 ORACLES["dedup_embedding"] = f"""\
 WITH aug_emb AS (
   SELECT vec_id, label, embedding FROM embeddings

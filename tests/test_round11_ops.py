@@ -404,3 +404,47 @@ def test_trigram_discount_mass_flows_down(spark):
     lp = rows[2]["trigram_logprob"]
     assert lp is not None and lp < math.log(0.25)
     assert lp > math.log(0.25 / 100)  # but nowhere near zero probability
+
+
+# --- media training manifest -----------------------------------------------
+
+def test_media_manifest_composition_contracts(spark):
+    """Every manifest row survived every gate; no re-encode variant
+    whose base exists appears; per-source counts respect the cap; the
+    byte shards are a prefix-sum partition of the media_id order."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.curation import (
+        media_training_manifest,
+    )
+
+    docs = spark.read.parquet(f"{SF_001}/documents.parquet")
+    rows = media_training_manifest(docs, cap=20, byte_budget=4096).collect()
+    assert len(rows) > 0
+    ids = {r["media_id"] for r in rows}
+
+    media = M.synth_media_aug(docs)
+    stats = {r["media_id"]: r for r in M.image_quality_stats(media).collect()}
+    clusters = {r["media_id"]: r for r in M.media_dup_clusters(media).collect()}
+    per_source = {}
+    for r in rows:
+        s = stats[r["media_id"]]
+        w, h = s["width"], s["height"]
+        assert max(w, h) <= 2 * min(w, h), r["media_id"]
+        assert s["score"] >= M.FEATURE_SCORE_MIN, r["media_id"]
+        assert s["n_bytes"] == r["n_bytes"]
+        cl = clusters.get(r["media_id"])
+        assert cl is None or cl["is_canonical"], r["media_id"]
+        per_source[r["source"]] = per_source.get(r["source"], 0) + 1
+    assert all(n <= 20 for n in per_source.values())
+
+    # shard assignment == floor(exclusive byte prefix sum / budget)
+    # over media_id order of the SELECTED set
+    ordered = sorted(rows, key=lambda r: r["media_id"])
+    acc = 0
+    for r in ordered:
+        assert r["shard_id"] == acc // 4096, r["media_id"]
+        acc += r["n_bytes"]
+
+    # dropped variants: every base-surviving variant is absent
+    for mid in ids:
+        if mid >= M.MEDIA_VARIANT_OFFSET:
+            assert mid - M.MEDIA_VARIANT_OFFSET not in ids
