@@ -1098,6 +1098,13 @@ def pinned_duplicated_spans(
 _SEMANTIC_PREFILTER_MARGIN = 1e-6
 
 
+#: Sub-blocks per k-means cluster for the semantic scorer's Arrow
+#: groups: tasks = k·B(B+1)/2 (4 clusters × 36 = 144 at the default),
+#: sized to keep every local core busy where grouping by cluster alone
+#: gave k tasks. Replication factor of the vector exchange is exactly B.
+SEM_SCORE_BLOCKS = 8
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     k: int = 4,
@@ -1139,46 +1146,47 @@ def semantic_dedup(
     # block-salted, the join MATERIALIZES every candidate pair row
     # (two 64-double arrays × 55M ≈ 56 GB through the exchange) just
     # to reduce it to ~100k survivors. The sanctioned escape hatch is
-    # the vectorized Arrow boundary: applyInPandas per cluster ships
-    # each group's |cluster|×64 matrix ONCE (~MBs), scores the whole
-    # triangle with numpy, and emits only the near-threshold pairs.
+    # the vectorized Arrow boundary: applyInPandas ships each group's
+    # row matrix ONCE (~MBs), scores with numpy, and emits only the
+    # near-threshold pairs.
     #
-    # Cross-engine exactness is PRESERVED, not approximated: dots use
-    # np.add.accumulate over a zero-prefixed product row — the strictly
-    # sequential ufunc recurrence r[i] = r[i-1] + x[i], bit-identical
-    # to the JVM fold 0.0 + p₁ + p₂ + … (and to the oracle's
-    # list_sum); norms/sqrt are IEEE-correctly-rounded in all three
-    # engines; the 6dp display round and the threshold run JVM-SIDE on
-    # the raw cosine, so the Python layer only computes the same
-    # doubles and pre-filters with a superset margin.
-    def _score(pdf):
+    # Parallelism (r11): grouping by cluster alone yields exactly k
+    # Arrow tasks — at k=4 that is 4 busy cores out of 32 for the
+    # entire O(Σ m²) scoring pass. Each cluster is therefore
+    # block-decomposed: vectors hash into SEM_SCORE_BLOCKS sub-blocks,
+    # every unordered block pair (b1 ≤ b2) becomes one Arrow group
+    # (diagonal groups score their triangle, off-diagonal groups the
+    # bipartite cross), so the task count is k·B(B+1)/2 and the SAME
+    # pair set emerges — each unordered vector pair belongs to exactly
+    # one block pair. Cost: each vector row ships B times instead of
+    # once (explode over partner blocks, ~B·N·0.5 KB through the
+    # exchange — at sf1 that is ~80 MB, the price of 36× more
+    # parallelism; B is the knob, and at 100 TB the replication rides
+    # the same exchange the single-task plan already paid once).
+    #
+    # Cross-engine exactness is PRESERVED, not approximated: dots are
+    # the strictly sequential left fold acc = (…(0 + p₁) + p₂…) — an
+    # explicit per-dimension vectorized loop, bit-identical to the JVM
+    # fold and the oracle's list_sum (and to the r10 accumulate form,
+    # minus its 65-wide allocation); norms/sqrt are IEEE-correctly-
+    # rounded in all three engines; the 6dp display round and the
+    # threshold run JVM-SIDE on the raw cosine, so the Python layer
+    # only computes the same doubles and pre-filters with a superset
+    # margin.
+    lo = float(threshold) - _SEMANTIC_PREFILTER_MARGIN
+
+    def _fold_dots(prod):
+        import numpy as np
+
+        acc = np.zeros(prod.shape[0])
+        for j in range(prod.shape[1]):
+            acc = acc + prod[:, j]
+        return acc
+
+    def _emit(out_a, out_b, out_c):
         import numpy as np
         import pandas as pd
 
-        pdf = pdf.sort_values("vec_id")
-        ids = pdf["vec_id"].to_numpy()
-        m = len(ids)
-        if m < 2:
-            return pd.DataFrame(
-                {"vec_a": [], "vec_b": [], "cos_raw": []}
-            ).astype({"vec_a": "int64", "vec_b": "int64", "cos_raw": "float64"})
-        V = np.stack(pdf["v"].to_numpy())
-        norms = np.sqrt(pdf["n2"].to_numpy())
-        lo = float(threshold) - _SEMANTIC_PREFILTER_MARGIN
-        out_a: list = []
-        out_b: list = []
-        out_c: list = []
-        zeros = np.zeros((m, 1))
-        for i in range(m - 1):
-            prod = V[i + 1 :] * V[i]
-            acc = np.concatenate([zeros[: m - i - 1], prod], axis=1)
-            dots = np.add.accumulate(acc, axis=1)[:, -1]
-            cos = dots / (norms[i] * norms[i + 1 :])
-            sel = cos >= lo
-            if sel.any():
-                out_a.append(np.full(int(sel.sum()), ids[i]))
-                out_b.append(ids[i + 1 :][sel])
-                out_c.append(cos[sel])
         if not out_a:
             return pd.DataFrame(
                 {"vec_a": [], "vec_b": [], "cos_raw": []}
@@ -1191,9 +1199,75 @@ def semantic_dedup(
             }
         )
 
-    raw = base.select("vec_id", "cluster", "v", "n2").groupBy(
-        "cluster"
-    ).applyInPandas(_score, "vec_a long, vec_b long, cos_raw double")
+    def _score(pdf):
+        import numpy as np
+
+        out_a: list = []
+        out_b: list = []
+        out_c: list = []
+        if int(pdf["b1"].iat[0]) == int(pdf["b2"].iat[0]):
+            # diagonal block: the triangle, ascending-id order
+            pdf = pdf.sort_values("vec_id")
+            ids = pdf["vec_id"].to_numpy()
+            m = len(ids)
+            if m < 2:
+                return _emit([], [], [])
+            V = np.stack(pdf["v"].to_numpy())
+            norms = np.sqrt(pdf["n2"].to_numpy())
+            for i in range(m - 1):
+                cos = _fold_dots(V[i + 1 :] * V[i]) / (
+                    norms[i] * norms[i + 1 :]
+                )
+                sel = cos >= lo
+                if sel.any():
+                    out_a.append(np.full(int(sel.sum()), ids[i]))
+                    out_b.append(ids[i + 1 :][sel])
+                    out_c.append(cos[sel])
+            return _emit(out_a, out_b, out_c)
+        # off-diagonal: bipartite cross between the two sub-blocks;
+        # emit (min_id, max_id) so pair identity matches the triangle's
+        a_side = pdf[pdf["blk"] == pdf["b1"]]
+        b_side = pdf[pdf["blk"] == pdf["b2"]]
+        if len(a_side) == 0 or len(b_side) == 0:
+            return _emit([], [], [])
+        ids_a = a_side["vec_id"].to_numpy()
+        ids_b = b_side["vec_id"].to_numpy()
+        Va = np.stack(a_side["v"].to_numpy())
+        Vb = np.stack(b_side["v"].to_numpy())
+        na = np.sqrt(a_side["n2"].to_numpy())
+        nb = np.sqrt(b_side["n2"].to_numpy())
+        for i in range(len(ids_a)):
+            cos = _fold_dots(Vb * Va[i]) / (na[i] * nb)
+            sel = cos >= lo
+            if sel.any():
+                bi = ids_b[sel]
+                ai = np.full(len(bi), ids_a[i])
+                out_a.append(np.minimum(ai, bi))
+                out_b.append(np.maximum(ai, bi))
+                out_c.append(cos[sel])
+        return _emit(out_a, out_b, out_c)
+
+    blk = F.pmod(F.xxhash64(F.col("vec_id")), F.lit(SEM_SCORE_BLOCKS)).cast(
+        "int"
+    )
+    tagged = base.select("vec_id", "cluster", "v", "n2", blk.alias("blk"))
+    rep = tagged.select(
+        "*",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(SEM_SCORE_BLOCKS - 1))
+        ).alias("pb"),
+    ).select(
+        "vec_id",
+        "cluster",
+        "v",
+        "n2",
+        "blk",
+        F.least("blk", "pb").alias("b1"),
+        F.greatest("blk", "pb").alias("b2"),
+    )
+    raw = rep.groupBy("cluster", "b1", "b2").applyInPandas(
+        _score, "vec_a long, vec_b long, cos_raw double"
+    )
     pairs = (
         raw.select(
             "vec_a", "vec_b", F.round(F.col("cos_raw"), 6).alias("cos")
