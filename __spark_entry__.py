@@ -529,6 +529,31 @@ def _q_streaming_dedup_minhash(spark, sf_dir):
     return d.near_dup_pairs(threshold=0.5)
 
 
+def _q_streaming_media_phash(spark, sf_dir):
+    """Streaming image dedup (streaming/mediadedup.py
+    StreamingImageDeduper): replay the variant-augmented media table as
+    a micro-batched stream through the incremental pHash index; on the
+    drained stream the pair table is row-identical to batch
+    ``phash_pairs`` — shares the dedup_media_phash oracle."""
+    import tempfile
+
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.multimodal import (
+        synth_media_aug,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.streaming.mediadedup import (
+        StreamingImageDeduper,
+    )
+
+    media = synth_media_aug(tables.load_table(spark, sf_dir, "documents"))
+    base = tempfile.mkdtemp(prefix="sgr-smpd-")
+    media.repartition(3).write.mode("overwrite").parquet(f"{base}/landing")
+    d = StreamingImageDeduper(spark, f"{base}/wh")
+    d.run_available_now(
+        f"{base}/landing", f"{base}/ckpt", max_files_per_trigger=1
+    )
+    return d.pairs()
+
+
 def _q_archive_replay(spark, sf_dir):
     """O4 round-trip: write the Firehose-style gzip archive, replay it
     through the partition-pruned reader (year+month predicates), return
@@ -995,7 +1020,20 @@ def _q_emb_knn_graph(spark, sf_dir):
     )
 
     emb = tables.load_table(spark, sf_dir, "embeddings")
-    return SIM.knn_graph(emb, k=5, nprobe=1)
+    return SIM.pinned_knn_graph(emb, k=5, nprobe=1)
+
+
+def _q_emb_diversity_prune(spark, sf_dir):
+    """kNN-graph diversity pruning (operators/similarity.py
+    diversity_prune): keep-min over rank-1 neighbors at cos ≥ 0.4 —
+    the SemDeDup-adjacent curation step the kNN graph feeds; pruning
+    itself is one filter + projection over the graph."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        similarity as SIM,
+    )
+
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    return SIM.diversity_prune(emb, k=5, min_cos=0.4)
 
 
 def _q_kmeans_assign(spark, sf_dir):
@@ -3042,9 +3080,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_phash": _q_media_phash,
         "dedup_media_phash": _q_dedup_media_phash,
         "media_dup_clusters": _q_media_dup_clusters,
+        "streaming_media_phash": _q_streaming_media_phash,
         "ann_bruteforce": _q_ann_bruteforce,
         "ann_ivf": _q_ann_ivf,
         "emb_knn_graph": _q_emb_knn_graph,
+        "emb_diversity_prune": _q_emb_diversity_prune,
         "ann_ivf_probe2": _q_ann_ivf_probe2,
         "kmeans_assign": _q_kmeans_assign,
         "vertex_lookup": _q_vertex_lookup,

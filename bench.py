@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     "emb_knn_graph",
     "docs_trigram_logprob",
     "media_training_manifest",
+    "emb_diversity_prune",
     # streaming twins (streaming_bpe_encode, streaming_quality_gate,
     # streaming_boilerplate) are driver-verified but not headline
     # entries: each timed run replays a full corpus stream from a

@@ -992,6 +992,18 @@ def ann_rp_sq8_rerank(
 
 # --- batch kNN-join: the all-vectors kNN graph -----------------------------
 
+#: Query/member sub-blocks per IVF cell for the kNN scorer's Arrow
+#: groups (the semantic scorer's SEM_SCORE_BLOCKS device, bipartite
+#: form): tasks = |cells|·B², replication factor of each vector row is
+#: exactly B.
+KNN_SCORE_BLOCKS = 8
+
+#: Raw-cosine margin for the per-group shortlist: must exceed one 6dp
+#: rounding bucket (1e-6) so every candidate that can tie into the
+#: rounded top-k survives the raw pre-cut.
+KNN_ROUND_MARGIN = 2e-6
+
+
 def knn_graph(
     embeddings: DataFrame, k: int = 10, nprobe: int = 1
 ) -> DataFrame:
@@ -1065,25 +1077,174 @@ def knn_graph(
             ).alias("probe_label"),
         )
     )
-    cand = base.select(
-        F.col("vec_id").alias("neighbor_id"),
-        "label",
-        F.col("v").alias("nv"),
-        F.col("n2").alias("nn2"),
+    # Scoring runs at the Arrow boundary, NOT as a JVM pair join: the
+    # equi-join form materializes BOTH 64-double arrays into every
+    # candidate row — 40M pairs × ~1 KB ≈ 40 GB of array copying at
+    # sf1, measured 33.7 s for the cosine evaluation alone — the exact
+    # failure mode the semantic-dedup scorer documents. Instead, each
+    # (cell, query-block, member-block) becomes one applyInPandas group
+    # (queries hash into KNN_SCORE_BLOCKS blocks and replicate over
+    # member blocks, members vice versa — each array ships B times,
+    # ~180 MB at sf1, instead of |cell| times), and numpy scores the
+    # bipartite block ONCE per matrix.
+    #
+    # Bit-exactness: dots are the same strictly-sequential left fold as
+    # the JVM/list_sum form (the semantic scorer's proof); the 6dp
+    # round and the rank window stay JVM-SIDE on the raw doubles.
+    # Python emits a per-(group, query) SUPERSET shortlist — everything
+    # with raw cos ≥ (k-th best raw) − KNN_ROUND_MARGIN — because the
+    # final rank orders by ROUNDED cos with id tie-break: a candidate
+    # outside the raw top-k can still enter the rounded top-k only by
+    # tying a raw-better candidate inside the same 1e-6 rounding
+    # bucket, so the margin (2e-6 > one bucket width) is sufficient;
+    # the final window then computes exact global ranks over the
+    # ≤ B·shortlist rows per vector.
+    b_q = F.pmod(F.xxhash64(F.col("vec_id")), F.lit(KNN_SCORE_BLOCKS)).cast(
+        "int"
     )
-    scored = (
-        probes.join(cand, probes["probe_label"] == cand["label"])
-        .filter(F.col("neighbor_id") != F.col("vec_id"))
-        .select(
-            "vec_id",
-            "neighbor_id",
-            F.round(
-                cosine(F.col("v"), F.col("nv"), F.col("n2"), F.col("nn2")), 6
-            ).alias("cos"),
+    q_rep = probes.select(
+        F.col("vec_id"),
+        F.col("probe_label").cast("long").alias("cell"),
+        "v",
+        "n2",
+        F.lit(0).alias("role"),
+        b_q.alias("qb"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(KNN_SCORE_BLOCKS - 1))
+        ).alias("mb"),
+    )
+    m_rep = base.select(
+        F.col("vec_id"),
+        F.col("label").cast("long").alias("cell"),
+        "v",
+        "n2",
+        F.lit(1).alias("role"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(KNN_SCORE_BLOCKS - 1))
+        ).alias("qb"),
+        b_q.alias("mb"),
+    ).select("vec_id", "cell", "v", "n2", "role", "qb", "mb")
+
+    kk = int(k)
+
+    def _score(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {"vec_id": [], "neighbor_id": [], "cos_raw": []}
+        ).astype(
+            {"vec_id": "int64", "neighbor_id": "int64", "cos_raw": "float64"}
         )
+        qs = pdf[pdf["role"] == 0]
+        ms = pdf[pdf["role"] == 1]
+        if len(qs) == 0 or len(ms) == 0:
+            return empty
+        q_ids = qs["vec_id"].to_numpy()
+        m_ids = ms["vec_id"].to_numpy()
+        Qv = np.stack(qs["v"].to_numpy())
+        Mv = np.stack(ms["v"].to_numpy())
+        qn = np.sqrt(qs["n2"].to_numpy())
+        mn = np.sqrt(ms["n2"].to_numpy())
+        out_q: list = []
+        out_m: list = []
+        out_c: list = []
+        for i in range(len(q_ids)):
+            prod = Mv * Qv[i]
+            acc = np.zeros(prod.shape[0])
+            for j in range(prod.shape[1]):
+                acc = acc + prod[:, j]
+            cos = acc / (qn[i] * mn)
+            keep = m_ids != q_ids[i]
+            if not keep.any():
+                continue
+            cs, ids = cos[keep], m_ids[keep]
+            if len(cs) > kk:
+                kth = np.partition(cs, len(cs) - kk)[len(cs) - kk]
+                sel = cs >= kth - KNN_ROUND_MARGIN
+                cs, ids = cs[sel], ids[sel]
+            out_q.append(np.full(len(ids), q_ids[i]))
+            out_m.append(ids)
+            out_c.append(cs)
+        if not out_q:
+            return empty
+        return pd.DataFrame(
+            {
+                "vec_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_m),
+                "cos_raw": np.concatenate(out_c),
+            }
+        )
+
+    raw = (
+        q_rep.unionByName(m_rep)
+        .groupBy("cell", "qb", "mb")
+        .applyInPandas(_score, "vec_id long, neighbor_id long, cos_raw double")
+    )
+    scored = raw.select(
+        "vec_id", "neighbor_id", F.round(F.col("cos_raw"), 6).alias("cos")
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
+    )
+
+
+def pinned_knn_graph(
+    embeddings: DataFrame, k: int = 10, nprobe: int = 1
+) -> DataFrame:
+    """``knn_graph`` as a PINNED per-(corpus, k, nprobe) index — the
+    kNN graph is a build-once artifact (SemDeDup, diversity pruning,
+    and any graph-ANN consumer read the same neighbors); every serve
+    reads the k·N-row relation."""
+    from ..pinned import pinned
+
+    (g,) = pinned(
+        ("knn_graph", embeddings.semanticHash(), int(k), int(nprobe)),
+        lambda: (knn_graph(embeddings, k=k, nprobe=nprobe),),
+    )
+    return g
+
+
+def diversity_prune(
+    embeddings: DataFrame, k: int = 5, min_cos: float = 0.4, nprobe: int = 1
+) -> DataFrame:
+    """kNN-graph diversity pruning — the operation the all-vectors kNN
+    graph exists to feed (SemDeDup §4 / SSL-prototypes shape): a vector
+    is REDUNDANT when its nearest neighbor is close enough
+    (cos ≥ min_cos) and has a smaller id (keep-min, the dedup family's
+    canonical rule — exactly one survivor per mutually-close pair, no
+    cascade ambiguity because the rule is a pure pairwise predicate).
+    Returns (vec_id, nn_id, nn_cos, keep) for EVERY vector: nn is the
+    rank-1 neighbor from ``knn_graph`` (NULL when the vector's probed
+    cell holds no other vector), keep = NOT (nn_cos ≥ min_cos AND
+    nn_id < vec_id).
+
+    Scale: one filter over the pinned-shape kNN graph (rank = 1 rows,
+    N rows total) + the left join back to the corpus id list — the
+    graph is the expensive artifact and is built by ``knn_graph``'s
+    cell-blocked plan; pruning adds nothing but a projection."""
+    nn = pinned_knn_graph(embeddings, k=k, nprobe=nprobe).filter(
+        F.col("rank") == 1
+    ).select(
+        "vec_id",
+        F.col("neighbor_id").alias("nn_id"),
+        F.col("cos").alias("nn_cos"),
+    )
+    return (
+        embeddings.select("vec_id")
+        .join(nn, "vec_id", "left")
+        .select(
+            "vec_id",
+            "nn_id",
+            "nn_cos",
+            F.coalesce(
+                ~(
+                    (F.col("nn_cos") >= F.lit(float(min_cos)))
+                    & (F.col("nn_id") < F.col("vec_id"))
+                ),
+                F.lit(True),
+            ).alias("keep"),
+        )
     )

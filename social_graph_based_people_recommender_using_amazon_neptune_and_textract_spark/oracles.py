@@ -1283,9 +1283,10 @@ ORACLES["ann_ivf_probe2"] = _ann_ivf_sql(2)
 # EVERY vector as a query — probe the nearest centroid, exact top-k
 # within the probed cell. The naive all-queries form below is the
 # semantic spec; the Spark plan assigns probes via a 1-row broadcast
-# centroid fold and blocks candidates on the cell equi-join.
-ORACLES["emb_knn_graph"] = f"""\
-WITH {_VEC.format(src="embeddings")},
+# centroid fold and blocks candidates on the cell equi-join. The CTE
+# chain is shared with emb_diversity_prune (rank-1 consumer).
+_KNN_CTES = f"""\
+{_VEC.format(src="embeddings")},
 cent AS (
   SELECT label, list(m ORDER BY pos) AS centroid FROM (
     SELECT label, pos, avg(x) AS m FROM (
@@ -1317,8 +1318,26 @@ kranked AS (
   SELECT vec_id, neighbor_id, cos,
     CAST(row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
   FROM kscored
-)
+)"""
+
+ORACLES["emb_knn_graph"] = f"""\
+WITH {_KNN_CTES}
 SELECT vec_id, neighbor_id, cos, rank FROM kranked WHERE rank <= 5"""
+
+# kNN-graph diversity pruning (operators/similarity.py
+# diversity_prune): redundant iff the rank-1 neighbor is ≥ min_cos
+# close AND has a smaller id (keep-min, one survivor per close pair).
+ORACLES["emb_diversity_prune"] = f"""\
+WITH {_KNN_CTES},
+dp_nn AS (
+  SELECT vec_id, neighbor_id AS nn_id, cos AS nn_cos
+  FROM kranked WHERE rank = 1
+)
+SELECT e.vec_id, n.nn_id, n.nn_cos,
+  coalesce(NOT (n.nn_cos >= CAST(0.4 AS DOUBLE) AND n.nn_id < e.vec_id),
+           TRUE) AS keep
+FROM (SELECT vec_id FROM embeddings) e
+LEFT JOIN dp_nn n ON n.vec_id = e.vec_id"""
 
 # Converged watermarked hourly rollup == batch GROUP BY on hour buckets.
 ORACLES["streaming_event_windows"] = """\
@@ -4200,6 +4219,10 @@ FROM aug a LEFT JOIN pd USING (doc_id)"""
 # trained in batch and frozen; drained replay of the corpus ==
 # the batch strip (shared strip core).
 ORACLES["streaming_boilerplate"] = ORACLES["docs_boilerplate_stripped"]
+
+# Drained streaming image dedup == batch phash_pairs (streaming/
+# mediadedup.py StreamingImageDeduper convergence contract).
+ORACLES["streaming_media_phash"] = ORACLES["dedup_media_phash"]
 
 
 # Split-representativeness audit (operators/quality.py

@@ -54,7 +54,6 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -122,15 +121,23 @@ class StreamingNearDeduper:
                 touched = banded_b.select("band", "sigb").distinct().collect()
                 index = self.spark.read.parquet(self.index_dir)
                 if touched:
-                    cond = reduce(
-                        lambda a, b: a | b,
-                        [
-                            (F.col("band") == r["band"])
-                            & (F.col("sigb") == r["sigb"])
-                            for r in touched
-                        ],
+                    # ONE isin over a combined key of the two partition
+                    # columns — the former OR-chain of per-bucket
+                    # conjunctions built a Column tree O(|touched|)
+                    # deep, which overflowed the driver stack at ~500
+                    # buckets in the pHash twin (streaming/mediadedup);
+                    # the flat list is equivalent and still prunes
+                    # (partition columns only).
+                    keys = [
+                        int(r["band"]) * self.n_sig_buckets + int(r["sigb"])
+                        for r in touched
+                    ]
+                    index = index.filter(
+                        (
+                            F.col("band") * F.lit(self.n_sig_buckets)
+                            + F.col("sigb")
+                        ).isin(keys)
                     )
-                    index = index.filter(cond)
                 probe = index.select("doc_id", "band", "sig").unionByName(
                     banded_b.select("doc_id", "band", "sig")
                 )

@@ -203,10 +203,12 @@ def test_knn_graph_equals_ann_ivf_per_query(spark):
 
 
 def test_knn_graph_cell_bounded_plan(spark):
-    """Candidates must come from the label equi-join: the only
-    nested-loop in the plan is the 1-row centroid-array fold (the house
-    bounded-relation cross device); no CartesianProduct, and the
-    candidate join is a real equi-join (hash/sort-merge)."""
+    """Candidates are cell-bounded Arrow groups: the only nested-loop
+    in the plan is the 1-row centroid-array fold (the house
+    bounded-relation cross device); no CartesianProduct, no JVM pair
+    join materializing both vector arrays per candidate row — scoring
+    is the grouped Arrow boundary (FlatMapGroupsInPandas over
+    (cell, qb, mb))."""
     from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
         similarity as S,
     )
@@ -216,9 +218,81 @@ def test_knn_graph_cell_bounded_plan(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1  # the 1-row fold
-    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
-        "BroadcastHashJoin" in plan
+    assert "FlatMapGroupsInPandas" in plan
+
+
+def test_knn_graph_exact_under_rounding_ties(spark):
+    """Adversarial tie corpus: coarse-quantized vectors produce MANY
+    exactly-equal and 1e-6-adjacent cosines, stressing the Python
+    shortlist's rounding margin — the graph must equal a brute-force
+    per-cell reference computed with the same fold arithmetic."""
+    import math
+    import random
+
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        similarity as S,
     )
+
+    rng = random.Random(41)
+    rows = []
+    for vid in range(160):
+        # 3 distinct coordinate values only -> massive cosine ties
+        rows.append(
+            (vid, [float(rng.choice([0.0, 1.0, 2.0])) for _ in range(64)],
+             vid % 3)
+        )
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = sorted(
+        (r["vec_id"], r["rank"], r["neighbor_id"], r["cos"])
+        for r in S.knn_graph(emb, k=4).collect()
+    )
+
+    # brute-force reference: same centroid probe (top-1 by rounded
+    # cosine, label tie-break), same fold dot, same rounding+ordering
+    vecs = {vid: v for vid, v, _ in rows}
+    labels = {vid: lbl for vid, _, lbl in rows}
+    cells: dict[int, list[int]] = {}
+    for vid, _, lbl in rows:
+        cells.setdefault(lbl, []).append(vid)
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    cents = {}
+    for lbl, members in cells.items():
+        c = [
+            sum(vecs[m][j] for m in members) / len(members)
+            for j in range(64)
+        ]
+        cents[lbl] = (c, fold_dot(c, c))
+    want = []
+    for vid, v, _ in rows:
+        n2 = fold_dot(v, v)
+        probe = min(
+            (
+                (-round(fold_dot(v, c) / (math.sqrt(n2) * math.sqrt(cn2)), 6), lbl)
+                for lbl, (c, cn2) in cents.items()
+            ),
+        )[1]
+        cand = []
+        for m in cells[probe]:
+            if m == vid:
+                continue
+            mc = round(
+                fold_dot(v, vecs[m])
+                / (math.sqrt(n2) * math.sqrt(fold_dot(vecs[m], vecs[m]))),
+                6,
+            )
+            cand.append((-mc, m))
+        cand.sort()
+        for rk, (negc, m) in enumerate(cand[:4], 1):
+            want.append((vid, rk, m, -negc))
+    assert got == sorted(want)
 
 
 def test_knn_graph_nprobe_widens_candidates(spark):
@@ -448,3 +522,77 @@ def test_media_manifest_composition_contracts(spark):
     for mid in ids:
         if mid >= M.MEDIA_VARIANT_OFFSET:
             assert mid - M.MEDIA_VARIANT_OFFSET not in ids
+
+
+# --- diversity pruning + streaming image dedup ------------------------------
+
+def test_diversity_prune_keep_min_semantics(spark):
+    """keep is false exactly when the rank-1 neighbor is >= min_cos
+    close AND smaller-id; every vector appears exactly once; vectors
+    alone in their cell keep with NULL nn."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        similarity as S,
+    )
+
+    emb = spark.read.parquet(f"{SF_001}/embeddings.parquet")
+    rows = {r["vec_id"]: r for r in S.diversity_prune(emb, k=5, min_cos=0.4).collect()}
+    assert len(rows) == emb.count()
+    nn1 = {
+        r["vec_id"]: (r["neighbor_id"], r["cos"])
+        for r in S.pinned_knn_graph(emb, k=5).filter(F.col("rank") == 1).collect()
+    }
+    for vid, r in rows.items():
+        if vid in nn1:
+            nid, c = nn1[vid]
+            assert r["nn_id"] == nid and r["nn_cos"] == c
+            assert r["keep"] == (not (c >= 0.4 and nid < vid)), vid
+        else:
+            assert r["nn_id"] is None and r["keep"] is True
+    # at least one mutually-close pair exists on the clustered corpus
+    # and in each such pair exactly the smaller id survives
+    pruned = [v for v, r in rows.items() if not r["keep"]]
+    assert pruned, "expected some redundancy at min_cos=0.4"
+    for v in pruned:
+        assert rows[nn1[v][0]] is not None
+
+
+def test_streaming_media_phash_converges_to_batch(spark, tmp_path):
+    """A drained micro-batched replay (1 file per trigger) of the media
+    table yields EXACTLY the batch phash_pairs rows — cross-batch pairs
+    are discovered when the later member arrives, old x old pairs were
+    emitted earlier, and replaying an already-drained landing is a
+    no-op (idempotent checkpointing)."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.streaming.mediadedup import (
+        StreamingImageDeduper,
+    )
+
+    docs = _docs(spark, 90)
+    media = M.synth_media_aug(docs)
+    want = sorted(
+        (r["media_a"], r["media_b"], r["hamming"])
+        for r in M.phash_pairs(media).collect()
+    )
+    media.repartition(4).write.mode("overwrite").parquet(
+        str(tmp_path / "landing")
+    )
+    d = StreamingImageDeduper(spark, str(tmp_path / "wh"), compact_every=2)
+    d.run_available_now(
+        str(tmp_path / "landing"), str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    got = sorted(
+        (r["media_a"], r["media_b"], r["hamming"])
+        for r in d.pairs().collect()
+    )
+    assert got == want and len(got) > 0
+    # idempotent replay: draining the same landing against the same
+    # checkpoint is a no-op (availableNow skips processed files)
+    d.run_available_now(
+        str(tmp_path / "landing"), str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    again = sorted(
+        (r["media_a"], r["media_b"], r["hamming"])
+        for r in d.pairs().collect()
+    )
+    assert again == want
