@@ -2679,12 +2679,15 @@ def _q_media_training_manifest(spark, sf_dir):
     media_training_manifest): aspect + feature-score gates → pHash
     dedup canonical survivors → per-source quota → byte-budget
     prefix-sum shards — the multimodal tier composed end-to-end like
-    the text tier's docs_training_manifest."""
+    the text tier's docs_training_manifest; pinned per snapshot (the
+    manifest is read for a whole training run)."""
     from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.curation import (
-        media_training_manifest,
+        pinned_media_training_manifest,
     )
 
-    return media_training_manifest(tables.load_table(spark, sf_dir, "documents"))
+    return pinned_media_training_manifest(
+        tables.load_table(spark, sf_dir, "documents")
+    )
 
 
 def _q_docs_dsir_weights(spark, sf_dir):

@@ -241,3 +241,22 @@ def media_training_manifest(
     return shards.join(quota, "media_id").select(
         "media_id", "source", "n_bytes", "shard_id"
     )
+
+
+def pinned_media_training_manifest(
+    documents: DataFrame, cap: int = 20, byte_budget: int = 4096
+) -> DataFrame:
+    """``media_training_manifest`` as a PINNED per-snapshot product —
+    the same build-once contract as ``pinned_training_manifest``: an
+    image trainer's loader reads the manifest for an entire run, so the
+    composition executes once per (corpus, cap, budget)."""
+    (m,) = pinned(
+        (
+            "media_training_manifest",
+            documents.semanticHash(),
+            int(cap),
+            int(byte_budget),
+        ),
+        lambda: (media_training_manifest(documents, cap, byte_budget),),
+    )
+    return m
