@@ -275,3 +275,68 @@ def test_split_source_balance_single_doc(spark):
         else:
             assert r["n"] == 0 and r["n_expected"] == 0.0
             assert r["chi2_term"] == 0.0
+
+
+def test_trigram_gate_degenerate_docs(spark, weird):
+    """Docs with < 3 tokens score NULL with n_trigrams 0; the empty and
+    whitespace-only docs do not crash the count tables."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.functions.text import (
+        trigram_logprob_scores,
+    )
+
+    rows = {r["doc_id"]: r for r in trigram_logprob_scores(weird).collect()}
+    assert set(rows) == {r["doc_id"] for r in weird.collect()}
+    for did, r in rows.items():
+        if r["n_trigrams"] == 0:
+            assert r["trigram_logprob"] is None
+        else:
+            assert r["trigram_logprob"] is not None
+    # empty and whitespace-only docs are trivially 0-trigram
+    assert rows[1]["n_trigrams"] == 0 and rows[2]["n_trigrams"] == 0
+
+
+def test_phash_corpus_without_images(spark):
+    """An all-audio media table yields empty fingerprints, pairs, and
+    clusters — the kind filter leaves nothing for the Arrow boundary."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        multimodal as M,
+    )
+
+    # doc_id % 3 == 1 -> kind audio
+    docs = spark.createDataFrame(
+        [(i, f"d{i}", "s") for i in range(1, 30, 3)],
+        "doc_id long, text string, source string",
+    )
+    media = M.synth_media_aug(docs)
+    assert media.filter(F.col("kind") == "image").count() == 0
+    assert M.image_phash(media).count() == 0
+    assert M.phash_pairs(media).count() == 0
+    assert M.media_dup_clusters(media).count() == 0
+
+
+def test_diversity_prune_single_vector_cells(spark):
+    """Every cell holds exactly one vector: no neighbors exist, every
+    vector keeps with NULL nn columns."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        similarity as S,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(64)], i) for i in range(4)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = S.diversity_prune(emb, k=3, min_cos=0.4).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r["keep"] is True and r["nn_id"] is None and r["nn_cos"] is None
+
+
+def test_media_manifest_empty_documents(spark):
+    """An empty corpus produces an empty manifest (no crash in gates,
+    closure, quota, or the prefix-sum packer)."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.curation import (
+        media_training_manifest,
+    )
+
+    docs = spark.createDataFrame([], "doc_id long, text string, source string")
+    assert media_training_manifest(docs).count() == 0
