@@ -1127,6 +1127,23 @@ def _q_media_dup_clusters(spark, sf_dir):
     return M.media_dup_clusters(media)
 
 
+def _q_media_video_frame_phash(spark, sf_dir):
+    """Video fingerprint index (operators/multimodal.py
+    video_frame_phash): dHash per sampled frame (stride 4) over the
+    variant-augmented media table — pinned once per corpus, verified
+    against a pure-SQL frame-pixel twin."""
+    M, media = _media_aug(spark, sf_dir)
+    return M.video_frame_phash(media)
+
+
+def _q_dedup_video_pairs(spark, sf_dir):
+    """Video near-dup pairs (video_dup_pairs): banded aligned-frame
+    Hamming matches, ≥ 2 positions within threshold — temporal-aligned
+    re-encode detection, never all-pairs across videos or time."""
+    M, media = _media_aug(spark, sf_dir)
+    return M.video_dup_pairs(media)
+
+
 def _q_media_resize_decode(spark, sf_dir):
     M, media = _media(spark, sf_dir)
     decoded = M.decode_media(M.resize_media(media, 32, 32))
@@ -3084,6 +3101,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_media_phash": _q_dedup_media_phash,
         "media_dup_clusters": _q_media_dup_clusters,
         "streaming_media_phash": _q_streaming_media_phash,
+        "media_video_frame_phash": _q_media_video_frame_phash,
+        "dedup_video_pairs": _q_dedup_video_pairs,
         "ann_bruteforce": _q_ann_bruteforce,
         "ann_ivf": _q_ann_ivf,
         "emb_knn_graph": _q_emb_knn_graph,

@@ -151,6 +151,8 @@ BENCH_QUERIES = [
     "docs_trigram_logprob",
     "media_training_manifest",
     "emb_diversity_prune",
+    "media_video_frame_phash",
+    "dedup_video_pairs",
     # streaming twins (streaming_bpe_encode, streaming_quality_gate,
     # streaming_boilerplate) are driver-verified but not headline
     # entries: each timed run replays a full corpus stream from a

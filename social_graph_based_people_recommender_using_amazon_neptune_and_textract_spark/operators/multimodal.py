@@ -321,8 +321,15 @@ def synth_media_variants(documents: DataFrame) -> DataFrame:
 
 
 def synth_media_aug(documents: DataFrame) -> DataFrame:
-    """Base media table ∪ re-encode variants — the pHash dedup corpus."""
-    return synth_media(documents).unionAll(synth_media_variants(documents))
+    """Base media table ∪ image re-encode variants ∪ video re-encode
+    variants — the perceptual-dedup corpus (image queries filter
+    kind='image', video queries kind='video'; the union changes
+    neither side's rows)."""
+    return (
+        synth_media(documents)
+        .unionAll(synth_media_variants(documents))
+        .unionAll(synth_video_variants(documents))
+    )
 
 
 PHASH_SCHEMA = StructType(
@@ -516,3 +523,179 @@ def image_quality_stats(media: DataFrame) -> DataFrame:
         ("image_quality_stats", media.semanticHash()), _build
     )
     return stats
+
+
+# ---------------------------------------------------------------------------
+# Video near-dup: frame-sampled perceptual hashes
+# ---------------------------------------------------------------------------
+# The video pipeline's first dedup operator (the image tier's pHash
+# lifted one modality): sample frames on the fixed grid, fingerprint
+# each sampled frame, and call two videos near-duplicates when enough
+# ALIGNED frame positions match within the Hamming threshold — the
+# temporal-alignment form (a re-encode preserves the timeline; clip
+# detection would drop the frame_idx equality and is a declared
+# non-goal here).
+#
+# Frame pixel model: frame f of an SGMM video is the w×h grid
+# pixel(r, c) = ascii(payload[(f·1009 + r·w + c) mod plen]) — the
+# f·1009 offset de-correlates frames; swap _parse_sgmm + this indexing
+# for a real frame decoder and nothing downstream changes.
+
+#: Sampled-frame stride for fingerprinting (matches sample_frames'
+#: default — fingerprint exactly the frames a pipeline would decode).
+VIDEO_PHASH_EVERY = 4
+
+#: Aligned positions that must match within PHASH_MAX_HAMMING for a
+#: video pair. The shortest synthetic video (8 frames) samples 2
+#: positions, so 2 = "every sampled frame of the shorter video".
+VIDEO_MIN_SHARED = 2
+
+
+def synth_video_variants(documents: DataFrame) -> DataFrame:
+    """Re-encoded video copies: every EVEN video doc spawns one variant
+    — same dims and frame count, payload perturbed (+1 every
+    PERTURB_EVERY-th byte, the image-variant device), media_id offset
+    by MEDIA_VARIANT_OFFSET."""
+    d = documents.filter(
+        (F.col("doc_id") % 3 == 2) & (F.col("doc_id") % 2 == 0)
+    )
+    mid = F.col("doc_id")
+    payload_len = (64 + mid % 128).cast("int")
+    seed = F.md5(F.concat(F.lit("sgmm:"), mid.cast("string")).cast("binary"))
+    payload = F.substring(
+        F.repeat(seed, F.ceil(payload_len / 32).cast("int") + 1), 1, payload_len
+    )
+    perturbed = F.expr(
+        "concat_ws('', transform(sequence(0, length(p) - 1), "
+        f"i -> char(ascii(substring(p, i + 1, 1)) "
+        f"+ IF(i % {PERTURB_EVERY} = 0, 1, 0))))"
+    )
+    content = F.concat_ws(
+        "|",
+        F.lit("SGMM"),
+        F.lit("video"),
+        (16 + mid % 64).cast("string"),
+        (16 + mid % 48).cast("string"),
+        (8 + mid % 24).cast("string"),
+        F.col("pp"),
+    ).cast("binary")
+    return (
+        d.select(mid.alias("doc_id"), payload.alias("p"))
+        .withColumn("pp", perturbed)
+        .select(
+            (F.col("doc_id") + MEDIA_VARIANT_OFFSET).alias("media_id"),
+            F.lit("video").alias("kind"),
+            content.alias("content"),
+        )
+    )
+
+
+FRAME_PHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("dhash", LongType()),
+    ]
+)
+
+
+def video_frame_phash(media: DataFrame) -> DataFrame:
+    """(media_id, frame_idx, dhash) for every sampled frame of every
+    video — PINNED per corpus (the video fingerprint index; frames are
+    decoded and hashed once, at ingest). Same dHash as ``image_phash``
+    over the frame's pixel grid."""
+    from ..pinned import pinned
+
+    (fps,) = pinned(
+        ("video_frame_phash", media.semanticHash()),
+        lambda: (_video_frame_phash_build(media),),
+    )
+    return fps
+
+
+def _video_frame_phash_build(media: DataFrame) -> DataFrame:
+    def _ph(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                _, w, h, nf, payload = _parse_sgmm(content)
+                plen = len(payload)
+                for f in range(0, nf, VIDEO_PHASH_EVERY):
+                    base_off = f * 1009
+
+                    def px(r: int, c: int) -> int:
+                        return payload[(base_off + r * w + c) % plen]
+
+                    dh = 0
+                    for r in range(8):
+                        rr = (r * h) // 8
+                        g = [px(rr, (c * w) // 9) for c in range(9)]
+                        for c in range(8):
+                            if g[c + 1] > g[c]:
+                                dh |= 1 << (r * 8 + c)
+                    out.append((int(mid), int(f), _signed64(dh)))
+            yield pd.DataFrame(
+                out, columns=["media_id", "frame_idx", "dhash"]
+            ).astype(
+                {"media_id": "int64", "frame_idx": "int32", "dhash": "int64"}
+            )
+
+    return (
+        media.filter(F.col("kind") == "video")
+        .select("media_id", "content")
+        .mapInPandas(_ph, FRAME_PHASH_SCHEMA)
+    )
+
+
+def video_dup_pairs(
+    media: DataFrame,
+    max_hamming: int = PHASH_MAX_HAMMING,
+    min_shared: int = VIDEO_MIN_SHARED,
+) -> DataFrame:
+    """Near-dup video pairs: per aligned frame position, candidates
+    come from the 8-byte-block banding of the frame hash (exact by the
+    image tier's pigeonhole — threshold < 8 blocks); a pair survives
+    when ≥ min_shared positions match within max_hamming. Returns
+    (media_a, media_b, n_matched).
+
+    Scale: banding keys are (frame_idx, blk, byte) — candidates are
+    bounded per bucket AND per aligned position, never all-pairs
+    across videos or across time; the match count is one keyed
+    aggregate over the verified position matches."""
+    fps = video_frame_phash(media)
+    blocked = fps.select(
+        "media_id",
+        "frame_idx",
+        "dhash",
+        F.expr(
+            "stack(8, "
+            + ", ".join(
+                f"{i}, CAST(shiftright(dhash, {8 * i}) & 255 AS INT)"
+                for i in range(8)
+            )
+            + ") as (blk, byte)"
+        ),
+    )
+    a = blocked.select(
+        F.col("media_id").alias("media_a"), "frame_idx",
+        F.col("dhash").alias("fa"), "blk", "byte",
+    )
+    b = blocked.select(
+        F.col("media_id").alias("media_b"), "frame_idx",
+        F.col("dhash").alias("fb"), "blk", "byte",
+    )
+    cands = (
+        a.join(b, ["frame_idx", "blk", "byte"])
+        .filter(F.col("media_a") < F.col("media_b"))
+        .select("media_a", "media_b", "frame_idx", "fa", "fb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).cast("int")
+    matched = cands.select(
+        "media_a", "media_b", "frame_idx", ham.alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+    return (
+        matched.groupBy("media_a", "media_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_matched"))
+        .filter(F.col("n_matched") >= min_shared)
+    )

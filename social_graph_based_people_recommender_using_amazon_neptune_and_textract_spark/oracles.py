@@ -1558,6 +1558,78 @@ SELECT node AS media_id, min(label) AS cluster_id,
        (min(label) = node) AS is_canonical
 FROM preach GROUP BY node"""
 
+# Video frame-sampled perceptual hashes (operators/multimodal.py
+# video_frame_phash / video_dup_pairs): frame f's pixel grid indexes
+# payload at (f·1009 + r·w + c) mod plen; dHash per sampled frame
+# (stride 4), pair when ≥ 2 ALIGNED positions match within Hamming 7.
+# Banding exactness carries over from the image tier (7 < 8 blocks per
+# frame), so this all-pairs-per-position twin equals the banded plan.
+_VID_PHASH = """\
+vid AS (
+  SELECT doc_id AS media_id, doc_id AS src_id, FALSE AS pert
+  FROM documents WHERE doc_id % 3 = 2
+  UNION ALL
+  SELECT doc_id + 1000000000, doc_id, TRUE
+  FROM documents WHERE doc_id % 3 = 2 AND doc_id % 2 = 0
+),
+vmeta AS (
+  SELECT media_id, pert,
+    CAST(16 + src_id % 64 AS BIGINT) AS w,
+    CAST(16 + src_id % 48 AS BIGINT) AS h,
+    CAST(8 + src_id % 24 AS BIGINT) AS nf,
+    CAST(64 + src_id % 128 AS BIGINT) AS plen,
+    substr(repeat(md5('sgmm:' || CAST(src_id AS VARCHAR)),
+                  CAST(ceil((64 + src_id % 128) / 32.0) AS INT) + 1),
+           1, CAST(64 + src_id % 128 AS INT)) AS payload
+  FROM vid
+),
+vframes AS (
+  SELECT media_id, pert, w, h, plen, payload, f
+  FROM vmeta, unnest(range(0, nf, 4)) AS t(f)
+),
+vgrid AS (
+  SELECT media_id, f, r, c,
+    ascii(substr(payload,
+      CAST((f*1009 + r*h//8*w + c*w//9) % plen + 1 AS INT), 1))
+      + CASE WHEN pert AND ((f*1009 + r*h//8*w + c*w//9) % plen) % 17 = 0
+             THEN 1 ELSE 0 END AS g
+  FROM vframes
+  CROSS JOIN (SELECT unnest(range(0, 8)) AS r) rr
+  CROSS JOIN (SELECT unnest(range(0, 9)) AS c) cc
+),
+vbit AS (
+  SELECT a.media_id, a.f, a.r * 8 + a.c AS k
+  FROM vgrid a
+  JOIN vgrid b ON b.media_id = a.media_id AND b.f = a.f
+             AND b.r = a.r AND b.c = a.c + 1
+  WHERE a.c < 8 AND b.g > a.g
+),
+vdh AS (
+  SELECT fr.media_id, fr.f,
+    CAST(coalesce(sum(CASE WHEN k = 63
+          THEN CAST(-9223372036854775808 AS HUGEINT)
+          ELSE CAST(CAST(1 AS BIGINT) << CAST(k AS INT) AS HUGEINT) END), 0)
+      AS BIGINT) AS dhash
+  FROM vframes fr
+  LEFT JOIN vbit ON vbit.media_id = fr.media_id AND vbit.f = fr.f
+  GROUP BY fr.media_id, fr.f
+)"""
+
+ORACLES["media_video_frame_phash"] = f"""\
+WITH {_VID_PHASH}
+SELECT media_id, CAST(f AS INT) AS frame_idx, dhash FROM vdh"""
+
+ORACLES["dedup_video_pairs"] = f"""\
+WITH {_VID_PHASH},
+vmatch AS (
+  SELECT a.media_id AS media_a, b.media_id AS media_b
+  FROM vdh a JOIN vdh b ON a.f = b.f AND a.media_id < b.media_id
+  WHERE bit_count(xor(a.dhash, b.dhash)) <= 7
+)
+SELECT media_a, media_b, CAST(count(*) AS BIGINT) AS n_matched
+FROM vmatch GROUP BY media_a, media_b
+HAVING count(*) >= 2"""
+
 # Media training manifest (operators/curation.py
 # media_training_manifest): the image-side curation composition —
 # aspect + feature-score gates, pHash-canonical survivors, per-source

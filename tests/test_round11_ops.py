@@ -596,3 +596,91 @@ def test_streaming_media_phash_converges_to_batch(spark, tmp_path):
         for r in d.pairs().collect()
     )
     assert again == want
+
+
+# --- video frame-sampled near-dup ------------------------------------------
+
+def _ref_frame_hash(mid: int, variant: bool, f: int) -> int:
+    w, h = 16 + mid % 64, 16 + mid % 48
+    payload = _ref_payload(mid)
+    plen = len(payload)
+
+    def px(r, c):
+        i = (f * 1009 + r * w + c) % plen
+        return payload[i] + (1 if variant and i % M.PERTURB_EVERY == 0 else 0)
+
+    dh = 0
+    for r in range(8):
+        g = [px(r * h // 8, c * w // 9) for c in range(9)]
+        for c in range(8):
+            if g[c + 1] > g[c]:
+                dh |= 1 << (r * 8 + c)
+    return _sgn(dh)
+
+
+def test_video_frame_phash_matches_python_reference(spark):
+    docs = _docs(spark, 60)
+    got = {
+        (r["media_id"], r["frame_idx"]): r["dhash"]
+        for r in M.video_frame_phash(M.synth_media_aug(docs)).collect()
+    }
+    want = {}
+    for i in range(60):
+        if i % 3 == 2:
+            nf = 8 + i % 24
+            for f in range(0, nf, M.VIDEO_PHASH_EVERY):
+                want[(i, f)] = _ref_frame_hash(i, False, f)
+                if i % 2 == 0:
+                    want[(i + M.MEDIA_VARIANT_OFFSET, f)] = _ref_frame_hash(
+                        i, True, f
+                    )
+    assert got == want
+
+
+def test_video_dup_pairs_exact_and_planted(spark):
+    """Banded aligned-frame pairing equals brute force over the frame
+    hashes; every planted variant pair is found with n_matched equal to
+    its full sampled-frame count; no cross-video false pairs at this
+    scale."""
+    docs = _docs(spark, 120)
+    media = M.synth_media_aug(docs)
+    fps = {}
+    for r in M.video_frame_phash(media).collect():
+        fps.setdefault(r["media_id"], {})[r["frame_idx"]] = r["dhash"]
+    brute = {}
+    ids = sorted(fps)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            n = 0
+            for f, ha in fps[a].items():
+                hb = fps[b].get(f)
+                if hb is not None and bin(
+                    (ha ^ hb) & ((1 << 64) - 1)
+                ).count("1") <= M.PHASH_MAX_HAMMING:
+                    n += 1
+            if n >= M.VIDEO_MIN_SHARED:
+                brute[(a, b)] = n
+    got = {
+        (r["media_a"], r["media_b"]): r["n_matched"]
+        for r in M.video_dup_pairs(media).collect()
+    }
+    assert got == brute and len(got) > 0
+    planted = [
+        (i, i + M.MEDIA_VARIANT_OFFSET)
+        for i in range(120)
+        if i % 3 == 2 and i % 2 == 0
+    ]
+    for p in planted:
+        assert p in got, p
+        # most sampled positions match; a frame can legitimately exceed
+        # the Hamming threshold when several perturbed payload bytes
+        # land in its sampled grid (measured tail)
+        assert M.VIDEO_MIN_SHARED <= got[p] <= len(fps[p[0]])
+
+
+def test_video_dup_pairs_no_all_pairs_plan(spark):
+    docs = _docs(spark, 60)
+    df = M.video_dup_pairs(M.synth_media_aug(docs))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
