@@ -2707,6 +2707,20 @@ def _q_media_training_manifest(spark, sf_dir):
     )
 
 
+def _q_docs_packed_sequences(spark, sf_dir):
+    """GPT-style concat-and-split packing (operators/packing.py
+    packed_sequences, L=512): each document's fixed-length-sequence
+    span from the two-phase prefix sum — the provenance record
+    attention masking and dedup audits need."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.packing import (
+        packed_sequences,
+    )
+
+    return packed_sequences(
+        tables.load_table(spark, sf_dir, "documents"), seq_len=512
+    )
+
+
 def _q_docs_dsir_weights(spark, sf_dir):
     """DSIR importance weights (functions/text.py dsir_weights, Xie et
     al. 2023): hashed-unigram log-likelihood ratio of each document
@@ -3137,6 +3151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_substring_stripped": _q_docs_substring_stripped,
         "docs_training_manifest": _q_docs_training_manifest,
         "media_training_manifest": _q_media_training_manifest,
+        "docs_packed_sequences": _q_docs_packed_sequences,
         "docs_dsir_weights": _q_docs_dsir_weights,
         "docs_source_mixture": _q_docs_source_mixture,
         "events_stratified_sample": _q_events_stratified_sample,

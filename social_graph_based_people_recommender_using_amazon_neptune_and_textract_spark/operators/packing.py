@@ -57,19 +57,17 @@ def token_shards(
     )
 
 
-def weighted_shards(
+def exclusive_prefix_sum(
     weighted: DataFrame,
-    budget: int,
     id_col: str = "doc_id",
     weight_col: str = "n_tokens",
     n_partitions: int = N_RANGE_PARTITIONS,
 ) -> DataFrame:
-    """The generic two-phase prefix-sum packer: ``weighted`` is
-    (id, weight); returns (id, weight, shard_id) with
-    shard_id = floor(exclusive_prefix_sum(weight)/budget) over the id
-    total order. ``token_shards`` (tokens) and the media manifest
-    (payload bytes) are thin front-ends — the unit differs, the
-    distributed prefix sum does not."""
+    """(id, weight, ce) — the exclusive prefix sum of ``weight`` over
+    the id total order, via the module's two-phase device (range
+    partition → driver offset prefix → per-partition window). The core
+    every packer projects from: budget shards floor-divide ``ce``,
+    sequence packing floor-divides and modulos it."""
     # Tracked checkpoint: the returned DataFrame reads ``ranged``, so its
     # storage is released by checkpoints.release_all once consumed.
     ranged, _ = checkpoint(
@@ -99,7 +97,74 @@ def weighted_shards(
     )
     cum_excl = off_col + F.coalesce(F.sum(weight_col).over(w), F.lit(0))
     return ranged.select(
+        id_col, weight_col, cum_excl.cast("long").alias("ce")
+    )
+
+
+def weighted_shards(
+    weighted: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    weight_col: str = "n_tokens",
+    n_partitions: int = N_RANGE_PARTITIONS,
+) -> DataFrame:
+    """The generic two-phase prefix-sum packer: ``weighted`` is
+    (id, weight); returns (id, weight, shard_id) with
+    shard_id = floor(exclusive_prefix_sum(weight)/budget) over the id
+    total order. ``token_shards`` (tokens) and the media manifest
+    (payload bytes) are thin front-ends — the unit differs, the
+    distributed prefix sum does not."""
+    pre = exclusive_prefix_sum(weighted, id_col, weight_col, n_partitions)
+    return pre.select(
         id_col,
         weight_col,
-        F.floor(cum_excl / F.lit(float(budget))).cast("long").alias("shard_id"),
+        F.floor(F.col("ce") / F.lit(float(budget))).cast("long").alias("shard_id"),
+    )
+
+
+def packed_sequences(
+    documents: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_partitions: int = N_RANGE_PARTITIONS,
+) -> DataFrame:
+    """GPT-style concat-and-split sequence packing: the corpus's token
+    stream (documents concatenated in id order) is cut into fixed
+    ``seq_len`` windows with NO padding between documents; each
+    document maps to the half-open token span [ce, ce + n) and thus to
+
+        start_seq = ce div L          start_off = ce mod L
+        end_seq   = (ce + n − 1) div L
+        n_seqs    = end_seq − start_seq + 1
+
+    — the exact answer to "which training sequences contain (parts of)
+    this document", the provenance record attention-masking and
+    dedup-audit tooling needs. Empty documents occupy no tokens and
+    report NULL spans (start_off still marks where they fall). Returns
+    (id, n_tokens, start_seq, start_off, end_seq, n_seqs).
+
+    Scale: one scan for token counts + the module's two-phase prefix
+    sum; every output column is arithmetic on (ce, n) — no extra
+    shuffle beyond the range partition."""
+    counted = documents.select(
+        F.col(id_col),
+        F.size(tokenize(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    pre = exclusive_prefix_sum(counted, id_col, "n_tokens", n_partitions)
+    L = F.lit(int(seq_len))
+    n = F.col("n_tokens")
+    ce = F.col("ce")
+    nonempty = n > 0
+    return pre.select(
+        id_col,
+        "n_tokens",
+        F.when(nonempty, F.floor(ce / L)).cast("long").alias("start_seq"),
+        F.when(nonempty, ce % L).cast("long").alias("start_off"),
+        F.when(nonempty, F.floor((ce + n - 1) / L)).cast("long").alias(
+            "end_seq"
+        ),
+        F.when(nonempty, F.floor((ce + n - 1) / L) - F.floor(ce / L) + 1)
+        .cast("long")
+        .alias("n_seqs"),
     )

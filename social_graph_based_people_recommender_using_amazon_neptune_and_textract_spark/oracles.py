@@ -988,6 +988,34 @@ SELECT p.doc_id, p.source, p.n_tokens,
        m.boost AS boost
 FROM pre p JOIN mix m USING (source)"""
 
+# GPT-style sequence packing (operators/packing.py packed_sequences):
+# the concatenated token stream cut into fixed-length windows; each
+# document's span is pure arithmetic on (exclusive prefix sum, count).
+# The oracle's single global window IS the naive form the operator
+# decomposes into the two-phase prefix sum.
+ORACLES["docs_packed_sequences"] = f"""\
+WITH t AS (
+  SELECT doc_id,
+    CAST(len({TOKENIZE.format(col='text')}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+    COALESCE(SUM(n_tokens) OVER (
+      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    ), 0) AS ce
+  FROM t
+)
+SELECT doc_id, n_tokens,
+  CAST(CASE WHEN n_tokens > 0 THEN ce // 512 END AS BIGINT) AS start_seq,
+  CAST(CASE WHEN n_tokens > 0 THEN ce % 512 END AS BIGINT) AS start_off,
+  CAST(CASE WHEN n_tokens > 0 THEN (ce + n_tokens - 1) // 512 END AS BIGINT)
+    AS end_seq,
+  CAST(CASE WHEN n_tokens > 0
+       THEN (ce + n_tokens - 1) // 512 - ce // 512 + 1 END AS BIGINT)
+    AS n_seqs
+FROM c"""
+
 # Near-dup cluster-size histogram (operators/dedup.py
 # dedup_cluster_sizes): the clusters oracle's final SELECT becomes a
 # CTE; two aggregates follow.

@@ -684,3 +684,42 @@ def test_video_dup_pairs_no_all_pairs_plan(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --- GPT-style sequence packing ---------------------------------------------
+
+def test_packed_sequences_invariants(spark):
+    """Spans tile the token stream exactly: consecutive documents'
+    spans are contiguous, totals reconstruct, n_seqs matches the span
+    arithmetic, empty documents report NULL spans, and every stated
+    relation holds under 1/3/32 partitions (partition-count
+    independence of the two-phase prefix sum)."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.packing import (
+        packed_sequences,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, ""), (3, " ".join(["w"] * 700)),
+         (4, "x y"), (5, " ".join(["q"] * 512)), (6, "z")],
+        "doc_id long, text string",
+    )
+    for nparts in (1, 3, 32):
+        rows = {
+            r["doc_id"]: r
+            for r in packed_sequences(
+                docs, seq_len=512, n_partitions=nparts
+            ).collect()
+        }
+        assert rows[2]["start_seq"] is None and rows[2]["n_seqs"] is None
+        ce = 0
+        for did in (1, 2, 3, 4, 5, 6):
+            r = rows[did]
+            n = r["n_tokens"]
+            if n > 0:
+                assert r["start_seq"] == ce // 512, (nparts, did)
+                assert r["start_off"] == ce % 512
+                assert r["end_seq"] == (ce + n - 1) // 512
+                assert r["n_seqs"] == r["end_seq"] - r["start_seq"] + 1
+            ce += n
+        # doc 3 (700 tokens starting at offset 3) spans 2 sequences
+        assert rows[3]["n_seqs"] == 2
