@@ -1144,6 +1144,21 @@ def _q_dedup_video_pairs(spark, sf_dir):
     return M.video_dup_pairs(media)
 
 
+def _q_dedup_video_clip_pairs(spark, sf_dir):
+    """Clip detection (operators/multimodal.py video_clip_pairs): frame
+    matches at ANY temporal offset, grouped by offset — a trimmed
+    re-upload's matches share one offset; banding on the hash bytes
+    keeps candidates bucket-bounded."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        multimodal as M,
+    )
+
+    media = M.synth_media_clip_aug(
+        tables.load_table(spark, sf_dir, "documents")
+    )
+    return M.video_clip_pairs(media)
+
+
 def _q_media_resize_decode(spark, sf_dir):
     M, media = _media(spark, sf_dir)
     decoded = M.decode_media(M.resize_media(media, 32, 32))
@@ -3117,6 +3132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_media_phash": _q_streaming_media_phash,
         "media_video_frame_phash": _q_media_video_frame_phash,
         "dedup_video_pairs": _q_dedup_video_pairs,
+        "dedup_video_clip_pairs": _q_dedup_video_clip_pairs,
         "ann_bruteforce": _q_ann_bruteforce,
         "ann_ivf": _q_ann_ivf,
         "emb_knn_graph": _q_emb_knn_graph,

@@ -699,3 +699,128 @@ def video_dup_pairs(
         .agg(F.count(F.lit(1)).cast("long").alias("n_matched"))
         .filter(F.col("n_matched") >= min_shared)
     )
+
+
+#: media_id offset for synthetic CLIP copies (trimmed re-uploads) —
+#: disjoint from the re-encode variant range.
+MEDIA_CLIP_OFFSET = 2_000_000_000
+
+#: Frames trimmed off the front of a planted clip.
+CLIP_TRIM_FRAMES = 4
+
+
+def synth_video_clips(documents: DataFrame) -> DataFrame:
+    """Trimmed re-uploads: every ODD video doc spawns a clip that
+    starts CLIP_TRIM_FRAMES in — frame f' of the clip shows frame
+    f'+4 of the original. Under the frame pixel model
+    pixel(f) = payload[(f·1009 + x) mod plen], trimming IS a payload
+    rotation by (4·1009) mod plen — the clip's container carries the
+    rotated payload and nf−4 frames, so its rendered frames are
+    bit-identical to the original's frames 4.. (the property the clip
+    detector exploits: exact frame-hash matches at one consistent
+    offset)."""
+    d = documents.filter(
+        (F.col("doc_id") % 3 == 2) & (F.col("doc_id") % 2 == 1)
+    )
+    mid = F.col("doc_id")
+    payload_len = (64 + mid % 128).cast("int")
+    seed = F.md5(F.concat(F.lit("sgmm:"), mid.cast("string")).cast("binary"))
+    payload = F.substring(
+        F.repeat(seed, F.ceil(payload_len / 32).cast("int") + 1), 1, payload_len
+    )
+    shift = (F.lit(CLIP_TRIM_FRAMES * 1009) % F.length(F.col("p"))).cast(
+        "int"
+    )
+    rotated = F.concat(
+        F.expr("substring(p, s + 1)"), F.expr("substring(p, 1, s)")
+    )
+    content = F.concat_ws(
+        "|",
+        F.lit("SGMM"),
+        F.lit("video"),
+        (16 + mid % 64).cast("string"),
+        (16 + mid % 48).cast("string"),
+        (8 + mid % 24 - CLIP_TRIM_FRAMES).cast("string"),
+        F.col("pp"),
+    ).cast("binary")
+    return (
+        d.select(mid.alias("doc_id"), payload.alias("p"))
+        .withColumn("s", shift)
+        .withColumn("pp", rotated)
+        .select(
+            (F.col("doc_id") + MEDIA_CLIP_OFFSET).alias("media_id"),
+            F.lit("video").alias("kind"),
+            content.alias("content"),
+        )
+    )
+
+
+def synth_media_clip_aug(documents: DataFrame) -> DataFrame:
+    """The clip-detection corpus: variant-augmented media ∪ trimmed
+    clips."""
+    return synth_media_aug(documents).unionAll(synth_video_clips(documents))
+
+
+def video_clip_pairs(
+    media: DataFrame,
+    max_hamming: int = PHASH_MAX_HAMMING,
+    min_shared: int = VIDEO_MIN_SHARED,
+) -> DataFrame:
+    """UNALIGNED video copy detection — the clip/trim sibling of
+    ``video_dup_pairs``: frame matches may sit at ANY temporal offset,
+    but a real copy's matches share ONE offset (a trimmed or shifted
+    re-upload slides the whole timeline); random cross-video frame
+    collisions scatter across offsets and die at the count threshold.
+    Returns (media_a, media_b, frame_offset, n_matched) with
+    n_matched ≥ min_shared matches at that exact offset.
+
+    Scale: banding on (blk, byte) alone — candidates are bounded per
+    hash-byte bucket (the frame-fingerprint table's selectivity), and
+    the offset consistency check is arithmetic inside one keyed
+    aggregate; still never all-pairs across videos or frames."""
+    fps = video_frame_phash(media)
+    blocked = fps.select(
+        "media_id",
+        "frame_idx",
+        "dhash",
+        F.expr(
+            "stack(8, "
+            + ", ".join(
+                f"{i}, CAST(shiftright(dhash, {8 * i}) & 255 AS INT)"
+                for i in range(8)
+            )
+            + ") as (blk, byte)"
+        ),
+    )
+    a = blocked.select(
+        F.col("media_id").alias("media_a"),
+        F.col("frame_idx").alias("fa"),
+        F.col("dhash").alias("ha"),
+        "blk",
+        "byte",
+    )
+    b = blocked.select(
+        F.col("media_id").alias("media_b"),
+        F.col("frame_idx").alias("fb"),
+        F.col("dhash").alias("hb"),
+        "blk",
+        "byte",
+    )
+    cands = (
+        a.join(b, ["blk", "byte"])
+        .filter(F.col("media_a") < F.col("media_b"))
+        .select("media_a", "media_b", "fa", "fb", "ha", "hb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int")
+    matched = cands.select(
+        "media_a",
+        "media_b",
+        (F.col("fb") - F.col("fa")).cast("long").alias("frame_offset"),
+        ham.alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)
+    return (
+        matched.groupBy("media_a", "media_b", "frame_offset")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_matched"))
+        .filter(F.col("n_matched") >= min_shared)
+    )

@@ -1658,6 +1658,84 @@ SELECT media_a, media_b, CAST(count(*) AS BIGINT) AS n_matched
 FROM vmatch GROUP BY media_a, media_b
 HAVING count(*) >= 2"""
 
+# Unaligned clip detection (operators/multimodal.py video_clip_pairs
+# over synth_media_clip_aug): the clip corpus adds trimmed re-uploads —
+# a clip's container carries the ORIGINAL payload rotated by
+# (4·1009) mod plen, so its frame f' renders the original's frame
+# f'+4 bit-identically; the oracle folds the rotation into the pixel
+# index (shf) instead of rotating the string. Pairs group by the
+# frame-index offset: a real copy's matches share one offset.
+_VID_CLIP_PHASH = """\
+cvid AS (
+  SELECT doc_id AS media_id, doc_id AS src_id, FALSE AS pert, 0 AS trim
+  FROM documents WHERE doc_id % 3 = 2
+  UNION ALL
+  SELECT doc_id + 1000000000, doc_id, TRUE, 0
+  FROM documents WHERE doc_id % 3 = 2 AND doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id + 2000000000, doc_id, FALSE, 1
+  FROM documents WHERE doc_id % 3 = 2 AND doc_id % 2 = 1
+),
+cmeta AS (
+  SELECT media_id, pert,
+    CAST(16 + src_id % 64 AS BIGINT) AS w,
+    CAST(16 + src_id % 48 AS BIGINT) AS h,
+    CAST(8 + src_id % 24 - CASE WHEN trim = 1 THEN 4 ELSE 0 END AS BIGINT)
+      AS nf,
+    CAST(64 + src_id % 128 AS BIGINT) AS plen,
+    CAST(CASE WHEN trim = 1 THEN (4 * 1009) % (64 + src_id % 128)
+         ELSE 0 END AS BIGINT) AS shf,
+    substr(repeat(md5('sgmm:' || CAST(src_id AS VARCHAR)),
+                  CAST(ceil((64 + src_id % 128) / 32.0) AS INT) + 1),
+           1, CAST(64 + src_id % 128 AS INT)) AS payload
+  FROM cvid
+),
+cframes AS (
+  SELECT media_id, pert, w, h, plen, shf, payload, f
+  FROM cmeta, unnest(range(0, nf, 4)) AS t(f)
+),
+cgrid AS (
+  SELECT media_id, f, r, c,
+    ascii(substr(payload,
+      CAST((f*1009 + r*h//8*w + c*w//9 + shf) % plen + 1 AS INT), 1))
+      + CASE WHEN pert
+             AND ((f*1009 + r*h//8*w + c*w//9 + shf) % plen) % 17 = 0
+             THEN 1 ELSE 0 END AS g
+  FROM cframes
+  CROSS JOIN (SELECT unnest(range(0, 8)) AS r) rr
+  CROSS JOIN (SELECT unnest(range(0, 9)) AS c) cc
+),
+cbit AS (
+  SELECT a.media_id, a.f, a.r * 8 + a.c AS k
+  FROM cgrid a
+  JOIN cgrid b ON b.media_id = a.media_id AND b.f = a.f
+             AND b.r = a.r AND b.c = a.c + 1
+  WHERE a.c < 8 AND b.g > a.g
+),
+cdh AS (
+  SELECT fr.media_id, fr.f,
+    CAST(coalesce(sum(CASE WHEN k = 63
+          THEN CAST(-9223372036854775808 AS HUGEINT)
+          ELSE CAST(CAST(1 AS BIGINT) << CAST(k AS INT) AS HUGEINT) END), 0)
+      AS BIGINT) AS dhash
+  FROM cframes fr
+  LEFT JOIN cbit ON cbit.media_id = fr.media_id AND cbit.f = fr.f
+  GROUP BY fr.media_id, fr.f
+)"""
+
+ORACLES["dedup_video_clip_pairs"] = f"""\
+WITH {_VID_CLIP_PHASH},
+cmatch AS (
+  SELECT a.media_id AS media_a, b.media_id AS media_b,
+    CAST(b.f - a.f AS BIGINT) AS frame_offset
+  FROM cdh a JOIN cdh b ON a.media_id < b.media_id
+  WHERE bit_count(xor(a.dhash, b.dhash)) <= 7
+)
+SELECT media_a, media_b, frame_offset,
+  CAST(count(*) AS BIGINT) AS n_matched
+FROM cmatch GROUP BY media_a, media_b, frame_offset
+HAVING count(*) >= 2"""
+
 # Media training manifest (operators/curation.py
 # media_training_manifest): the image-side curation composition —
 # aspect + feature-score gates, pHash-canonical survivors, per-source

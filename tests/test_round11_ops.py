@@ -723,3 +723,38 @@ def test_packed_sequences_invariants(spark):
             ce += n
         # doc 3 (700 tokens starting at offset 3) spans 2 sequences
         assert rows[3]["n_seqs"] == 2
+
+
+def test_video_clip_pairs_offset_consistency(spark):
+    """Every planted trimmed clip is found at EXACTLY offset
+    −CLIP_TRIM_FRAMES (clip frame f′ renders original frame f′+4);
+    re-encode variants surface at offset 0; the banded unaligned
+    matcher equals brute force over the fingerprints."""
+    docs = _docs(spark, 120)
+    media = M.synth_media_clip_aug(docs)
+    fps = {}
+    for r in M.video_frame_phash(media).collect():
+        fps.setdefault(r["media_id"], {})[r["frame_idx"]] = r["dhash"]
+    brute = {}
+    ids = sorted(fps)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            byoff = {}
+            for faa, ha in fps[a].items():
+                for fbb, hb in fps[b].items():
+                    if bin((ha ^ hb) & ((1 << 64) - 1)).count("1") <= M.PHASH_MAX_HAMMING:
+                        byoff[fbb - faa] = byoff.get(fbb - faa, 0) + 1
+            for off, n in byoff.items():
+                if n >= M.VIDEO_MIN_SHARED:
+                    brute[(a, b, off)] = n
+    got = {
+        (r["media_a"], r["media_b"], r["frame_offset"]): r["n_matched"]
+        for r in M.video_clip_pairs(media).collect()
+    }
+    assert got == brute and len(got) > 0
+    for i in range(120):
+        if i % 3 == 2 and i % 2 == 1:
+            key = (i, i + M.MEDIA_CLIP_OFFSET, -M.CLIP_TRIM_FRAMES)
+            assert key in got, key
+            # all of the clip's sampled frames match exactly
+            assert got[key] == len(fps[i + M.MEDIA_CLIP_OFFSET])
