@@ -944,6 +944,19 @@ def _q_docs_weighted_sample(spark, sf_dir):
     return SA.weighted_sample(docs, "doc_id", "n_chars", 64)
 
 
+def _q_events_funnel_users(spark, sf_dir):
+    """User-grain ordered funnel (operators/warehouse.py funnel_steps):
+    greedy-earliest view → click → purchase chain with per-step
+    timestamps — the detail table under the stage-count summary
+    (events_funnel); one keyed min per step chained by user equi-joins,
+    no windows, no per-user sorting."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        warehouse as W,
+    )
+
+    return W.funnel_steps(tables.load_table(spark, sf_dir, "events"))
+
+
 def _q_events_wau(spark, sf_dir):
     """Trailing 7-day active users per day (operators/warehouse.py
     rolling_active_users): distinct user-days spread over a bounded
@@ -3144,6 +3157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_editdistance": _q_dedup_editdistance,
         "docs_weighted_sample": _q_docs_weighted_sample,
         "events_wau": _q_events_wau,
+        "events_funnel_users": _q_events_funnel_users,
         "events_user_range_pruned": _q_events_user_range_pruned,
         "graph_closeness_landmarks": _q_graph_closeness_landmarks,
         "events_value_winsorized": _q_events_value_winsorized,

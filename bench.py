@@ -155,6 +155,7 @@ BENCH_QUERIES = [
     "dedup_video_pairs",
     "docs_packed_sequences",
     "dedup_video_clip_pairs",
+    "events_funnel_users",
     # streaming twins (streaming_bpe_encode, streaming_quality_gate,
     # streaming_boilerplate) are driver-verified but not headline
     # entries: each timed run replays a full corpus stream from a

@@ -842,3 +842,49 @@ def nation_trade_volume(
         .groupBy("cust_nation", "supp_nation", "l_year")
         .agg(F.round(F.sum("_rev").cast("double"), 4).alias("revenue"))
     )
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+) -> DataFrame:
+    """Ordered funnel per user — the product-analytics staple: step i+1
+    counts only STRICTLY AFTER the chosen step-i event, and each step
+    greedily takes its earliest qualifying event (earliest-first is the
+    declared — and completion-maximal — chain: an earlier step-i event
+    can only widen step-i+1's choices). Returns
+    (user_id, t1..tN timestamps — NULL from the first missed step on,
+    steps_completed).
+
+    Scale: one keyed min-aggregate per step (each map-side combined)
+    chained by equi-joins on user_id — no windows, no per-user event
+    sorting; each stage's relation is ≤ |users| rows. At 100 TB the
+    event scan is filtered per step (predicate pushdown on event_type)
+    and everything downstream is user-dimension-sized."""
+    assert 2 <= len(steps) <= 5
+    cur = (
+        events.filter(F.col("event_type") == steps[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    out = cur
+    for i, ev in enumerate(steps[1:], start=2):
+        prev_t = f"t{i - 1}"
+        nxt = (
+            events.filter(F.col("event_type") == ev)
+            .select("user_id", F.col("ts").alias("_ts"))
+            .join(out.select("user_id", prev_t), "user_id")
+            .filter(F.col("_ts") > F.col(prev_t))
+            .groupBy("user_id")
+            .agg(F.min("_ts").alias(f"t{i}"))
+            .select("user_id", f"t{i}")
+        )
+        out = out.join(nxt, "user_id", "left")
+    comp = F.lit(1)
+    for i in range(2, len(steps) + 1):
+        comp = comp + F.when(F.col(f"t{i}").isNotNull(), 1).otherwise(0)
+    return out.select(
+        "user_id",
+        *[f"t{i}" for i in range(1, len(steps) + 1)],
+        comp.cast("int").alias("steps_completed"),
+    )

@@ -988,6 +988,35 @@ SELECT p.doc_id, p.source, p.n_tokens,
        m.boost AS boost
 FROM pre p JOIN mix m USING (source)"""
 
+# USER-GRAIN ordered funnel (operators/warehouse.py funnel_steps):
+# greedy-earliest chain view → click → purchase per user, each step's
+# min over events strictly after the chosen previous step — the detail
+# table whose stage counts the summary query (events_funnel,
+# sessionize.funnel_counts) aggregates.
+ORACLES["events_funnel_users"] = """\
+WITH f1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+f2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN f1 ON f1.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > f1.t1
+  GROUP BY e.user_id
+),
+f3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN f2 ON f2.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > f2.t2
+  GROUP BY e.user_id
+)
+SELECT f1.user_id, f1.t1, f2.t2, f3.t3,
+  CAST(1 + (f2.t2 IS NOT NULL)::INT + (f3.t3 IS NOT NULL)::INT AS INT)
+    AS steps_completed
+FROM f1
+LEFT JOIN f2 ON f2.user_id = f1.user_id
+LEFT JOIN f3 ON f3.user_id = f1.user_id"""
+
 # GPT-style sequence packing (operators/packing.py packed_sequences):
 # the concatenated token stream cut into fixed-length windows; each
 # document's span is pure arithmetic on (exclusive prefix sum, count).

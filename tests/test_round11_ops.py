@@ -758,3 +758,41 @@ def test_video_clip_pairs_offset_consistency(spark):
             assert key in got, key
             # all of the clip's sampled frames match exactly
             assert got[key] == len(fps[i + M.MEDIA_CLIP_OFFSET])
+
+
+# --- user-grain funnel ------------------------------------------------------
+
+def test_funnel_users_aggregates_to_stage_counts(spark):
+    """The user-grain funnel detail rolls up EXACTLY to the stage-count
+    summary (sessionize.funnel_counts) — two independent
+    implementations of the same greedy-earliest semantics."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.sessionize import (
+        funnel_counts,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.warehouse import (
+        funnel_steps,
+    )
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    detail = funnel_steps(events).collect()
+    want = {
+        (r["stage_idx"], r["stage"]): r["n_users"]
+        for r in funnel_counts(events).collect()
+    }
+    got = {
+        1: sum(1 for r in detail if r["t1"] is not None),
+        2: sum(1 for r in detail if r["t2"] is not None),
+        3: sum(1 for r in detail if r["t3"] is not None),
+    }
+    assert got[1] == want[(1, "view")]
+    assert got[2] == want[(2, "click")]
+    assert got[3] == want[(3, "purchase")]
+    # chain ordering and steps_completed consistency
+    for r in detail:
+        if r["t2"] is not None:
+            assert r["t2"] > r["t1"]
+        if r["t3"] is not None:
+            assert r["t2"] is not None and r["t3"] > r["t2"]
+        assert r["steps_completed"] == 1 + (r["t2"] is not None) + (
+            r["t3"] is not None
+        )
