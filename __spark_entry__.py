@@ -1172,6 +1172,31 @@ def _q_dedup_video_clip_pairs(spark, sf_dir):
     return M.video_clip_pairs(media)
 
 
+def _q_media_audio_fingerprints(spark, sf_dir):
+    """Audio fingerprint index (operators/multimodal.py
+    audio_window_hash): gradient-sign hash per stride-17 sample window
+    over the audio corpus (durations read from the container) — pinned
+    per corpus, verified against a pure-SQL sample-arithmetic twin."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        multimodal as M,
+    )
+
+    media = M.synth_audio_corpus(tables.load_table(spark, sf_dir, "documents"))
+    return M.audio_window_hash(media)
+
+
+def _q_dedup_audio_pairs(spark, sf_dir):
+    """Audio copy detection (audio_dup_pairs): offset-consistent banded
+    window matches — re-encodes at offset 0, trimmed re-uploads at the
+    trim offset, never all-pairs."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        multimodal as M,
+    )
+
+    media = M.synth_audio_corpus(tables.load_table(spark, sf_dir, "documents"))
+    return M.audio_dup_pairs(media)
+
+
 def _q_media_resize_decode(spark, sf_dir):
     M, media = _media(spark, sf_dir)
     decoded = M.decode_media(M.resize_media(media, 32, 32))
@@ -3146,6 +3171,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_video_frame_phash": _q_media_video_frame_phash,
         "dedup_video_pairs": _q_dedup_video_pairs,
         "dedup_video_clip_pairs": _q_dedup_video_clip_pairs,
+        "media_audio_fingerprints": _q_media_audio_fingerprints,
+        "dedup_audio_pairs": _q_dedup_audio_pairs,
         "ann_bruteforce": _q_ann_bruteforce,
         "ann_ivf": _q_ann_ivf,
         "emb_knn_graph": _q_emb_knn_graph,

@@ -156,6 +156,8 @@ BENCH_QUERIES = [
     "docs_packed_sequences",
     "dedup_video_clip_pairs",
     "events_funnel_users",
+    "media_audio_fingerprints",
+    "dedup_audio_pairs",
     # streaming twins (streaming_bpe_encode, streaming_quality_gate,
     # streaming_boilerplate) are driver-verified but not headline
     # entries: each timed run replays a full corpus stream from a

@@ -824,3 +824,211 @@ def video_clip_pairs(
         .agg(F.count(F.lit(1)).cast("long").alias("n_matched"))
         .filter(F.col("n_matched") >= min_shared)
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio near-dup: windowed fingerprints (the modality triple's third leg)
+# ---------------------------------------------------------------------------
+# Shazam/Chromaprint shape, honest stand-in: the audio stream is the
+# periodic sample sequence s[t] = ascii(payload[t mod plen]); each
+# fingerprint window w covers the 8×9 sample patch starting at
+# w·AUDIO_HOP (g[r][c] = s[w·HOP + r·9 + c]) and hashes gradient signs
+# — the same 64-bit packing as the image/video tiers, applied to a
+# time×offset patch instead of a pixel grid. Window count (duration)
+# is carried IN the container's frame field, read like a real
+# decoder reads duration — the fingerprinter never inspects ids.
+# Copies pair by offset-consistent window matches (audio re-uploads
+# are routinely trimmed, so the unaligned form is the default).
+
+#: Sample stride between fingerprint windows.
+AUDIO_HOP = 17
+
+#: Windows trimmed off a planted audio clip.
+AUDIO_CLIP_TRIM = 3
+
+
+def synth_audio_corpus(documents: DataFrame) -> DataFrame:
+    """The audio-dedup corpus: every audio doc (doc_id % 3 == 1) as a
+    container whose frame field carries the WINDOW COUNT
+    (6 + doc_id % 10); even audio docs add a re-encode variant
+    (payload +1 every PERTURB_EVERY-th byte, +MEDIA_VARIANT_OFFSET);
+    odd audio docs add a trimmed clip (payload rotated by
+    AUDIO_CLIP_TRIM·AUDIO_HOP mod plen, 3 fewer windows,
+    +MEDIA_CLIP_OFFSET) — trimming IS a rotation under the periodic
+    sample model, exactly the video-clip device."""
+    base_docs = documents.filter(F.col("doc_id") % 3 == 1)
+    mid = F.col("doc_id")
+    payload_len = (64 + mid % 128).cast("int")
+    seed = F.md5(F.concat(F.lit("sgmm:"), mid.cast("string")).cast("binary"))
+    payload = F.substring(
+        F.repeat(seed, F.ceil(payload_len / 32).cast("int") + 1), 1, payload_len
+    )
+    n_win = (6 + mid % 10).cast("int")
+
+    def content(nwin_col, payload_col):
+        return F.concat_ws(
+            "|",
+            F.lit("SGMM"),
+            F.lit("audio"),
+            F.lit("0"),
+            F.lit("0"),
+            nwin_col.cast("string"),
+            payload_col,
+        ).cast("binary")
+
+    base = base_docs.select(
+        mid.alias("media_id"),
+        F.lit("audio").alias("kind"),
+        content(n_win, payload).alias("content"),
+    )
+    perturbed = F.expr(
+        "concat_ws('', transform(sequence(0, length(p) - 1), "
+        f"i -> char(ascii(substring(p, i + 1, 1)) "
+        f"+ IF(i % {PERTURB_EVERY} = 0, 1, 0))))"
+    )
+    variants = (
+        base_docs.filter(mid % 2 == 0)
+        .select(mid.alias("doc_id"), payload.alias("p"))
+        .withColumn("pp", perturbed)
+        .select(
+            (F.col("doc_id") + MEDIA_VARIANT_OFFSET).alias("media_id"),
+            F.lit("audio").alias("kind"),
+            content(
+                (6 + F.col("doc_id") % 10).cast("int"), F.col("pp")
+            ).alias("content"),
+        )
+    )
+    shift = (
+        F.lit(AUDIO_CLIP_TRIM * AUDIO_HOP) % F.length(F.col("p"))
+    ).cast("int")
+    rotated = F.concat(
+        F.expr("substring(p, s + 1)"), F.expr("substring(p, 1, s)")
+    )
+    clips = (
+        base_docs.filter(mid % 2 == 1)
+        .select(mid.alias("doc_id"), payload.alias("p"))
+        .withColumn("s", shift)
+        .withColumn("pp", rotated)
+        .select(
+            (F.col("doc_id") + MEDIA_CLIP_OFFSET).alias("media_id"),
+            F.lit("audio").alias("kind"),
+            content(
+                (6 + F.col("doc_id") % 10 - AUDIO_CLIP_TRIM).cast("int"),
+                F.col("pp"),
+            ).alias("content"),
+        )
+    )
+    return base.unionAll(variants).unionAll(clips)
+
+
+AUDIO_HASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("window_idx", IntegerType()),
+        StructField("whash", LongType()),
+    ]
+)
+
+
+def audio_window_hash(media: DataFrame) -> DataFrame:
+    """(media_id, window_idx, whash) for every fingerprint window of
+    every audio row — PINNED per corpus (the audio fingerprint index;
+    bytes decode once at ingest)."""
+    from ..pinned import pinned
+
+    (fps,) = pinned(
+        ("audio_window_hash", media.semanticHash()),
+        lambda: (_audio_window_hash_build(media),),
+    )
+    return fps
+
+
+def _audio_window_hash_build(media: DataFrame) -> DataFrame:
+    def _ph(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                _, _, _, n_win, payload = _parse_sgmm(content)
+                plen = len(payload)
+                for w0 in range(n_win):
+                    base_off = w0 * AUDIO_HOP
+
+                    def s(r: int, c: int) -> int:
+                        return payload[(base_off + r * 9 + c) % plen]
+
+                    dh = 0
+                    for r in range(8):
+                        g = [s(r, c) for c in range(9)]
+                        for c in range(8):
+                            if g[c + 1] > g[c]:
+                                dh |= 1 << (r * 8 + c)
+                    out.append((int(mid), int(w0), _signed64(dh)))
+            yield pd.DataFrame(
+                out, columns=["media_id", "window_idx", "whash"]
+            ).astype(
+                {"media_id": "int64", "window_idx": "int32", "whash": "int64"}
+            )
+
+    return (
+        media.filter(F.col("kind") == "audio")
+        .select("media_id", "content")
+        .mapInPandas(_ph, AUDIO_HASH_SCHEMA)
+    )
+
+
+def audio_dup_pairs(
+    media: DataFrame,
+    max_hamming: int = PHASH_MAX_HAMMING,
+    min_shared: int = VIDEO_MIN_SHARED,
+) -> DataFrame:
+    """Audio copy detection, offset-consistent (the clip form is the
+    DEFAULT for audio — re-uploads are routinely trimmed): banded
+    window-hash matches at any offset, grouped by
+    (pair, window_offset), pair survives at ≥ min_shared matches on
+    one offset. Returns (media_a, media_b, window_offset, n_matched)."""
+    fps = audio_window_hash(media)
+    blocked = fps.select(
+        "media_id",
+        "window_idx",
+        "whash",
+        F.expr(
+            "stack(8, "
+            + ", ".join(
+                f"{i}, CAST(shiftright(whash, {8 * i}) & 255 AS INT)"
+                for i in range(8)
+            )
+            + ") as (blk, byte)"
+        ),
+    )
+    a = blocked.select(
+        F.col("media_id").alias("media_a"),
+        F.col("window_idx").alias("wa"),
+        F.col("whash").alias("ha"),
+        "blk",
+        "byte",
+    )
+    b = blocked.select(
+        F.col("media_id").alias("media_b"),
+        F.col("window_idx").alias("wb"),
+        F.col("whash").alias("hb"),
+        "blk",
+        "byte",
+    )
+    cands = (
+        a.join(b, ["blk", "byte"])
+        .filter(F.col("media_a") < F.col("media_b"))
+        .select("media_a", "media_b", "wa", "wb", "ha", "hb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int")
+    matched = cands.select(
+        "media_a",
+        "media_b",
+        (F.col("wb") - F.col("wa")).cast("long").alias("window_offset"),
+        ham.alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)
+    return (
+        matched.groupBy("media_a", "media_b", "window_offset")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_matched"))
+        .filter(F.col("n_matched") >= min_shared)
+    )

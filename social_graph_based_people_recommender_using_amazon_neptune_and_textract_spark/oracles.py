@@ -1765,6 +1765,83 @@ SELECT media_a, media_b, frame_offset,
 FROM cmatch GROUP BY media_a, media_b, frame_offset
 HAVING count(*) >= 2"""
 
+# Audio windowed fingerprints (operators/multimodal.py
+# audio_window_hash / audio_dup_pairs over synth_audio_corpus): sample
+# s[t] = ascii(payload[t mod plen]); window w hashes gradient signs of
+# the 8×9 patch at w·17; trimming is a payload rotation (shf), the
+# video-clip device. Pairs group by window offset.
+_AUD_HASH = """\
+aud AS (
+  SELECT doc_id AS media_id, doc_id AS src_id, FALSE AS pert, 0 AS trim
+  FROM documents WHERE doc_id % 3 = 1
+  UNION ALL
+  SELECT doc_id + 1000000000, doc_id, TRUE, 0
+  FROM documents WHERE doc_id % 3 = 1 AND doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id + 2000000000, doc_id, FALSE, 1
+  FROM documents WHERE doc_id % 3 = 1 AND doc_id % 2 = 1
+),
+ameta AS (
+  SELECT media_id, pert,
+    CAST(6 + src_id % 10 - CASE WHEN trim = 1 THEN 3 ELSE 0 END AS BIGINT)
+      AS nw,
+    CAST(64 + src_id % 128 AS BIGINT) AS plen,
+    CAST(CASE WHEN trim = 1 THEN (3 * 17) % (64 + src_id % 128)
+         ELSE 0 END AS BIGINT) AS shf,
+    substr(repeat(md5('sgmm:' || CAST(src_id AS VARCHAR)),
+                  CAST(ceil((64 + src_id % 128) / 32.0) AS INT) + 1),
+           1, CAST(64 + src_id % 128 AS INT)) AS payload
+  FROM aud
+),
+awin AS (
+  SELECT media_id, pert, plen, shf, payload, w
+  FROM ameta, unnest(range(0, nw)) AS t(w)
+),
+agrid AS (
+  SELECT media_id, w, r, c,
+    ascii(substr(payload,
+      CAST((w*17 + r*9 + c + shf) % plen + 1 AS INT), 1))
+      + CASE WHEN pert AND ((w*17 + r*9 + c + shf) % plen) % 17 = 0
+             THEN 1 ELSE 0 END AS g
+  FROM awin
+  CROSS JOIN (SELECT unnest(range(0, 8)) AS r) rr
+  CROSS JOIN (SELECT unnest(range(0, 9)) AS c) cc
+),
+abit AS (
+  SELECT a.media_id, a.w, a.r * 8 + a.c AS k
+  FROM agrid a
+  JOIN agrid b ON b.media_id = a.media_id AND b.w = a.w
+             AND b.r = a.r AND b.c = a.c + 1
+  WHERE a.c < 8 AND b.g > a.g
+),
+adh AS (
+  SELECT wn.media_id, wn.w,
+    CAST(coalesce(sum(CASE WHEN k = 63
+          THEN CAST(-9223372036854775808 AS HUGEINT)
+          ELSE CAST(CAST(1 AS BIGINT) << CAST(k AS INT) AS HUGEINT) END), 0)
+      AS BIGINT) AS whash
+  FROM awin wn
+  LEFT JOIN abit ON abit.media_id = wn.media_id AND abit.w = wn.w
+  GROUP BY wn.media_id, wn.w
+)"""
+
+ORACLES["media_audio_fingerprints"] = f"""\
+WITH {_AUD_HASH}
+SELECT media_id, CAST(w AS INT) AS window_idx, whash FROM adh"""
+
+ORACLES["dedup_audio_pairs"] = f"""\
+WITH {_AUD_HASH},
+amatch AS (
+  SELECT a.media_id AS media_a, b.media_id AS media_b,
+    CAST(b.w - a.w AS BIGINT) AS window_offset
+  FROM adh a JOIN adh b ON a.media_id < b.media_id
+  WHERE bit_count(xor(a.whash, b.whash)) <= 7
+)
+SELECT media_a, media_b, window_offset,
+  CAST(count(*) AS BIGINT) AS n_matched
+FROM amatch GROUP BY media_a, media_b, window_offset
+HAVING count(*) >= 2"""
+
 # Media training manifest (operators/curation.py
 # media_training_manifest): the image-side curation composition —
 # aspect + feature-score gates, pHash-canonical survivors, per-source

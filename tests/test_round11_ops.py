@@ -796,3 +796,59 @@ def test_funnel_users_aggregates_to_stage_counts(spark):
         assert r["steps_completed"] == 1 + (r["t2"] is not None) + (
             r["t3"] is not None
         )
+
+
+# --- audio windowed fingerprints --------------------------------------------
+
+def test_audio_dup_pairs_planted_copies(spark):
+    """Every planted audio re-encode pairs at window offset 0 and every
+    trimmed clip at −AUDIO_CLIP_TRIM; the banded offset-grouped matcher
+    equals brute force over the window hashes."""
+    docs = _docs(spark, 120)
+    media = M.synth_audio_corpus(docs)
+    fps = {}
+    for r in M.audio_window_hash(media).collect():
+        fps.setdefault(r["media_id"], {})[r["window_idx"]] = r["whash"]
+    brute = {}
+    ids = sorted(fps)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            byoff = {}
+            for wa, ha in fps[a].items():
+                for wb, hb in fps[b].items():
+                    if bin((ha ^ hb) & ((1 << 64) - 1)).count("1") <= M.PHASH_MAX_HAMMING:
+                        byoff[wb - wa] = byoff.get(wb - wa, 0) + 1
+            for off, n in byoff.items():
+                if n >= M.VIDEO_MIN_SHARED:
+                    brute[(a, b, off)] = n
+    got = {
+        (r["media_a"], r["media_b"], r["window_offset"]): r["n_matched"]
+        for r in M.audio_dup_pairs(media).collect()
+    }
+    assert got == brute and len(got) > 0
+    for i in range(120):
+        if i % 3 == 1 and i % 2 == 0:
+            assert (i, i + M.MEDIA_VARIANT_OFFSET, 0) in got, i
+        if i % 3 == 1 and i % 2 == 1:
+            key = (i, i + M.MEDIA_CLIP_OFFSET, -M.AUDIO_CLIP_TRIM)
+            assert key in got, key
+            assert got[key] == len(fps[i + M.MEDIA_CLIP_OFFSET])
+
+
+def test_audio_window_count_read_from_container(spark):
+    """Durations come from the container field, not id arithmetic: the
+    fingerprinter emits exactly nf windows per row — base 6+id%10,
+    clips 3 fewer."""
+    docs = _docs(spark, 60)
+    fps = M.audio_window_hash(M.synth_audio_corpus(docs))
+    counts = {
+        r["media_id"]: r["n"]
+        for r in fps.groupBy("media_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for i in range(60):
+        if i % 3 == 1:
+            assert counts[i] == 6 + i % 10
+            if i % 2 == 0:
+                assert counts[i + M.MEDIA_VARIANT_OFFSET] == 6 + i % 10
+            else:
+                assert counts[i + M.MEDIA_CLIP_OFFSET] == 6 + i % 10 - M.AUDIO_CLIP_TRIM
