@@ -2760,17 +2760,6 @@ def _q_media_training_manifest(spark, sf_dir):
     )
 
 
-def _q_docs_chunked(spark, sf_dir):
-    """RAG chunking (functions/text.py chunk_documents): 64-token
-    sliding windows with 16-token overlap, md5 chunk identities —
-    zero-shuffle row-local chunking."""
-    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.functions.text import (
-        chunk_documents,
-    )
-
-    return chunk_documents(tables.load_table(spark, sf_dir, "documents"))
-
-
 def _q_docs_packed_sequences(spark, sf_dir):
     """GPT-style concat-and-split packing (operators/packing.py
     packed_sequences, L=512): each document's fixed-length-sequence
@@ -3220,7 +3209,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_training_manifest": _q_docs_training_manifest,
         "media_training_manifest": _q_media_training_manifest,
         "docs_packed_sequences": _q_docs_packed_sequences,
-        "docs_chunked": _q_docs_chunked,
         "docs_dsir_weights": _q_docs_dsir_weights,
         "docs_source_mixture": _q_docs_source_mixture,
         "events_stratified_sample": _q_events_stratified_sample,

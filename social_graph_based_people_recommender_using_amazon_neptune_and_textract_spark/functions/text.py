@@ -1691,57 +1691,3 @@ def trigram_logprob_scores(
             "trigram_logprob",
         )
     )
-
-
-#: Default chunk width / overlap for RAG-style chunking (tokens).
-CHUNK_TOKENS = 64
-CHUNK_OVERLAP = 16
-
-
-def chunk_documents(
-    df: DataFrame,
-    chunk_tokens: int = CHUNK_TOKENS,
-    overlap: int = CHUNK_OVERLAP,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> DataFrame:
-    """Sliding-window document chunking — the RAG/embedding-pipeline
-    preprocessing staple: chunk k covers tokens
-    [k·(C−O), k·(C−O)+C) of the analyzer token array (C=chunk_tokens,
-    O=overlap), the final chunk keeps its partial tail, and a document
-    shorter than one chunk yields exactly one chunk (empty docs yield
-    none). Returns (id, chunk_idx, n_tokens, chunk_fp) with chunk_fp =
-    md5 of the space-rejoined chunk — the downstream identity an
-    embedding/dedup stage keys on.
-
-    Chunk count = 1 + ceil(max(n−C, 0) / (C−O)) — every token is
-    covered, consecutive chunks share exactly O tokens (except the
-    tail), and no chunk starts past the end.
-
-    Scale: ZERO shuffles — tokenize once per row, chunk starts are a
-    JVM ``sequence`` over the stride, the explode is row-local, and
-    the fingerprint is a per-chunk md5; embarrassingly parallel at any
-    corpus size."""
-    stride = int(chunk_tokens) - int(overlap)
-    assert stride > 0
-    toks = df.select(F.col(id_col), tokenize(F.col(text_col)).alias("_t"))
-    t = F.col("_t")
-    n = F.size(t)
-    n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
-        F.lit(1) + F.ceil((n - F.lit(chunk_tokens)) / F.lit(stride))
-    )
-    chunks = toks.filter(n > 0).select(
-        id_col,
-        F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).alias(
-            "chunk_idx"
-        ),
-        t.alias("_t"),
-    )
-    start = F.col("chunk_idx") * stride
-    piece = F.slice(F.col("_t"), start + 1, chunk_tokens)
-    return chunks.select(
-        id_col,
-        F.col("chunk_idx").cast("int").alias("chunk_idx"),
-        F.size(piece).cast("long").alias("n_tokens"),
-        F.md5(F.concat_ws(" ", piece).cast("binary")).alias("chunk_fp"),
-    )

@@ -988,30 +988,6 @@ SELECT p.doc_id, p.source, p.n_tokens,
        m.boost AS boost
 FROM pre p JOIN mix m USING (source)"""
 
-# RAG-style sliding-window chunking (functions/text.py
-# chunk_documents): chunk k covers tokens [k·48, k·48+64); the final
-# chunk keeps its partial tail; one chunk for sub-chunk docs, none for
-# empty ones. Fingerprints are md5 of the space-rejoined slice.
-ORACLES["docs_chunked"] = f"""\
-WITH t AS (
-  SELECT doc_id, {TOKENIZE.format(col='text')} AS toks FROM documents
-),
-nc AS (
-  SELECT doc_id, toks, len(toks) AS n,
-    CASE WHEN len(toks) <= 64 THEN 1
-         ELSE 1 + CAST(ceil((len(toks) - 64) / 48.0) AS BIGINT) END AS n_chunks
-  FROM t WHERE len(toks) > 0
-),
-ch AS (
-  SELECT doc_id, CAST(k AS INT) AS chunk_idx,
-    toks[k*48 + 1 : k*48 + 64] AS piece
-  FROM nc, unnest(range(0, n_chunks)) AS u(k)
-)
-SELECT doc_id, chunk_idx,
-  CAST(len(piece) AS BIGINT) AS n_tokens,
-  md5(array_to_string(piece, ' ')) AS chunk_fp
-FROM ch"""
-
 # USER-GRAIN ordered funnel (operators/warehouse.py funnel_steps):
 # greedy-earliest chain view → click → purchase per user, each step's
 # min over events strictly after the chosen previous step — the detail

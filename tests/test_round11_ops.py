@@ -852,49 +852,3 @@ def test_audio_window_count_read_from_container(spark):
                 assert counts[i + M.MEDIA_VARIANT_OFFSET] == 6 + i % 10
             else:
                 assert counts[i + M.MEDIA_CLIP_OFFSET] == 6 + i % 10 - M.AUDIO_CLIP_TRIM
-
-
-# --- RAG chunking -----------------------------------------------------------
-
-def test_chunk_documents_coverage_and_overlap(spark):
-    """Chunks tile the token array: chunk k starts at k·(C−O), every
-    token is covered, consecutive chunks share exactly O tokens (except
-    the partial tail), sub-chunk docs yield one chunk, empty docs
-    none — verified against a direct Python reference."""
-    import hashlib as _h
-    import re as _re
-
-    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.functions.text import (
-        chunk_documents,
-    )
-
-    texts = {
-        1: " ".join(f"w{i}" for i in range(200)),   # multiple chunks
-        2: "short doc",                              # one partial chunk
-        3: "",                                       # no chunks
-        4: " ".join(f"x{i}" for i in range(64)),     # exactly one chunk
-        5: " ".join(f"y{i}" for i in range(65)),     # chunk + 17-token tail
-    }
-    docs = spark.createDataFrame(
-        list(texts.items()), "doc_id long, text string"
-    )
-    got = {
-        (r["doc_id"], r["chunk_idx"]): (r["n_tokens"], r["chunk_fp"])
-        for r in chunk_documents(docs, 64, 16).collect()
-    }
-    want = {}
-    for did, txt in texts.items():
-        toks = [w for w in _re.split("[^a-z0-9]+", txt.lower()) if w]
-        n = len(toks)
-        if n == 0:
-            continue
-        n_chunks = 1 if n <= 64 else 1 + -(-(n - 64) // 48)
-        for k in range(n_chunks):
-            piece = toks[k * 48: k * 48 + 64]
-            want[(did, k)] = (
-                len(piece),
-                _h.md5(" ".join(piece).encode()).hexdigest(),
-            )
-    assert got == want
-    assert (3, 0) not in got
-    assert got[(5, 1)][0] == 17  # 65 tokens -> tail chunk of 65-48
