@@ -550,6 +550,19 @@ VIDEO_PHASH_EVERY = 4
 #: positions, so 2 = "every sampled frame of the shorter video".
 VIDEO_MIN_SHARED = 2
 
+#: Hamming threshold for the UNALIGNED matchers (clip/audio). Their
+#: banding drops the alignment key, so bucket hotness is the hazard:
+#: gradient-sign hashes are byte-biased (adjacent-sample comparisons
+#: alternate, concentrating whole bytes on 0xAA/0x55 — measured 2.2%
+#: of all rows in ONE (blk, byte) bucket at sf1, an O(hot²) candidate
+#: blowup). They therefore band on 4 SIXTEEN-bit blocks, whose hot
+#: patterns are the square of the byte frequencies (~0.05%), and the
+#: threshold drops to 3 < 4 blocks to keep candidate generation exact
+#: by the same pigeonhole. Copies survive: trims match at Hamming 0
+#: and re-encode noise flips ≈1.6 bits/window, so ≥ min_shared
+#: positions within 3 remain overwhelmingly likely.
+UNALIGNED_MAX_HAMMING = 3
+
 
 def synth_video_variants(documents: DataFrame) -> DataFrame:
     """Re-encoded video copies: every EVEN video doc spawns one variant
@@ -761,9 +774,26 @@ def synth_media_clip_aug(documents: DataFrame) -> DataFrame:
     return synth_media_aug(documents).unionAll(synth_video_clips(documents))
 
 
+def _banded16(fps, hash_col: str, carry: list[str]):
+    """4 sixteen-bit block keys per fingerprint — the unaligned
+    matchers' banding (see UNALIGNED_MAX_HAMMING)."""
+    return fps.select(
+        *carry,
+        hash_col,
+        F.expr(
+            "stack(4, "
+            + ", ".join(
+                f"{i}, CAST(shiftright({hash_col}, {16 * i}) & 65535 AS INT)"
+                for i in range(4)
+            )
+            + ") as (blk, hword)"
+        ),
+    )
+
+
 def video_clip_pairs(
     media: DataFrame,
-    max_hamming: int = PHASH_MAX_HAMMING,
+    max_hamming: int = UNALIGNED_MAX_HAMMING,
     min_shared: int = VIDEO_MIN_SHARED,
 ) -> DataFrame:
     """UNALIGNED video copy detection — the clip/trim sibling of
@@ -779,35 +809,23 @@ def video_clip_pairs(
     the offset consistency check is arithmetic inside one keyed
     aggregate; still never all-pairs across videos or frames."""
     fps = video_frame_phash(media)
-    blocked = fps.select(
-        "media_id",
-        "frame_idx",
-        "dhash",
-        F.expr(
-            "stack(8, "
-            + ", ".join(
-                f"{i}, CAST(shiftright(dhash, {8 * i}) & 255 AS INT)"
-                for i in range(8)
-            )
-            + ") as (blk, byte)"
-        ),
-    )
+    blocked = _banded16(fps, "dhash", ["media_id", "frame_idx"])
     a = blocked.select(
         F.col("media_id").alias("media_a"),
         F.col("frame_idx").alias("fa"),
         F.col("dhash").alias("ha"),
         "blk",
-        "byte",
+        "hword",
     )
     b = blocked.select(
         F.col("media_id").alias("media_b"),
         F.col("frame_idx").alias("fb"),
         F.col("dhash").alias("hb"),
         "blk",
-        "byte",
+        "hword",
     )
     cands = (
-        a.join(b, ["blk", "byte"])
+        a.join(b, ["blk", "hword"])
         .filter(F.col("media_a") < F.col("media_b"))
         .select("media_a", "media_b", "fa", "fb", "ha", "hb")
         .distinct()
@@ -978,7 +996,7 @@ def _audio_window_hash_build(media: DataFrame) -> DataFrame:
 
 def audio_dup_pairs(
     media: DataFrame,
-    max_hamming: int = PHASH_MAX_HAMMING,
+    max_hamming: int = UNALIGNED_MAX_HAMMING,
     min_shared: int = VIDEO_MIN_SHARED,
 ) -> DataFrame:
     """Audio copy detection, offset-consistent (the clip form is the
@@ -987,35 +1005,23 @@ def audio_dup_pairs(
     (pair, window_offset), pair survives at ≥ min_shared matches on
     one offset. Returns (media_a, media_b, window_offset, n_matched)."""
     fps = audio_window_hash(media)
-    blocked = fps.select(
-        "media_id",
-        "window_idx",
-        "whash",
-        F.expr(
-            "stack(8, "
-            + ", ".join(
-                f"{i}, CAST(shiftright(whash, {8 * i}) & 255 AS INT)"
-                for i in range(8)
-            )
-            + ") as (blk, byte)"
-        ),
-    )
+    blocked = _banded16(fps, "whash", ["media_id", "window_idx"])
     a = blocked.select(
         F.col("media_id").alias("media_a"),
         F.col("window_idx").alias("wa"),
         F.col("whash").alias("ha"),
         "blk",
-        "byte",
+        "hword",
     )
     b = blocked.select(
         F.col("media_id").alias("media_b"),
         F.col("window_idx").alias("wb"),
         F.col("whash").alias("hb"),
         "blk",
-        "byte",
+        "hword",
     )
     cands = (
-        a.join(b, ["blk", "byte"])
+        a.join(b, ["blk", "hword"])
         .filter(F.col("media_a") < F.col("media_b"))
         .select("media_a", "media_b", "wa", "wb", "ha", "hb")
         .distinct()

@@ -1758,7 +1758,7 @@ cmatch AS (
   SELECT a.media_id AS media_a, b.media_id AS media_b,
     CAST(b.f - a.f AS BIGINT) AS frame_offset
   FROM cdh a JOIN cdh b ON a.media_id < b.media_id
-  WHERE bit_count(xor(a.dhash, b.dhash)) <= 7
+  WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
 )
 SELECT media_a, media_b, frame_offset,
   CAST(count(*) AS BIGINT) AS n_matched
@@ -1835,7 +1835,7 @@ amatch AS (
   SELECT a.media_id AS media_a, b.media_id AS media_b,
     CAST(b.w - a.w AS BIGINT) AS window_offset
   FROM adh a JOIN adh b ON a.media_id < b.media_id
-  WHERE bit_count(xor(a.whash, b.whash)) <= 7
+  WHERE bit_count(xor(a.whash, b.whash)) <= 3
 )
 SELECT media_a, media_b, window_offset,
   CAST(count(*) AS BIGINT) AS n_matched

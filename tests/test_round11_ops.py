@@ -742,7 +742,7 @@ def test_video_clip_pairs_offset_consistency(spark):
             byoff = {}
             for faa, ha in fps[a].items():
                 for fbb, hb in fps[b].items():
-                    if bin((ha ^ hb) & ((1 << 64) - 1)).count("1") <= M.PHASH_MAX_HAMMING:
+                    if bin((ha ^ hb) & ((1 << 64) - 1)).count("1") <= M.UNALIGNED_MAX_HAMMING:
                         byoff[fbb - faa] = byoff.get(fbb - faa, 0) + 1
             for off, n in byoff.items():
                 if n >= M.VIDEO_MIN_SHARED:
@@ -816,7 +816,7 @@ def test_audio_dup_pairs_planted_copies(spark):
             byoff = {}
             for wa, ha in fps[a].items():
                 for wb, hb in fps[b].items():
-                    if bin((ha ^ hb) & ((1 << 64) - 1)).count("1") <= M.PHASH_MAX_HAMMING:
+                    if bin((ha ^ hb) & ((1 << 64) - 1)).count("1") <= M.UNALIGNED_MAX_HAMMING:
                         byoff[wb - wa] = byoff.get(wb - wa, 0) + 1
             for off, n in byoff.items():
                 if n >= M.VIDEO_MIN_SHARED:
