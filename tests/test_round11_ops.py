@@ -852,3 +852,18 @@ def test_audio_window_count_read_from_container(spark):
                 assert counts[i + M.MEDIA_VARIANT_OFFSET] == 6 + i % 10
             else:
                 assert counts[i + M.MEDIA_CLIP_OFFSET] == 6 + i % 10 - M.AUDIO_CLIP_TRIM
+
+
+def test_unaligned_matchers_plan_shape(spark):
+    """The unaligned matchers (clip, audio) band on 16-bit blocks via
+    one equi-join — no CartesianProduct / nested-loop anywhere, and the
+    join key is the (blk, hword) pair."""
+    docs = _docs(spark, 60)
+    for df in (
+        M.video_clip_pairs(M.synth_media_clip_aug(docs)),
+        M.audio_dup_pairs(M.synth_audio_corpus(docs)),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "hword" in plan
