@@ -1958,6 +1958,19 @@ def _q_docs_chunks(spark, sf_dir):
     return chunk_documents(tables.load_table(spark, sf_dir, "documents"))
 
 
+def _q_docs_chunks_sliding(spark, sf_dir):
+    """RAG sliding-window chunking with provenance offsets
+    (functions/text.py sliding_chunks): 64-token windows, 16-token
+    overlap, md5 chunk identities, start_tok provenance — the
+    embedding-pipeline contract (no chunk past the end), distinct from
+    chunk_documents' every-stride windows. Zero-shuffle row-local."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.functions.text import (
+        sliding_chunks,
+    )
+
+    return sliding_chunks(tables.load_table(spark, sf_dir, "documents"))
+
+
 def _q_streaming_enriched_segments(spark, sf_dir):
     """Stream-static dimension enrichment (streaming/enrich.py): the
     events stream joins the broadcast customer dim per micro-batch and
@@ -3125,6 +3138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bizcard_pii_redacted": _q_bizcard_pii_redacted,
         "streaming_enriched_segments": _q_streaming_enriched_segments,
         "docs_chunks": _q_docs_chunks,
+        "docs_chunks_sliding": _q_docs_chunks_sliding,
         "user_event_pivot": _q_user_event_pivot,
         "customer_spend_quartiles": _q_customer_spend_quartiles,
         "graph_kcore_72": _q_graph_kcore_72,

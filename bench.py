@@ -158,6 +158,7 @@ BENCH_QUERIES = [
     "events_funnel_users",
     "media_audio_fingerprints",
     "dedup_audio_pairs",
+    "docs_chunks_sliding",
     # streaming twins (streaming_bpe_encode, streaming_quality_gate,
     # streaming_boilerplate) are driver-verified but not headline
     # entries: each timed run replays a full corpus stream from a

@@ -141,8 +141,9 @@ def packed_sequences(
     — the exact answer to "which training sequences contain (parts of)
     this document", the provenance record attention-masking and
     dedup-audit tooling needs. Empty documents occupy no tokens and
-    report NULL spans (start_off still marks where they fall). Returns
-    (id, n_tokens, start_seq, start_off, end_seq, n_seqs).
+    report NULL for all four span columns (start_seq, start_off,
+    end_seq, n_seqs) — no sequence "contains" a zero-token document.
+    Returns (id, n_tokens, start_seq, start_off, end_seq, n_seqs).
 
     Scale: one scan for token counts + the module's two-phase prefix
     sum; every output column is arithmetic on (ce, n) — no extra

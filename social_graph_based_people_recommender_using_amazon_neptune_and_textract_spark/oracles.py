@@ -1866,11 +1866,24 @@ noncanon AS (
   HAVING min(label) <> node
 ),
 fscore AS (
+  -- Hash the bytes the Spark side actually hashes: re-encode variants
+  -- carry the PERTURBED payload (+1 on every 17th byte, mirroring
+  -- dgrid/agrid's arithmetic), so the feature score must be computed
+  -- from the perturbed string too — regardless of whether the variant
+  -- later pairs with its base (ADVICE r11, medium).
   SELECT media_id,
     round(list_sum(list_transform(range(0, 16), i ->
-      CAST(CAST(concat('0x', substr(md5(payload || ':' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS DOUBLE) / 10000))
+      CAST(CAST(concat('0x', substr(md5(ppayload || ':' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS DOUBLE) / 10000))
       / CAST(16 AS DOUBLE), 6) AS score
-  FROM imeta
+  FROM (
+    SELECT media_id,
+      CASE WHEN pert THEN array_to_string(
+        list_transform(range(0, CAST(plen AS INT)), j ->
+          chr(ascii(substr(payload, CAST(j AS INT) + 1, 1))
+              + CASE WHEN j % 17 = 0 THEN 1 ELSE 0 END)), '')
+      ELSE payload END AS ppayload
+    FROM imeta
+  )
 ),
 gated AS (
   SELECT m.media_id, m.plen
@@ -2525,6 +2538,34 @@ SELECT doc_id, start // 40 AS chunk_idx,
        len(tokens[start + 1 : start + 50]) AS n_chunk_tokens,
        array_to_string(tokens[start + 1 : start + 50], ' ') AS chunk_text
 FROM st"""
+
+# RAG sliding-window chunking with provenance offsets (functions/text.py
+# sliding_chunks — DISTINCT from chunk_documents, see the r11 shadowing
+# revert): chunk k covers tokens [k·48, k·48+64), the final chunk keeps
+# its partial tail, no chunk starts past the end (count =
+# 1 + ceil(max(n−64,0)/48)); start_tok is the 0-based provenance offset,
+# chunk_fp the md5 of the space-rejoined slice.
+ORACLES["docs_chunks_sliding"] = f"""\
+WITH slt AS (
+  SELECT doc_id, {TOKENIZE.format(col='text')} AS toks FROM documents
+),
+slnc AS (
+  SELECT doc_id, toks,
+    CASE WHEN len(toks) <= 64 THEN 1
+         ELSE 1 + CAST(ceil((len(toks) - 64) / 48.0) AS BIGINT) END
+      AS n_chunks
+  FROM slt WHERE len(toks) > 0
+),
+slch AS (
+  SELECT doc_id, CAST(k AS INT) AS chunk_idx,
+    CAST(k * 48 AS BIGINT) AS start_tok,
+    toks[k*48 + 1 : k*48 + 64] AS piece
+  FROM slnc, unnest(range(0, n_chunks)) AS u(k)
+)
+SELECT doc_id, chunk_idx, start_tok,
+  CAST(len(piece) AS BIGINT) AS n_tokens,
+  md5(array_to_string(piece, ' ')) AS chunk_fp
+FROM slch"""
 
 # Relational pivot (operators/warehouse.py user_event_pivot): declared
 # event-type domain, conditional counts.

@@ -210,11 +210,20 @@ class StreamingImageDeduper:
             return self.spark.createDataFrame([], "media_a long, media_b long")
         return self.spark.read.parquet(self.cands_dir).distinct()
 
-    def pairs(self, max_hamming: int = 7) -> DataFrame:
+    def pairs(self, max_hamming: int | None = None) -> DataFrame:
         """(media_a, media_b, hamming ≤ max_hamming) over everything
         ingested — on a drained stream, row-identical to batch
         ``phash_pairs`` (the oracle contract). Verification joins the
-        fingerprint table twice; exact bit_count/xor Hamming."""
+        fingerprint table twice; exact bit_count/xor Hamming.
+
+        ``max_hamming`` defaults to the BATCH threshold
+        (multimodal.PHASH_MAX_HAMMING) so the streaming pairs can never
+        silently diverge from batch ``phash_pairs`` if the constant
+        changes (ADVICE r11)."""
+        if max_hamming is None:
+            from ..operators.multimodal import PHASH_MAX_HAMMING
+
+            max_hamming = PHASH_MAX_HAMMING
         if not self._exists(self.fps_dir):
             return self.spark.createDataFrame(
                 [], "media_a long, media_b long, hamming int"
