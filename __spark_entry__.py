@@ -1628,6 +1628,21 @@ def _q_docs_trigram_logprob(spark, sf_dir):
     return trigram_logprob_scores(tables.load_table(spark, sf_dir, "documents"))
 
 
+def _q_docs_kn_logprob(spark, sf_dir):
+    """Kneser-Ney trigram fluency gate (functions/text.py
+    kn_trigram_logprob_scores): the KenLM estimator proper — lower
+    levels built from CONTINUATION type counts (N1+(·yz) from trigram
+    types, N1+(·z) from bigram types, Chen-&-Goodman gammas); highest
+    level raw counts with fixed D=0.75."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.functions.text import (
+        kn_trigram_logprob_scores,
+    )
+
+    return kn_trigram_logprob_scores(
+        tables.load_table(spark, sf_dir, "documents")
+    )
+
+
 def _q_docs_unigram_encode_heldout(spark, sf_dir):
     """Unigram-LM INFERENCE encode (functions/text.py
     unigram_encode_tokens_per_doc): fit the 3-round EM model on the
@@ -3263,6 +3278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_unigram_encode_heldout": _q_docs_unigram_encode_heldout,
         "docs_bigram_logprob": _q_docs_bigram_logprob,
         "docs_trigram_logprob": _q_docs_trigram_logprob,
+        "docs_kn_logprob": _q_docs_kn_logprob,
         "streaming_quality_gate": _q_streaming_quality_gate,
         "docs_boilerplate_grams": _q_docs_boilerplate_grams,
         "docs_boilerplate_stripped": _q_docs_boilerplate_stripped,

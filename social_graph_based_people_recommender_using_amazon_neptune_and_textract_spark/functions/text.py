@@ -1752,3 +1752,134 @@ def sliding_chunks(
         F.size(piece).cast("long").alias("n_tokens"),
         F.md5(F.concat_ws(" ", piece).cast("binary")).alias("chunk_fp"),
     )
+
+
+def kn_trigram_logprob_scores(
+    df: DataFrame,
+    d: float = TRIGRAM_D,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Interpolated Kneser-Ney trigram fluency score — the KenLM
+    estimator proper (Kneser & Ney 1995; Chen & Goodman 1999), closing
+    the declared gap ``trigram_logprob_scores`` left open: the lower
+    levels now use CONTINUATION counts (in how many distinct contexts
+    does this word/bigram appear) instead of raw frequencies, which is
+    what makes "francisco" — frequent but only ever after "san" —
+    score low as a novel continuation. Per trigram position (x, y, z),
+    with N1+ counting distinct types:
+
+        P_uni(z)     = N1+(·z) / N1+(··)          (bigram-type fractions)
+        P_bi(z|y)    = max(N1+(·yz) − D, 0)/N1+(·y·)
+                       + (D·N1+c(y·)/N1+(·y·))·P_uni(z)
+        P_tri(z|x,y) = max(c3(x,y,z) − D, 0)/c2(x,y)
+                       + (D·N1+(x,y,·)/c2(x,y))·P_bi(z|y)
+
+    where N1+(·yz) = |{x : c3(x,y,z) > 0}| (distinct left contexts of
+    the bigram yz), N1+(·y·) = Σ_z N1+(·yz) (trigram types with middle
+    y), N1+c(y·) = |{z : N1+(·yz) > 0}| (the follower count on the SAME
+    continuation counts the level is built from — Chen & Goodman's
+    normalizing choice), N1+(·z) = |{y : c2(y,z) > 0}| and N1+(··) =
+    distinct bigram types. Fixed D=0.75 at both discounted levels;
+    highest level keeps raw counts (standard interpolated KN).
+    Self-scored corpus ⟹ every factor's denominator ≥ 1 (each observed
+    trigram IS a left context of its own (y,z), and its (y,z) IS a
+    bigram type), so probabilities are positive and finite. Returns
+    (id, n_trigrams, kn_logprob = avg ln P_tri, 6dp); docs with < 3
+    tokens score NULL.
+
+    Scale: identical shape to ``trigram_logprob_scores`` — every model
+    relation is VOCABULARY-sized (c3/c2 count tables plus four
+    type-count aggregates DERIVED from them, each map-side combined;
+    the continuation tables are strictly smaller than the count tables
+    they group), and the scoring pass joins the trigram occurrence
+    stream with fan-out exactly 1 per join; the single crossJoin is the
+    1-row bigram-type total. Nothing force-broadcast (web trigram vocab
+    is huge; AQE converts genuinely small sides)."""
+    dd = float(d)
+    toks = df.select(F.col(id_col), tokenize(F.col(text_col)).alias("_toks"))
+    t = F.col("_toks")
+    triples = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size(t) >= 3,
+                F.transform(
+                    F.slice(t, 1, F.size(t) - 2),
+                    lambda x, i: F.struct(
+                        x.alias("x"),
+                        F.element_at(t, i + 2).alias("y"),
+                        F.element_at(t, i + 3).alias("z"),
+                    ),
+                ),
+            ).otherwise(
+                F.array().cast("array<struct<x:string,y:string,z:string>>")
+            )
+        ).alias("q"),
+    ).select(
+        id_col, F.col("q.x").alias("x"), F.col("q.y").alias("y"),
+        F.col("q.z").alias("z"),
+    )
+    pairs = toks.select(
+        F.explode(
+            F.when(
+                F.size(t) >= 2,
+                F.transform(
+                    F.slice(t, 1, F.size(t) - 1),
+                    lambda x, i: F.struct(
+                        x.alias("x"), F.element_at(t, i + 2).alias("y")
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<x:string,y:string>>"))
+        ).alias("p")
+    ).select(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+    c3 = triples.groupBy("x", "y", "z").agg(F.count(F.lit(1)).alias("cnt3"))
+    c2 = pairs.groupBy("x", "y").agg(F.count(F.lit(1)).alias("cnt2"))
+    f3 = c3.groupBy("x", "y").agg(F.count(F.lit(1)).alias("n1p3"))
+    # Continuation tables — all derived from the TYPE sets, not tokens:
+    cont2 = c3.groupBy("y", "z").agg(F.count(F.lit(1)).alias("cont2"))
+    midy = c3.groupBy("y").agg(F.count(F.lit(1)).alias("midy"))
+    nf2 = cont2.groupBy("y").agg(F.count(F.lit(1)).alias("nf2"))
+    cont1 = c2.groupBy("y").agg(F.count(F.lit(1)).alias("cont1")).select(
+        F.col("y").alias("z"), "cont1"
+    )
+    btypes = c2.agg(F.count(F.lit(1)).alias("btypes"))
+
+    D = F.lit(dd)
+    p_uni = F.col("cont1") / F.col("btypes")
+    p_bi = (
+        F.greatest(F.col("cont2") - D, F.lit(0.0)) / F.col("midy")
+        + ((D * F.col("nf2")) / F.col("midy")) * p_uni
+    )
+    p_tri = (
+        F.greatest(F.col("cnt3") - D, F.lit(0.0)) / F.col("cnt2xy")
+        + ((D * F.col("n1p3")) / F.col("cnt2xy")) * p_bi
+    )
+    scored = (
+        triples.join(c3, ["x", "y", "z"])
+        .join(
+            c2.select("x", "y", F.col("cnt2").alias("cnt2xy")), ["x", "y"]
+        )
+        .join(f3, ["x", "y"])
+        .join(cont2, ["y", "z"])
+        .join(midy, "y")
+        .join(nf2, "y")
+        .join(cont1, "z")
+        .crossJoin(btypes)  # 1-row combine, the bigram-type total
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+            F.round(F.avg(F.log(p_tri)), 6).alias("kn_logprob"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_trigrams"), F.lit(0)).cast("long").alias(
+                "n_trigrams"
+            ),
+            "kn_logprob",
+        )
+    )

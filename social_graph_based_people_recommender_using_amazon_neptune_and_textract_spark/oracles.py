@@ -4339,6 +4339,73 @@ FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id"""
 ORACLES["docs_trigram_logprob"] = _trigram_logprob_sql(0.75)
 
 
+def _kn_trigram_logprob_sql(d: float = 0.75) -> str:
+    """Interpolated Kneser-Ney trigram (functions/text.py
+    kn_trigram_logprob_scores): highest level raw counts, lower levels
+    CONTINUATION type counts — N1+(·yz) from trigram types, N1+(·z)
+    from bigram types, Chen-&-Goodman gammas on the same tables."""
+    return f"""\
+WITH kntok AS MATERIALIZED (
+  SELECT doc_id, {TOKENIZE.format(col='text')} AS tokens FROM documents
+),
+kntri AS MATERIALIZED (
+  SELECT doc_id, q.x AS x, q.y AS y, q.z AS z FROM (
+    SELECT doc_id, unnest(list_transform(generate_series(1, len(tokens) - 2),
+           i -> struct_pack(x := tokens[i], y := tokens[i + 1],
+                            z := tokens[i + 2]))) AS q
+    FROM kntok WHERE len(tokens) >= 3
+  )
+),
+knpairs AS MATERIALIZED (
+  SELECT q.x AS x, q.y AS y FROM (
+    SELECT unnest(list_transform(generate_series(1, len(tokens) - 1),
+           i -> struct_pack(x := tokens[i], y := tokens[i + 1]))) AS q
+    FROM kntok WHERE len(tokens) >= 2
+  )
+),
+knc3 AS MATERIALIZED (
+  SELECT x, y, z, count(*) AS cnt3 FROM kntri GROUP BY x, y, z),
+knc2 AS MATERIALIZED (
+  SELECT x, y, count(*) AS cnt2 FROM knpairs GROUP BY x, y),
+knf3 AS MATERIALIZED (
+  SELECT x, y, count(*) AS n1p3 FROM knc3 GROUP BY x, y),
+kncont2 AS MATERIALIZED (
+  SELECT y, z, count(*) AS cont2 FROM knc3 GROUP BY y, z),
+knmid AS MATERIALIZED (
+  SELECT y, count(*) AS midy FROM knc3 GROUP BY y),
+knnf2 AS MATERIALIZED (
+  SELECT y, count(*) AS nf2 FROM kncont2 GROUP BY y),
+kncont1 AS MATERIALIZED (
+  SELECT y AS z, count(*) AS cont1 FROM knc2 GROUP BY y),
+knbt AS MATERIALIZED (SELECT count(*) AS btypes FROM knc2),
+knscored AS (
+  SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+    round(avg(ln(
+      greatest(c3.cnt3 - CAST({d!r} AS DOUBLE), CAST(0 AS DOUBLE)) / c2xy.cnt2
+      + ((CAST({d!r} AS DOUBLE) * f3.n1p3) / c2xy.cnt2)
+        * (greatest(ct.cont2 - CAST({d!r} AS DOUBLE), CAST(0 AS DOUBLE)) / m.midy
+           + ((CAST({d!r} AS DOUBLE) * nf.nf2) / m.midy)
+             * (c1.cont1 / (SELECT btypes FROM knbt)))
+    )), 6) AS kn_logprob
+  FROM kntri p
+  JOIN knc3 c3 ON p.x = c3.x AND p.y = c3.y AND p.z = c3.z
+  JOIN knc2 c2xy ON p.x = c2xy.x AND p.y = c2xy.y
+  JOIN knf3 f3 ON p.x = f3.x AND p.y = f3.y
+  JOIN kncont2 ct ON p.y = ct.y AND p.z = ct.z
+  JOIN knmid m ON p.y = m.y
+  JOIN knnf2 nf ON p.y = nf.y
+  JOIN kncont1 c1 ON p.z = c1.z
+  GROUP BY p.doc_id
+)
+SELECT d.doc_id AS doc_id,
+       CAST(coalesce(s.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+       s.kn_logprob AS kn_logprob
+FROM documents d LEFT JOIN knscored s ON d.doc_id = s.doc_id"""
+
+
+ORACLES["docs_kn_logprob"] = _kn_trigram_logprob_sql(0.75)
+
+
 # Streaming classifier gate (streaming/rollup.py StreamingQualityGate):
 # drained per-doc margin table == the batch classifier application.
 ORACLES["streaming_quality_gate"] = ORACLES["docs_quality_classifier"]

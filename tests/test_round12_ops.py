@@ -112,3 +112,114 @@ def test_chunking_symbols_distinct_and_both_work(spark):
     }
     assert legacy == {0: 50, 1: 25}
     assert sliding == {0: (0, 64), 1: (48, 17)}
+
+
+# --- Kneser-Ney trigram LM ---------------------------------------------------
+
+def _ref_kn_lm(texts: dict[int, str], D: float = 0.75):
+    """Brute-force interpolated Kneser-Ney trigram LM — written
+    independently of the operator (dict counting, no Spark): raw counts
+    at the top level, continuation TYPE counts below."""
+    import math
+
+    tok = {i: _pytokens(t) for i, t in texts.items()}
+    c2, c3 = {}, {}
+    for ws in tok.values():
+        for a, b in zip(ws, ws[1:]):
+            c2[(a, b)] = c2.get((a, b), 0) + 1
+        for a, b, c in zip(ws, ws[1:], ws[2:]):
+            c3[(a, b, c)] = c3.get((a, b, c), 0) + 1
+    f3, cont2, midy = {}, {}, {}
+    for (a, b, c) in c3:
+        f3[(a, b)] = f3.get((a, b), 0) + 1
+        cont2[(b, c)] = cont2.get((b, c), 0) + 1
+        midy[b] = midy.get(b, 0) + 1
+    nf2 = {}
+    for (b, _c) in cont2:
+        nf2[b] = nf2.get(b, 0) + 1
+    cont1 = {}
+    for (_a, b) in c2:
+        cont1[b] = cont1.get(b, 0) + 1
+    B = len(c2)
+    out = {}
+    for i, ws in tok.items():
+        if len(ws) < 3:
+            out[i] = (0, None)
+            continue
+        lps = []
+        for x, y, z in zip(ws, ws[1:], ws[2:]):
+            p1 = cont1[z] / B
+            p2 = (
+                max(cont2[(y, z)] - D, 0.0) / midy[y]
+                + (D * nf2[y] / midy[y]) * p1
+            )
+            p3 = (
+                max(c3[(x, y, z)] - D, 0.0) / c2[(x, y)]
+                + (D * f3[(x, y)] / c2[(x, y)]) * p2
+            )
+            lps.append(math.log(p3))
+        out[i] = (len(lps), round(sum(lps) / len(lps), 6))
+    return out
+
+
+def test_kn_logprob_property_random_corpora(spark):
+    """Randomized small-vocab corpora vs the brute-force KN reference —
+    random repetition geometry exercises every count table, every
+    continuation-type aggregate, and the discount max() at cnt=1."""
+    import random
+
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.functions.text import (
+        kn_trigram_logprob_scores,
+    )
+
+    rng = random.Random(37)
+    vocab = ["a", "b", "c", "d", "e"]
+    for trial in range(3):
+        texts = {
+            i: " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 14)))
+            for i in range(12)
+        }
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in texts.items()], "doc_id long, text string"
+        )
+        want = _ref_kn_lm(texts)
+        got = {
+            r["doc_id"]: (r["n_trigrams"], r["kn_logprob"])
+            for r in kn_trigram_logprob_scores(docs).collect()
+        }
+        assert set(got) == set(want), trial
+        for i in want:
+            assert got[i][0] == want[i][0], (trial, i)
+            if want[i][1] is None:
+                assert got[i][1] is None, (trial, i)
+            else:
+                assert abs(got[i][1] - want[i][1]) < 2e-6, (trial, i)
+
+
+def test_kn_continuation_counts_demote_single_context_words(spark):
+    """The KN point: 'francisco' is FREQUENT but only ever follows
+    'san', so its continuation count (distinct left contexts) is tiny
+    while its raw frequency is large — a novel '... francisco'
+    continuation must score LOWER under KN than under the raw-count
+    absolute-discount trigram model on the identical corpus."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.functions.text import (
+        kn_trigram_logprob_scores,
+        trigram_logprob_scores,
+    )
+
+    texts = {
+        1: "san francisco " * 30,          # francisco: frequent, 1 context
+        2: "the a the b the c the d",      # filler with diverse followers
+        3: "a b francisco",                # the novel-continuation probe
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    kn = {r["doc_id"]: r for r in kn_trigram_logprob_scores(docs).collect()}
+    ad = {r["doc_id"]: r for r in trigram_logprob_scores(docs).collect()}
+    assert kn[3]["n_trigrams"] == ad[3]["n_trigrams"] == 1
+    assert kn[3]["kn_logprob"] < ad[3]["trigram_logprob"]
+    # docs with < 3 tokens score NULL with zero trigrams
+    short = spark.createDataFrame([(9, "two words")], "doc_id long, text string")
+    row = kn_trigram_logprob_scores(short).collect()[0]
+    assert row["n_trigrams"] == 0 and row["kn_logprob"] is None
