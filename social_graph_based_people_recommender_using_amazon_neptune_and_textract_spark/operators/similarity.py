@@ -1248,3 +1248,181 @@ def diversity_prune(
             ).alias("keep"),
         )
     )
+
+
+def knn_refine(
+    embeddings: DataFrame,
+    k: int = 10,
+    nprobe: int = 1,
+    rev_cap: int | None = None,
+) -> DataFrame:
+    """One NN-Descent refinement round over the pinned kNN graph (Dong
+    et al. 2011, the standard graph-ANN build step ``knn_graph``'s
+    docstring names as its consumer): "a neighbor of a neighbor is
+    likely a neighbor" — expand each vector's candidate set to its
+    two-hop neighborhood over the SYMMETRIZED graph, re-score exactly,
+    keep the global top-k. Because the seed graph's edges can cross IVF
+    cells (a vector's probed cell is its nearest CENTROID's, not
+    necessarily its own label's), the expansion recovers true neighbors
+    the cell-bounded seed pass missed — recall strictly improves, and
+    the original neighbors are kept in the candidate union so the
+    result can never be worse than the seed graph (monotonicity, the
+    keep-best invariant of NN-Descent).
+
+    Determinism + boundedness: reverse edges are capped at ``rev_cap``
+    (default k) per target — the k best in-edges by (cos DESC, vec_id
+    ASC) — so the symmetrized degree is ≤ 2k and the candidate set
+    ≤ 4k² per vector (NN-Descent's sampled reverse neighborhood, made
+    deterministic by ranking instead of sampling; the r11 hot-bucket
+    lesson applied BEFORE the skew bites: in-degree hubs are exactly
+    the skew that would otherwise square).
+
+    Spark shape: the expansion is two self-joins on the k·N-row edge
+    relation (never touches vectors); re-scoring runs at the Arrow
+    boundary with the same blocked-bipartite device as ``knn_graph`` —
+    pairs land in their (hash(u), hash(w)) block-pair group alongside
+    the ≤ B-replicated query/member vectors, numpy evaluates each
+    group's pair list with the strictly-sequential per-dimension fold
+    (bit-identical to the JVM/list_sum form), the 6dp round and the
+    exact rank window stay JVM-side. Shuffle volume is the candidate
+    list (≤ 4k²N skinny id-pair rows) plus 2·B·N vector rows — the
+    irreducible cost of one refinement round; output is k·N."""
+    g = pinned_knn_graph(embeddings, k=k, nprobe=nprobe)
+    rcap = int(rev_cap) if rev_cap is not None else int(k)
+    wrev = Window.partitionBy("neighbor_id").orderBy(
+        F.desc("cos"), F.asc("vec_id")
+    )
+    rev = (
+        g.withColumn("rr", F.row_number().over(wrev))
+        .filter(F.col("rr") <= rcap)
+        .select(
+            F.col("neighbor_id").alias("vec_id"),
+            F.col("vec_id").alias("neighbor_id"),
+        )
+    )
+    und = g.select("vec_id", "neighbor_id").unionByName(rev).distinct()
+    twohop = (
+        und.alias("a")
+        .join(
+            und.select(
+                F.col("vec_id").alias("mid"),
+                F.col("neighbor_id").alias("cand_id"),
+            ),
+            F.col("a.neighbor_id") == F.col("mid"),
+        )
+        .select("vec_id", "cand_id")
+        .filter(F.col("vec_id") != F.col("cand_id"))
+    )
+    cand = twohop.unionByName(
+        g.select("vec_id", F.col("neighbor_id").alias("cand_id"))
+    ).distinct()
+
+    base = with_norm(embeddings.select("vec_id", "label", "embedding"))
+    B = KNN_SCORE_BLOCKS
+    blk = lambda c: F.pmod(F.xxhash64(c), F.lit(B)).cast("int")  # noqa: E731
+    all_blocks = F.explode(F.sequence(F.lit(0), F.lit(B - 1)))
+    null_v = F.lit(None).cast("array<double>")
+    null_d = F.lit(None).cast("double")
+    q_rep = base.select(
+        "vec_id",
+        F.lit(None).cast("long").alias("other_id"),
+        "v",
+        "n2",
+        F.lit(0).alias("role"),
+        blk(F.col("vec_id")).alias("qb"),
+        all_blocks.alias("mb"),
+    )
+    m_rep = base.select(
+        "vec_id",
+        F.lit(None).cast("long").alias("other_id"),
+        "v",
+        "n2",
+        F.lit(1).alias("role"),
+        all_blocks.alias("qb"),
+        blk(F.col("vec_id")).alias("mb"),
+    ).select("vec_id", "other_id", "v", "n2", "role", "qb", "mb")
+    p_rep = cand.select(
+        "vec_id",
+        F.col("cand_id").alias("other_id"),
+        null_v.alias("v"),
+        null_d.alias("n2"),
+        F.lit(2).alias("role"),
+        blk(F.col("vec_id")).alias("qb"),
+        blk(F.col("cand_id")).alias("mb"),
+    )
+
+    kk = int(k)
+
+    def _score_pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {"vec_id": [], "neighbor_id": [], "cos_raw": []}
+        ).astype(
+            {"vec_id": "int64", "neighbor_id": "int64", "cos_raw": "float64"}
+        )
+        ps = pdf[pdf["role"] == 2]
+        if len(ps) == 0:
+            return empty
+        qs = pdf[pdf["role"] == 0]
+        ms = pdf[pdf["role"] == 1]
+        q_ids = qs["vec_id"].to_numpy()
+        m_ids = ms["vec_id"].to_numpy()
+        Qv = np.stack(qs["v"].to_numpy())
+        Mv = np.stack(ms["v"].to_numpy())
+        qn = np.sqrt(qs["n2"].to_numpy())
+        mn = np.sqrt(ms["n2"].to_numpy())
+        qpos = {int(i): p for p, i in enumerate(q_ids)}
+        mpos = {int(i): p for p, i in enumerate(m_ids)}
+        out_q: list = []
+        out_m: list = []
+        out_c: list = []
+        for u, grp in ps.groupby("vec_id"):
+            i = qpos[int(u)]
+            sel = np.fromiter(
+                (mpos[int(w)] for w in grp["other_id"]),
+                dtype=np.int64,
+                count=len(grp),
+            )
+            prod = Mv[sel] * Qv[i]
+            acc = np.zeros(prod.shape[0])
+            for j in range(prod.shape[1]):
+                acc = acc + prod[:, j]
+            cos = acc / (qn[i] * mn[sel])
+            ids = m_ids[sel]
+            if len(cos) > kk:
+                kth = np.partition(cos, len(cos) - kk)[len(cos) - kk]
+                keep = cos >= kth - KNN_ROUND_MARGIN
+                cos, ids = cos[keep], ids[keep]
+            out_q.append(np.full(len(ids), int(u)))
+            out_m.append(ids)
+            out_c.append(cos)
+        if not out_q:
+            return empty
+        return pd.DataFrame(
+            {
+                "vec_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_m),
+                "cos_raw": np.concatenate(out_c),
+            }
+        )
+
+    raw = (
+        q_rep.unionByName(m_rep)
+        .unionByName(p_rep)
+        .groupBy("qb", "mb")
+        .applyInPandas(
+            _score_pairs, "vec_id long, neighbor_id long, cos_raw double"
+        )
+    )
+    scored = raw.select(
+        "vec_id", "neighbor_id", F.round(F.col("cos_raw"), 6).alias("cos")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )

@@ -1381,6 +1381,54 @@ ORACLES["emb_knn_graph"] = f"""\
 WITH {_KNN_CTES}
 SELECT vec_id, neighbor_id, cos, rank FROM kranked WHERE rank <= 5"""
 
+# One NN-Descent refinement round (operators/similarity.py knn_refine):
+# symmetrize the seed graph with reverse edges capped at k per target
+# (cos DESC, vec_id ASC — deterministic in place of NN-Descent's
+# sampling), expand to the two-hop neighborhood, union the original
+# neighbors, re-score exactly, keep the global top-k. The twin is the
+# direct relational form of the same expansion over the shared kranked
+# chain.
+ORACLES["emb_knn_refined"] = f"""\
+WITH {_KNN_CTES},
+rfg AS (SELECT vec_id, neighbor_id, cos FROM kranked WHERE rank <= 5),
+rfrev AS (
+  SELECT neighbor_id AS vec_id, vec_id AS neighbor_id FROM (
+    SELECT vec_id, neighbor_id,
+      row_number() OVER (
+        PARTITION BY neighbor_id ORDER BY cos DESC, vec_id ASC) AS rr
+    FROM rfg
+  ) WHERE rr <= 5
+),
+rfund AS (
+  SELECT DISTINCT vec_id, neighbor_id FROM (
+    SELECT vec_id, neighbor_id FROM rfg
+    UNION ALL
+    SELECT vec_id, neighbor_id FROM rfrev
+  )
+),
+rfcand AS (
+  SELECT a.vec_id, b.neighbor_id AS cand_id
+  FROM rfund a JOIN rfund b ON a.neighbor_id = b.vec_id
+  WHERE a.vec_id <> b.neighbor_id
+  UNION
+  SELECT vec_id, neighbor_id AS cand_id FROM rfg
+),
+rfscored AS (
+  SELECT c.vec_id, c.cand_id AS neighbor_id,
+    round({_DOT.format(a="q.v", b="n.v")} / (sqrt(q.n2) * sqrt(n.n2)), 6)
+      AS cos
+  FROM rfcand c
+  JOIN norms q ON q.vec_id = c.vec_id
+  JOIN norms n ON n.vec_id = c.cand_id
+),
+rfranked AS (
+  SELECT vec_id, neighbor_id, cos,
+    CAST(row_number() OVER (
+      PARTITION BY vec_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+  FROM rfscored
+)
+SELECT vec_id, neighbor_id, cos, rank FROM rfranked WHERE rank <= 5"""
+
 # kNN-graph diversity pruning (operators/similarity.py
 # diversity_prune): redundant iff the rank-1 neighbor is ≥ min_cos
 # close AND has a smaller id (keep-min, one survivor per close pair).

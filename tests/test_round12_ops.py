@@ -223,3 +223,85 @@ def test_kn_continuation_counts_demote_single_context_words(spark):
     short = spark.createDataFrame([(9, "two words")], "doc_id long, text string")
     row = kn_trigram_logprob_scores(short).collect()[0]
     assert row["n_trigrams"] == 0 and row["kn_logprob"] is None
+
+
+# --- kNN-graph NN-Descent refinement ----------------------------------------
+
+def test_knn_refine_recall_beats_seed_graph(spark):
+    """One NN-Descent round must IMPROVE recall vs brute-force top-k:
+    the two-hop expansion reaches true neighbors the cell-bounded seed
+    pass missed. Pinned floors on the sf0.001 corpus (measured: seed
+    0.16, refined 0.35) plus the keep-best invariant — every refined
+    (vec, rank) cosine >= the seed graph's."""
+    import numpy as np
+
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        similarity as S,
+    )
+
+    emb = spark.read.parquet(f"{SF_001}/embeddings.parquet")
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    V = np.stack([np.array(r["embedding"], dtype=np.float64) for r in rows])
+    nrm = V / np.linalg.norm(V, axis=1, keepdims=True)
+    cos = nrm @ nrm.T
+    np.fill_diagonal(cos, -2)
+    k = 5
+    true = {
+        int(vid): {
+            int(ids[j]) for j in np.lexsort((ids, -cos[i]))[:k]
+        }
+        for i, vid in enumerate(ids)
+    }
+
+    def neighbors(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r["vec_id"], {})[r["rank"]] = (
+                r["neighbor_id"], r["cos"]
+            )
+        return got
+
+    seed = neighbors(S.pinned_knn_graph(emb, k=k, nprobe=1))
+    refined = neighbors(S.knn_refine(emb, k=k, nprobe=1))
+
+    def recall(got):
+        hits = sum(
+            len({n for n, _ in got.get(v, {}).values()} & t)
+            for v, t in true.items()
+        )
+        return hits / (len(true) * k)
+
+    r_seed, r_ref = recall(seed), recall(refined)
+    assert r_ref > r_seed, (r_seed, r_ref)
+    assert r_seed > 0.10, r_seed   # seed floor: regression canary
+    assert r_ref > 0.30, r_ref     # refined floor: must stay a real lift
+    # keep-best invariant: candidates are a superset of the seed
+    # neighbors, so each (vec, rank) slot's cosine never decreases
+    for v, ranks in seed.items():
+        for rk, (_n, c) in ranks.items():
+            assert refined[v][rk][1] >= c - 1e-9, (v, rk)
+
+
+def test_knn_refine_includes_seed_edges_and_is_topk_shaped(spark):
+    """Output contract: ranks are 1..<=k dense per vector, ties broken
+    by neighbor_id, self-edges excluded, and every vector of the seed
+    graph still has k neighbors (the union keeps the graph total)."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        similarity as S,
+    )
+
+    emb = spark.read.parquet(f"{SF_001}/embeddings.parquet").limit(120)
+    out = S.knn_refine(emb, k=3, nprobe=1).collect()
+    per = {}
+    for r in out:
+        assert r["vec_id"] != r["neighbor_id"]
+        per.setdefault(r["vec_id"], []).append((r["rank"], r["cos"], r["neighbor_id"]))
+    seed = S.pinned_knn_graph(emb, k=3, nprobe=1).collect()
+    seed_vecs = {r["vec_id"] for r in seed}
+    assert set(per) == seed_vecs
+    for v, lst in per.items():
+        lst.sort()
+        assert [rk for rk, _c, _n in lst] == list(range(1, len(lst) + 1))
+        for (r1, c1, n1), (r2, c2, n2) in zip(lst, lst[1:]):
+            assert c1 > c2 or (c1 == c2 and n1 < n2)
