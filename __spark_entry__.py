@@ -2803,6 +2803,23 @@ def _q_media_training_manifest(spark, sf_dir):
     )
 
 
+def _q_media_training_manifest_av(spark, sf_dir):
+    """Unified video+audio manifest (operators/curation.py
+    media_training_manifest_av): duration/aspect gates → per-modality
+    copy closures (video = aligned re-encode ∪ offset-consistent clip
+    edges over one pinned frame-hash index; audio = offset-consistent
+    edges) → min-id canonical survivors → per-source quota across both
+    modalities → byte shards over the unified stream — the composition
+    that makes the r11 AV dedup tier consumable end-to-end."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.curation import (
+        media_training_manifest_av,
+    )
+
+    return media_training_manifest_av(
+        tables.load_table(spark, sf_dir, "documents")
+    )
+
+
 def _q_docs_packed_sequences(spark, sf_dir):
     """GPT-style concat-and-split packing (operators/packing.py
     packed_sequences, L=512): each document's fixed-length-sequence
@@ -3253,6 +3270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_substring_stripped": _q_docs_substring_stripped,
         "docs_training_manifest": _q_docs_training_manifest,
         "media_training_manifest": _q_media_training_manifest,
+        "media_training_manifest_av": _q_media_training_manifest_av,
         "docs_packed_sequences": _q_docs_packed_sequences,
         "docs_dsir_weights": _q_docs_dsir_weights,
         "docs_source_mixture": _q_docs_source_mixture,

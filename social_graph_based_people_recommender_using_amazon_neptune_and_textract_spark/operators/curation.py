@@ -260,3 +260,132 @@ def pinned_media_training_manifest(
         lambda: (media_training_manifest(documents, cap, byte_budget),),
     )
     return m
+
+
+#: AV duration gates: a video needs enough sampled frames / an audio
+#: clip enough fingerprint windows to be trainable (the Video-LAION /
+#: audio-crawl minimum-duration filter shape — integer header reads).
+AV_MIN_FRAMES = 6
+AV_MIN_WINDOWS = 4
+
+
+def media_training_manifest_av(
+    documents: DataFrame, cap: int = 20, byte_budget: int = 4096
+) -> DataFrame:
+    """The video+audio twin of ``media_training_manifest`` — what makes
+    the AV dedup tier consumable end-to-end by a trainer's loader:
+    duration/aspect gates → copy-detection canonical survivors →
+    per-source quota → byte-budget shard packing over the UNIFIED AV
+    stream. Returns (media_id, kind, source, n_bytes, shard_id).
+
+    Gates (independent predicates, the module's composition rule):
+    - video: aspect max(w,h) ≤ 2·min(w,h) AND n_frames ≥ AV_MIN_FRAMES;
+    - audio: window count ≥ AV_MIN_WINDOWS (the container's frame field
+      carries duration, read like a real decoder reads it);
+    - keep iff NOT a non-canonical member of the modality's copy
+      closure — video edges are the UNION of the aligned re-encode
+      matches (video_dup_pairs) and the offset-consistent clip matches
+      (video_clip_pairs) over the same pinned frame-hash index, audio
+      edges are audio_dup_pairs; canonical = min media_id, so the base
+      upload survives its re-encodes AND its trimmed re-uploads;
+    - at most ``cap`` media per source across BOTH modalities (the
+      salted two-phase top-k), source inherited from the spawning
+      document.
+
+    Scale: every constituent is a pin or a reuse — the frame/window
+    hash indexes and the pair closures are the standalone dedup
+    queries' pinned relations; decode headers are pinned per corpus
+    (the image tier's quality-stats pattern); the quota is the salted
+    two-phase top-k; shards are the generic two-phase byte prefix sum.
+    Composition adds two anti-joins, one dimension join and one union —
+    no new decode pass, no new candidate generation."""
+    from .components import pinned_connected_components
+    from .multimodal import (
+        ASPECT_MAX_RATIO,
+        MEDIA_CLIP_OFFSET,
+        MEDIA_VARIANT_OFFSET,
+        audio_dup_pairs,
+        decode_media,
+        synth_audio_corpus,
+        synth_media_clip_aug,
+        video_clip_pairs,
+        video_dup_pairs,
+    )
+    from .packing import weighted_shards
+    from .quota import domain_quota
+
+    videos = synth_media_clip_aug(documents).filter(F.col("kind") == "video")
+    audio = synth_audio_corpus(documents)
+    (vmeta,) = pinned(
+        ("av_video_meta", videos.semanticHash()),
+        lambda: (decode_media(videos),),
+    )
+    (ameta,) = pinned(
+        ("av_audio_meta", audio.semanticHash()),
+        lambda: (decode_media(audio),),
+    )
+
+    vgate = vmeta.filter(
+        (
+            F.greatest(F.col("width"), F.col("height"))
+            <= F.lit(int(ASPECT_MAX_RATIO))
+            * F.least(F.col("width"), F.col("height"))
+        )
+        & (F.col("n_frames") >= F.lit(int(AV_MIN_FRAMES)))
+    )
+    agate = ameta.filter(F.col("n_frames") >= F.lit(int(AV_MIN_WINDOWS)))
+
+    vedges = (
+        video_dup_pairs(videos)
+        .select("media_a", "media_b")
+        .unionByName(video_clip_pairs(videos).select("media_a", "media_b"))
+        .distinct()
+    )
+    aedges = audio_dup_pairs(audio).select("media_a", "media_b").distinct()
+
+    def _noncanon(edges):
+        cc = pinned_connected_components(
+            edges, a_col="media_a", b_col="media_b"
+        )
+        return cc.filter(F.col("label") != F.col("node")).select(
+            F.col("node").alias("media_id")
+        )
+
+    vkept = vgate.join(_noncanon(vedges), "media_id", "left_anti").select(
+        "media_id",
+        F.lit("video").alias("kind"),
+        F.col("payload_len").cast("long").alias("n_bytes"),
+    )
+    akept = agate.join(_noncanon(aedges), "media_id", "left_anti").select(
+        "media_id",
+        F.lit("audio").alias("kind"),
+        F.col("payload_len").cast("long").alias("n_bytes"),
+    )
+    kept = vkept.unionByName(akept)
+
+    mid = F.col("media_id")
+    src = kept.withColumn(
+        "src_id",
+        F.when(mid >= MEDIA_CLIP_OFFSET, mid - MEDIA_CLIP_OFFSET)
+        .when(mid >= MEDIA_VARIANT_OFFSET, mid - MEDIA_VARIANT_OFFSET)
+        .otherwise(mid),
+    ).join(
+        F.broadcast(
+            documents.select(F.col("doc_id").alias("src_id"), "source")
+        ),
+        "src_id",
+    )
+    quota = domain_quota(
+        src, cap, domain_col="source", id_col="media_id"
+    ).select("media_id", "source")
+    weighted = kept.select("media_id", "n_bytes").join(
+        quota, "media_id", "left_semi"
+    )
+    shards = weighted_shards(
+        weighted, byte_budget, id_col="media_id", weight_col="n_bytes"
+    )
+    return (
+        shards.join(quota, "media_id")
+        .join(kept.select("media_id", "kind"), "media_id")
+        .select("media_id", "kind", "source", "n_bytes", "shard_id")
+    )

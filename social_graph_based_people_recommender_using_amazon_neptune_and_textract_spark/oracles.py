@@ -1890,6 +1890,109 @@ SELECT media_a, media_b, window_offset,
 FROM amatch GROUP BY media_a, media_b, window_offset
 HAVING count(*) >= 2"""
 
+# Unified AV training manifest (operators/curation.py
+# media_training_manifest_av): duration/aspect gates → per-modality
+# copy closures (video = aligned re-encode ∪ offset-consistent clip
+# edges over the clip corpus; audio = offset-consistent edges) →
+# canonical (min-id) survivors → per-source quota over BOTH modalities
+# → byte-budget prefix-sum shards over the unified media_id order.
+ORACLES["media_training_manifest_av"] = f"""\
+WITH RECURSIVE {_VID_CLIP_PHASH},
+{_AUD_HASH},
+avvp AS (
+  SELECT a.media_id AS media_a, b.media_id AS media_b
+  FROM cdh a JOIN cdh b ON a.f = b.f AND a.media_id < b.media_id
+  WHERE bit_count(xor(a.dhash, b.dhash)) <= 7
+  GROUP BY a.media_id, b.media_id
+  HAVING count(*) >= 2
+),
+avcp AS (
+  SELECT media_a, media_b FROM (
+    SELECT a.media_id AS media_a, b.media_id AS media_b, b.f - a.f AS off
+    FROM cdh a JOIN cdh b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+  ) GROUP BY media_a, media_b, off
+  HAVING count(*) >= 2
+),
+avve AS (
+  SELECT media_a, media_b FROM avvp
+  UNION
+  SELECT media_a, media_b FROM avcp
+),
+avvpe AS (
+  SELECT media_a AS a, media_b AS b FROM avve
+  UNION ALL
+  SELECT media_b AS a, media_a AS b FROM avve
+),
+avvreach(node, label) AS (
+  SELECT DISTINCT a, a FROM avvpe
+  UNION
+  SELECT avvpe.a, r.label FROM avvpe JOIN avvreach r ON r.node = avvpe.b
+),
+avvnc AS (
+  SELECT node AS media_id FROM avvreach GROUP BY node
+  HAVING min(label) <> node
+),
+avae AS (
+  SELECT DISTINCT media_a, media_b FROM (
+    SELECT a.media_id AS media_a, b.media_id AS media_b, b.w - a.w AS off
+    FROM adh a JOIN adh b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.whash, b.whash)) <= 3
+    ) GROUP BY media_a, media_b, off
+    HAVING count(*) >= 2
+),
+avape AS (
+  SELECT media_a AS a, media_b AS b FROM avae
+  UNION ALL
+  SELECT media_b AS a, media_a AS b FROM avae
+),
+avareach(node, label) AS (
+  SELECT DISTINCT a, a FROM avape
+  UNION
+  SELECT avape.a, r.label FROM avape JOIN avareach r ON r.node = avape.b
+),
+avanc AS (
+  SELECT node AS media_id FROM avareach GROUP BY node
+  HAVING min(label) <> node
+),
+avkept AS (
+  SELECT media_id, 'video' AS kind, CAST(plen AS BIGINT) AS n_bytes
+  FROM cmeta
+  WHERE greatest(w, h) <= 2 * least(w, h) AND nf >= 6
+    AND media_id NOT IN (SELECT media_id FROM avvnc)
+  UNION ALL
+  SELECT media_id, 'audio', CAST(plen AS BIGINT)
+  FROM ameta
+  WHERE nw >= 4
+    AND media_id NOT IN (SELECT media_id FROM avanc)
+),
+avsrc AS (
+  SELECT k.media_id, k.kind, k.n_bytes, d.source
+  FROM avkept k JOIN documents d
+    ON d.doc_id = CASE
+      WHEN k.media_id >= 2000000000 THEN k.media_id - 2000000000
+      WHEN k.media_id >= 1000000000 THEN k.media_id - 1000000000
+      ELSE k.media_id END
+),
+avq AS (
+  SELECT media_id, kind, n_bytes, source FROM (
+    SELECT media_id, kind, n_bytes, source,
+      row_number() OVER (PARTITION BY source
+        ORDER BY md5(CAST(media_id AS VARCHAR)), media_id) AS rk
+    FROM avsrc
+  ) WHERE rk <= 20
+),
+avpre AS (
+  SELECT media_id, kind, source, n_bytes,
+    COALESCE(SUM(n_bytes) OVER (
+      ORDER BY media_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    ), 0) AS ce
+  FROM avq
+)
+SELECT media_id, kind, source, CAST(n_bytes AS BIGINT) AS n_bytes,
+  CAST(FLOOR(ce / 4096.0) AS BIGINT) AS shard_id
+FROM avpre"""
+
 # Media training manifest (operators/curation.py
 # media_training_manifest): the image-side curation composition —
 # aspect + feature-score gates, pHash-canonical survivors, per-source

@@ -305,3 +305,99 @@ def test_knn_refine_includes_seed_edges_and_is_topk_shaped(spark):
         assert [rk for rk, _c, _n in lst] == list(range(1, len(lst) + 1))
         for (r1, c1, n1), (r2, c2, n2) in zip(lst, lst[1:]):
             assert c1 > c2 or (c1 == c2 and n1 < n2)
+
+
+# --- unified AV training manifest --------------------------------------------
+
+def test_av_manifest_composition_contracts(spark):
+    """Every AV manifest row survived every gate (video aspect +
+    duration, audio duration); no non-canonical member of either copy
+    closure appears (re-encodes AND trimmed clips drop when their base
+    survives); per-source counts respect the cap across BOTH
+    modalities; the byte shards are a prefix-sum partition of the
+    unified media_id order."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        multimodal as M,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.curation import (
+        AV_MIN_FRAMES,
+        AV_MIN_WINDOWS,
+        media_training_manifest_av,
+    )
+
+    docs = spark.read.parquet(f"{SF_001}/documents.parquet")
+    rows = media_training_manifest_av(docs, cap=20, byte_budget=4096).collect()
+    assert len(rows) > 0
+    kinds = {r["kind"] for r in rows}
+    assert kinds == {"video", "audio"}
+    ids = {r["media_id"] for r in rows}
+
+    videos = M.synth_media_clip_aug(docs).filter("kind = 'video'")
+    audio = M.synth_audio_corpus(docs)
+    vmeta = {r["media_id"]: r for r in M.decode_media(videos).collect()}
+    ameta = {r["media_id"]: r for r in M.decode_media(audio).collect()}
+
+    vedges = [
+        (r["media_a"], r["media_b"])
+        for r in M.video_dup_pairs(videos).collect()
+    ] + [
+        (r["media_a"], r["media_b"])
+        for r in M.video_clip_pairs(videos).collect()
+    ]
+    aedges = [
+        (r["media_a"], r["media_b"]) for r in M.audio_dup_pairs(audio).collect()
+    ]
+
+    def _noncanon(edges):
+        lbl = {}
+        for a, b in edges:
+            lbl.setdefault(a, a)
+            lbl.setdefault(b, b)
+
+        def find(x):
+            while lbl[x] != x:
+                lbl[x] = lbl[lbl[x]]
+                x = lbl[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lbl[max(ra, rb)] = min(ra, rb)
+        return {n for n in lbl if find(n) != n}
+
+    v_nc, a_nc = _noncanon(vedges), _noncanon(aedges)
+
+    per_source = {}
+    for r in rows:
+        mid = r["media_id"]
+        if r["kind"] == "video":
+            m = vmeta[mid]
+            assert max(m["width"], m["height"]) <= 2 * min(
+                m["width"], m["height"]
+            ), mid
+            assert m["n_frames"] >= AV_MIN_FRAMES, mid
+            assert mid not in v_nc, mid
+        else:
+            m = ameta[mid]
+            assert m["n_frames"] >= AV_MIN_WINDOWS, mid
+            assert mid not in a_nc, mid
+        assert r["n_bytes"] == m["payload_len"]
+        per_source[r["source"]] = per_source.get(r["source"], 0) + 1
+    assert all(n <= 20 for n in per_source.values())
+
+    # shard assignment == floor(exclusive byte prefix sum / budget)
+    # over the UNIFIED media_id order of the selected set
+    ordered = sorted(rows, key=lambda r: r["media_id"])
+    acc = 0
+    for r in ordered:
+        assert r["shard_id"] == acc // 4096, r["media_id"]
+        acc += r["n_bytes"]
+
+    # canonical preference: a surviving variant/clip implies its base
+    # was gated away (never outranked by min-id)
+    for mid in ids:
+        if mid >= M.MEDIA_VARIANT_OFFSET:
+            assert mid % M.MEDIA_VARIANT_OFFSET not in ids or (
+                mid - M.MEDIA_VARIANT_OFFSET
+            ) not in ids
