@@ -554,6 +554,57 @@ def _q_streaming_media_phash(spark, sf_dir):
     return d.pairs()
 
 
+def _q_streaming_video_phash(spark, sf_dir):
+    """Streaming video copy detection (streaming/avdedup.py
+    StreamingVideoDeduper): replay the variant-augmented media table as
+    a micro-batched stream through the incremental frame-hash indexes
+    (aligned byte-block + unaligned 16-bit generators); on the drained
+    stream the aligned read is row-identical to batch
+    ``video_dup_pairs`` — shares its oracle."""
+    import tempfile
+
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.multimodal import (
+        synth_media_aug,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.streaming.avdedup import (
+        StreamingVideoDeduper,
+    )
+
+    media = synth_media_aug(tables.load_table(spark, sf_dir, "documents"))
+    base = tempfile.mkdtemp(prefix="sgr-svpd-")
+    media.repartition(3).write.mode("overwrite").parquet(f"{base}/landing")
+    d = StreamingVideoDeduper(spark, f"{base}/wh")
+    d.run_available_now(
+        f"{base}/landing", f"{base}/ckpt", max_files_per_trigger=1
+    )
+    return d.pairs_aligned()
+
+
+def _q_streaming_audio_pairs(spark, sf_dir):
+    """Streaming audio copy detection (streaming/avdedup.py
+    StreamingAudioDeduper): replay the audio corpus (re-encodes +
+    trimmed clips) as a micro-batched stream through the incremental
+    16-bit-banded window-hash index; the drained offset-consistent read
+    is row-identical to batch ``audio_dup_pairs`` — shares its oracle."""
+    import tempfile
+
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.multimodal import (
+        synth_audio_corpus,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.streaming.avdedup import (
+        StreamingAudioDeduper,
+    )
+
+    audio = synth_audio_corpus(tables.load_table(spark, sf_dir, "documents"))
+    base = tempfile.mkdtemp(prefix="sgr-sapd-")
+    audio.repartition(3).write.mode("overwrite").parquet(f"{base}/landing")
+    d = StreamingAudioDeduper(spark, f"{base}/wh")
+    d.run_available_now(
+        f"{base}/landing", f"{base}/ckpt", max_files_per_trigger=1
+    )
+    return d.pairs()
+
+
 def _q_archive_replay(spark, sf_dir):
     """O4 round-trip: write the Firehose-style gzip archive, replay it
     through the partition-pruned reader (year+month predicates), return
@@ -3229,6 +3280,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_media_phash": _q_dedup_media_phash,
         "media_dup_clusters": _q_media_dup_clusters,
         "streaming_media_phash": _q_streaming_media_phash,
+        "streaming_video_phash": _q_streaming_video_phash,
+        "streaming_audio_pairs": _q_streaming_audio_pairs,
         "media_video_frame_phash": _q_media_video_frame_phash,
         "dedup_video_pairs": _q_dedup_video_pairs,
         "dedup_video_clip_pairs": _q_dedup_video_clip_pairs,

@@ -4767,6 +4767,12 @@ ORACLES["streaming_boilerplate"] = ORACLES["docs_boilerplate_stripped"]
 # mediadedup.py StreamingImageDeduper convergence contract).
 ORACLES["streaming_media_phash"] = ORACLES["dedup_media_phash"]
 
+# Streaming AV copy detection (streaming/avdedup.py): drained
+# incremental indexes must equal the batch matchers on the same
+# corpora — the streaming queries share the batch oracles verbatim.
+ORACLES["streaming_video_phash"] = ORACLES["dedup_video_pairs"]
+ORACLES["streaming_audio_pairs"] = ORACLES["dedup_audio_pairs"]
+
 
 # Split-representativeness audit (operators/quality.py
 # split_source_balance): the contingency grid over (source x split)

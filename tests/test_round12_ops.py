@@ -401,3 +401,106 @@ def test_av_manifest_composition_contracts(spark):
             assert mid % M.MEDIA_VARIANT_OFFSET not in ids or (
                 mid - M.MEDIA_VARIANT_OFFSET
             ) not in ids
+
+
+# --- streaming AV dedup -------------------------------------------------------
+
+def _avdocs(spark, n=90):
+    return spark.createDataFrame(
+        [(i, f"doc {i}", "src") for i in range(n)],
+        "doc_id long, text string, source string",
+    )
+
+
+def test_streaming_video_dedup_converges_to_batch(spark, tmp_path):
+    """A drained micro-batched replay of the clip-augmented video
+    corpus yields EXACTLY the batch matchers' rows on BOTH reads —
+    pairs_aligned == video_dup_pairs and pairs_clips ==
+    video_clip_pairs — and replaying the drained landing is a no-op."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        multimodal as M,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.streaming.avdedup import (
+        StreamingVideoDeduper,
+    )
+
+    docs = _avdocs(spark, 90)
+    media = M.synth_media_clip_aug(docs).filter("kind = 'video'")
+    want_aligned = sorted(
+        (r["media_a"], r["media_b"], r["n_matched"])
+        for r in M.video_dup_pairs(media).collect()
+    )
+    want_clips = sorted(
+        (r["media_a"], r["media_b"], r["frame_offset"], r["n_matched"])
+        for r in M.video_clip_pairs(media).collect()
+    )
+    assert want_aligned and want_clips
+    media.repartition(4).write.mode("overwrite").parquet(
+        str(tmp_path / "landing")
+    )
+    d = StreamingVideoDeduper(spark, str(tmp_path / "wh"), compact_every=2)
+    d.run_available_now(
+        str(tmp_path / "landing"), str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    got_aligned = sorted(
+        (r["media_a"], r["media_b"], r["n_matched"])
+        for r in d.pairs_aligned().collect()
+    )
+    got_clips = sorted(
+        (r["media_a"], r["media_b"], r["frame_offset"], r["n_matched"])
+        for r in d.pairs_clips().collect()
+    )
+    assert got_aligned == want_aligned
+    assert got_clips == want_clips
+    # idempotent replay: availableNow skips processed files
+    d.run_available_now(
+        str(tmp_path / "landing"), str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    again = sorted(
+        (r["media_a"], r["media_b"], r["n_matched"])
+        for r in d.pairs_aligned().collect()
+    )
+    assert again == want_aligned
+
+
+def test_streaming_audio_dedup_converges_to_batch(spark, tmp_path):
+    """Drained audio replay == batch audio_dup_pairs (re-encodes at
+    offset 0, trims at −3), idempotent under re-drain."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        multimodal as M,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.streaming.avdedup import (
+        StreamingAudioDeduper,
+    )
+
+    docs = _avdocs(spark, 90)
+    audio = M.synth_audio_corpus(docs)
+    want = sorted(
+        (r["media_a"], r["media_b"], r["window_offset"], r["n_matched"])
+        for r in M.audio_dup_pairs(audio).collect()
+    )
+    assert want
+    audio.repartition(4).write.mode("overwrite").parquet(
+        str(tmp_path / "landing")
+    )
+    d = StreamingAudioDeduper(spark, str(tmp_path / "wh"), compact_every=2)
+    d.run_available_now(
+        str(tmp_path / "landing"), str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    got = sorted(
+        (r["media_a"], r["media_b"], r["window_offset"], r["n_matched"])
+        for r in d.pairs().collect()
+    )
+    assert got == want
+    d.run_available_now(
+        str(tmp_path / "landing"), str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    again = sorted(
+        (r["media_a"], r["media_b"], r["window_offset"], r["n_matched"])
+        for r in d.pairs().collect()
+    )
+    assert again == want
