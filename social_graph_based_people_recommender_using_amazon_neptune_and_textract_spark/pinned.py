@@ -87,6 +87,23 @@ MEMO_CAP = 1024
 #: attributable round-over-round.
 _STATS = {"hits": 0, "builds": 0, "releases": 0}
 
+#: Effective keys touched (hit OR build) since the last snapshot —
+#: consumer-set telemetry for schedulers that release a pin after its
+#: last consumer has run (bench.py's cold pass, r11 verdict item 3:
+#: 61 simultaneously-live pins inflated in-bench cold numbers ~1.7×
+#: over standalone). Telemetry only; never consulted for correctness.
+_TOUCHES: set[Hashable] = set()
+
+
+def touched_keys_snapshot(clear: bool = True) -> set[Hashable]:
+    """The EFFECTIVE registry keys touched since the last snapshot
+    (hits and builds alike). ``clear`` resets the log so per-query
+    attribution is a snapshot-run-snapshot bracket."""
+    s = set(_TOUCHES)
+    if clear:
+        _TOUCHES.clear()
+    return s
+
 
 def stats() -> dict[str, int]:
     """Snapshot of pin telemetry: hits / builds / releases so far plus
@@ -108,6 +125,7 @@ def pinned(
     """Relations for ``key`` (under snapshot ``token``), built + persisted
     at most once per process."""
     k = effective_key(key, token)
+    _TOUCHES.add(k)
     hit = _REGISTRY.get(k)
     if hit is not None:
         _STATS["hits"] += 1
@@ -191,7 +209,13 @@ def release(key: Hashable, token: Hashable | None = None) -> bool:
     invalidates nothing — a previous revision wiped every memo here).
     Unpersist is blocking so storage accounting is deterministic for
     callers that assert on it."""
-    k = effective_key(key, token)
+    return release_effective(effective_key(key, token))
+
+
+def release_effective(k: Hashable) -> bool:
+    """``release`` addressed by the EFFECTIVE registry key (the form
+    ``touched_keys_snapshot`` and ``pinned_keys`` return) — no token
+    re-wrapping, so a scheduler can release exactly what it observed."""
     dfs = _REGISTRY.pop(k, None)
     if dfs is None:
         return False
