@@ -2052,6 +2052,19 @@ def _q_docs_chunks_sliding(spark, sf_dir):
     return sliding_chunks(tables.load_table(spark, sf_dir, "documents"))
 
 
+def _q_docs_chunk_dupes(spark, sf_dir):
+    """Chunk-grain dedup (functions/text.py chunk_dupes): duplicated
+    sliding-window chunks across documents of the planted aug corpus —
+    the embed-once filter a RAG index runs before the embedding pass;
+    one md5-keyed map-side-combined aggregate over the zero-shuffle
+    chunk explode."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.functions.text import (
+        chunk_dupes,
+    )
+
+    return chunk_dupes(_aug(spark, sf_dir))
+
+
 def _q_streaming_enriched_segments(spark, sf_dir):
     """Stream-static dimension enrichment (streaming/enrich.py): the
     events stream joins the broadcast customer dim per micro-batch and
@@ -3237,6 +3250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_enriched_segments": _q_streaming_enriched_segments,
         "docs_chunks": _q_docs_chunks,
         "docs_chunks_sliding": _q_docs_chunks_sliding,
+        "docs_chunk_dupes": _q_docs_chunk_dupes,
         "user_event_pivot": _q_user_event_pivot,
         "customer_spend_quartiles": _q_customer_spend_quartiles,
         "graph_kcore_72": _q_graph_kcore_72,

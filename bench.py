@@ -162,6 +162,7 @@ BENCH_QUERIES = [
     "docs_kn_logprob",
     "emb_knn_refined",
     "media_training_manifest_av",
+    "docs_chunk_dupes",
     # streaming twins (streaming_bpe_encode, streaming_quality_gate,
     # streaming_boilerplate) are driver-verified but not headline
     # entries: each timed run replays a full corpus stream from a

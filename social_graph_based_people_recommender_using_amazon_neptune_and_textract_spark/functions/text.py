@@ -1883,3 +1883,37 @@ def kn_trigram_logprob_scores(
             "kn_logprob",
         )
     )
+
+
+def chunk_dupes(
+    df: DataFrame,
+    chunk_tokens: int = SLIDING_CHUNK_TOKENS,
+    overlap: int = SLIDING_CHUNK_OVERLAP,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document duplicated chunks at the RAG chunk grain — the
+    dedup step a retrieval index runs BEFORE embedding (embedding the
+    same 64-token window twice wastes GPU time and skews nearest-
+    neighbor lists toward duplicated boilerplate). A chunk fingerprint
+    appearing in ≥ 2 distinct documents is a dup group; the canonical
+    location is the (min doc, min chunk_idx within it) — the dedup
+    family's keep-min rule at chunk grain. Returns
+    (chunk_fp, n_occurrences, n_docs, first_doc, first_chunk_idx).
+
+    Scale: ``sliding_chunks`` is the zero-shuffle explode; this adds
+    ONE map-side-combined aggregate keyed by the md5 fingerprint —
+    group count is bounded by corpus chunk count, values are five
+    scalars; no joins, no windows."""
+    ch = sliding_chunks(df, chunk_tokens, overlap, id_col, text_col)
+    first = F.min(F.struct(F.col(id_col), F.col("chunk_idx")))
+    return (
+        ch.groupBy("chunk_fp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.countDistinct(F.col(id_col)).cast("long").alias("n_docs"),
+            first.getField(id_col).alias("first_doc"),
+            first.getField("chunk_idx").alias("first_chunk_idx"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

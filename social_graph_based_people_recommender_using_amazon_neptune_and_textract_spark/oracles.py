@@ -2718,6 +2718,40 @@ SELECT doc_id, chunk_idx, start_tok,
   md5(array_to_string(piece, ' ')) AS chunk_fp
 FROM slch"""
 
+# Chunk-grain dedup (functions/text.py chunk_dupes over the planted
+# aug corpus): sliding chunks grouped by fingerprint, groups spanning
+# ≥ 2 docs, canonical location = (min doc, min chunk_idx within it).
+ORACLES["docs_chunk_dupes"] = f"""\
+WITH {AUG_CORPUS_SQL},
+cdt AS (
+  SELECT doc_id, {TOKENIZE.format(col='text')} AS toks FROM aug
+),
+cdnc AS (
+  SELECT doc_id, toks,
+    CASE WHEN len(toks) <= 64 THEN 1
+         ELSE 1 + CAST(ceil((len(toks) - 64) / 48.0) AS BIGINT) END
+      AS n_chunks
+  FROM cdt WHERE len(toks) > 0
+),
+cdch AS (
+  SELECT doc_id, CAST(k AS INT) AS chunk_idx,
+    md5(array_to_string(toks[k*48 + 1 : k*48 + 64], ' ')) AS chunk_fp
+  FROM cdnc, unnest(range(0, n_chunks)) AS u(k)
+),
+cdg AS (
+  SELECT chunk_fp,
+    CAST(count(*) AS BIGINT) AS n_occurrences,
+    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+    min(doc_id) AS first_doc
+  FROM cdch GROUP BY chunk_fp
+  HAVING count(DISTINCT doc_id) >= 2
+)
+SELECT g.chunk_fp, g.n_occurrences, g.n_docs, g.first_doc,
+  CAST(min(c.chunk_idx) AS INT) AS first_chunk_idx
+FROM cdg g JOIN cdch c
+  ON c.chunk_fp = g.chunk_fp AND c.doc_id = g.first_doc
+GROUP BY g.chunk_fp, g.n_occurrences, g.n_docs, g.first_doc"""
+
 # Relational pivot (operators/warehouse.py user_event_pivot): declared
 # event-type domain, conditional counts.
 ORACLES["user_event_pivot"] = """\

@@ -664,3 +664,44 @@ def test_semantic_dedup_no_nested_loop(spark):
     ], plan
     assert df.count() > 0
     PIN.release_all()
+
+
+def test_knn_refine_no_cartesian_and_bounded_candidates(spark):
+    """The NN-Descent round must stay candidate-bounded: the two-hop
+    expansion is two EQUI-self-joins on the edge relation and the
+    re-score is the blocked-pair Arrow group — no CartesianProduct and
+    no data-sized NestedLoop anywhere in the plan (the only crossJoin
+    in the similarity family is a 1-row centroid fold inside the seed
+    graph build)."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        similarity as S,
+    )
+
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark import (
+        pinned as PIN,
+    )
+
+    emb = tables.load_table(spark, SF, "embeddings")
+    df = S.knn_refine(emb, k=3, nprobe=1)
+    plan = PL.physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert df.count() > 0
+    PIN.release_all()
+
+
+def test_av_manifest_no_cartesian(spark):
+    """The AV manifest composes only pinned/banded constituents — any
+    CartesianProduct means a matcher regressed to all-pairs."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.curation import (
+        media_training_manifest_av,
+    )
+
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark import (
+        pinned as PIN,
+    )
+
+    df = media_training_manifest_av(tables.load_table(spark, SF, "documents"))
+    plan = PL.physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert df.count() > 0
+    PIN.release_all()

@@ -504,3 +504,42 @@ def test_streaming_audio_dedup_converges_to_batch(spark, tmp_path):
         for r in d.pairs().collect()
     )
     assert again == want
+
+
+# --- chunk-grain dedup --------------------------------------------------------
+
+def test_chunk_dupes_keep_min_and_counts(spark):
+    """Duplicated chunks across docs: exact doc copies duplicate every
+    chunk; the canonical location is the min (doc, chunk_idx); groups
+    spanning a single doc (internal repetition) are excluded —
+    verified against a direct Python reference."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.functions.text import (
+        chunk_dupes,
+    )
+
+    body = " ".join(f"w{i}" for i in range(100))
+    texts = {
+        1: body,                      # base
+        2: body,                      # exact copy: both chunks duplicated
+        3: "unique " + " ".join(f"u{i}" for i in range(80)),
+        4: "self self self " * 40,    # internal repetition, single doc
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    rows = {r["chunk_fp"]: r for r in chunk_dupes(docs).collect()}
+
+    import hashlib
+
+    want_fps = set()
+    for k in range(2):  # 100 tokens -> chunks at 0 and 48
+        piece = _pytokens(body)[k * 48: k * 48 + 64]
+        want_fps.add(hashlib.md5(" ".join(piece).encode()).hexdigest())
+    assert set(rows) == want_fps
+    for fp, r in rows.items():
+        assert r["n_docs"] == 2 and r["n_occurrences"] == 2
+        assert r["first_doc"] == 1
+    idxs = sorted(r["first_chunk_idx"] for r in rows.values())
+    assert idxs == [0, 1]
+    # doc 4's internally-repeated chunks never form a group (1 doc)
+    assert all(r["first_doc"] != 4 for r in rows.values())
