@@ -258,6 +258,18 @@ def main() -> None:
     # pool under the later builds. The release itself is untimed (it's
     # maintenance between queries, not build work); a map miss is
     # harmless (the later toucher just rebuilds and the timing shows it).
+    # MEASURED STOP (r12, the r10-shingle-pin pattern): the
+    # release-after-last-consumer schedule was the r11-verdict
+    # hypothesis for cold-pass pin-pressure inflation, and same-day A/B
+    # runs measured it as a NET LOSS at both scales — common-query
+    # cold totals 194.0 s (on) vs 151.6 s (off) at sf0.1 and 289.5 s
+    # (on) vs 263.6 s (off) at sf1, with ZERO extra pin rebuilds in the
+    # 'on' runs (the consumer map was complete): the ~70 blocking
+    # unpersist + checkpoint-free cycles interleaved with timed queries
+    # cost more than the freed storage helps (the pins at these scales
+    # never actually pressure the 48 GB heap's protected pool).
+    # Default OFF; SPARK_GRAFT_COLD_RELEASE=1 re-enables for probes.
+    cold_release = os.environ.get("SPARK_GRAFT_COLD_RELEASE", "0") == "1"
     last_consumer: dict = {}
     for name in BENCH_QUERIES:
         for k in consumers.get(name, ()):
@@ -277,8 +289,13 @@ def main() -> None:
         except Exception as exc:
             errors[name] = f"cold: {type(exc).__name__}: {exc}"[:200]
         for k, last in last_consumer.items():
-            if last == name:
-                PIN.release_effective(k)
+            if cold_release and last == name:
+                # The corpus is immutable within the pass, so orphan
+                # memos stay valid — wiping them per release would
+                # re-trigger their Spark-job recomputes inside later
+                # timed sections (the orphan wipe exists for corpus
+                # swaps, not for dead-pin maintenance).
+                PIN.release_effective(k, drop_orphan_memos=False)
 
     pins_cold = PIN_STATS.stats()
 

@@ -212,10 +212,19 @@ def release(key: Hashable, token: Hashable | None = None) -> bool:
     return release_effective(effective_key(key, token))
 
 
-def release_effective(k: Hashable) -> bool:
+def release_effective(k: Hashable, drop_orphan_memos: bool = True) -> bool:
     """``release`` addressed by the EFFECTIVE registry key (the form
     ``touched_keys_snapshot`` and ``pinned_keys`` return) — no token
-    re-wrapping, so a scheduler can release exactly what it observed."""
+    re-wrapping, so a scheduler can release exactly what it observed.
+
+    ``drop_orphan_memos=False`` keeps memos with NO declared parent
+    alive (declared-parent memos are still evicted with their pin).
+    The orphan wipe exists for corpus SWAPS, where a memo of unknown
+    provenance might describe the old snapshot; a scheduler releasing
+    dead pins over an IMMUTABLE corpus (bench.py's cold pass) would
+    otherwise wipe every orphan memo once per released pin and force
+    repeated driver-side recomputes — each one a Spark job inside a
+    timed section."""
     dfs = _REGISTRY.pop(k, None)
     if dfs is None:
         return False
@@ -228,10 +237,11 @@ def release_effective(k: Hashable) -> bool:
         checkpoints.free(dfs[0].sparkSession, backing, blocking=True)
     for mk in _MEMO_DEPS.pop(k, set()):
         _MEMOS.pop(mk, None)
-    tracked = set().union(set(), *_MEMO_DEPS.values())
-    for mk in list(_MEMOS):
-        if mk not in tracked:
-            del _MEMOS[mk]
+    if drop_orphan_memos:
+        tracked = set().union(set(), *_MEMO_DEPS.values())
+        for mk in list(_MEMOS):
+            if mk not in tracked:
+                del _MEMOS[mk]
     # Prune dependency entries whose memo set has emptied (their parent
     # key may never be released again; the empty set would linger).
     for pk in [pk for pk, deps in _MEMO_DEPS.items() if not deps]:

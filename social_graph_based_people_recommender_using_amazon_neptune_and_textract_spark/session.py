@@ -63,6 +63,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # Protected-storage share of unified memory (Spark default 0.5).
+        # Exposed for pin-pressure probes: a bench-measured bump is the
+        # r11-verdict lever for cold-pass inflation under many live pins.
+        .config(
+            "spark.memory.storageFraction",
+            os.environ.get("SPARK_GRAFT_STORAGE_FRACTION", "0.5"),
+        )
     )
     local_dirs = _local_dirs()
     if local_dirs:

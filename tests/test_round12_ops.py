@@ -543,3 +543,45 @@ def test_chunk_dupes_keep_min_and_counts(spark):
     assert idxs == [0, 1]
     # doc 4's internally-repeated chunks never form a group (1 doc)
     assert all(r["first_doc"] != 4 for r in rows.values())
+
+
+# --- pinned-registry scheduler APIs ------------------------------------------
+
+def test_touch_log_and_release_effective(spark):
+    """touched_keys_snapshot brackets attribute hits AND builds to the
+    bracketing consumer; release_effective releases by the observed
+    effective key; drop_orphan_memos=False preserves orphan memos over
+    an immutable corpus while parented memos still die with their pin."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark import (
+        pinned as P,
+    )
+
+    P.touched_keys_snapshot()
+    key = ("r12_touch_probe", 1)
+    (df,) = P.pinned(key, lambda: (spark.range(3),))
+    assert key in P.touched_keys_snapshot()
+    (df2,) = P.pinned(key, lambda: (spark.range(99),))  # hit, not rebuild
+    assert key in P.touched_keys_snapshot(clear=True)
+    assert df2 is df
+
+    P.memo(("orphan_scalar",), lambda: 42)
+    P.memo(("child_scalar",), lambda: 7, parent=key)
+    assert P.release_effective(key, drop_orphan_memos=False)
+    assert not P.release_effective(key)  # already gone
+    # parented memo died with the pin; the orphan survived
+    sentinel = {"called": False}
+
+    def _recompute():
+        sentinel["called"] = True
+        return 42
+
+    assert P.memo(("orphan_scalar",), _recompute) == 42
+    assert not sentinel["called"]
+    child = {"called": False}
+
+    def _rechild():
+        child["called"] = True
+        return 7
+
+    assert P.memo(("child_scalar",), _rechild, parent=key) == 7
+    assert child["called"]
