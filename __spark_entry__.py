@@ -1102,6 +1102,20 @@ def _q_emb_knn_refined(spark, sf_dir):
     return SIM.knn_refine(emb, k=5, nprobe=1)
 
 
+def _q_emb_knn_refined2(spark, sf_dir):
+    """TWO NN-Descent rounds (operators/similarity.py knn_refine,
+    rounds=2): the second round expands over the round-1 graph —
+    reaching two hops past the IVF cell boundary at the same bounded
+    per-round cost (intermediate graph rides a tracked localCheckpoint,
+    freed when the next round materializes)."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        similarity as SIM,
+    )
+
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    return SIM.knn_refine(emb, k=5, nprobe=1, rounds=2)
+
+
 def _q_emb_diversity_prune(spark, sf_dir):
     """kNN-graph diversity pruning (operators/similarity.py
     diversity_prune): keep-min over rank-1 neighbors at cos ≥ 0.4 —
@@ -3305,6 +3319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": _q_ann_ivf,
         "emb_knn_graph": _q_emb_knn_graph,
         "emb_knn_refined": _q_emb_knn_refined,
+        "emb_knn_refined2": _q_emb_knn_refined2,
         "emb_diversity_prune": _q_emb_diversity_prune,
         "ann_ivf_probe2": _q_ann_ivf_probe2,
         "kmeans_assign": _q_kmeans_assign,

@@ -163,6 +163,7 @@ BENCH_QUERIES = [
     "emb_knn_refined",
     "media_training_manifest_av",
     "docs_chunk_dupes",
+    "emb_knn_refined2",
     # streaming twins (streaming_bpe_encode, streaming_quality_gate,
     # streaming_boilerplate) are driver-verified but not headline
     # entries: each timed run replays a full corpus stream from a

@@ -1255,40 +1255,71 @@ def knn_refine(
     k: int = 10,
     nprobe: int = 1,
     rev_cap: int | None = None,
+    rounds: int = 1,
 ) -> DataFrame:
-    """One NN-Descent refinement round over the pinned kNN graph (Dong
-    et al. 2011, the standard graph-ANN build step ``knn_graph``'s
-    docstring names as its consumer): "a neighbor of a neighbor is
-    likely a neighbor" — expand each vector's candidate set to its
-    two-hop neighborhood over the SYMMETRIZED graph, re-score exactly,
-    keep the global top-k. Because the seed graph's edges can cross IVF
-    cells (a vector's probed cell is its nearest CENTROID's, not
-    necessarily its own label's), the expansion recovers true neighbors
-    the cell-bounded seed pass missed — recall strictly improves, and
-    the original neighbors are kept in the candidate union so the
-    result can never be worse than the seed graph (monotonicity, the
-    keep-best invariant of NN-Descent).
+    """NN-Descent refinement over the pinned kNN graph (Dong et al.
+    2011, the standard graph-ANN build step ``knn_graph``'s docstring
+    names as its consumer): "a neighbor of a neighbor is likely a
+    neighbor" — each round expands every vector's candidate set to its
+    two-hop neighborhood over the SYMMETRIZED current graph, re-scores
+    exactly, keeps the global top-k. Because the seed graph's edges can
+    cross IVF cells (a vector's probed cell is its nearest CENTROID's,
+    not necessarily its own label's), the expansion recovers true
+    neighbors the cell-bounded seed pass missed — recall improves
+    monotonically round over round, and the current neighbors ride the
+    candidate union so no (vec, rank) slot can regress (the keep-best
+    invariant of NN-Descent).
 
     Determinism + boundedness: reverse edges are capped at ``rev_cap``
     (default k) per target — the k best in-edges by (cos DESC, vec_id
-    ASC) — so the symmetrized degree is ≤ 2k and the candidate set
-    ≤ 4k² per vector (NN-Descent's sampled reverse neighborhood, made
-    deterministic by ranking instead of sampling; the r11 hot-bucket
-    lesson applied BEFORE the skew bites: in-degree hubs are exactly
-    the skew that would otherwise square).
+    ASC) — so the symmetrized degree is ≤ 2k and each round's candidate
+    set ≤ 4k² per vector (NN-Descent's sampled reverse neighborhood,
+    made deterministic by ranking instead of sampling; the r11
+    hot-bucket lesson applied BEFORE the skew bites: in-degree hubs are
+    exactly the skew that would otherwise square).
 
-    Spark shape: the expansion is two self-joins on the k·N-row edge
-    relation (never touches vectors); re-scoring runs at the Arrow
-    boundary with the same blocked-bipartite device as ``knn_graph`` —
-    pairs land in their (hash(u), hash(w)) block-pair group alongside
-    the ≤ B-replicated query/member vectors, numpy evaluates each
-    group's pair list with the strictly-sequential per-dimension fold
-    (bit-identical to the JVM/list_sum form), the 6dp round and the
-    exact rank window stay JVM-side. Shuffle volume is the candidate
-    list (≤ 4k²N skinny id-pair rows) plus 2·B·N vector rows — the
-    irreducible cost of one refinement round; output is k·N."""
+    ``rounds`` iterates the step (full NN-Descent runs to convergence;
+    each extra round reaches one hop further across cell boundaries at
+    the same bounded per-round cost). Intermediate round graphs ride
+    TRACKED localCheckpoints (the iterative-operator house lifecycle:
+    round i's scratch is freed as soon as round i+1 is materialized;
+    the last intermediate stays alive backing the returned lazy plan
+    and is reclaimed by the registry's release hooks).
+
+    Spark shape per round: the expansion is two self-joins on the
+    k·N-row edge relation (never touches vectors); re-scoring runs at
+    the Arrow boundary with the same blocked-bipartite device as
+    ``knn_graph`` — pairs land in their (hash(u), hash(w)) block-pair
+    group alongside the ≤ B-replicated query/member vectors, numpy
+    evaluates each group's pair list with the strictly-sequential
+    per-dimension fold (bit-identical to the JVM/list_sum form), the
+    6dp round and the exact rank window stay JVM-side. Shuffle volume
+    per round is the candidate list (≤ 4k²N skinny id-pair rows) plus
+    2·B·N vector rows; output is k·N."""
+    from .. import checkpoints
+
+    assert rounds >= 1
     g = pinned_knn_graph(embeddings, k=k, nprobe=nprobe)
     rcap = int(rev_cap) if rev_cap is not None else int(k)
+    base = with_norm(embeddings.select("vec_id", "label", "embedding"))
+    held: frozenset[int] | None = None
+    for i in range(int(rounds)):
+        out = _nn_descent_round(base, g, k, rcap)
+        if i < int(rounds) - 1:
+            out, ids = checkpoints.checkpoint(out)
+            if held:
+                checkpoints.free(out.sparkSession, held)
+            held = ids
+        g = out
+    return g
+
+
+def _nn_descent_round(
+    base: DataFrame, g: DataFrame, k: int, rcap: int
+) -> DataFrame:
+    """One expand → re-score → top-k step over graph ``g``
+    (vec_id, neighbor_id, cos, rank) using the normalized corpus
+    ``base`` (vec_id, v, n2). See ``knn_refine`` for the contract."""
     wrev = Window.partitionBy("neighbor_id").orderBy(
         F.desc("cos"), F.asc("vec_id")
     )
@@ -1317,7 +1348,6 @@ def knn_refine(
         g.select("vec_id", F.col("neighbor_id").alias("cand_id"))
     ).distinct()
 
-    base = with_norm(embeddings.select("vec_id", "label", "embedding"))
     B = KNN_SCORE_BLOCKS
     blk = lambda c: F.pmod(F.xxhash64(c), F.lit(B)).cast("int")  # noqa: E731
     all_blocks = F.explode(F.sequence(F.lit(0), F.lit(B - 1)))

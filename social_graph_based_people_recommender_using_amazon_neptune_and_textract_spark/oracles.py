@@ -1388,46 +1388,72 @@ SELECT vec_id, neighbor_id, cos, rank FROM kranked WHERE rank <= 5"""
 # neighbors, re-score exactly, keep the global top-k. The twin is the
 # direct relational form of the same expansion over the shared kranked
 # chain.
-ORACLES["emb_knn_refined"] = f"""\
-WITH {_KNN_CTES},
-rfg AS (SELECT vec_id, neighbor_id, cos FROM kranked WHERE rank <= 5),
-rfrev AS (
+def _knn_refine_sql(levels: int) -> str:
+    """``levels`` chained NN-Descent rounds over the shared kranked
+    chain — each level symmetrizes (reverse edges capped at 5),
+    expands two-hop, unions the current edges, re-scores exactly,
+    keeps top-5. rfund/rfg are MATERIALIZED: each is referenced 2-3×
+    downstream and an inlined window-over-joins chain re-expands
+    per reference (the BPE multi-round oracle lesson)."""
+    ctes = [
+        "rfg0 AS MATERIALIZED ("
+        "SELECT vec_id, neighbor_id, cos FROM kranked WHERE rank <= 5)"
+    ]
+    for i in range(1, int(levels) + 1):
+        src = f"rfg{i - 1}"
+        ctes.append(f"""\
+rfrev{i} AS (
   SELECT neighbor_id AS vec_id, vec_id AS neighbor_id FROM (
     SELECT vec_id, neighbor_id,
       row_number() OVER (
         PARTITION BY neighbor_id ORDER BY cos DESC, vec_id ASC) AS rr
-    FROM rfg
+    FROM {src}
   ) WHERE rr <= 5
-),
-rfund AS (
+)""")
+        ctes.append(f"""\
+rfund{i} AS MATERIALIZED (
   SELECT DISTINCT vec_id, neighbor_id FROM (
-    SELECT vec_id, neighbor_id FROM rfg
+    SELECT vec_id, neighbor_id FROM {src}
     UNION ALL
-    SELECT vec_id, neighbor_id FROM rfrev
+    SELECT vec_id, neighbor_id FROM rfrev{i}
   )
-),
-rfcand AS (
+)""")
+        ctes.append(f"""\
+rfcand{i} AS (
   SELECT a.vec_id, b.neighbor_id AS cand_id
-  FROM rfund a JOIN rfund b ON a.neighbor_id = b.vec_id
+  FROM rfund{i} a JOIN rfund{i} b ON a.neighbor_id = b.vec_id
   WHERE a.vec_id <> b.neighbor_id
   UNION
-  SELECT vec_id, neighbor_id AS cand_id FROM rfg
-),
-rfscored AS (
+  SELECT vec_id, neighbor_id AS cand_id FROM {src}
+)""")
+        ctes.append(f"""\
+rfsc{i} AS (
   SELECT c.vec_id, c.cand_id AS neighbor_id,
     round({_DOT.format(a="q.v", b="n.v")} / (sqrt(q.n2) * sqrt(n.n2)), 6)
       AS cos
-  FROM rfcand c
+  FROM rfcand{i} c
   JOIN norms q ON q.vec_id = c.vec_id
   JOIN norms n ON n.vec_id = c.cand_id
-),
-rfranked AS (
-  SELECT vec_id, neighbor_id, cos,
-    CAST(row_number() OVER (
-      PARTITION BY vec_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
-  FROM rfscored
-)
-SELECT vec_id, neighbor_id, cos, rank FROM rfranked WHERE rank <= 5"""
+)""")
+        ctes.append(f"""\
+rfg{i} AS MATERIALIZED (
+  SELECT * FROM (
+    SELECT vec_id, neighbor_id, cos,
+      CAST(row_number() OVER (
+        PARTITION BY vec_id ORDER BY cos DESC, neighbor_id ASC) AS INT)
+        AS rank
+    FROM rfsc{i}
+  ) WHERE rank <= 5
+)""")
+    body = ",\n".join(ctes)
+    return f"""\
+WITH {_KNN_CTES},
+{body}
+SELECT vec_id, neighbor_id, cos, rank FROM rfg{int(levels)}"""
+
+
+ORACLES["emb_knn_refined"] = _knn_refine_sql(1)
+ORACLES["emb_knn_refined2"] = _knn_refine_sql(2)
 
 # kNN-graph diversity pruning (operators/similarity.py
 # diversity_prune): redundant iff the rank-1 neighbor is ≥ min_cos

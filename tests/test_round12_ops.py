@@ -585,3 +585,51 @@ def test_touch_log_and_release_effective(spark):
 
     assert P.memo(("child_scalar",), _rechild, parent=key) == 7
     assert child["called"]
+
+
+def test_knn_refine_rounds_monotone_recall(spark):
+    """NN-Descent convergence direction: round 2 expands over the
+    round-1 graph, so recall vs brute force is monotone over rounds
+    and no (vec, rank) cosine regresses between rounds (keep-best)."""
+    import numpy as np
+
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        similarity as S,
+    )
+
+    emb = spark.read.parquet(f"{SF_001}/embeddings.parquet")
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    V = np.stack([np.array(r["embedding"], dtype=np.float64) for r in rows])
+    nrm = V / np.linalg.norm(V, axis=1, keepdims=True)
+    cos = nrm @ nrm.T
+    np.fill_diagonal(cos, -2)
+    k = 5
+    true = {
+        int(vid): {int(ids[j]) for j in np.lexsort((ids, -cos[i]))[:k]}
+        for i, vid in enumerate(ids)
+    }
+
+    def neighbors(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r["vec_id"], {})[r["rank"]] = (
+                r["neighbor_id"], r["cos"]
+            )
+        return got
+
+    r1 = neighbors(S.knn_refine(emb, k=k, nprobe=1, rounds=1))
+    r2 = neighbors(S.knn_refine(emb, k=k, nprobe=1, rounds=2))
+
+    def recall(got):
+        return sum(
+            len({n for n, _ in got.get(v, {}).values()} & t)
+            for v, t in true.items()
+        ) / (len(true) * k)
+
+    rec1, rec2 = recall(r1), recall(r2)
+    assert rec2 >= rec1, (rec1, rec2)
+    assert rec2 > 0.4, rec2  # measured 0.35 -> ~0.5+; pinned floor
+    for v, ranks in r1.items():
+        for rk, (_n, c) in ranks.items():
+            assert r2[v][rk][1] >= c - 1e-9, (v, rk)
