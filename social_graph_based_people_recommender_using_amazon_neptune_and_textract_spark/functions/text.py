@@ -1902,9 +1902,11 @@ def chunk_dupes(
     (chunk_fp, n_occurrences, n_docs, first_doc, first_chunk_idx).
 
     Scale: ``sliding_chunks`` is the zero-shuffle explode; this adds
-    ONE map-side-combined aggregate keyed by the md5 fingerprint —
-    group count is bounded by corpus chunk count, values are five
-    scalars; no joins, no windows."""
+    only aggregation keyed by the md5 fingerprint (Catalyst lowers the
+    distinct-doc count to its standard two-phase (fp, doc) → fp
+    expansion, both phases map-side combined) — group count is bounded
+    by corpus chunk count, values are five scalars; no joins, no
+    windows."""
     ch = sliding_chunks(df, chunk_tokens, overlap, id_col, text_col)
     first = F.min(F.struct(F.col(id_col), F.col("chunk_idx")))
     return (

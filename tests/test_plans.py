@@ -705,3 +705,32 @@ def test_av_manifest_no_cartesian(spark):
     assert "CartesianProduct" not in plan, plan
     assert df.count() > 0
     PIN.release_all()
+
+
+def test_kn_trigram_no_cartesian_no_force_broadcast(spark):
+    """The KN scoring pass must stay a fan-out-1 equi-join chain over
+    vocabulary-sized tables: no CartesianProduct, and the only
+    nested-loop is the documented 1-row bigram-type-total fold."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.functions.text import (
+        kn_trigram_logprob_scores,
+    )
+
+    df = kn_trigram_logprob_scores(tables.load_table(spark, SF, "documents"))
+    plan = PL.physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert df.count() > 0
+
+
+def test_chunk_dupes_aggregate_only_plan(spark):
+    """Chunk-grain dedup is aggregation over the zero-shuffle chunk
+    explode: Catalyst lowers the countDistinct to the standard
+    two-phase (fp, doc) → fp expansion — exactly the two
+    fingerprint-keyed Exchanges, no joins, no windows."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.functions.text import (
+        chunk_dupes,
+    )
+
+    df = chunk_dupes(tables.load_table(spark, SF, "documents"))
+    plan = PL.physical_plan(df)
+    assert PL.exchange_count(df) == 2, plan
+    assert "Join" not in plan and "Window" not in plan, plan
