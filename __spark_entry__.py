@@ -580,6 +580,33 @@ def _q_streaming_video_phash(spark, sf_dir):
     return d.pairs_aligned()
 
 
+def _q_streaming_video_clips(spark, sf_dir):
+    """Streaming clip detection (streaming/avdedup.py
+    StreamingVideoDeduper.pairs_clips): replay the CLIP-augmented video
+    corpus (re-encodes + trimmed re-uploads); the drained
+    offset-consistent read is row-identical to batch
+    ``video_clip_pairs`` — shares its oracle."""
+    import tempfile
+
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.multimodal import (
+        synth_media_clip_aug,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.streaming.avdedup import (
+        StreamingVideoDeduper,
+    )
+
+    media = synth_media_clip_aug(
+        tables.load_table(spark, sf_dir, "documents")
+    ).filter(F.col("kind") == "video")
+    base = tempfile.mkdtemp(prefix="sgr-svcd-")
+    media.repartition(3).write.mode("overwrite").parquet(f"{base}/landing")
+    d = StreamingVideoDeduper(spark, f"{base}/wh")
+    d.run_available_now(
+        f"{base}/landing", f"{base}/ckpt", max_files_per_trigger=1
+    )
+    return d.pairs_clips()
+
+
 def _q_streaming_audio_pairs(spark, sf_dir):
     """Streaming audio copy detection (streaming/avdedup.py
     StreamingAudioDeduper): replay the audio corpus (re-encodes +
@@ -3309,6 +3336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_dup_clusters": _q_media_dup_clusters,
         "streaming_media_phash": _q_streaming_media_phash,
         "streaming_video_phash": _q_streaming_video_phash,
+        "streaming_video_clips": _q_streaming_video_clips,
         "streaming_audio_pairs": _q_streaming_audio_pairs,
         "media_video_frame_phash": _q_media_video_frame_phash,
         "dedup_video_pairs": _q_dedup_video_pairs,

@@ -4831,6 +4831,7 @@ ORACLES["streaming_media_phash"] = ORACLES["dedup_media_phash"]
 # incremental indexes must equal the batch matchers on the same
 # corpora — the streaming queries share the batch oracles verbatim.
 ORACLES["streaming_video_phash"] = ORACLES["dedup_video_pairs"]
+ORACLES["streaming_video_clips"] = ORACLES["dedup_video_clip_pairs"]
 ORACLES["streaming_audio_pairs"] = ORACLES["dedup_audio_pairs"]
 
 
