@@ -43,6 +43,25 @@ from ..pinned import pinned
 from .dedup import dedup_exact, dedup_minhash_lsh
 from .sampling import hash_split
 
+# Row cap for broadcasting the per-document (doc_id, source) dimension
+# into the media manifests. The dim has one row PER DOCUMENT of the
+# spawning corpus — trivially broadcastable at bench scale, an
+# executor-OOM at 100 TB. Same convention as
+# graph/linkpred.WHALE_BROADCAST_CAP.
+DIM_BROADCAST_CAP = 5_000_000
+
+
+def _gated_dim_broadcast(df: DataFrame, cap: int | None = None) -> DataFrame:
+    """Broadcast ``df`` only if a bounded probe proves it small.
+
+    ``limit(cap+1).count()`` is the cap+1 probe the repo uses elsewhere
+    (operators/components.py:73): it early-terminates the scan once
+    cap+1 rows exist, so the gate costs O(cap) rows regardless of
+    corpus size. Above the cap the dim rides the shuffle and AQE picks
+    the join strategy at runtime."""
+    cap = DIM_BROADCAST_CAP if cap is None else cap
+    return F.broadcast(df) if df.limit(cap + 1).count() <= cap else df
+
 
 def text_gate_stats(corpus: DataFrame) -> DataFrame:
     """(doc_id, predicted_lang, quality_score) — per-document gate
@@ -224,7 +243,7 @@ def media_training_manifest(
             F.col("media_id") - MEDIA_VARIANT_OFFSET,
         ).otherwise(F.col("media_id")),
     ).join(
-        F.broadcast(
+        _gated_dim_broadcast(
             documents.select(F.col("doc_id").alias("src_id"), "source")
         ),
         "src_id",
@@ -370,7 +389,7 @@ def media_training_manifest_av(
         .when(mid >= MEDIA_VARIANT_OFFSET, mid - MEDIA_VARIANT_OFFSET)
         .otherwise(mid),
     ).join(
-        F.broadcast(
+        _gated_dim_broadcast(
             documents.select(F.col("doc_id").alias("src_id"), "source")
         ),
         "src_id",
