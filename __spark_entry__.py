@@ -2106,6 +2106,33 @@ def _q_docs_chunk_dupes(spark, sf_dir):
     return chunk_dupes(_aug(spark, sf_dir))
 
 
+def _q_chunks_ann_topk(spark, sf_dir):
+    """Chunk-grain RAG retrieval, exact baseline (operators/
+    retrieval.py chunks_ann_topk): sliding chunks → feature-hash
+    embeddings → canonical-per-fingerprint pinned index → cosine top-5
+    per query chunk (docs 1-3, chunk 0) with (doc, chunk_idx,
+    start_tok) provenance; same-doc neighbors excluded. Queries
+    broadcast; the index builds once per corpus."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        retrieval as RET,
+    )
+
+    return RET.chunks_ann_topk(tables.load_table(spark, sf_dir, "documents"))
+
+
+def _q_chunks_ann_lsh(spark, sf_dir):
+    """Bucket-pruned chunk retrieval — the sublinear serve path
+    (operators/retrieval.py chunks_ann_lsh): sign-LSH buckets computed
+    at index time, Hamming-1 multiprobe per query, candidates from a
+    bucket equi-join (never all-pairs), exact rerank. Deterministic
+    recall < 1, mirrored exactly by the oracle."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        retrieval as RET,
+    )
+
+    return RET.chunks_ann_lsh(tables.load_table(spark, sf_dir, "documents"))
+
+
 def _q_streaming_enriched_segments(spark, sf_dir):
     """Stream-static dimension enrichment (streaming/enrich.py): the
     events stream joins the broadcast customer dim per micro-batch and
@@ -3292,6 +3319,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_chunks": _q_docs_chunks,
         "docs_chunks_sliding": _q_docs_chunks_sliding,
         "docs_chunk_dupes": _q_docs_chunk_dupes,
+        "chunks_ann_topk": _q_chunks_ann_topk,
+        "chunks_ann_lsh": _q_chunks_ann_lsh,
         "user_event_pivot": _q_user_event_pivot,
         "customer_spend_quartiles": _q_customer_spend_quartiles,
         "graph_kcore_72": _q_graph_kcore_72,

@@ -1728,6 +1728,31 @@ def sliding_chunks(
     JVM ``sequence``, the explode is row-local, the fingerprint a
     per-chunk md5; embarrassingly parallel at any corpus size with
     bounded fan-out ≈ n/(C−O) per document."""
+    w = chunk_windows(df, chunk_tokens, overlap, id_col, text_col)
+    return w.select(
+        id_col,
+        "chunk_idx",
+        "start_tok",
+        F.size(F.col("piece")).cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", F.col("piece")).cast("binary")).alias(
+            "chunk_fp"
+        ),
+    )
+
+
+def chunk_windows(
+    df: DataFrame,
+    chunk_tokens: int = SLIDING_CHUNK_TOKENS,
+    overlap: int = SLIDING_CHUNK_OVERLAP,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The raw token windows behind ``sliding_chunks`` — same coverage
+    contract, but KEEPS the token slice: (id, chunk_idx, start_tok,
+    piece array<string>). Consumers that need the chunk CONTENT (the
+    embedding stage, operators/retrieval.py) build on this; consumers
+    that need only identity use ``sliding_chunks``. Zero shuffles —
+    row-local tokenize + sequence + explode + slice."""
     stride = int(chunk_tokens) - int(overlap)
     assert stride > 0, "chunk_tokens must exceed overlap"
     toks = df.select(F.col(id_col), tokenize(F.col(text_col)).alias("_t"))
@@ -1744,13 +1769,11 @@ def sliding_chunks(
         t.alias("_t"),
     )
     start = F.col("chunk_idx") * stride
-    piece = F.slice(F.col("_t"), start + 1, chunk_tokens)
     return chunks.select(
         id_col,
         F.col("chunk_idx").cast("int").alias("chunk_idx"),
         start.cast("long").alias("start_tok"),
-        F.size(piece).cast("long").alias("n_tokens"),
-        F.md5(F.concat_ws(" ", piece).cast("binary")).alias("chunk_fp"),
+        F.slice(F.col("_t"), start + 1, chunk_tokens).alias("piece"),
     )
 
 

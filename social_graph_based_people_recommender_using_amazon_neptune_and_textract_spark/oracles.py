@@ -2778,6 +2778,128 @@ FROM cdg g JOIN cdch c
   ON c.chunk_fp = g.chunk_fp AND c.doc_id = g.first_doc
 GROUP BY g.chunk_fp, g.n_occurrences, g.n_docs, g.first_doc"""
 
+# Chunk-grain retrieval (operators/retrieval.py): sliding chunks →
+# feature-hash embeddings (dim from m = md5_long mod 32, sign from the
+# 16s bit — pure modular integer arithmetic, bit-identical across
+# engines) → canonical-per-fingerprint index → cosine top-5 per query
+# chunk with provenance. Query = chunk 0 of docs 1,2,3; same-doc
+# neighbors excluded; zero-norm chunks unembeddable by declaration.
+_CH_DOT = "list_sum(list_transform(range(1, 17), i -> {a}[i] * {b}[i]))"
+_CH_QDOCS = "1, 2, 3"
+_CH_CTES = f"""\
+crt AS (
+  SELECT doc_id, {TOKENIZE.format(col='text')} AS toks FROM documents
+),
+crnc AS (
+  SELECT doc_id, toks,
+    CASE WHEN len(toks) <= 64 THEN 1
+         ELSE 1 + CAST(ceil((len(toks) - 64) / 48.0) AS BIGINT) END
+      AS n_chunks
+  FROM crt WHERE len(toks) > 0
+),
+crch AS (
+  SELECT doc_id, CAST(k AS INT) AS chunk_idx,
+    CAST(k * 48 AS BIGINT) AS start_tok,
+    toks[k*48 + 1 : k*48 + 64] AS piece
+  FROM crnc, unnest(range(0, n_chunks)) AS u(k)
+),
+crhs AS (
+  SELECT doc_id, chunk_idx, start_tok,
+    CAST(len(piece) AS BIGINT) AS n_tokens,
+    md5(array_to_string(piece, ' ')) AS chunk_fp,
+    list_transform(piece,
+      w -> CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) % 32) AS hs
+  FROM crch
+),
+crn AS MATERIALIZED (
+  SELECT * FROM (
+    SELECT doc_id, chunk_idx, start_tok, n_tokens, chunk_fp, v,
+      list_sum(list_transform(v, x -> x * x)) AS n2
+    FROM (
+      SELECT *, list_transform(range(0, 16), j -> CAST(
+          list_sum(list_transform(hs, m ->
+            CASE WHEN m % 16 = j
+                 THEN (CASE WHEN m >= 16 THEN -1.0 ELSE 1.0 END)
+                 ELSE 0.0 END)) AS DOUBLE)) AS v
+      FROM crhs
+    )
+  ) WHERE n2 > 0
+),
+cridx AS MATERIALIZED (
+  SELECT doc_id, chunk_idx, start_tok, n_tokens, chunk_fp, v, n2 FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY chunk_fp ORDER BY doc_id ASC, chunk_idx ASC) AS r
+    FROM crn
+  ) WHERE r = 1
+),
+crq AS (
+  SELECT doc_id AS query_doc, v AS qv, n2 AS qn2
+  FROM crn WHERE doc_id IN ({_CH_QDOCS}) AND chunk_idx = 0
+)"""
+_CH_RANKED = """\
+ranked AS (
+  SELECT query_doc, neighbor_doc, chunk_idx, start_tok, n_tokens,
+    chunk_fp, cos,
+    CAST(row_number() OVER (
+      PARTITION BY query_doc
+      ORDER BY cos DESC, neighbor_doc ASC, chunk_idx ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT query_doc, neighbor_doc, chunk_idx, start_tok, n_tokens,
+  chunk_fp, cos, rank
+FROM ranked WHERE rank <= 5"""
+
+ORACLES["chunks_ann_topk"] = f"""\
+WITH {_CH_CTES},
+scored AS (
+  SELECT q.query_doc, i.doc_id AS neighbor_doc, i.chunk_idx, i.start_tok,
+    i.n_tokens, i.chunk_fp,
+    round({_CH_DOT.format(a="q.qv", b="i.v")}
+          / (sqrt(q.qn2) * sqrt(i.n2)), 6) AS cos
+  FROM cridx i CROSS JOIN crq q WHERE i.doc_id <> q.query_doc
+),
+{_CH_RANKED}"""
+
+ORACLES["chunks_ann_lsh"] = f"""\
+WITH {_CH_CTES},
+crib AS MATERIALIZED (
+  SELECT i.doc_id, i.chunk_idx, sum(CASE WHEN
+      list_sum(list_transform(range(1, 17), j -> i.v[j] *
+        (CAST(((b.range * 1009 + j) * 2654435761) % 2001
+         AS DOUBLE) / 1000.0 - 1.0))) >= 0
+      THEN (CAST(1 AS BIGINT) << b.range) ELSE 0 END) AS bucket
+  FROM cridx i CROSS JOIN range(0, 8) b GROUP BY i.doc_id, i.chunk_idx
+),
+crqb AS (
+  SELECT q.query_doc, sum(CASE WHEN
+      list_sum(list_transform(range(1, 17), j -> q.qv[j] *
+        (CAST(((b.range * 1009 + j) * 2654435761) % 2001
+         AS DOUBLE) / 1000.0 - 1.0))) >= 0
+      THEN (CAST(1 AS BIGINT) << b.range) ELSE 0 END) AS qbucket
+  FROM crq q CROSS JOIN range(0, 8) b GROUP BY q.query_doc
+),
+probes AS (
+  SELECT query_doc,
+    CASE WHEN f.range = -1 THEN qbucket
+         ELSE xor(qbucket, (CAST(1 AS BIGINT) << f.range)) END AS bucket
+  FROM crqb CROSS JOIN range(-1, 8) f
+),
+cand AS (
+  SELECT DISTINCT p.query_doc, ib.doc_id, ib.chunk_idx
+  FROM crib ib JOIN probes p ON ib.bucket = p.bucket
+  WHERE ib.doc_id <> p.query_doc
+),
+scored AS (
+  SELECT c.query_doc, i.doc_id AS neighbor_doc, i.chunk_idx, i.start_tok,
+    i.n_tokens, i.chunk_fp,
+    round({_CH_DOT.format(a="q.qv", b="i.v")}
+          / (sqrt(q.qn2) * sqrt(i.n2)), 6) AS cos
+  FROM cand c
+  JOIN cridx i ON i.doc_id = c.doc_id AND i.chunk_idx = c.chunk_idx
+  JOIN crq q ON q.query_doc = c.query_doc
+),
+{_CH_RANKED}"""
+
 # Relational pivot (operators/warehouse.py user_event_pivot): declared
 # event-type domain, conditional counts.
 ORACLES["user_event_pivot"] = """\

@@ -70,3 +70,118 @@ def test_manifest_gate_preserves_results(spark, monkeypatch):
         map(tuple, CUR.media_training_manifest(docs).collect())
     )
     assert got == want
+
+
+# --- chunk-grain RAG retrieval (operators/retrieval.py) ---------------------
+
+import hashlib
+import re
+
+
+def _pytokens(txt):
+    return [w for w in re.split("[^a-z0-9]+", txt.lower()) if w]
+
+
+def _pyfp(tokens):
+    return hashlib.md5(" ".join(tokens).encode()).hexdigest()
+
+
+def _retrieval_corpus(spark):
+    """Planted corpus: doc 500 is the query; doc 100 holds the same
+    first chunk verbatim (doc 100 < 500 makes IT the canonical index
+    entry, so the query must retrieve it at cos 1.0); docs 200/201 are
+    identical (only the canonical may be indexed); doc 300 is unrelated
+    filler; doc 400 shares half of the query's tokens."""
+    base = " ".join(f"tok{i}" for i in range(64))
+    rows = [
+        (500, base + " " + " ".join(f"tail{i}" for i in range(30))),
+        (100, base),
+        (200, " ".join(f"twin{i}" for i in range(40))),
+        (201, " ".join(f"twin{i}" for i in range(40))),
+        (300, " ".join(f"other{i}" for i in range(50))),
+        (400, " ".join(f"tok{i}" for i in range(32))
+              + " " + " ".join(f"noise{i}" for i in range(32))),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string"), dict(rows)
+
+
+def test_chunks_ann_topk_provenance_and_duplicate_recall(spark):
+    """Every retrieved row's (neighbor_doc, start_tok, n_tokens) span
+    re-hashes to its chunk_fp — the provenance contract: the pointer
+    actually locates the matched tokens. The planted verbatim duplicate
+    is rank 1 at cos 1.0."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        retrieval as R,
+    )
+
+    docs, texts = _retrieval_corpus(spark)
+    got = R.chunks_ann_topk(docs, query_docs=[500], k=5).collect()
+    assert got, "no results"
+    for r in got:
+        toks = _pytokens(texts[r["neighbor_doc"]])
+        span = toks[r["start_tok"]: r["start_tok"] + r["n_tokens"]]
+        assert len(span) == r["n_tokens"]
+        assert _pyfp(span) == r["chunk_fp"], r
+    top = [r for r in got if r["rank"] == 1][0]
+    assert top["neighbor_doc"] == 100 and top["cos"] == 1.0
+    # same-document chunks never come back
+    assert all(r["neighbor_doc"] != 500 for r in got)
+
+
+def test_chunk_index_is_canonical_per_fingerprint(spark):
+    """Identical docs 200/201 collapse to ONE index entry at the
+    keep-min location (doc 200) — chunk_dupes' rule applied to the
+    index, so a duplicated chunk is embedded and served once."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        retrieval as R,
+    )
+
+    docs, _ = _retrieval_corpus(spark)
+    idx = R.pinned_chunk_index(docs)
+    twins = idx.filter(F.col("doc_id").isin([200, 201])).collect()
+    assert [r["doc_id"] for r in twins] == [200]
+    # fingerprints are unique index-wide
+    assert idx.count() == idx.select("chunk_fp").distinct().count()
+
+
+def test_chunks_ann_lsh_subset_of_brute(spark):
+    """LSH results are a subset of the brute candidate space with
+    identical scores: every (query, neighbor-chunk) the bucket probe
+    returns appears in the exact baseline's full scoring with the same
+    cosine (recall < 1 is allowed; wrong scores are not)."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        retrieval as R,
+    )
+
+    docs, _ = _retrieval_corpus(spark)
+    brute = R.chunks_ann_topk(docs, query_docs=[500], k=1000).collect()
+    full = {
+        (r["query_doc"], r["neighbor_doc"], r["chunk_idx"]): r["cos"]
+        for r in brute
+    }
+    lsh = R.chunks_ann_lsh(docs, query_docs=[500], k=1000).collect()
+    assert lsh, "bucket probe returned nothing"
+    for r in lsh:
+        key = (r["query_doc"], r["neighbor_doc"], r["chunk_idx"])
+        assert key in full and full[key] == r["cos"], r
+
+
+def test_chunk_retrieval_plan_shapes(spark):
+    """Brute: the index×query product is a broadcast nested-loop (tiny
+    query side), never a CartesianProduct. LSH: candidates come from a
+    bucket equi-join with the probe side broadcast — no sort-merge of
+    the index against probes, no cross product."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        retrieval as R,
+    )
+
+    docs, _ = _retrieval_corpus(spark)
+    brute = R.chunks_ann_topk(docs, query_docs=[500])
+    plan_b = PL.physical_plan(brute)
+    assert "CartesianProduct" not in plan_b, plan_b
+    assert "BroadcastNestedLoopJoin" in plan_b, plan_b
+    lsh = R.chunks_ann_lsh(docs, query_docs=[500])
+    plan_l = PL.physical_plan(lsh)
+    assert "CartesianProduct" not in plan_l, plan_l
+    assert PL.broadcast_join_count(lsh) >= 1, plan_l
+    assert PL.sort_merge_join_count(lsh) == 0, plan_l
