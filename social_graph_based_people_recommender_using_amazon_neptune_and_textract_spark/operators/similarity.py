@@ -127,6 +127,21 @@ def ann_ivf(
             ),
         ),
     )
+    return ivf_serve(base, cents, query_ids, k, nprobe)
+
+
+def ivf_serve(
+    base: DataFrame,
+    cents: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    nprobe: int = 1,
+) -> DataFrame:
+    """The IVF search path over an ALREADY-BUILT index — shared verbatim
+    by batch ``ann_ivf`` (pinned codebook) and the incremental indexer
+    (streaming/annindex.py), so ingest-time serving is expression-
+    identical to the batch oracle. ``base``: (vec_id, label, v, n2);
+    ``cents``: (label, centroid, cn2)."""
     q = base.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),

@@ -1333,6 +1333,10 @@ SELECT query_id, probe_label, neighbor_id, cos, rank FROM ranked WHERE rank <= 1
 
 
 ORACLES["ann_ivf"] = _ann_ivf_sql(1)
+# Incremental index maintenance (streaming/annindex.py): a drained
+# stream serves through the shared ivf_serve path — batch ann_ivf's
+# twin verbatim.
+ORACLES["streaming_ann_ivf"] = ORACLES["ann_ivf"]
 # nprobe=2 — the IVF recall knob: each query scans its 2 nearest clusters.
 ORACLES["ann_ivf_probe2"] = _ann_ivf_sql(2)
 

@@ -166,6 +166,94 @@ def test_chunks_ann_lsh_subset_of_brute(spark):
         assert key in full and full[key] == r["cos"], r
 
 
+def _ann_indexer(spark, tmp_path):
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.streaming.annindex import (
+        IncrementalANNIndexer,
+    )
+
+    return IncrementalANNIndexer(spark, str(tmp_path / "wh"))
+
+
+def test_incremental_ann_converges_to_batch(spark, tmp_path):
+    """Drained in 1-file micro-batches, the live index answers
+    row-identically to batch ann_ivf over the same corpus — the shared
+    ivf_serve path plus exactly-merged cells/centroid partials."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark import (
+        oracles,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        similarity as SIM,
+    )
+
+    emb = tables.load_table(spark, SF_001, "embeddings")
+    want = sorted(
+        map(tuple, SIM.ann_ivf(emb, oracles.ANN_QUERY_IDS, k=10).collect())
+    )
+    emb.select("vec_id", "embedding", "label").repartition(3).write.parquet(
+        str(tmp_path / "landing")
+    )
+    ix = _ann_indexer(spark, tmp_path)
+    ix.run_available_now(
+        str(tmp_path / "landing"),
+        str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    got = sorted(
+        map(tuple, ix.query(oracles.ANN_QUERY_IDS, k=10).collect())
+    )
+    assert got == want
+
+
+def test_incremental_ann_replay_and_growth(spark, tmp_path):
+    """(a) Growth: after ingesting only half the corpus, the index
+    serves exactly batch ann_ivf over that half (centroid partials
+    reflect ingested vectors only). (b) Replay: re-delivering an
+    already-applied batch id is skipped whole, and re-delivering the
+    same ROWS under a new batch id is anti-joined to nothing — state
+    and answers are unchanged either way."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark import (
+        oracles,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        similarity as SIM,
+    )
+
+    emb = tables.load_table(spark, SF_001, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    half = emb.filter(F.col("vec_id") % 2 == 0)
+    ix = _ann_indexer(spark, tmp_path)
+    ix._process_batch(half, 0)
+    want_half = sorted(
+        map(tuple, SIM.ann_ivf(half, oracles.ANN_QUERY_IDS[:1], k=5).collect())
+    )
+    got_half = sorted(
+        map(tuple, ix.query(oracles.ANN_QUERY_IDS[:1], k=5).collect())
+    )
+    assert got_half == want_half and got_half
+    # replayed batch id: skipped whole
+    ix._process_batch(half, 0)
+    assert sorted(
+        map(tuple, ix.query(oracles.ANN_QUERY_IDS[:1], k=5).collect())
+    ) == got_half
+    # same rows, new batch id: anti-joined to nothing
+    ix._process_batch(half, 1)
+    assert sorted(
+        map(tuple, ix.query(oracles.ANN_QUERY_IDS[:1], k=5).collect())
+    ) == got_half
+    # cstats stayed consistent: n per label equals the cell count
+    base, cents = ix.index()
+    ncells = {
+        r["label"]: r["n"]
+        for r in base.groupBy("label").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    nstats = {
+        r["label"]: r["n"]
+        for r in ix._read("cstats").filter(F.col("pos") == 0).collect()
+    }
+    assert nstats == ncells
+
+
 def test_chunk_retrieval_plan_shapes(spark):
     """Brute: the index×query product is a broadcast nested-loop (tiny
     query side), never a CartesianProduct. LSH: candidates come from a
