@@ -1202,6 +1202,25 @@ def _q_emb_knn_refined2(spark, sf_dir):
     return SIM.knn_refine(emb, k=5, nprobe=1, rounds=2)
 
 
+def _q_emb_knn_refined_hi(spark, sf_dir):
+    """The r13 convergence study's recommended serving config
+    (operators/similarity.py knn_refine): build the graph
+    OVER-PROVISIONED at K=10 on a 2-probe seed, two NN-Descent rounds,
+    serve the best 5 ranks — the standard build-K > serve-k practice
+    that lifts recall@5 from the k=5 builds' 0.47/0.60 plateaus to a
+    measured 0.863 (SCALING.md r13 study; floor test-pinned). Cost is
+    the same two bounded rounds with a 4× candidate pool (≤ 4K²/vec),
+    still linear in N."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        similarity as SIM,
+    )
+
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    return SIM.knn_refine(emb, k=10, nprobe=2, rounds=2).filter(
+        F.col("rank") <= 5
+    )
+
+
 def _q_emb_diversity_prune(spark, sf_dir):
     """kNN-graph diversity pruning (operators/similarity.py
     diversity_prune): keep-min over rank-1 neighbors at cos ≥ 0.4 —
@@ -3437,6 +3456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_knn_graph": _q_emb_knn_graph,
         "emb_knn_refined": _q_emb_knn_refined,
         "emb_knn_refined2": _q_emb_knn_refined2,
+        "emb_knn_refined_hi": _q_emb_knn_refined_hi,
         "emb_diversity_prune": _q_emb_diversity_prune,
         "ann_ivf_probe2": _q_ann_ivf_probe2,
         "kmeans_assign": _q_kmeans_assign,

@@ -1346,7 +1346,10 @@ ORACLES["ann_ivf_probe2"] = _ann_ivf_sql(2)
 # semantic spec; the Spark plan assigns probes via a 1-row broadcast
 # centroid fold and blocks candidates on the cell equi-join. The CTE
 # chain is shared with emb_diversity_prune (rank-1 consumer).
-_KNN_CTES = f"""\
+def _knn_ctes(nprobe: int = 1) -> str:
+    """The shared seed-graph chain, parametric in the IVF probe count
+    (the r13 recall study's second knob)."""
+    return f"""\
 {_VEC.format(src="embeddings")},
 cent AS (
   SELECT label, list(m ORDER BY pos) AS centroid FROM (
@@ -1367,7 +1370,7 @@ probe AS (
   SELECT vec_id, v, n2, probe_label FROM (
     SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, probe_label ASC) AS r
     FROM qc
-  ) WHERE r <= 1
+  ) WHERE r <= {int(nprobe)}
 ),
 kscored AS (
   SELECT p.vec_id, n.vec_id AS neighbor_id,
@@ -1381,6 +1384,9 @@ kranked AS (
   FROM kscored
 )"""
 
+
+_KNN_CTES = _knn_ctes(1)
+
 ORACLES["emb_knn_graph"] = f"""\
 WITH {_KNN_CTES}
 SELECT vec_id, neighbor_id, cos, rank FROM kranked WHERE rank <= 5"""
@@ -1392,16 +1398,22 @@ SELECT vec_id, neighbor_id, cos, rank FROM kranked WHERE rank <= 5"""
 # neighbors, re-score exactly, keep the global top-k. The twin is the
 # direct relational form of the same expansion over the shared kranked
 # chain.
-def _knn_refine_sql(levels: int) -> str:
+def _knn_refine_sql(
+    levels: int, nprobe: int = 1, k: int = 5, emit: int | None = None
+) -> str:
     """``levels`` chained NN-Descent rounds over the shared kranked
-    chain — each level symmetrizes (reverse edges capped at 5),
+    chain — each level symmetrizes (reverse edges capped at ``k``),
     expands two-hop, unions the current edges, re-scores exactly,
-    keeps top-5. rfund/rfg are MATERIALIZED: each is referenced 2-3×
-    downstream and an inlined window-over-joins chain re-expands
-    per reference (the BPE multi-round oracle lesson)."""
+    keeps top-``k``. ``nprobe`` parametrizes the seed graph's IVF
+    probe; ``emit`` truncates the FINAL graph to its best ``emit``
+    ranks (the r13 over-provisioned-build config: build K > serve k).
+    rfund/rfg are MATERIALIZED: each is referenced 2-3× downstream and
+    an inlined window-over-joins chain re-expands per reference (the
+    BPE multi-round oracle lesson)."""
+    k = int(k)
     ctes = [
         "rfg0 AS MATERIALIZED ("
-        "SELECT vec_id, neighbor_id, cos FROM kranked WHERE rank <= 5)"
+        f"SELECT vec_id, neighbor_id, cos FROM kranked WHERE rank <= {k})"
     ]
     for i in range(1, int(levels) + 1):
         src = f"rfg{i - 1}"
@@ -1412,7 +1424,7 @@ rfrev{i} AS (
       row_number() OVER (
         PARTITION BY neighbor_id ORDER BY cos DESC, vec_id ASC) AS rr
     FROM {src}
-  ) WHERE rr <= 5
+  ) WHERE rr <= {k}
 )""")
         ctes.append(f"""\
 rfund{i} AS MATERIALIZED (
@@ -1447,17 +1459,26 @@ rfg{i} AS MATERIALIZED (
         PARTITION BY vec_id ORDER BY cos DESC, neighbor_id ASC) AS INT)
         AS rank
     FROM rfsc{i}
-  ) WHERE rank <= 5
+  ) WHERE rank <= {k}
 )""")
     body = ",\n".join(ctes)
+    final = f"rfg{int(levels)}"
+    emit_pred = f" WHERE rank <= {int(emit)}" if emit is not None else ""
     return f"""\
-WITH {_KNN_CTES},
+WITH {_knn_ctes(nprobe)},
 {body}
-SELECT vec_id, neighbor_id, cos, rank FROM rfg{int(levels)}"""
+SELECT vec_id, neighbor_id, cos, rank FROM {final}{emit_pred}"""
 
 
 ORACLES["emb_knn_refined"] = _knn_refine_sql(1)
 ORACLES["emb_knn_refined2"] = _knn_refine_sql(2)
+# The r13 convergence study's recommended serving config: build the
+# graph OVER-PROVISIONED at K=10 on a 2-probe seed (NN-Descent's
+# standard build-K > serve-k practice — the k=5 build plateaus at
+# recall 0.47/0.60 for nprobe 1/2 because the 4k² candidate pool is
+# too small in 64 dims), two rounds, serve the best 5 ranks.
+# Measured recall@5 vs brute force: 0.863 (SCALING.md r13 study).
+ORACLES["emb_knn_refined_hi"] = _knn_refine_sql(2, nprobe=2, k=10, emit=5)
 
 # kNN-graph diversity pruning (operators/similarity.py
 # diversity_prune): redundant iff the rank-1 neighbor is ≥ min_cos
