@@ -2657,6 +2657,22 @@ def _q_graph_lpa_communities(spark, sf_dir):
     return pinned_label_propagation(tables.user_graph_edges(spark, sf_dir))
 
 
+def _q_graph_modularity_communities(spark, sf_dir):
+    """Modularity local-move communities (graph/communities.py
+    modularity_communities): 3 deterministic synchronous rounds of the
+    Louvain phase-1 step with integer-scaled gains — the
+    modularity-objective rung above LPA, immune to LPA's label-flood
+    failure on densely-bridged communities (test-pinned); labels
+    canonicalized to the smallest member id, unrolled-CTE twin."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.graph.communities import (
+        pinned_modularity_communities,
+    )
+
+    return pinned_modularity_communities(
+        tables.user_graph_edges(spark, sf_dir)
+    )
+
+
 def _q_docs_repetition_metrics(spark, sf_dir):
     """Gopher-style n-gram repetition quality metrics (functions/text.py
     repetition_metrics): top-bigram coverage + duplicate-trigram mass
@@ -3026,6 +3042,24 @@ def _q_media_training_manifest_av(spark, sf_dir):
     )
 
     return media_training_manifest_av(
+        tables.load_table(spark, sf_dir, "documents")
+    )
+
+
+def _q_training_manifest_unified(spark, sf_dir):
+    """Cross-modal unified manifest (operators/curation.py
+    training_manifest_unified): text + image + video + audio unit
+    streams (each modality's gated/deduped pre-quota survivors) under
+    composite uid identity, ONE per-source quota spanning all
+    modalities — a source at cap in one modality cannot exceed cap via
+    another — and ONE byte-budget shard stream in uid order. Pure
+    composition of pinned relations; quota is the salted two-phase
+    top-k; shards the two-phase prefix sum."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators.curation import (
+        training_manifest_unified,
+    )
+
+    return training_manifest_unified(
         tables.load_table(spark, sf_dir, "documents")
     )
 
@@ -3480,6 +3514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_mad_outliers": _q_events_mad_outliers,
         "orders_retention_cohorts": _q_orders_retention_cohorts,
         "graph_lpa_communities": _q_graph_lpa_communities,
+        "graph_modularity_communities": _q_graph_modularity_communities,
         "events_user_cms_top10": _q_events_user_cms_top10,
         "events_zorder_pruned": _q_events_zorder_pruned,
         "docs_repetition_metrics": _q_docs_repetition_metrics,
@@ -3490,6 +3525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_training_manifest": _q_docs_training_manifest,
         "media_training_manifest": _q_media_training_manifest,
         "media_training_manifest_av": _q_media_training_manifest_av,
+        "training_manifest_unified": _q_training_manifest_unified,
         "docs_packed_sequences": _q_docs_packed_sequences,
         "docs_dsir_weights": _q_docs_dsir_weights,
         "docs_source_mixture": _q_docs_source_mixture,

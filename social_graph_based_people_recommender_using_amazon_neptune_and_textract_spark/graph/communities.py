@@ -79,3 +79,115 @@ def pinned_label_propagation(edges: DataFrame, rounds: int = ROUNDS) -> DataFram
         lambda: (label_propagation(edges, rounds),),
     )
     return lp
+
+
+MOD_ROUNDS = 3  # registered-query default; callers tune freely
+
+
+def modularity_communities(
+    edges: DataFrame, rounds: int = MOD_ROUNDS
+) -> DataFrame:
+    """Deterministic synchronous modularity local-move (the Louvain
+    phase-1 step, Blondel et al. 2008, made oracle-matchable) — the
+    modularity-objective rung above LPA: LPA's frequency vote floods a
+    single label across well-connected communities (the bridged-clique
+    failure the tests pin), while the modularity gain penalizes a
+    candidate community by its total degree mass, so dense blocks
+    resist absorption.
+
+    Per round every vertex i simultaneously evaluates the communities
+    of its neighbors plus its own and moves to the argmax of the
+    standard local-move gain. All comparisons are INTEGER — the gain is
+    rational with denominator 2m, so both engines rank by the scaled
+    form and no float tie can diverge:
+
+        score(i→c) = 2m·k_in(i,c) − d_i·(Σtot(c) − d_i·[c = c_i])
+
+    with k_in(i,c) = edges from i into c (current assignment),
+    Σtot(c) = total degree of c's members, 2m = |directed symmetric
+    edge set|; ties → smallest community label. Synchronous moves with
+    pre-move Σtot are the declared semantics (async order is
+    inherently nondeterministic — LPA's rule); a fixed round budget
+    unrolls into the CTE twin exactly like LPA's. Output
+    (id, community) with community = SMALLEST member id (canonical
+    relabel, so labels are comparable across engines and rounds).
+
+    Plan per round (mirrors LPA's): one vertex-sized label join per
+    side — neighbor-community link counts are a map-side-combined
+    aggregate over bs ⋈ labels; community totals are a
+    community-count-sized aggregate of deg ⋈ labels; the 1-row 2m
+    relation rides a broadcast crossJoin; argmax is the house
+    max(struct) — no per-vertex sort window. Tracked checkpoints
+    bound lineage."""
+    spark = edges.sparkSession
+    bs, deg = _bs_deg(edges)
+    m2 = bs.groupBy().agg(F.count(F.lit(1)).alias("m2"))
+    labels = (
+        bs.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+    )
+    label_ids: frozenset = frozenset()
+    for _ in range(int(rounds)):
+        stot = (
+            labels.join(deg, "id")
+            .groupBy("label")
+            .agg(F.sum("d").alias("stot"))
+        )
+        nbr = bs.join(labels, bs["src"] == labels["id"]).select(
+            F.col("dst").alias("id"), "label"
+        )
+        kin = nbr.groupBy("id", "label").agg(
+            F.count(F.lit(1)).alias("kin")
+        )
+        cand = (
+            kin.withColumn("cur", F.lit(0).cast("long"))
+            .unionByName(
+                labels.select(
+                    "id",
+                    "label",
+                    F.lit(0).cast("long").alias("kin"),
+                ).withColumn("cur", F.lit(1).cast("long"))
+            )
+            .groupBy("id", "label")
+            .agg(F.max("kin").alias("kin"), F.max("cur").alias("cur"))
+        )
+        scored = (
+            cand.join(deg, "id")
+            .join(stot, "label")
+            .crossJoin(F.broadcast(m2))
+            .select(
+                "id",
+                "label",
+                (
+                    F.col("m2") * F.col("kin")
+                    - F.col("d")
+                    * (F.col("stot") - F.col("d") * F.col("cur"))
+                ).alias("score"),
+            )
+        )
+        picked = scored.groupBy("id").agg(
+            F.max(
+                F.struct(F.col("score"), (-F.col("label")).alias("nl"))
+            ).alias("m")
+        )
+        new = picked.select("id", (-F.col("m.nl")).alias("label"))
+        labels, ids = checkpoint(new)
+        free(spark, label_ids, blocking=False)
+        label_ids = ids
+    canon = labels.groupBy("label").agg(F.min("id").alias("community"))
+    return labels.join(canon, "label").select("id", "community")
+
+
+def pinned_modularity_communities(
+    edges: DataFrame, rounds: int = MOD_ROUNDS
+) -> DataFrame:
+    """``modularity_communities`` as a PINNED index keyed per (edge
+    set, rounds) — the same serve-from-relation contract as LPA's."""
+    from ..pinned import pinned
+
+    (mc,) = pinned(
+        ("modcom", edges.semanticHash(), int(rounds)),
+        lambda: (modularity_communities(edges, rounds),),
+    )
+    return mc

@@ -211,6 +211,29 @@ def media_training_manifest(
     assignment is the generic two-phase prefix sum (weighted_shards)
     with BYTES as the unit. Composing adds two semi/anti joins and one
     dimension join, no new decode pass."""
+    from .packing import weighted_shards
+    from .quota import domain_quota
+
+    src = _image_units(documents)
+    quota = domain_quota(
+        src, cap, domain_col="source", id_col="media_id"
+    ).select("media_id", "source")
+    weighted = src.select("media_id", "n_bytes").join(
+        quota, "media_id", "left_semi"
+    )
+    shards = weighted_shards(
+        weighted, byte_budget, id_col="media_id", weight_col="n_bytes"
+    )
+    return shards.join(quota, "media_id").select(
+        "media_id", "source", "n_bytes", "shard_id"
+    )
+
+
+def _image_units(documents: DataFrame) -> DataFrame:
+    """The image manifest's pre-quota unit stream — gated, pHash-
+    canonical survivors with their spawning document's source:
+    (media_id, source, n_bytes). Shared by ``media_training_manifest``
+    and the cross-modal ``training_manifest_unified``."""
     from .multimodal import (
         ASPECT_MAX_RATIO,
         FEATURE_SCORE_MIN,
@@ -219,8 +242,6 @@ def media_training_manifest(
         media_dup_clusters,
         synth_media_aug,
     )
-    from .packing import weighted_shards
-    from .quota import domain_quota
 
     media = synth_media_aug(documents)
     stats = image_quality_stats(media)
@@ -236,7 +257,7 @@ def media_training_manifest(
         ~F.col("is_canonical")
     ).select("media_id")
     kept = gated.join(noncanon, "media_id", "left_anti")
-    src = kept.withColumn(
+    return kept.withColumn(
         "src_id",
         F.when(
             F.col("media_id") >= MEDIA_VARIANT_OFFSET,
@@ -247,19 +268,7 @@ def media_training_manifest(
             documents.select(F.col("doc_id").alias("src_id"), "source")
         ),
         "src_id",
-    )
-    quota = domain_quota(
-        src, cap, domain_col="source", id_col="media_id"
-    ).select("media_id", "source")
-    weighted = kept.select("media_id", "n_bytes").join(
-        quota, "media_id", "left_semi"
-    )
-    shards = weighted_shards(
-        weighted, byte_budget, id_col="media_id", weight_col="n_bytes"
-    )
-    return shards.join(quota, "media_id").select(
-        "media_id", "source", "n_bytes", "shard_id"
-    )
+    ).select("media_id", "source", F.col("n_bytes").cast("long").alias("n_bytes"))
 
 
 def pinned_media_training_manifest(
@@ -318,6 +327,31 @@ def media_training_manifest_av(
     two-phase top-k; shards are the generic two-phase byte prefix sum.
     Composition adds two anti-joins, one dimension join and one union —
     no new decode pass, no new candidate generation."""
+    from .packing import weighted_shards
+    from .quota import domain_quota
+
+    src = _av_units(documents)
+    quota = domain_quota(
+        src, cap, domain_col="source", id_col="media_id"
+    ).select("media_id", "source")
+    weighted = src.select("media_id", "n_bytes").join(
+        quota, "media_id", "left_semi"
+    )
+    shards = weighted_shards(
+        weighted, byte_budget, id_col="media_id", weight_col="n_bytes"
+    )
+    return (
+        shards.join(quota, "media_id")
+        .join(src.select("media_id", "kind"), "media_id")
+        .select("media_id", "kind", "source", "n_bytes", "shard_id")
+    )
+
+
+def _av_units(documents: DataFrame) -> DataFrame:
+    """The AV manifest's pre-quota unit stream — duration/aspect-gated,
+    copy-closure-canonical survivors with their spawning document's
+    source: (media_id, kind, source, n_bytes). Shared by
+    ``media_training_manifest_av`` and ``training_manifest_unified``."""
     from .components import pinned_connected_components
     from .multimodal import (
         ASPECT_MAX_RATIO,
@@ -330,8 +364,6 @@ def media_training_manifest_av(
         video_clip_pairs,
         video_dup_pairs,
     )
-    from .packing import weighted_shards
-    from .quota import domain_quota
 
     videos = synth_media_clip_aug(documents).filter(F.col("kind") == "video")
     audio = synth_audio_corpus(documents)
@@ -383,7 +415,7 @@ def media_training_manifest_av(
     kept = vkept.unionByName(akept)
 
     mid = F.col("media_id")
-    src = kept.withColumn(
+    return kept.withColumn(
         "src_id",
         F.when(mid >= MEDIA_CLIP_OFFSET, mid - MEDIA_CLIP_OFFSET)
         .when(mid >= MEDIA_VARIANT_OFFSET, mid - MEDIA_VARIANT_OFFSET)
@@ -393,18 +425,98 @@ def media_training_manifest_av(
             documents.select(F.col("doc_id").alias("src_id"), "source")
         ),
         "src_id",
+    ).select("media_id", "kind", "source", "n_bytes")
+
+
+def _text_units(corpus: DataFrame) -> DataFrame:
+    """The text modality's unit stream for the cross-modal manifest:
+    curation-gated TRAIN-split documents, weighted in BYTES (the unit
+    the unified shard stream packs — octet_length, so text competes
+    with media payloads in one budget):
+    (doc_id, source, n_bytes)."""
+    train = curate(corpus).filter(F.col("split") == "train").select("doc_id")
+    return corpus.join(train, "doc_id", "left_semi").select(
+        "doc_id",
+        "source",
+        F.octet_length(F.col("text")).cast("long").alias("n_bytes"),
+    )
+
+
+def training_manifest_unified(
+    documents: DataFrame, cap: int = 20, byte_budget: int = 4096
+) -> DataFrame:
+    """ONE manifest across text + image + video + audio — the r12
+    verdict's cross-modal gap closed: the three per-modality manifests
+    each applied their own per-source quota, so a source at cap in one
+    modality could still hold 3× cap across the corpus. Here every
+    modality's pre-quota unit stream (the SAME gated/deduped survivors
+    the standalone manifests consume — _text_units, _image_units,
+    _av_units) is unioned under a composite unit identity
+    uid = kind || '#' || id, ONE ``domain_quota`` caps each source
+    across all modalities, and ONE byte-budget prefix-sum shard stream
+    packs the survivors in uid order. Returns
+    (kind, unit_id, source, n_bytes, shard_id).
+
+    Declared rules: quota preference is the house md5(uid) order —
+    modality-blind, so a source's cap slots go to its md5-first units
+    regardless of kind; the shard stream's total order is uid
+    lexicographic (audio < image < text < video — deterministic in
+    both engines); text weighs in at octet_length(text) bytes.
+
+    Scale: the three unit streams are pure reuses of pinned/gated
+    relations (no new corpus pass, no new candidate generation); the
+    union adds no shuffle; the quota is the salted two-phase top-k
+    (bounded survivors per source regardless of skew); the shard
+    assignment is the generic two-phase prefix sum over the ≤
+    |sources|·cap quota survivors — output-sized."""
+    from .packing import weighted_shards
+    from .quota import domain_quota
+
+    uid = F.concat(
+        F.col("kind"), F.lit("#"), F.col("unit_id").cast("string")
+    )
+    text = _text_units(documents).select(
+        F.lit("text").alias("kind"),
+        F.col("doc_id").alias("unit_id"),
+        "source",
+        "n_bytes",
+    )
+    img = _image_units(documents).select(
+        F.lit("image").alias("kind"),
+        F.col("media_id").alias("unit_id"),
+        "source",
+        "n_bytes",
+    )
+    av = _av_units(documents).select(
+        "kind", F.col("media_id").alias("unit_id"), "source", "n_bytes"
+    )
+    units = (
+        text.unionByName(img).unionByName(av).withColumn("uid", uid)
     )
     quota = domain_quota(
-        src, cap, domain_col="source", id_col="media_id"
-    ).select("media_id", "source")
-    weighted = kept.select("media_id", "n_bytes").join(
-        quota, "media_id", "left_semi"
-    )
+        units, cap, domain_col="source", id_col="uid"
+    ).select("uid")
+    weighted = units.select("uid", "n_bytes").join(quota, "uid", "left_semi")
     shards = weighted_shards(
-        weighted, byte_budget, id_col="media_id", weight_col="n_bytes"
+        weighted, byte_budget, id_col="uid", weight_col="n_bytes"
     )
-    return (
-        shards.join(quota, "media_id")
-        .join(kept.select("media_id", "kind"), "media_id")
-        .select("media_id", "kind", "source", "n_bytes", "shard_id")
+    return shards.join(
+        units.select("uid", "kind", "unit_id", "source"), "uid"
+    ).select("kind", "unit_id", "source", "n_bytes", "shard_id")
+
+
+def pinned_training_manifest_unified(
+    documents: DataFrame, cap: int = 20, byte_budget: int = 4096
+) -> DataFrame:
+    """``training_manifest_unified`` as a PINNED per-snapshot product —
+    the same build-once contract as the per-modality manifests."""
+    (m,) = pinned(
+        (
+            "training_manifest_unified",
+            documents.semanticHash(),
+            int(cap),
+            int(byte_budget),
+        ),
+        lambda: (training_manifest_unified(documents, cap, byte_budget),),
     )
+    return m

@@ -2120,6 +2120,173 @@ SELECT media_id, source, CAST(plen AS BIGINT) AS n_bytes,
   CAST(FLOOR(ce / 4096.0) AS BIGINT) AS shard_id
 FROM mpre"""
 
+# Cross-modal unified training manifest (operators/curation.py
+# training_manifest_unified): the three modality unit streams — the
+# SAME gated/deduped pre-quota survivors the standalone manifests use —
+# under composite identity uid = kind || '#' || id, ONE per-source
+# quota across all modalities (cap 20, md5(uid) preference), ONE
+# byte-budget prefix-sum shard stream in uid order; text weighs in at
+# octet_length bytes. The audio fragment rides in with its two CTE
+# names that collide with the image fragment (agrid/abit) prefixed.
+_AUD_HASH_U = _AUD_HASH.replace("agrid", "au_grid").replace(
+    "abit", "au_bit"
+)
+ORACLES["training_manifest_unified"] = f"""\
+WITH RECURSIVE aug AS (SELECT doc_id, text FROM documents), {_SHINGLE_CTES},
+{_MH_CANDS},
+{_VERIFY},
+{_CURATION_GATES},
+utext AS (
+  SELECT 'text' AS kind, CAST(c.doc_id AS BIGINT) AS unit_id, d.source,
+    CAST(strlen(d.text) AS BIGINT) AS n_bytes
+  FROM curated c JOIN documents d USING (doc_id)
+  WHERE {_BUCKET.replace('doc_id', 'c.doc_id')} < 8000
+),
+{_IMG_PHASH},
+{_IMG_PAIRS},
+pe AS (
+  SELECT media_a AS a, media_b AS b FROM ppairs
+  UNION ALL
+  SELECT media_b AS a, media_a AS b FROM ppairs
+),
+preach(node, label) AS (
+  SELECT DISTINCT a, a FROM pe
+  UNION
+  SELECT pe.a, r.label FROM pe JOIN preach r ON r.node = pe.b
+),
+noncanon AS (
+  SELECT node AS media_id FROM preach GROUP BY node
+  HAVING min(label) <> node
+),
+fscore AS (
+  SELECT media_id,
+    round(list_sum(list_transform(range(0, 16), i ->
+      CAST(CAST(concat('0x', substr(md5(ppayload || ':' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS DOUBLE) / 10000))
+      / CAST(16 AS DOUBLE), 6) AS score
+  FROM (
+    SELECT media_id,
+      CASE WHEN pert THEN array_to_string(
+        list_transform(range(0, CAST(plen AS INT)), j ->
+          chr(ascii(substr(payload, CAST(j AS INT) + 1, 1))
+              + CASE WHEN j % 17 = 0 THEN 1 ELSE 0 END)), '')
+      ELSE payload END AS ppayload
+    FROM imeta
+  )
+),
+uimg AS (
+  SELECT 'image' AS kind, m.media_id AS unit_id, d.source,
+    CAST(m.plen AS BIGINT) AS n_bytes
+  FROM imeta m JOIN fscore f USING (media_id)
+  JOIN documents d
+    ON d.doc_id = CASE WHEN m.media_id >= 1000000000
+                  THEN m.media_id - 1000000000 ELSE m.media_id END
+  WHERE greatest(m.w, m.h) <= 2 * least(m.w, m.h)
+    AND f.score >= CAST(0.45 AS DOUBLE)
+    AND m.media_id NOT IN (SELECT media_id FROM noncanon)
+),
+{_VID_CLIP_PHASH},
+{_AUD_HASH_U},
+avvp AS (
+  SELECT a.media_id AS media_a, b.media_id AS media_b
+  FROM cdh a JOIN cdh b ON a.f = b.f AND a.media_id < b.media_id
+  WHERE bit_count(xor(a.dhash, b.dhash)) <= 7
+  GROUP BY a.media_id, b.media_id
+  HAVING count(*) >= 2
+),
+avcp AS (
+  SELECT media_a, media_b FROM (
+    SELECT a.media_id AS media_a, b.media_id AS media_b, b.f - a.f AS off
+    FROM cdh a JOIN cdh b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+  ) GROUP BY media_a, media_b, off
+  HAVING count(*) >= 2
+),
+avve AS (
+  SELECT media_a, media_b FROM avvp
+  UNION
+  SELECT media_a, media_b FROM avcp
+),
+avvpe AS (
+  SELECT media_a AS a, media_b AS b FROM avve
+  UNION ALL
+  SELECT media_b AS a, media_a AS b FROM avve
+),
+avvreach(node, label) AS (
+  SELECT DISTINCT a, a FROM avvpe
+  UNION
+  SELECT avvpe.a, r.label FROM avvpe JOIN avvreach r ON r.node = avvpe.b
+),
+avvnc AS (
+  SELECT node AS media_id FROM avvreach GROUP BY node
+  HAVING min(label) <> node
+),
+avae AS (
+  SELECT DISTINCT media_a, media_b FROM (
+    SELECT a.media_id AS media_a, b.media_id AS media_b, b.w - a.w AS off
+    FROM adh a JOIN adh b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.whash, b.whash)) <= 3
+    ) GROUP BY media_a, media_b, off
+    HAVING count(*) >= 2
+),
+avape AS (
+  SELECT media_a AS a, media_b AS b FROM avae
+  UNION ALL
+  SELECT media_b AS a, media_a AS b FROM avae
+),
+avareach(node, label) AS (
+  SELECT DISTINCT a, a FROM avape
+  UNION
+  SELECT avape.a, r.label FROM avape JOIN avareach r ON r.node = avape.b
+),
+avanc AS (
+  SELECT node AS media_id FROM avareach GROUP BY node
+  HAVING min(label) <> node
+),
+uav AS (
+  SELECT k.kind, k.media_id AS unit_id, d.source, k.n_bytes
+  FROM (
+    SELECT media_id, 'video' AS kind, CAST(plen AS BIGINT) AS n_bytes
+    FROM cmeta
+    WHERE greatest(w, h) <= 2 * least(w, h) AND nf >= 6
+      AND media_id NOT IN (SELECT media_id FROM avvnc)
+    UNION ALL
+    SELECT media_id, 'audio', CAST(plen AS BIGINT)
+    FROM ameta
+    WHERE nw >= 4
+      AND media_id NOT IN (SELECT media_id FROM avanc)
+  ) k JOIN documents d
+    ON d.doc_id = CASE
+      WHEN k.media_id >= 2000000000 THEN k.media_id - 2000000000
+      WHEN k.media_id >= 1000000000 THEN k.media_id - 1000000000
+      ELSE k.media_id END
+),
+uunits AS (
+  SELECT kind, unit_id, source, n_bytes,
+    kind || '#' || CAST(unit_id AS VARCHAR) AS uid
+  FROM (
+    SELECT * FROM utext
+    UNION ALL SELECT * FROM uimg
+    UNION ALL SELECT * FROM uav
+  )
+),
+uquota AS (
+  SELECT kind, unit_id, source, n_bytes, uid FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY source ORDER BY md5(uid), uid) AS rk
+    FROM uunits
+  ) WHERE rk <= 20
+),
+upre AS (
+  SELECT kind, unit_id, source, n_bytes,
+    COALESCE(SUM(n_bytes) OVER (
+      ORDER BY uid ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    ), 0) AS ce
+  FROM uquota
+)
+SELECT kind, unit_id, source, CAST(n_bytes AS BIGINT) AS n_bytes,
+  CAST(FLOOR(ce / 4096.0) AS BIGINT) AS shard_id
+FROM upre"""
+
 ORACLES["dedup_embedding"] = f"""\
 WITH aug_emb AS (
   SELECT vec_id, label, embedding FROM embeddings
@@ -3436,6 +3603,67 @@ bs AS (
 r0 AS (SELECT DISTINCT src AS id, src AS label FROM bs),
 {_lpa_ctes}
 SELECT id, label AS community FROM r{_LPA_ROUNDS}"""
+
+# Deterministic synchronous modularity local-move
+# (graph/communities.py modularity_communities): per round each vertex
+# moves to argmax_c of the INTEGER-scaled gain
+# m2·k_in(i,c) − d_i·(Σtot(c) − d_i·[c=cur]) with ties to the smallest
+# label; fixed round budget unrolled like LPA's; final labels
+# canonicalized to the smallest member id.
+_MOD_ROUNDS = 3
+_mod_ctes = ",\n".join(
+    f"""\
+mstot{k} AS (
+  SELECT l.label, CAST(sum(g.d) AS BIGINT) AS stot
+  FROM mr{k - 1} l JOIN mdeg g USING (id) GROUP BY l.label
+),
+mkin{k} AS (
+  SELECT b.src AS id, l.label, CAST(count(*) AS BIGINT) AS kin
+  FROM bs b JOIN mr{k - 1} l ON b.dst = l.id
+  GROUP BY b.src, l.label
+),
+mcand{k} AS (
+  SELECT id, label, max(kin) AS kin, max(cur) AS cur FROM (
+    SELECT id, label, kin, CAST(0 AS BIGINT) AS cur FROM mkin{k}
+    UNION ALL
+    SELECT id, label, CAST(0 AS BIGINT), CAST(1 AS BIGINT) FROM mr{k - 1}
+  ) GROUP BY id, label
+),
+mr{k} AS MATERIALIZED (
+  SELECT id, label FROM (
+    SELECT c.id, c.label,
+      row_number() OVER (
+        PARTITION BY c.id
+        ORDER BY (mm.m2 * c.kin
+                  - g.d * (s.stot - g.d * c.cur)) DESC, c.label ASC
+      ) AS rn
+    FROM mcand{k} c
+    JOIN mdeg g ON g.id = c.id
+    JOIN mstot{k} s ON s.label = c.label
+    CROSS JOIN mm
+  ) WHERE rn = 1
+)"""
+    for k in range(1, _MOD_ROUNDS + 1)
+)
+
+ORACLES["graph_modularity_communities"] = f"""\
+WITH {EDGES_SQL},
+bs AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM edges
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM edges
+  )
+),
+mdeg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS d FROM bs GROUP BY src),
+mm AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM bs),
+mr0 AS (SELECT DISTINCT src AS id, src AS label FROM bs),
+{_mod_ctes},
+mcanon AS (
+  SELECT label, min(id) AS community FROM mr{_MOD_ROUNDS} GROUP BY label
+)
+SELECT r.id, c.community
+FROM mr{_MOD_ROUNDS} r JOIN mcanon c USING (label)"""
 
 
 # Count-min heavy hitters (operators/sketches.py cms_heavy_hitters):

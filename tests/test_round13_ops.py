@@ -254,6 +254,133 @@ def test_incremental_ann_replay_and_growth(spark, tmp_path):
     assert nstats == ncells
 
 
+def test_unified_manifest_caps_sources_across_modalities(spark):
+    """The r12 gap: three parallel manifests each apply their own
+    per-source quota, so a source can hold 3× cap across modalities.
+    The unified manifest's SINGLE quota must cap every source across
+    text+image+video+audio combined — and the gap must be real: the
+    concatenated per-modality manifests exceed the cap for at least one
+    source that the unified manifest holds at cap."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        curation as CUR,
+    )
+
+    docs = _load_docs(spark)
+    cap = 20
+    uni = CUR.training_manifest_unified(docs, cap=cap)
+    per_src = {
+        r["source"]: r["n"]
+        for r in uni.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert per_src and all(n <= cap for n in per_src.values()), per_src
+    # multiple modalities actually compete within one source
+    kinds = {
+        (r["source"], r["kind"])
+        for r in uni.select("source", "kind").distinct().collect()
+    }
+    assert any(
+        len({k for s2, k in kinds if s2 == s}) >= 2 for s in per_src
+    ), kinds
+    # the concatenation of the three standalone manifests exceeds cap
+    legacy = (
+        CUR.training_manifest(docs)
+        .select("source")
+        .unionByName(CUR.media_training_manifest(docs).select("source"))
+        .unionByName(
+            CUR.media_training_manifest_av(docs).select("source")
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert any(r["n"] > cap for r in legacy), legacy
+
+
+def test_unified_manifest_shards_and_units(spark):
+    """Unit weights and shard assignment: text units weigh
+    octet_length(text) bytes; shard_id is the exclusive byte prefix
+    sum over the uid total order divided by the budget — verified
+    against a Python re-computation over the manifest's own rows."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        curation as CUR,
+    )
+
+    docs = _load_docs(spark)
+    budget = 4096
+    rows = CUR.training_manifest_unified(docs, byte_budget=budget).collect()
+    assert rows
+    ordered = sorted(rows, key=lambda r: f"{r['kind']}#{r['unit_id']}")
+    ce = 0
+    for r in ordered:
+        assert r["shard_id"] == ce // budget, r
+        ce += r["n_bytes"]
+    texts = {
+        r["doc_id"]: r["text"] for r in docs.collect()
+    }
+    for r in rows:
+        if r["kind"] == "text":
+            assert r["n_bytes"] == len(texts[r["unit_id"]].encode()), r
+
+
+# --- modularity communities (graph/communities.py) --------------------------
+
+def _bridged_cliques(spark):
+    """Two 4-cliques joined by THREE bridges — dense enough that LPA's
+    frequency vote floods one label across both (the known failure);
+    the modularity gain's degree-mass penalty keeps them apart."""
+    ca = [(a, b) for a in range(4) for b in range(4) if a < b]
+    cb = [(a + 4, b + 4) for a, b in ca]
+    bridges = [(0, 4), (1, 5), (2, 6)]
+    return spark.createDataFrame(
+        ca + cb + bridges, "src long, dst long"
+    )
+
+
+def test_modularity_separates_bridged_cliques_where_lpa_floods(spark):
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.graph.communities import (
+        label_propagation,
+        modularity_communities,
+    )
+
+    edges = _bridged_cliques(spark)
+    mc = {
+        r["id"]: r["community"]
+        for r in modularity_communities(edges).collect()
+    }
+    assert {i: mc[i] for i in range(8)} == {
+        **{i: 0 for i in range(4)},
+        **{i: 4 for i in range(4, 8)},
+    }
+    lp = {
+        r["id"]: r["community"] for r in label_propagation(edges).collect()
+    }
+    assert len(set(lp.values())) == 1  # the documented LPA flood
+
+
+def test_modularity_canonical_labels_and_isolated_clique(spark):
+    """Community labels are the smallest member id; a disconnected
+    triangle keeps its own community regardless of the rest."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.graph.communities import (
+        modularity_communities,
+    )
+
+    edges = _bridged_cliques(spark).unionByName(
+        spark.createDataFrame(
+            [(100, 101), (101, 102), (100, 102)], "src long, dst long"
+        )
+    )
+    got = {
+        r["id"]: r["community"]
+        for r in modularity_communities(edges).collect()
+    }
+    assert {got[100], got[101], got[102]} == {100}
+    for comm in set(got.values()):
+        members = [i for i, c in got.items() if c == comm]
+        assert comm == min(members)
+
+
 def test_knn_refined_hi_recall_floor(spark):
     """The r13 convergence-study config (build K=10, nprobe=2 seed, two
     rounds, serve top-5) must hold recall@5 ≥ 0.8 vs brute force — the
