@@ -289,8 +289,10 @@ def main() -> None:
             builds[name] = round(time.perf_counter() - t0, 3)
         except Exception as exc:
             errors[name] = f"cold: {type(exc).__name__}: {exc}"[:200]
+        if not cold_release:
+            continue  # disabled path: skip the per-query map walk
         for k, last in last_consumer.items():
-            if cold_release and last == name:
+            if last == name:
                 # The corpus is immutable within the pass, so orphan
                 # memos stay valid — wiping them per release would
                 # re-trigger their Spark-job recomputes inside later

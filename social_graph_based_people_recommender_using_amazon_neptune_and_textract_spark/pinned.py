@@ -92,13 +92,20 @@ _STATS = {"hits": 0, "builds": 0, "releases": 0}
 #: last consumer has run (bench.py's cold pass, r11 verdict item 3:
 #: 61 simultaneously-live pins inflated in-bench cold numbers ~1.7×
 #: over standalone). Telemetry only; never consulted for correctness.
+#: OPT-IN (r12 ADVICE): logging is dormant until the first
+#: ``touched_keys_snapshot`` call arms it, so long-lived processes
+#: that never snapshot (anything but a scheduler) accumulate nothing.
 _TOUCHES: set[Hashable] = set()
+_TOUCH_LOG_ARMED = False
 
 
 def touched_keys_snapshot(clear: bool = True) -> set[Hashable]:
     """The EFFECTIVE registry keys touched since the last snapshot
     (hits and builds alike). ``clear`` resets the log so per-query
-    attribution is a snapshot-run-snapshot bracket."""
+    attribution is a snapshot-run-snapshot bracket. The first call
+    arms the (otherwise dormant) touch log."""
+    global _TOUCH_LOG_ARMED
+    _TOUCH_LOG_ARMED = True
     s = set(_TOUCHES)
     if clear:
         _TOUCHES.clear()
@@ -125,7 +132,8 @@ def pinned(
     """Relations for ``key`` (under snapshot ``token``), built + persisted
     at most once per process."""
     k = effective_key(key, token)
-    _TOUCHES.add(k)
+    if _TOUCH_LOG_ARMED:
+        _TOUCHES.add(k)
     hit = _REGISTRY.get(k)
     if hit is not None:
         _STATS["hits"] += 1

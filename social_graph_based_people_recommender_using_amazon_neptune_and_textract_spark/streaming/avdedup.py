@@ -136,26 +136,19 @@ class _StreamingCopyDeduper:
             F.col("media_id").alias("_new_id"), *key_cols
         )
         if self._exists(idx_dir):
-            touched = (
-                blocked_b.select("blk", bucket_of.alias("bucket"))
-                .distinct()
-                .collect()
+            # Prune the index to buckets the batch actually touches via
+            # a left-semi join against the batch's distinct (blk,
+            # bucket) keys — no driver collect (r12 ADVICE: the two
+            # extra jobs per generator per micro-batch dominated
+            # single-file-trigger latency); the touched set is tiny so
+            # the semi-join broadcasts.
+            touched = F.broadcast(
+                blocked_b.select("blk", bucket_of.alias("bucket")).distinct()
             )
-            index = self.spark.read.parquet(idx_dir)
-            if touched:
-                # flat isin over the combined partition key — same
-                # pruning device as StreamingImageDeduper (an OR-chain
-                # overflows the driver stack at 8×64 buckets).
-                keys = [
-                    int(r["blk"]) * self.n_buckets + int(r["bucket"])
-                    for r in touched
-                ]
-                index = index.filter(
-                    (
-                        F.col("blk") * F.lit(self.n_buckets)
-                        + F.col("bucket")
-                    ).isin(keys)
-                )
+            index = (
+                self.spark.read.parquet(idx_dir)
+                .join(touched, ["blk", "bucket"], "left_semi")
+            )
             probe = index.select("media_id", *key_cols).unionByName(
                 blocked_b.select("media_id", *key_cols)
             )
