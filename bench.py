@@ -164,6 +164,12 @@ BENCH_QUERIES = [
     "media_training_manifest_av",
     "docs_chunk_dupes",
     "emb_knn_refined2",
+    "chunks_ann_topk",
+    "chunks_ann_lsh",
+    "emb_knn_refined_hi",
+    "training_manifest_unified",
+    "graph_modularity_communities",
+    # streaming_ann_ivf joins the streaming-twin exclusion below.
     # streaming twins (streaming_bpe_encode, streaming_quality_gate,
     # streaming_boilerplate) are driver-verified but not headline
     # entries: each timed run replays a full corpus stream from a
