@@ -1019,6 +1019,31 @@ KNN_SCORE_BLOCKS = 8
 KNN_ROUND_MARGIN = 2e-6
 
 
+def _group_topk_thresholds(gids, cos, kk):
+    """Per-group k-th-largest shortlist thresholds, fully vectorized.
+
+    ``gids`` are the pair rows' group keys (any int array), ``cos`` the
+    raw scores. Returns (order, starts, counts, thresh) where ``order``
+    sorts rows by (gid asc, cos desc), ``starts``/``counts`` delimit
+    each group in that order, and ``thresh[g]`` is the group's k-th
+    best raw cos minus KNN_ROUND_MARGIN (−inf for groups with ≤ kk
+    rows — those keep everything). The k-th-largest VALUE from a
+    descending sort is identical to the np.partition form the
+    row-at-a-time scorer used, so shortlist membership is unchanged."""
+    import numpy as np
+
+    order = np.lexsort((-cos, gids))
+    g_sorted = gids[order]
+    c_sorted = cos[order]
+    uniq, starts, counts = np.unique(
+        g_sorted, return_index=True, return_counts=True
+    )
+    thresh = np.full(len(uniq), -np.inf)
+    big = counts > kk
+    thresh[big] = c_sorted[starts[big] + kk - 1] - KNN_ROUND_MARGIN
+    return order, starts, counts, thresh
+
+
 def knn_graph(
     embeddings: DataFrame, k: int = 10, nprobe: int = 1
 ) -> DataFrame:
@@ -1161,33 +1186,33 @@ def knn_graph(
         Mv = np.stack(ms["v"].to_numpy())
         qn = np.sqrt(qs["n2"].to_numpy())
         mn = np.sqrt(ms["n2"].to_numpy())
-        out_q: list = []
-        out_m: list = []
-        out_c: list = []
-        for i in range(len(q_ids)):
-            prod = Mv * Qv[i]
-            acc = np.zeros(prod.shape[0])
-            for j in range(prod.shape[1]):
-                acc = acc + prod[:, j]
-            cos = acc / (qn[i] * mn)
-            keep = m_ids != q_ids[i]
-            if not keep.any():
-                continue
-            cs, ids = cos[keep], m_ids[keep]
-            if len(cs) > kk:
-                kth = np.partition(cs, len(cs) - kk)[len(cs) - kk]
-                sel = cs >= kth - KNN_ROUND_MARGIN
-                cs, ids = cs[sel], ids[sel]
-            out_q.append(np.full(len(ids), q_ids[i]))
-            out_m.append(ids)
-            out_c.append(cs)
-        if not out_q:
+        # Vectorized bipartite scoring (guide §4.2): one outer-product
+        # accumulation per dimension replaces the per-query Python
+        # loop. Each (i, m) element still receives Qv[i, j]·Mv[m, j] in
+        # strictly ascending j order — the identical sequential fold,
+        # bit-for-bit, as the row-at-a-time form it replaces.
+        acc = np.zeros((len(q_ids), len(m_ids)))
+        for j in range(Qv.shape[1]):
+            acc += np.multiply.outer(Qv[:, j], Mv[:, j])
+        cos = acc / np.multiply.outer(qn, mn)
+        cos[np.equal.outer(q_ids, m_ids)] = -np.inf  # self-pairs
+        flat = cos.ravel()
+        rows = np.repeat(np.arange(len(q_ids)), len(m_ids))
+        valid = flat > -np.inf
+        flat, rows = flat[valid], rows[valid]
+        cols = np.tile(np.arange(len(m_ids)), len(q_ids))[valid]
+        if len(flat) == 0:
             return empty
+        order, starts, counts, thresh = _group_topk_thresholds(
+            rows, flat, kk
+        )
+        keep_sorted = flat[order] >= np.repeat(thresh, counts)
+        sel = order[keep_sorted]
         return pd.DataFrame(
             {
-                "vec_id": np.concatenate(out_q),
-                "neighbor_id": np.concatenate(out_m),
-                "cos_raw": np.concatenate(out_c),
+                "vec_id": q_ids[rows[sel]],
+                "neighbor_id": m_ids[cols[sel]],
+                "cos_raw": flat[sel],
             }
         )
 
@@ -1312,6 +1337,7 @@ def knn_refine(
     per round is the candidate list (≤ 4k²N skinny id-pair rows) plus
     2·B·N vector rows; output is k·N."""
     from .. import checkpoints
+    from ..pinned import pinned
 
     assert rounds >= 1
     g = pinned_knn_graph(embeddings, k=k, nprobe=nprobe)
@@ -1319,22 +1345,56 @@ def knn_refine(
     base = with_norm(embeddings.select("vec_id", "label", "embedding"))
     held: frozenset[int] | None = None
     for i in range(int(rounds)):
-        out = _nn_descent_round(base, g, k, rcap)
+        if i == 0:
+            # Round 1's symmetrized capped view derives from the PINNED
+            # seed graph alone, so it is itself a build-once adjacency
+            # index (the graph tier's pinned_bi precedent) — pinned per
+            # (corpus, k, nprobe, rcap) and shared by every refine
+            # serve off this seed; it feeds BOTH sides of the two-hop
+            # self-join, which would otherwise recompute it twice.
+            (und,) = pinned(
+                (
+                    "knn_und",
+                    embeddings.semanticHash(),
+                    int(k),
+                    int(nprobe),
+                    rcap,
+                ),
+                lambda: (_symmetrize_capped(g, rcap),),
+            )
+            und_ids: frozenset[int] = frozenset()
+        else:
+            # Later rounds symmetrize the PREVIOUS round's graph — a
+            # per-call intermediate, so it rides a tracked
+            # localCheckpoint instead of a pin (still materialized
+            # once, not recomputed per join side).
+            und, und_ids = checkpoints.checkpoint(
+                _symmetrize_capped(g, rcap)
+            )
+        out = _nn_descent_round(base, g, und, k)
         if i < int(rounds) - 1:
             out, ids = checkpoints.checkpoint(out)
+            # Round output is materialized: this round's symmetrized-
+            # view scratch and the previous round's graph are both dead.
+            if und_ids:
+                checkpoints.free(out.sparkSession, und_ids)
             if held:
                 checkpoints.free(out.sparkSession, held)
             held = ids
+        else:
+            # The final round's lazy plan still reads its symmetrized
+            # view; a checkpointed one stays tracked and is reclaimed
+            # with the round graph by the registry's release hooks.
+            pass
         g = out
     return g
 
 
-def _nn_descent_round(
-    base: DataFrame, g: DataFrame, k: int, rcap: int
-) -> DataFrame:
-    """One expand → re-score → top-k step over graph ``g``
-    (vec_id, neighbor_id, cos, rank) using the normalized corpus
-    ``base`` (vec_id, v, n2). See ``knn_refine`` for the contract."""
+def _symmetrize_capped(g: DataFrame, rcap: int) -> DataFrame:
+    """The symmetrized rank-capped edge view of graph ``g``: forward
+    edges plus the ≤ ``rcap`` best reverse edges per target
+    (cos DESC, vec_id ASC), deduplicated — NN-Descent's deterministic
+    sampled reverse neighborhood (see ``knn_refine``)."""
     wrev = Window.partitionBy("neighbor_id").orderBy(
         F.desc("cos"), F.asc("vec_id")
     )
@@ -1346,7 +1406,21 @@ def _nn_descent_round(
             F.col("vec_id").alias("neighbor_id"),
         )
     )
-    und = g.select("vec_id", "neighbor_id").unionByName(rev).distinct()
+    return g.select("vec_id", "neighbor_id").unionByName(rev).distinct()
+
+
+def _nn_descent_round(
+    base: DataFrame, g: DataFrame, und: DataFrame, k: int
+) -> DataFrame:
+    """One expand → re-score → top-k step over graph ``g``
+    (vec_id, neighbor_id, cos, rank) with its materialized symmetrized
+    view ``und`` (pinned or checkpointed by the caller — it feeds BOTH
+    sides of the two-hop self-join), using the normalized corpus
+    ``base`` (vec_id, v, n2). See ``knn_refine`` for the contract.
+    The candidate list is NOT deduplicated relationally: every copy of
+    a (u, w) pair lands in the same (blk(u), blk(w)) scorer group, so
+    the scorer dedups with one vectorized np.unique instead of a full
+    candidate-sized Exchange + aggregate (guide §2.4)."""
     twohop = (
         und.alias("a")
         .join(
@@ -1361,7 +1435,7 @@ def _nn_descent_round(
     )
     cand = twohop.unionByName(
         g.select("vec_id", F.col("neighbor_id").alias("cand_id"))
-    ).distinct()
+    )
 
     B = KNN_SCORE_BLOCKS
     blk = lambda c: F.pmod(F.xxhash64(c), F.lit(B)).cast("int")  # noqa: E731
@@ -1418,38 +1492,36 @@ def _nn_descent_round(
         Mv = np.stack(ms["v"].to_numpy())
         qn = np.sqrt(qs["n2"].to_numpy())
         mn = np.sqrt(ms["n2"].to_numpy())
-        qpos = {int(i): p for p, i in enumerate(q_ids)}
-        mpos = {int(i): p for p, i in enumerate(m_ids)}
-        out_q: list = []
-        out_m: list = []
-        out_c: list = []
-        for u, grp in ps.groupby("vec_id"):
-            i = qpos[int(u)]
-            sel = np.fromiter(
-                (mpos[int(w)] for w in grp["other_id"]),
-                dtype=np.int64,
-                count=len(grp),
-            )
-            prod = Mv[sel] * Qv[i]
-            acc = np.zeros(prod.shape[0])
-            for j in range(prod.shape[1]):
-                acc = acc + prod[:, j]
-            cos = acc / (qn[i] * mn[sel])
-            ids = m_ids[sel]
-            if len(cos) > kk:
-                kth = np.partition(cos, len(cos) - kk)[len(cos) - kk]
-                keep = cos >= kth - KNN_ROUND_MARGIN
-                cos, ids = cos[keep], ids[keep]
-            out_q.append(np.full(len(ids), int(u)))
-            out_m.append(ids)
-            out_c.append(cos)
-        if not out_q:
-            return empty
+        # Vectorized pair-list scoring (guide §4.2): one position
+        # gather + one per-dimension column fold over the WHOLE pair
+        # list replaces the per-vertex Python loop. Each pair row still
+        # accumulates Qv[u, j]·Mv[w, j] in strictly ascending j order —
+        # the identical sequential fold, bit-for-bit, as the
+        # row-at-a-time form it replaces.
+        qpos = pd.Index(q_ids).get_indexer(ps["vec_id"].to_numpy())
+        mpos = pd.Index(m_ids).get_indexer(ps["other_id"].to_numpy())
+        # Dedup the pair list here (np.unique on the packed position
+        # key) instead of a candidate-sized distinct Exchange upstream:
+        # every copy of a pair hashes into this same group.
+        first = np.unique(
+            qpos * np.int64(len(m_ids)) + mpos, return_index=True
+        )[1]
+        qpos, mpos = qpos[first], mpos[first]
+        prod = Mv[mpos] * Qv[qpos]
+        acc = np.zeros(prod.shape[0])
+        for j in range(prod.shape[1]):
+            acc = acc + prod[:, j]
+        cos = acc / (qn[qpos] * mn[mpos])
+        order, starts, counts, thresh = _group_topk_thresholds(
+            qpos, cos, kk
+        )
+        keep_sorted = cos[order] >= np.repeat(thresh, counts)
+        sel = order[keep_sorted]
         return pd.DataFrame(
             {
-                "vec_id": np.concatenate(out_q),
-                "neighbor_id": np.concatenate(out_m),
-                "cos_raw": np.concatenate(out_c),
+                "vec_id": q_ids[qpos[sel]],
+                "neighbor_id": m_ids[mpos[sel]],
+                "cos_raw": cos[sel],
             }
         )
 
