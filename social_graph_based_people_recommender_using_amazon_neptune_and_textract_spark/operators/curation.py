@@ -38,6 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .. import checkpoints
 from ..functions.text import language_pred, quality_score_col
 from ..pinned import pinned
 from .dedup import dedup_exact, dedup_minhash_lsh
@@ -214,7 +215,14 @@ def media_training_manifest(
     from .packing import weighted_shards
     from .quota import domain_quota
 
-    src = _image_units(documents)
+    # The unit stream feeds the quota, the semi-join AND (via quota) the
+    # final re-attach; unmaterialized, its whole gated/deduped subtree
+    # would be instantiated once per consumer — and the eager prefix-sum
+    # checkpoint inside weighted_shards executes them all at build time.
+    # One tracked localCheckpoint runs it once (guide §3.3: materialize
+    # to truncate duplicated subtrees); the relation is skinny
+    # (id, source, n_bytes) — survivors only, no payloads.
+    src, _ = checkpoints.checkpoint(_image_units(documents))
     quota = domain_quota(
         src, cap, domain_col="source", id_col="media_id"
     ).select("media_id", "source")
@@ -330,7 +338,11 @@ def media_training_manifest_av(
     from .packing import weighted_shards
     from .quota import domain_quota
 
-    src = _av_units(documents)
+    # Materialized once for the same reason as the image manifest: the
+    # stream feeds quota + semi-join + the kind re-attach (three plan
+    # consumers), and weighted_shards' eager checkpoint would execute
+    # the copy-closure subtree per consumer at build time.
+    src, _ = checkpoints.checkpoint(_av_units(documents))
     quota = domain_quota(
         src, cap, domain_col="source", id_col="media_id"
     ).select("media_id", "source")
@@ -357,12 +369,12 @@ def _av_units(documents: DataFrame) -> DataFrame:
         ASPECT_MAX_RATIO,
         MEDIA_CLIP_OFFSET,
         MEDIA_VARIANT_OFFSET,
-        audio_dup_pairs,
         decode_media,
+        pinned_audio_dup_pairs,
+        pinned_video_clip_pairs,
+        pinned_video_dup_pairs,
         synth_audio_corpus,
         synth_media_clip_aug,
-        video_clip_pairs,
-        video_dup_pairs,
     )
 
     videos = synth_media_clip_aug(documents).filter(F.col("kind") == "video")
@@ -386,13 +398,20 @@ def _av_units(documents: DataFrame) -> DataFrame:
     )
     agate = ameta.filter(F.col("n_frames") >= F.lit(int(AV_MIN_WINDOWS)))
 
+    # The verified pair tables are the standalone dedup queries' PINNED
+    # indexes — reused here, not regenerated (the banded join + exact
+    # verification runs once per corpus snapshot for ALL consumers).
     vedges = (
-        video_dup_pairs(videos)
+        pinned_video_dup_pairs(videos)
         .select("media_a", "media_b")
-        .unionByName(video_clip_pairs(videos).select("media_a", "media_b"))
+        .unionByName(
+            pinned_video_clip_pairs(videos).select("media_a", "media_b")
+        )
         .distinct()
     )
-    aedges = audio_dup_pairs(audio).select("media_a", "media_b").distinct()
+    aedges = (
+        pinned_audio_dup_pairs(audio).select("media_a", "media_b").distinct()
+    )
 
     def _noncanon(edges):
         cc = pinned_connected_components(
@@ -490,7 +509,16 @@ def training_manifest_unified(
     av = _av_units(documents).select(
         "kind", F.col("media_id").alias("unit_id"), "source", "n_bytes"
     )
-    units = (
+    # ONE materialization of the cross-modal unit stream: it feeds the
+    # quota, the weighted semi-join and the final re-attach join — three
+    # plan consumers over the union of the three modality subtrees
+    # (text gates + image dedup closure + AV copy closure). Lazy, that
+    # subtree executed ~3× per call (twice eagerly inside
+    # weighted_shards' prefix-sum checkpoint, once in the final join)
+    # and produced a ~6,300-line physical plan; checkpointed, every
+    # consumer reads the skinny (kind, unit_id, source, n_bytes, uid)
+    # survivors relation (guide §3.3).
+    units, _ = checkpoints.checkpoint(
         text.unionByName(img).unionByName(av).withColumn("uid", uid)
     )
     quota = domain_quota(

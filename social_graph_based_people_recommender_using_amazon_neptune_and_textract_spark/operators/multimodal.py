@@ -467,7 +467,7 @@ def media_dup_clusters(media: DataFrame) -> DataFrame:
     pointer-jumping operator (components.py), pinned per pair graph."""
     from .components import pinned_connected_components
 
-    pairs = phash_pairs(media)
+    pairs = pinned_phash_pairs(media)
     cc = pinned_connected_components(pairs, a_col="media_a", b_col="media_b")
     return cc.select(
         F.col("node").alias("media_id"),
@@ -1038,3 +1038,90 @@ def audio_dup_pairs(
         .agg(F.count(F.lit(1)).cast("long").alias("n_matched"))
         .filter(F.col("n_matched") >= min_shared)
     )
+
+
+# ---------------------------------------------------------------------------
+# Pinned verified-pair indexes (the serving model for copy detection)
+# ---------------------------------------------------------------------------
+#
+# The pair tables are build-once artifacts per corpus snapshot — exactly
+# like the components closure (components.pinned_connected_components)
+# that consumes them: candidate generation + exact verification run once,
+# every serve reads the output-sized verified-pair relation. Consumers:
+# the standalone dedup queries AND the media manifests (curation._av_units
+# / media_dup_clusters), which previously re-ran the banded join +
+# verification per query invocation. Either release hook drops them and
+# the bench's cold pass re-pays the generation.
+
+
+def pinned_phash_pairs(
+    media: DataFrame, max_hamming: int = PHASH_MAX_HAMMING
+) -> DataFrame:
+    """``phash_pairs`` as a PINNED per-(corpus, threshold) product."""
+    from ..pinned import pinned
+
+    (p,) = pinned(
+        ("phash_pairs", media.semanticHash(), int(max_hamming)),
+        lambda: (phash_pairs(media, max_hamming),),
+    )
+    return p
+
+
+def pinned_video_dup_pairs(
+    media: DataFrame,
+    max_hamming: int = PHASH_MAX_HAMMING,
+    min_shared: int = VIDEO_MIN_SHARED,
+) -> DataFrame:
+    """``video_dup_pairs`` as a PINNED per-(corpus, thresholds) product."""
+    from ..pinned import pinned
+
+    (p,) = pinned(
+        (
+            "video_dup_pairs",
+            media.semanticHash(),
+            int(max_hamming),
+            int(min_shared),
+        ),
+        lambda: (video_dup_pairs(media, max_hamming, min_shared),),
+    )
+    return p
+
+
+def pinned_video_clip_pairs(
+    media: DataFrame,
+    max_hamming: int = UNALIGNED_MAX_HAMMING,
+    min_shared: int = VIDEO_MIN_SHARED,
+) -> DataFrame:
+    """``video_clip_pairs`` as a PINNED per-(corpus, thresholds) product."""
+    from ..pinned import pinned
+
+    (p,) = pinned(
+        (
+            "video_clip_pairs",
+            media.semanticHash(),
+            int(max_hamming),
+            int(min_shared),
+        ),
+        lambda: (video_clip_pairs(media, max_hamming, min_shared),),
+    )
+    return p
+
+
+def pinned_audio_dup_pairs(
+    media: DataFrame,
+    max_hamming: int = UNALIGNED_MAX_HAMMING,
+    min_shared: int = VIDEO_MIN_SHARED,
+) -> DataFrame:
+    """``audio_dup_pairs`` as a PINNED per-(corpus, thresholds) product."""
+    from ..pinned import pinned
+
+    (p,) = pinned(
+        (
+            "audio_dup_pairs",
+            media.semanticHash(),
+            int(max_hamming),
+            int(min_shared),
+        ),
+        lambda: (audio_dup_pairs(media, max_hamming, min_shared),),
+    )
+    return p

@@ -22,7 +22,7 @@ def _load_docs(spark):
 
 @pytest.mark.parametrize(
     "build",
-    ["media_training_manifest", "media_training_manifest_av"],
+    ["_image_units", "_av_units"],
 )
 def test_manifest_dim_broadcast_is_size_gated(spark, monkeypatch, build):
     """r12 weak mark: both media manifests unconditionally broadcast the
@@ -30,7 +30,12 @@ def test_manifest_dim_broadcast_is_size_gated(spark, monkeypatch, build):
     gate (curation._gated_dim_broadcast, a cap+1 probe) must broadcast
     under the cap and fall back to a shuffle join above it. With the
     planner's auto-broadcast disabled, only the explicit hint can
-    produce a BroadcastHashJoin, so plan shape isolates the gate."""
+    produce a BroadcastHashJoin, so plan shape isolates the gate.
+
+    Since r13 the manifests materialize their unit stream through a
+    tracked checkpoint (the dim join executes inside it and no longer
+    appears in the manifest's own plan), so the gate is asserted on the
+    unit-stream relation itself — the plan that carries the join."""
     from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
         curation as CUR,
     )
