@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..pinned import pinned
+from ..pinned import effective_key, memo, pinned
 from .model import symmetrize
 
 #: Above this many friends the broadcast hint is withheld and the scoring
@@ -78,6 +78,16 @@ def _friends(bs: DataFrame, user_id) -> DataFrame:
     return bs.filter(F.col("src") == user_id).select(F.col("dst").alias("id"))
 
 
+def _n_friends(edges: DataFrame, friends: DataFrame, user_id) -> int:
+    """The whale-gate degree probe, memoized on the pinned view's
+    lifecycle (the BM25 CollectionStatistics pattern): the count job
+    runs once per (edge relation, user), not once per scoring call."""
+    parent = effective_key(("graph_bs", edges.semanticHash()))
+    return memo(
+        ("n_friends", parent, user_id), lambda: friends.count(), parent=parent
+    )
+
+
 def _maybe_broadcast(df: DataFrame, n: int):
     return F.broadcast(df) if n <= WHALE_BROADCAST_CAP else df
 
@@ -87,7 +97,7 @@ def jaccard_pymk(edges: DataFrame, user_id, k: int = 10) -> DataFrame:
     non-friends ranked by Jaccard neighborhood overlap."""
     bs, deg = _bs_deg(edges)
     friends = _friends(bs, user_id)
-    n_friends = friends.count()  # point filter on the pinned view
+    n_friends = _n_friends(edges, friends, user_id)
     fr = _maybe_broadcast(friends, n_friends)
 
     # Common-neighbor count per candidate: bs is distinct on (src, dst),
@@ -128,7 +138,7 @@ def adamic_adar_pymk(edges: DataFrame, user_id, k: int = 10) -> DataFrame:
     big table is scanned once and joined against a friend-sized side."""
     bs, deg = _bs_deg(edges)
     friends = _friends(bs, user_id)
-    n_friends = friends.count()
+    n_friends = _n_friends(edges, friends, user_id)
     deg_f = _maybe_broadcast(
         deg.join(_maybe_broadcast(friends, n_friends), "id"), n_friends
     )

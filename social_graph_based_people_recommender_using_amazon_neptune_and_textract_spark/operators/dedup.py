@@ -563,10 +563,14 @@ def dedup_clusters(corpus: DataFrame, threshold: float = 0.5) -> DataFrame:
     in ≥1 near-dup pair — cluster_id is the component's min doc_id and
     the canonical representative is the doc equal to it (the same
     keep-min rule the curation pipeline applies to exact dups)."""
-    from .components import connected_components
+    from .components import pinned_connected_components
 
     pairs = dedup_minhash_lsh(corpus, threshold)
-    labels = connected_components(pairs)
+    # PINNED closure (the components serving model): the collect-probe /
+    # union-find / label materialization runs once per pair graph; every
+    # consumer (this query, cluster sizes, soft weights, curation) reads
+    # the vertex-sized label relation.
+    labels = pinned_connected_components(pairs)
     return labels.select(
         F.col("node").alias("doc_id"),
         F.col("label").alias("cluster_id"),
@@ -1513,15 +1517,33 @@ def boilerplate_stats(
     per_source_grams = boiler.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_boiler_grams")
     )
-    removed = strip_boilerplate(corpus, n, min_docs)
-    exposure = (
-        corpus.select("doc_id", "source")
-        .join(removed, "doc_id")
-        .groupBy("source")
-        .agg(
-            F.count_if(F.col("n_removed") > 0).alias("docs_affected"),
-            F.sum("n_removed").alias("words_removed"),
+    # Only documents with ≥1 boilerplate occurrence can contribute to
+    # either aggregate (an unaffected doc has n_removed = 0, adding
+    # nothing to count_if or sum), so the strip walk — tokenize + the
+    # covered-token filter — is evaluated over the AFFECTED docs only:
+    # an inner join against the occurrence relation instead of the
+    # full-corpus left join ``strip_boilerplate`` serves. Sources whose
+    # docs are all unaffected simply drop out of ``exposure`` and the
+    # final left join coalesces them to the same 0s as before.
+    per_doc = dpos.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("pos")).alias("bp")
+    )
+    toks = tokenize(F.col("text"))
+    kept = F.expr(
+        f"filter(ws, (w, i) -> NOT exists(bp, "
+        f"p -> p <= CAST(i + 1 AS BIGINT) AND CAST(i + 1 AS BIGINT) < p + {int(n)}))"
+    )
+    affected = (
+        corpus.select("doc_id", "source", toks.alias("ws"))
+        .join(per_doc, "doc_id")
+        .select(
+            "source",
+            (F.size("ws") - F.size(kept)).cast("long").alias("n_removed"),
         )
+    )
+    exposure = affected.groupBy("source").agg(
+        F.count_if(F.col("n_removed") > 0).alias("docs_affected"),
+        F.sum("n_removed").alias("words_removed"),
     )
     return (
         corpus.select("source")

@@ -67,38 +67,68 @@ def exclusive_prefix_sum(
     the id total order, via the module's two-phase device (range
     partition → driver offset prefix → per-partition window). The core
     every packer projects from: budget shards floor-divide ``ce``,
-    sequence packing floor-divides and modulos it."""
-    # Tracked checkpoint: the returned DataFrame reads ``ranged``, so its
-    # storage is released by checkpoints.release_all once consumed.
-    ranged, _ = checkpoint(
-        weighted.repartitionByRange(n_partitions, F.col(id_col))
-        .withColumn("pid", F.spark_partition_id())
-    )
+    sequence packing floor-divides and modulos it.
 
-    totals = ranged.groupBy("pid").agg(F.sum(weight_col).alias("t")).collect()
-    offsets: dict[int, int] = {}
-    acc = 0
-    for row in sorted(totals, key=lambda r: r["pid"]):
-        offsets[row["pid"]] = acc
-        acc += int(row["t"])
+    PINNED per (weighted, id, weight, n_partitions): the offset table is
+    a build-once corpus product — the token/byte cursor every packer
+    reads — and the two-phase device is all fixed cost (an eager
+    checkpointed range shuffle + a driver offset collect) that a serving
+    layer must not re-pay per query. Same lifecycle as every other pin:
+    the release hooks drop it and the cold pass re-pays the build."""
+    from ..pinned import pinned
 
-    off_col = None
-    for pid, off in sorted(offsets.items()):
-        cond = F.col("pid") == pid
-        off_col = (
-            F.when(cond, F.lit(off)) if off_col is None else off_col.when(cond, F.lit(off))
+    def _build():
+        # Tracked checkpoint: the phase-2 offsets are looked up by the
+        # partition ids SEEN in phase 3, so the ranged relation is
+        # materialized once (ids frozen) before both consumers; its
+        # storage rides the pin's lifecycle via _CKPT_BACKED.
+        ranged, _ = checkpoint(
+            weighted.repartitionByRange(n_partitions, F.col(id_col))
+            .withColumn("pid", F.spark_partition_id())
         )
-    off_col = F.lit(0) if off_col is None else off_col.otherwise(F.lit(0))
 
-    w = (
-        Window.partitionBy("pid")
-        .orderBy(id_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
+        totals = (
+            ranged.groupBy("pid").agg(F.sum(weight_col).alias("t")).collect()
+        )
+        offsets: dict[int, int] = {}
+        acc = 0
+        for row in sorted(totals, key=lambda r: r["pid"]):
+            offsets[row["pid"]] = acc
+            acc += int(row["t"])
+
+        off_col = None
+        for pid, off in sorted(offsets.items()):
+            cond = F.col("pid") == pid
+            off_col = (
+                F.when(cond, F.lit(off))
+                if off_col is None
+                else off_col.when(cond, F.lit(off))
+            )
+        off_col = F.lit(0) if off_col is None else off_col.otherwise(F.lit(0))
+
+        w = (
+            Window.partitionBy("pid")
+            .orderBy(id_col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        cum_excl = off_col + F.coalesce(F.sum(weight_col).over(w), F.lit(0))
+        return (
+            ranged.select(
+                id_col, weight_col, cum_excl.cast("long").alias("ce")
+            ),
+        )
+
+    (pre,) = pinned(
+        (
+            "prefix_sum",
+            weighted.semanticHash(),
+            id_col,
+            weight_col,
+            int(n_partitions),
+        ),
+        _build,
     )
-    cum_excl = off_col + F.coalesce(F.sum(weight_col).over(w), F.lit(0))
-    return ranged.select(
-        id_col, weight_col, cum_excl.cast("long").alias("ce")
-    )
+    return pre
 
 
 def weighted_shards(

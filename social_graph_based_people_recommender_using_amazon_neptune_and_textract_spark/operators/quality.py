@@ -110,28 +110,46 @@ def split_source_balance(documents: DataFrame) -> DataFrame:
     from .sampling import SPLIT_NAMES, hash_split
 
     d = hash_split(documents.select("doc_id", "source"), "doc_id")
-    obs = d.groupBy("source", "split").agg(F.count(F.lit(1)).alias("n"))
-    src_tot = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
-    split_dom = documents.sparkSession.createDataFrame(
-        [(s,) for s in SPLIT_NAMES], "split string"
+    # ONE corpus scan: the finest-grain contingency counts are collected
+    # (dimension-sized — |sources|×|splits| rows, the bounded-relation
+    # device) and every marginal (per-source, per-split, grand total) is
+    # an exact-integer driver fold over them, instead of three more full
+    # scans of the split relation computing the same counts.
+    spark = documents.sparkSession
+    obs_rows = (
+        d.groupBy("source", "split").agg(F.count(F.lit(1)).alias("n")).collect()
     )
-    split_tot = split_dom.join(
-        d.groupBy("split").agg(F.count(F.lit(1)).alias("n_split")),
-        "split",
-        "left",
-    ).select("split", F.coalesce("n_split", F.lit(0)).alias("n_split"))
-    tot = d.agg(F.count(F.lit(1)).alias("n_all"))
-    grid = src_tot.crossJoin(split_tot).crossJoin(tot)
+    n_src: dict[str, int] = {}
+    n_split: dict[str, int] = {}
+    n_all = 0
+    for r in obs_rows:
+        n_src[r["source"]] = n_src.get(r["source"], 0) + int(r["n"])
+        n_split[r["split"]] = n_split.get(r["split"], 0) + int(r["n"])
+        n_all += int(r["n"])
+    # The driver already holds every marginal, so the FULL grid is one
+    # dimension-sized local relation — no crossJoins of parallelized
+    # 1-row frames (each arrives in defaultParallelism partitions, and
+    # CartesianProduct multiplies them: 32³ = 32768 tasks for 9 rows).
+    # The χ² terms stay SPARK expressions over the exact-integer
+    # columns so the IEEE operation order (and hence every rounded
+    # float) is identical to the joined form the oracle spells.
+    obs_n = {(r["source"], r["split"]): int(r["n"]) for r in obs_rows}
+    grid = spark.createDataFrame(
+        [
+            (src, spl, obs_n.get((src, spl), 0), ns, n_split.get(spl, 0), n_all)
+            for src, ns in sorted(n_src.items())
+            for spl in SPLIT_NAMES
+        ],
+        "source string, split string, n bigint, "
+        "n_src bigint, n_split bigint, n_all bigint",
+    ).coalesce(1)
     ne = F.col("n_src") * F.col("n_split") / F.col("n_all")
-    n = F.coalesce("n", F.lit(0)).cast("long")
+    n = F.col("n").cast("long")
     chi2 = F.when(ne == 0, F.lit(0.0)).otherwise((n - ne) * (n - ne) / ne)
-    return (
-        grid.join(obs, ["source", "split"], "left")
-        .select(
-            "source",
-            "split",
-            n.alias("n"),
-            F.round(ne, 6).alias("n_expected"),
-            F.round(chi2, 6).alias("chi2_term"),
-        )
+    return grid.select(
+        "source",
+        "split",
+        n.alias("n"),
+        F.round(ne, 6).alias("n_expected"),
+        F.round(chi2, 6).alias("chi2_term"),
     )

@@ -238,9 +238,13 @@ def chunks_ann_lsh(
     probes = q.select(
         "query_doc", "qv", "qn2", F.explode(flips).alias("bucket")
     )
-    cand = (
-        idx.join(F.broadcast(probes), "bucket")
-        .filter(F.col("doc_id") != F.col("query_doc"))
-        .dropDuplicates(["query_doc", "doc_id", "chunk_idx"])
+    # No candidate dedup needed: an index entry lives in exactly ONE
+    # bucket and a query's probe set (qbucket + its n_bits Hamming-1
+    # flips) is distinct values, so a (query_doc, doc_id, chunk_idx)
+    # triple can match at most one probe row — the former
+    # dropDuplicates was a provable no-op paying a full candidate
+    # shuffle (guide §2.4: a distinct on already-unique data).
+    cand = idx.join(F.broadcast(probes), "bucket").filter(
+        F.col("doc_id") != F.col("query_doc")
     )
     return _rank_topk(_score(cand), k)

@@ -454,19 +454,29 @@ def ann_pq(
         ("pq_index", embeddings.semanticHash()), _build
     )
 
-    qsubs = None
-    for m in range(PQ_M):
-        qs = (
-            _pq_sub(base_full, m)
-            .filter(F.col("vec_id").isin(query_ids))
-            .select(
-                F.col("vec_id").alias("query_id"),
+    # Query-side subspace table from ONE filtered scan: slice all M
+    # subvectors of each query row and explode, instead of a PQ_M-way
+    # union that re-scans the embeddings source once per subspace.
+    width = DIM // PQ_M
+    sub_structs = F.array(
+        *[
+            F.struct(
                 F.lit(m).alias("m"),
-                F.col("v").alias("qv"),
-                F.col("n2").alias("qn2"),
+                F.slice(F.col("fv"), m * width + 1, width).alias("qv"),
             )
+            for m in range(PQ_M)
+        ]
+    )
+    qsubs = (
+        base_full.filter(F.col("vec_id").isin(query_ids))
+        .select(F.col("vec_id").alias("query_id"), F.explode(sub_structs).alias("s"))
+        .select(
+            "query_id",
+            F.col("s.m").alias("m"),
+            F.col("s.qv").alias("qv"),
         )
-        qsubs = qs if qsubs is None else qsubs.unionByName(qs)
+        .withColumn("qn2", norm2(F.col("qv")))
+    )
 
     d2 = (
         F.col("qn2")

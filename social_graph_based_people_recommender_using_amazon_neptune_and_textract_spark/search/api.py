@@ -45,6 +45,27 @@ def _memo_stats(doclen: DataFrame, by_field: bool, parent=None):
     )
 
 
+def _memo_dfs(vocab: DataFrame, terms, by_field: bool, parent=None):
+    """Per-(index, term set) document frequencies — Lucene's
+    TermStatistics, memoized on the index pin's lifecycle exactly like
+    ``_memo_stats``: the vocabulary point-lookup collect runs once per
+    (index, query terms), not once per search call."""
+    return memo(
+        (
+            "vocab_dfs",
+            by_field,
+            parent if parent is not None else vocab.semanticHash(),
+            tuple(terms),
+        ),
+        lambda: (
+            vocab_dfs_by_field(vocab, terms)
+            if by_field
+            else vocab_dfs(vocab, terms)
+        ),
+        parent=parent,
+    )
+
+
 def _melt_fields(bizcards: DataFrame) -> DataFrame:
     """(id, owner, field, text) rows — one per searchable field; ``owner``
     rides along as a doc value (it feeds O28 filter context)."""
@@ -146,7 +167,7 @@ def search_documents(
     scored = bm25_scores(
         postings, doclen, terms,
         stats=_memo_stats(doclen, False, parent),
-        dfs=vocab_dfs(vocab, terms),
+        dfs=_memo_dfs(vocab, terms, False, parent),
     )
     return (
         scored.select(F.col("id").alias("doc_id"), "score")
@@ -195,7 +216,7 @@ def search_bizcards(
     fscores = bm25_scores_by_field(
         postings, doclen, terms,
         stats=_memo_stats(doclen, True, parent),
-        dfs=vocab_dfs_by_field(vocab, terms),
+        dfs=_memo_dfs(vocab, terms, True, parent),
     )
 
     boost = F.when(F.col("field") == "name", F.lit(3.0)).otherwise(F.lit(1.0))
