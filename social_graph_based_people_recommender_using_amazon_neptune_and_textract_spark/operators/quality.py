@@ -133,16 +133,30 @@ def split_source_balance(documents: DataFrame) -> DataFrame:
     # The χ² terms stay SPARK expressions over the exact-integer
     # columns so the IEEE operation order (and hence every rounded
     # float) is identical to the joined form the oracle spells.
+    #
+    # The grid ships via pandas → Arrow (guide §6): a plain local LIST
+    # parallelizes into defaultParallelism pickled Python partitions
+    # whose EVERY downstream action pays one Python-worker round trip
+    # per partition (measured ~0.15 s × 32 here — and a coalesce(1)
+    # serializes the 32 visits into one ~5 s task); the Arrow batch is
+    # scanned JVM-side in ~0.1 s.
+    import pandas as pd
+
     obs_n = {(r["source"], r["split"]): int(r["n"]) for r in obs_rows}
     grid = spark.createDataFrame(
-        [
-            (src, spl, obs_n.get((src, spl), 0), ns, n_split.get(spl, 0), n_all)
-            for src, ns in sorted(n_src.items())
-            for spl in SPLIT_NAMES
-        ],
+        pd.DataFrame(
+            [
+                (src, spl, obs_n.get((src, spl), 0), ns, n_split.get(spl, 0), n_all)
+                for src, ns in sorted(n_src.items())
+                for spl in SPLIT_NAMES
+            ],
+            columns=["source", "split", "n", "n_src", "n_split", "n_all"],
+        ).astype(
+            {"n": "int64", "n_src": "int64", "n_split": "int64", "n_all": "int64"}
+        ),
         "source string, split string, n bigint, "
         "n_src bigint, n_split bigint, n_all bigint",
-    ).coalesce(1)
+    )
     ne = F.col("n_src") * F.col("n_split") / F.col("n_all")
     n = F.col("n").cast("long")
     chi2 = F.when(ne == 0, F.lit(0.0)).otherwise((n - ne) * (n - ne) / ne)
