@@ -359,6 +359,26 @@ def media_training_manifest_av(
     )
 
 
+def pinned_media_training_manifest_av(
+    documents: DataFrame, cap: int = 20, byte_budget: int = 4096
+) -> DataFrame:
+    """``media_training_manifest_av`` as a PINNED per-snapshot product —
+    the same build-once contract as the image manifest's
+    ``pinned_media_training_manifest``: the composition (gates, copy
+    closures, quota, shards) executes once per (corpus, cap, budget);
+    either release hook drops it and the cold pass re-pays the build."""
+    (m,) = pinned(
+        (
+            "media_training_manifest_av",
+            documents.semanticHash(),
+            int(cap),
+            int(byte_budget),
+        ),
+        lambda: (media_training_manifest_av(documents, cap, byte_budget),),
+    )
+    return m
+
+
 def _av_units(documents: DataFrame) -> DataFrame:
     """The AV manifest's pre-quota unit stream — duration/aspect-gated,
     copy-closure-canonical survivors with their spawning document's
