@@ -1185,7 +1185,7 @@ def _q_emb_knn_refined(spark, sf_dir):
     )
 
     emb = tables.load_table(spark, sf_dir, "embeddings")
-    return SIM.knn_refine(emb, k=5, nprobe=1)
+    return SIM.pinned_knn_refined(emb, k=5, nprobe=1)
 
 
 def _q_emb_knn_refined2(spark, sf_dir):
@@ -1199,7 +1199,7 @@ def _q_emb_knn_refined2(spark, sf_dir):
     )
 
     emb = tables.load_table(spark, sf_dir, "embeddings")
-    return SIM.knn_refine(emb, k=5, nprobe=1, rounds=2)
+    return SIM.pinned_knn_refined(emb, k=5, nprobe=1, rounds=2)
 
 
 def _q_emb_knn_refined_hi(spark, sf_dir):
@@ -1216,7 +1216,7 @@ def _q_emb_knn_refined_hi(spark, sf_dir):
     )
 
     emb = tables.load_table(spark, sf_dir, "embeddings")
-    return SIM.knn_refine(emb, k=10, nprobe=2, rounds=2).filter(
+    return SIM.pinned_knn_refined(emb, k=10, nprobe=2, rounds=2).filter(
         F.col("rank") <= 5
     )
 

@@ -1400,6 +1400,38 @@ def knn_refine(
     return g
 
 
+def pinned_knn_refined(
+    embeddings: DataFrame,
+    k: int = 10,
+    nprobe: int = 1,
+    rev_cap: int | None = None,
+    rounds: int = 1,
+) -> DataFrame:
+    """The refined kNN graph as a PINNED per-(corpus, params) product —
+    the graph-ANN serving model: NN-Descent is a BUILD step (its own
+    docstring's contract), so the expand/re-score/top-k rounds execute
+    once per corpus snapshot and every serve reads the k·N edge
+    relation, exactly like the seed ``pinned_knn_graph`` it refines.
+    The rounds' tracked checkpoints land in the pin's backing set
+    (pinned's before/after diff), so either release hook reclaims the
+    whole build and the bench's cold pass re-pays it."""
+    from ..pinned import pinned
+
+    rcap = int(rev_cap) if rev_cap is not None else int(k)
+    (g,) = pinned(
+        (
+            "knn_refined",
+            embeddings.semanticHash(),
+            int(k),
+            int(nprobe),
+            rcap,
+            int(rounds),
+        ),
+        lambda: (knn_refine(embeddings, k, nprobe, rcap, rounds),),
+    )
+    return g
+
+
 def _symmetrize_capped(g: DataFrame, rcap: int) -> DataFrame:
     """The symmetrized rank-capped edge view of graph ``g``: forward
     edges plus the ≤ ``rcap`` best reverse edges per target
