@@ -69,6 +69,79 @@ def _hashed_embedding(piece, dim: int = CHUNK_EMB_DIM):
     )
 
 
+def _embed_chunks_arrow(chunks: DataFrame, dim: int, id_col: str) -> DataFrame:
+    """The feature-hash vector at the Arrow boundary: per chunk, one
+    md5 per token (hashlib — bit-identical to ``md5_long``: first 15
+    hex chars of md5(utf8), positive so ``%`` agrees across engines)
+    and one ``np.bincount`` histogram over the 2D residues, v = plus
+    counts − minus counts. Each v[j] is Σ±1 over the chunk's tokens —
+    a small exact integer, so the count form is bit-identical to
+    ``_hashed_embedding``'s per-dimension fold (integer adds are
+    order-free in doubles below 2^53); pinned by the
+    equivalence test in tests/test_round13_ops.py.
+
+    Why Arrow (guide §4.2): the JVM form is a higher-order-function
+    fold — Catalyst evaluates lambda functions INTERPRETED, per
+    element, so the D-way scatter costs D·|piece| expression-tree walks
+    per chunk (measured 6.1 s for 6.9k chunks at sf0.1, ~88% of the
+    chunk-index build); the histogram is one vectorized pass. Row-local
+    either way — the zero-shuffle contract is unchanged."""
+    import numpy as np
+    import pandas as pd
+
+    two_d = 2 * dim
+    out_schema = (
+        f"{id_col} long, chunk_idx int, start_tok int, n_tokens long, "
+        "chunk_fp string, v array<double>"
+    )
+
+    def _embed(batches):
+        import hashlib
+
+        for pdf in batches:
+            pieces = pdf["piece"]
+            lens = np.fromiter(
+                (len(p) for p in pieces), dtype=np.int64, count=len(pieces)
+            )
+            if int(lens.sum()) == 0:
+                flat_m = np.empty(0, dtype=np.int64)
+            else:
+                # Hash each DISTINCT token once (factorize), then gather:
+                # chunks overlap and corpora repeat words, so the md5
+                # count is vocabulary-sized, not token-sized.
+                flat = np.concatenate([np.asarray(p, dtype=object) for p in pieces])
+                codes, uniq = pd.factorize(flat, sort=False)
+                res = np.fromiter(
+                    (
+                        int(
+                            hashlib.md5(t.encode("utf-8")).hexdigest()[:15],
+                            16,
+                        )
+                        % two_d
+                        for t in uniq
+                    ),
+                    dtype=np.int64,
+                    count=len(uniq),
+                )
+                flat_m = res[codes]
+            seg = np.repeat(np.arange(len(pieces)), lens)
+            hist = np.zeros((len(pieces), two_d), dtype=np.int64)
+            np.add.at(hist, (seg, flat_m), 1)
+            v = (hist[:, :dim] - hist[:, dim:]).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "chunk_idx": pdf["chunk_idx"],
+                    "start_tok": pdf["start_tok"],
+                    "n_tokens": pdf["n_tokens"],
+                    "chunk_fp": pdf["chunk_fp"],
+                    "v": list(v),
+                }
+            )
+
+    return chunks.mapInPandas(_embed, out_schema)
+
+
 def chunk_embeddings(
     df: DataFrame,
     chunk_tokens: int = SLIDING_CHUNK_TOKENS,
@@ -79,19 +152,22 @@ def chunk_embeddings(
 ) -> DataFrame:
     """Every chunk occurrence with its embedding — (id, chunk_idx,
     start_tok, n_tokens, chunk_fp, v, n2), zero-vector chunks dropped.
-    One zero-shuffle projection over ``chunk_windows``; the md5 per
-    token is hashed ONCE (the 2D-residue column) before the D-way
-    scatter."""
+    One zero-shuffle row-local pass over ``chunk_windows``: identity,
+    fingerprint and token count stay JVM columns; the feature-hash
+    vector is one Arrow histogram per chunk (``_embed_chunks_arrow`` —
+    bit-identical to the JVM fold ``_hashed_embedding``, which remains
+    as the cross-checked reference)."""
     w = chunk_windows(df, chunk_tokens, overlap, id_col, text_col)
     p = F.col("piece")
-    emb = w.select(
+    chunks = w.select(
         id_col,
         "chunk_idx",
         "start_tok",
         F.size(p).cast("long").alias("n_tokens"),
         F.md5(F.concat_ws(" ", p).cast("binary")).alias("chunk_fp"),
-        _hashed_embedding(p, dim).alias("v"),
-    ).withColumn(
+        p.alias("piece"),
+    )
+    emb = _embed_chunks_arrow(chunks, dim, id_col).withColumn(
         "n2",
         F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x),
     )

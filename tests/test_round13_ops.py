@@ -452,3 +452,55 @@ def test_chunk_retrieval_plan_shapes(spark):
     assert "CartesianProduct" not in plan_l, plan_l
     assert PL.broadcast_join_count(lsh) >= 1, plan_l
     assert PL.sort_merge_join_count(lsh) == 0, plan_l
+
+
+def test_chunk_embedding_arrow_matches_jvm_fold(spark):
+    """r13 optimization equivalence pin: the Arrow histogram embedding
+    (retrieval._embed_chunks_arrow — one np.bincount per chunk) must be
+    BIT-identical to the JVM higher-order fold it replaced
+    (retrieval._hashed_embedding, kept as the reference), on real
+    corpus text plus unicode/short/duplicate degenerates. Every v[j] is
+    an exact small integer (Σ±1 over the chunk's tokens), so count form
+    vs fold form must agree exactly, not approximately."""
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.functions.text import (
+        chunk_windows,
+    )
+    from social_graph_based_people_recommender_using_amazon_neptune_and_textract_spark.operators import (
+        retrieval as R,
+    )
+
+    extra = spark.createDataFrame(
+        [
+            (9001, "서울시 강남구 역삼동 — unicode tokens répétés répétés", "s"),
+            (9002, "short", "s"),
+            (9003, "dup dup dup dup dup dup dup dup", "s"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    docs = _load_docs(spark).select("doc_id", "text", "source").unionByName(
+        extra
+    )
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["v"], r["n2"])
+        for r in R.chunk_embeddings(docs).collect()
+    }
+    w = chunk_windows(docs)
+    p = F.col("piece")
+    ref_rows = (
+        w.select(
+            "doc_id",
+            "chunk_idx",
+            R._hashed_embedding(p).alias("v"),
+        )
+        .withColumn(
+            "n2",
+            F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x),
+        )
+        .filter(F.col("n2") > 0)
+        .collect()
+    )
+    assert ref_rows and len(ref_rows) == len(got)
+    for r in ref_rows:
+        v, n2 = got[(r["doc_id"], r["chunk_idx"])]
+        assert list(v) == list(r["v"]), (r["doc_id"], r["chunk_idx"])
+        assert n2 == r["n2"]
