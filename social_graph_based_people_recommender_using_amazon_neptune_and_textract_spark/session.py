@@ -70,6 +70,21 @@ def get_spark(
             "spark.memory.storageFraction",
             os.environ.get("SPARK_GRAFT_STORAGE_FRACTION", "0.5"),
         )
+        # Whole-stage-codegen compile cache (Spark default 100 entries).
+        # This engine serves 200+ distinct query plans from one session
+        # (the ES/Neptune-style serving model), each compiling several
+        # generated classes — at the default size the cache thrashes and
+        # every re-serve pays Janino recompilation. 2000 entries hold
+        # the full workload's bytecode (tens of MB against a 48 GB
+        # JVM); the same sizing argument applies to any wide-workload
+        # production deployment, not just this bench. Interleaved
+        # same-day A/B (fresh sessions, 30-query steady-state pass ×2
+        # per side): 16.2/14.4 s at 100 vs 10.4/12.8 s at 2000 —
+        # consistent direction in all four comparisons (r13).
+        .config(
+            "spark.sql.codegen.cache.maxEntries",
+            os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "2000"),
+        )
     )
     local_dirs = _local_dirs()
     if local_dirs:
