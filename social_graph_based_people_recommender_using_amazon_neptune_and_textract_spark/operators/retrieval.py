@@ -225,15 +225,29 @@ def pinned_chunk_index(
 
 def _chunk_queries(documents: DataFrame, query_docs: list[int]) -> DataFrame:
     """Chunk 0 of each query document — the retrieval probe text. Reads
-    the raw chunk stream (a query is its own text, dedup-independent)."""
+    the raw chunk stream (a query is its own text, dedup-independent).
+
+    Serve-side boundary choice: the probe set is a handful of rows, so
+    the embedding runs as the JVM fold (``_hashed_embedding`` — the
+    bit-identical reference form the Arrow histogram is equivalence-
+    tested against) instead of ``_embed_chunks_arrow``: a per-serve
+    Python worker round trip costs more than folding ≤|query_docs|
+    chunks in Catalyst. The chunk-0 filter runs BEFORE the embedding
+    (row-local, so reordering is value-identical) — only the probe
+    chunks are embedded at all. The index side keeps the Arrow
+    histogram, where the corpus-sized batch amortizes the boundary."""
+    w = chunk_windows(documents.filter(F.col("doc_id").isin(query_docs)))
     return (
-        chunk_embeddings(documents.filter(F.col("doc_id").isin(query_docs)))
-        .filter(F.col("chunk_idx") == 0)
+        w.filter(F.col("chunk_idx") == 0)
         .select(
             F.col("doc_id").alias("query_doc"),
-            F.col("v").alias("qv"),
-            F.col("n2").alias("qn2"),
+            _hashed_embedding(F.col("piece")).alias("qv"),
         )
+        .withColumn(
+            "qn2",
+            F.aggregate(F.col("qv"), F.lit(0.0), lambda acc, x: acc + x * x),
+        )
+        .filter(F.col("qn2") > 0)
     )
 
 
