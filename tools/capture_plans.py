@@ -29,7 +29,9 @@ def main() -> None:
     names = sys.argv[2:] or benchmod.BENCH_QUERIES
     spark = get_spark("capture-plans")
     qs = E.queries()
-    outdir = os.path.join(REPO, "plans", "r13")
+    outdir = os.path.join(
+        REPO, "plans", os.environ.get("SPARK_GRAFT_PLAN_DIR", "r14")
+    )
     os.makedirs(outdir, exist_ok=True)
     for name in names:
         try:
